@@ -1,0 +1,93 @@
+"""M1/M2: pages synthesis -> extraction -> graph build.
+
+Conformance gate #1 (SURVEY §7.4): per-url extracted text byte-identical
+to the ground-truth text column.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ugfraud_ray.sources.pages import PagesSpec, synthesize_pages, prod_url, user_url
+from ugfraud_ray.stages.extract import extract_edges, extract_text
+from ugfraud_ray.stages.graph_build import (
+    build_graph,
+    dedup_edges,
+    degree_table,
+    number_vertices,
+    with_row_index,
+)
+
+
+def _pages_ds(spec: PagesSpec):
+    table, edges = synthesize_pages(spec)
+    return ray.data.from_arrow(table), table, edges
+
+
+def test_text_extraction_byte_identical():
+    ds, table, _ = _pages_ds(PagesSpec(n_users=60, n_prods=8, n_edges=150, seed=7))
+    out = extract_text(ds).to_pandas().set_index("url")["extracted_text"]
+    truth = dict(zip(table["url"].to_pylist(), table["text"].to_pylist()))
+    assert len(out) == len(truth)
+    for url, text in truth.items():
+        assert out[url] == text, f"text mismatch for {url}"
+    # byte-identical, not just str-equal
+    assert all(out[u].encode() == t.encode() for u, t in truth.items())
+
+
+def test_edge_extraction_matches_ground_truth():
+    spec = PagesSpec(n_users=60, n_prods=8, n_edges=150, seed=7)
+    ds, _, gt_edges = _pages_ds(spec)
+    got = extract_edges(ds).to_pandas()
+    got_pairs = set(zip(got.src_url, got.dst_url))
+    want_pairs = {(user_url(int(u)), prod_url(int(p))) for u, p in gt_edges}
+    assert got_pairs == want_pairs
+
+
+def test_with_row_index_contiguous():
+    ds = ray.data.from_arrow(pa.table({"x": list(range(100))})).repartition(7)
+    out = with_row_index(ds, "idx").to_pandas()
+    assert sorted(out.idx.tolist()) == list(range(100))
+
+
+def test_build_graph_numbering_and_degree():
+    spec = PagesSpec(n_users=40, n_prods=6, n_edges=120, seed=3)
+    ds, _, gt_edges = _pages_ds(spec)
+    g = build_graph(ds)
+    verts = g["vertices"].to_pandas()
+    # vids contiguous from 0
+    assert sorted(verts.vid.tolist()) == list(range(len(verts)))
+    # products (kind 0 = appears as dst) numbered before users
+    max_prod_vid = verts[verts.kind == 0].vid.max()
+    min_user_vid = verts[verts.kind == 1].vid.min()
+    assert max_prod_vid < min_user_vid
+    # edge count matches dedup of ground truth
+    n_unique = len({(int(u), int(p)) for u, p in gt_edges})
+    assert g["edges"].count() == n_unique
+    # degree table: total degree == 2 * edges (undirected)
+    deg = degree_table(g["edges"], "both").to_pandas()
+    assert deg.degree.sum() == 2 * n_unique
+    # in-degree of most popular product should dominate (zipf skew)
+    deg_in = degree_table(g["edges"], "in").to_pandas()
+    assert deg_in.degree.max() >= deg_in.degree.mean() * 2
+
+
+def test_dedup_edges_is_exact():
+    t = pa.table(
+        {
+            "src_url": ["a", "a", "a", "b"],
+            "dst_url": ["x", "x", "y", "x"],
+            "ts": pa.array([3, 1, 2, 5], pa.timestamp("us")),
+        }
+    )
+    out = dedup_edges(ray.data.from_arrow(t)).to_pandas().sort_values(["src_url", "dst_url"])
+    assert len(out) == 3
+    # keeps min ts deterministically
+    assert out[(out.src_url == "a") & (out.dst_url == "x")].ts.iloc[0].value // 1000 == 1
+
+
+def test_multi_component_spec():
+    spec = PagesSpec(n_users=20, n_prods=4, n_edges=40, seed=5, n_components=3)
+    _, edges = synthesize_pages(spec)
+    users = {int(u) for u, _ in edges}
+    assert max(users) >= 40  # shifted clone components exist

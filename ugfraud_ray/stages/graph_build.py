@@ -1,0 +1,188 @@
+"""M2 — edge-url table -> numbered graph tables.
+
+Covers (reference citations into /root/reference):
+- exact edge dedup (D5, `Detector/Fraudar.py:18-20` multi-edge collapse;
+  needed anyway for Common-Crawl multi-links): groupby(src,dst) keep-first.
+- vertex numbering (T3, `Detector/fBox.py:20-47` id-index maps;
+  `Detector/GANG.py:100-112` and `Detector/ZooBP.py:52,94-99` *require*
+  contiguous int ids): url -> contiguous int64 vid, products (link
+  targets) numbered before users like the reference corpus layout
+  (prods `0..P-1`, users `P..`, FIXTURES.md §2).
+- degree table (A1, the most reused aggregate: `SpEagle.py:112-113`,
+  `GANG.py:100-104`, `fBox.py:65-66`, `Fraudar.py:205-206`).
+- attribute join (J1/M4, `Utils/helper.py:250-274`): hash join or
+  broadcast small-side lookup.
+
+All stages are Dataset ops (map_batches / groupby / sort); the only
+driver-side state is per-block row *counts* (metadata) used to assign
+contiguous ids — O(num_blocks), never O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _add_index(t: pa.Table, start: int, column: str) -> pa.Table:
+    return t.append_column(column, pa.array(np.arange(start, start + t.num_rows), pa.int64()))
+
+
+def with_row_index(ds: "ray.data.Dataset", column: str = "row_id", offset: int = 0) -> "ray.data.Dataset":
+    """Append a contiguous int64 index column in current block order.
+
+    Driver holds only per-block row counts (metadata); the index columns
+    are appended by parallel tasks. This is the distributed analog of the
+    reference's sequential id-assignment scan (`fBox.py:33-41`).
+    """
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    starts = offset + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    out = [_add_index.remote(r, int(s), column) for r, s in zip(refs, starts)]
+    return ray.data.from_arrow_refs(out)
+
+
+def dedup_edges(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact (src_url, dst_url) dedup keeping the min ts (deterministic).
+
+    D5: `Fraudar.py:18-20` (`M > 0 -> 1`).
+    """
+    return edge_urls.groupby(["src_url", "dst_url"]).aggregate(Min("ts", alias_name="ts"))
+
+
+def number_vertices(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct urls -> vertex table (url, kind, vid).
+
+    kind=0 for link *targets* ("products" in the reference's bipartite
+    corpus), kind=1 for source-only pages ("users"); targets are numbered
+    first so detector math that slices `[:n_prods]` (GANG.py:150-155)
+    has the reference's layout. Deterministic: sorted by (kind, url).
+    """
+    dsts = edge_urls.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})
+    srcs = edge_urls.select_columns(["src_url"]).rename_columns({"src_url": "url"})
+    is_dst = dsts.map_batches(
+        lambda t: t.append_column("is_dst", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    is_src = srcs.map_batches(
+        lambda t: t.append_column("is_dst", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    verts = (
+        is_dst.union(is_src)
+        .groupby("url")
+        .aggregate(Count(alias_name="deg_total"), Min("is_dst", alias_name="_min_dst"),
+                   _MaxI8("is_dst", "_max_dst"))
+    )
+    # kind: 0 if ever a dst else 1
+    verts = verts.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "kind": pc.if_else(pc.equal(t["_max_dst"], 1), pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    verts = verts.sort(["kind", "url"])
+    return with_row_index(verts, column="vid")
+
+
+def _MaxI8(col: str, name: str):
+    from ray.data.aggregate import Max
+
+    return Max(col, alias_name=name)
+
+
+def map_edges_to_vids(
+    edge_urls: "ray.data.Dataset",
+    vertices: "ray.data.Dataset",
+    broadcast_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(src_url, dst_url, ts) -> (src, dst, ts) int64 edges.
+
+    Small vertex tables are broadcast once via ``ray.put`` and looked up
+    inside ``map_batches`` (no shuffle); large ones use the
+    hash-partitioned ``Dataset.join`` twice. J1/J2 in SURVEY §2.4.
+    """
+    n = vertices.count()
+    if n <= broadcast_threshold:
+        vt = pa.concat_tables(ray.get(vertices.to_arrow_refs()))
+        # broadcast once via ray.put; each task reads the shared copy
+        lookup_ref = ray.put(dict(zip(vt["url"].to_pylist(), vt["vid"].to_pylist())))
+
+        def map_ids(t: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            src = pa.array([lk[u] for u in t["src_url"].to_pylist()], pa.int64())
+            dst = pa.array([lk[u] for u in t["dst_url"].to_pylist()], pa.int64())
+            cols = {"src": src, "dst": dst}
+            for name in t.column_names:
+                if name not in ("src_url", "dst_url"):
+                    cols[name] = t[name]
+            cols["src_url"] = t["src_url"]
+            cols["dst_url"] = t["dst_url"]
+            return pa.table(cols)
+
+        return edge_urls.map_batches(map_ids, batch_format="pyarrow")
+
+    # large-side path: two hash joins
+    v = vertices.select_columns(["url", "vid"])
+    e = edge_urls.join(
+        v.rename_columns({"url": "src_url", "vid": "src"}),
+        join_type="inner",
+        num_partitions=max(32, edge_urls.num_blocks()),
+        on=("src_url",),
+    )
+    e = e.join(
+        v.rename_columns({"url": "dst_url", "vid": "dst"}),
+        join_type="inner",
+        num_partitions=max(32, edge_urls.num_blocks()),
+        on=("dst_url",),
+    )
+    return e
+
+
+def degree_table(edges: "ray.data.Dataset", direction: str = "both") -> "ray.data.Dataset":
+    """Per-vertex degree via grouped count (A1).
+
+    direction: 'in' (by dst), 'out' (by src), 'both' (undirected sum).
+    """
+    if direction == "in":
+        return edges.groupby("dst").aggregate(Count(alias_name="degree")).rename_columns({"dst": "vid"})
+    if direction == "out":
+        return edges.groupby("src").aggregate(Count(alias_name="degree")).rename_columns({"src": "vid"})
+    out_d = edges.select_columns(["src"]).rename_columns({"src": "vid"})
+    in_d = edges.select_columns(["dst"]).rename_columns({"dst": "vid"})
+    return out_d.union(in_d).groupby("vid").aggregate(Count(alias_name="degree"))
+
+
+def build_graph(pages: "ray.data.Dataset") -> dict:
+    """pages -> {edges (int vids), vertices, n_vertices}.
+
+    The end-to-end M1+M2 slice: extract -> dedup -> number -> map ids.
+    """
+    from ugfraud_ray.stages.extract import extract_edges
+
+    raw = extract_edges(pages)
+    # materialize the deduped url-edge table once: it is consumed by three
+    # downstream branches (numbering, id-mapping, degree) and re-running
+    # the extract lineage per branch would re-parse every page each time.
+    deduped = dedup_edges(raw).materialize()
+    vertices = number_vertices(deduped).materialize()
+    edges = map_edges_to_vids(deduped, vertices)
+    return {
+        "edges": edges,
+        "vertices": vertices,
+        "n_vertices": vertices.count(),
+    }

@@ -1,0 +1,343 @@
+"""Gather–scatter superstep engine over partitioned CSR shards.
+
+This is the piece the reference simply does not have: its iterative
+detectors run single-threaded sweeps over driver-resident Python objects
+(e.g. SpEagle `run_bp` Detector/SpEagle.py:424-463, GANG `pu_lbp`
+Detector/GANG.py:114-137). Here every iterative kernel is a
+`VertexProgram` executed by a pool of `GraphShard` actors:
+
+- shard p owns vertex partition ``{vid : vid % P == p}`` (dense local
+  arrays, local index = vid // P) and all edges whose dst lives in p
+  (so dst-aggregation is partition-local), except hub-dst edges which
+  are spread across shards and combined in a second small reduce
+  (two-level combine for skew).
+- one superstep = ``compute``(gather src state from the P published
+  state blocks → vectorized message kernel → segmented combine) then
+  ``apply`` (vertex update) — Jacobi semantics, order-free, which is the
+  convergence-equivalent form of the reference's Gauss–Seidel sweeps
+  (SURVEY §2.9 I1).
+- state blocks live in the object store; the driver holds only
+  ObjectRefs, per-step scalar stats, and the (small) combined hub
+  aggregates.
+- every ``checkpoint_every`` steps each shard writes its state block to
+  ``ckpt/step=k/state_p{p}.parquet`` and the driver commits
+  ``step_k.json`` (metrics manifest) only after all shards land —
+  resume scans the greatest committed step (per-partition lineage +
+  mid-iteration resumability, north rule).
+
+Messages are plain float64 (n, state_dim) numpy arrays; combines are
+``np.bincount`` (sum) or ``ufunc.at`` (min/max) — no Python loops over
+edges anywhere.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+
+class VertexProgram:
+    """Vectorized vertex-program contract (all numpy, no per-row Python).
+
+    Subclasses define the kernel; the engine owns partitioning, gather,
+    combine, hub reconciliation, convergence and checkpointing.
+    """
+
+    state_dim: int = 1
+    combine: str = "sum"  # 'sum' | 'min' | 'max'
+    edge_cols: tuple = ()  # extra edge columns the kernel needs
+
+    def init_state(self, vids: np.ndarray, shard: "Any") -> np.ndarray:
+        """Initial (len(vids), state_dim) float64 state for owned vids."""
+        raise NotImplementedError
+
+    def prepare_edges(self, edge_table: pa.Table, shard: "Any") -> Any:
+        """Optional per-edge static data (computed once per shard)."""
+        return None
+
+    def message(self, src_state: np.ndarray, edge_data: Any, shard: "Any") -> np.ndarray:
+        """(n_edges, state_dim) contributions sent along each edge."""
+        raise NotImplementedError
+
+    def apply(
+        self, vids: np.ndarray, old: np.ndarray, agg: np.ndarray, have_msg: np.ndarray,
+        aux: dict, shard: "Any",
+    ) -> tuple[np.ndarray, dict]:
+        """New state + local stats (must include 'delta')."""
+        raise NotImplementedError
+
+    def init_stats(self, vids: np.ndarray, state: np.ndarray, shard: "Any") -> dict:
+        """Optional per-shard stats over the initial state (e.g. dangling mass)."""
+        return {}
+
+    def reduce_stats(self, stats: list[dict]) -> dict:
+        """Driver-side combine of per-shard stats -> aux for next step."""
+        out: dict = {}
+        for s in stats:
+            for k, v in s.items():
+                out[k] = out.get(k, 0.0) + v
+        return out
+
+
+_COMBINE_IDENT = {"sum": 0.0, "min": np.inf, "max": -np.inf}
+
+
+@ray.remote
+class GraphShard:
+    def __init__(self, layout_path: str, p: int, program: VertexProgram):
+        from ugfraud_ray.state.layout import GraphLayout
+
+        self.layout = GraphLayout.load(layout_path)
+        self.p = p
+        self.P = self.layout.P
+        self.N = self.layout.n_vertices
+        self.program = program
+        files = sorted(glob.glob(os.path.join(layout_path, "edges", f"part={p}", "*.parquet")))
+        cols = ["src", "dst"] + list(program.edge_cols)
+        if files:
+            t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+        else:
+            t = pa.table({c: pa.array([], pa.int64()) for c in cols})
+        self.src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.n_edges = len(self.src)
+        self.src_part = (self.src % self.P).astype(np.int64)
+        self.src_local = self.src // self.P
+        self.dst_part = (self.dst % self.P).astype(np.int64)
+        self.dst_local = self.dst // self.P
+        # hub handling: edges whose dst is a hub may belong to any dst
+        # partition; aggregate them separately into the hub index space.
+        self.hub_vids = np.array(self.layout.hub_vids, dtype=np.int64)
+        if len(self.hub_vids):
+            self.is_hub_edge = np.isin(self.dst, self.hub_vids)
+            self.hub_idx = np.searchsorted(self.hub_vids, self.dst[self.is_hub_edge])
+        else:
+            self.is_hub_edge = np.zeros(self.n_edges, dtype=bool)
+            self.hub_idx = np.zeros(0, dtype=np.int64)
+        self.local_mask = (~self.is_hub_edge) & (self.dst_part == self.p)
+        # owned vertices
+        self.vids = np.arange(p, self.N, self.P, dtype=np.int64)
+        self.n_local = len(self.vids)
+        # hubs owned by this shard
+        if len(self.hub_vids):
+            own = self.hub_vids % self.P == self.p
+            self.owned_hub_vids = self.hub_vids[own]
+            self.owned_hub_local = self.owned_hub_vids // self.P
+            self.owned_hub_pos = np.flatnonzero(own)
+        else:
+            self.owned_hub_vids = np.zeros(0, dtype=np.int64)
+            self.owned_hub_local = np.zeros(0, dtype=np.int64)
+            self.owned_hub_pos = np.zeros(0, dtype=np.int64)
+        self.edge_data = program.prepare_edges(t, self)
+        self.state = np.ascontiguousarray(program.init_state(self.vids, self), dtype=np.float64)
+        if self.state.ndim == 1:
+            self.state = self.state[:, None]
+        self._agg = None
+        self._have = None
+
+    # ---- published state -------------------------------------------------
+    def get_state(self) -> np.ndarray:
+        return self.state
+
+    def set_state(self, arr: np.ndarray) -> bool:
+        self.state = np.ascontiguousarray(arr, dtype=np.float64)
+        return True
+
+    # ---- superstep phase 1: gather + combine -----------------------------
+    def compute(self, state_refs: list) -> np.ndarray:
+        """Aggregate messages for owned vids; return hub partials (small)."""
+        k = self.program.state_dim
+        blocks = ray.get(list(state_refs))
+        src_vals = np.empty((self.n_edges, k), dtype=np.float64)
+        for q in range(self.P):
+            m = self.src_part == q
+            if m.any():
+                src_vals[m] = blocks[q][self.src_local[m]]
+        msgs = self.program.message(src_vals, self.edge_data, self)
+        if msgs.ndim == 1:
+            msgs = msgs[:, None]
+        ident = _COMBINE_IDENT[self.program.combine]
+        agg = np.full((self.n_local, k), ident, dtype=np.float64)
+        have = np.zeros(self.n_local, dtype=bool)
+        lm = self.local_mask
+        dl = self.dst_local[lm]
+        if self.program.combine == "sum":
+            for j in range(k):
+                agg[:, j] += np.bincount(dl, weights=msgs[lm, j], minlength=self.n_local)
+        elif self.program.combine == "min":
+            for j in range(k):
+                np.minimum.at(agg[:, j], dl, msgs[lm, j])
+        else:
+            for j in range(k):
+                np.maximum.at(agg[:, j], dl, msgs[lm, j])
+        np.logical_or.at(have, dl, True)
+        self._agg, self._have = agg, have
+        # hub partials: (n_hubs, k) dense — n_hubs is small by construction
+        n_hubs = len(self.hub_vids)
+        hub_partial = np.full((n_hubs, k), ident, dtype=np.float64)
+        hub_have = np.zeros(n_hubs, dtype=bool)
+        if n_hubs and self.is_hub_edge.any():
+            hm = msgs[self.is_hub_edge]
+            if self.program.combine == "sum":
+                for j in range(k):
+                    hub_partial[:, j] += np.bincount(self.hub_idx, weights=hm[:, j], minlength=n_hubs)
+            elif self.program.combine == "min":
+                for j in range(k):
+                    np.minimum.at(hub_partial[:, j], self.hub_idx, hm[:, j])
+            else:
+                for j in range(k):
+                    np.maximum.at(hub_partial[:, j], self.hub_idx, hm[:, j])
+            np.logical_or.at(hub_have, self.hub_idx, True)
+        return np.concatenate([hub_partial, hub_have[:, None].astype(np.float64)], axis=1)
+
+    def initial_stats(self) -> dict:
+        return self.program.init_stats(self.vids, self.state, self)
+
+    # ---- superstep phase 2: apply ---------------------------------------
+    def apply(self, hub_agg: np.ndarray | None, aux: dict) -> dict:
+        agg, have = self._agg, self._have
+        if hub_agg is not None and len(self.owned_hub_pos):
+            vals = hub_agg[self.owned_hub_pos, :-1]
+            hv = hub_agg[self.owned_hub_pos, -1] > 0
+            agg[self.owned_hub_local] = vals
+            have[self.owned_hub_local] = hv
+        new_state, stats = self.program.apply(self.vids, self.state, agg, have, aux, self)
+        if new_state.ndim == 1:
+            new_state = new_state[:, None]
+        self.state = np.ascontiguousarray(new_state, dtype=np.float64)
+        self._agg = self._have = None
+        return stats
+
+    # ---- checkpointing ---------------------------------------------------
+    def checkpoint(self, ckpt_dir: str, step: int) -> bool:
+        d = os.path.join(ckpt_dir, f"step={step}")
+        os.makedirs(d, exist_ok=True)
+        cols = {"vid": pa.array(self.vids)}
+        for j in range(self.state.shape[1]):
+            cols[f"s{j}"] = pa.array(self.state[:, j])
+        pq.write_table(pa.table(cols), os.path.join(d, f"state_p{self.p}.parquet"))
+        return True
+
+    def restore(self, ckpt_dir: str, step: int) -> bool:
+        f = os.path.join(ckpt_dir, f"step={step}", f"state_p{self.p}.parquet")
+        t = pq.read_table(f)
+        k = len(t.column_names) - 1
+        self.state = np.column_stack([t[f"s{j}"].to_numpy() for j in range(k)]).astype(np.float64)
+        return True
+
+    def state_table(self) -> pa.Table:
+        cols = {"vid": pa.array(self.vids)}
+        for j in range(self.state.shape[1]):
+            cols[f"s{j}"] = pa.array(self.state[:, j])
+        return pa.table(cols)
+
+
+class SuperstepEngine:
+    """Driver-side loop: spawn shard pool, iterate, checkpoint, converge."""
+
+    def __init__(self, layout, program: VertexProgram, ckpt_dir: str | None = None,
+                 checkpoint_every: int = 0):
+        self.layout = layout
+        self.program = program
+        self.ckpt_dir = ckpt_dir
+        self.checkpoint_every = checkpoint_every
+        self.shards = [
+            GraphShard.remote(layout.path, p, program) for p in range(layout.P)
+        ]
+        self.metrics: list[dict] = []
+        self.n_hubs = len(layout.hub_vids)
+
+    def _combine_hub(self, partials: list[np.ndarray]) -> np.ndarray | None:
+        if not self.n_hubs:
+            return None
+        k = self.program.state_dim
+        vals = np.stack([p[:, :k] for p in partials])  # (P, n_hubs, k)
+        have = np.stack([p[:, k] > 0 for p in partials])
+        any_have = have.any(axis=0)
+        if self.program.combine == "sum":
+            out = vals.sum(axis=0)
+        elif self.program.combine == "min":
+            out = vals.min(axis=0)
+        else:
+            out = vals.max(axis=0)
+        return np.concatenate([out, any_have[:, None].astype(np.float64)], axis=1)
+
+    def run(
+        self,
+        max_iters: int,
+        tol: float | None = None,
+        aux: dict | None = None,
+        resume: bool = False,
+    ) -> dict:
+        """Run supersteps until convergence (stats['delta'] <= tol) or max_iters."""
+        aux = dict(aux or {})
+        start_step = 0
+        if resume and self.ckpt_dir:
+            done = self._latest_checkpoint()
+            if done is not None:
+                step, saved_aux = done
+                ray.get([s.restore.remote(self.ckpt_dir, step) for s in self.shards])
+                aux.update(saved_aux)
+                start_step = step + 1
+        if start_step == 0:
+            init = ray.get([s.initial_stats.remote() for s in self.shards])
+            if any(init):
+                aux.update(self.program.reduce_stats(init))
+        for it in range(start_step, max_iters):
+            t0 = time.perf_counter()
+            state_refs = [s.get_state.remote() for s in self.shards]
+            hub_parts = ray.get([s.compute.remote(state_refs) for s in self.shards])
+            hub_agg = self._combine_hub(hub_parts)
+            stats = self.program.reduce_stats(
+                ray.get([s.apply.remote(hub_agg, aux) for s in self.shards])
+            )
+            dt = time.perf_counter() - t0
+            rec = {"step": it, "seconds": dt, **{k: float(v) for k, v in stats.items() if np.isscalar(v)}}
+            self.metrics.append(rec)
+            aux = {**aux, **stats}
+            if self.checkpoint_every and self.ckpt_dir and (it + 1) % self.checkpoint_every == 0:
+                self._commit_checkpoint(it, aux)
+            if tol is not None and stats.get("delta", np.inf) <= tol:
+                break
+        if self.ckpt_dir:
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            with open(os.path.join(self.ckpt_dir, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f)
+        return aux
+
+    def _commit_checkpoint(self, step: int, aux: dict) -> None:
+        ray.get([s.checkpoint.remote(self.ckpt_dir, step) for s in self.shards])
+        safe_aux = {k: float(v) for k, v in aux.items() if np.isscalar(v) and np.isreal(v)}
+        manifest = {"step": step, "P": self.layout.P, "aux": safe_aux}
+        with open(os.path.join(self.ckpt_dir, f"step_{step}.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def _latest_checkpoint(self):
+        if not self.ckpt_dir or not os.path.isdir(self.ckpt_dir):
+            return None
+        best = None
+        for f in glob.glob(os.path.join(self.ckpt_dir, "step_*.json")):
+            with open(f) as fh:
+                m = json.load(fh)
+            if best is None or m["step"] > best[0]:
+                best = (m["step"], m.get("aux", {}))
+        return best
+
+    def result_dataset(self) -> "ray.data.Dataset":
+        import ray.data
+
+        return ray.data.from_arrow_refs([s.state_table.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

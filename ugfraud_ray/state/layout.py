@@ -1,0 +1,131 @@
+"""Partitioned on-disk graph layout for the superstep engine.
+
+The pair (edge table, vertex table) IS the graph (SURVEY §1.2). For the
+iterative kernels we pin ONE partitioning and reuse it across stages
+(north-rule "pick one partitioning key"): vertex `vid` is assigned to
+partition ``vid % P``; edges live with their *destination*'s partition
+(gather-side locality: every aggregate-to-dst is partition-local, no
+cross-partition combine), except edges pointing at *hub* vertices
+(in-degree > hub_threshold), which are spread by ``src % P`` and
+combined in a second, tiny reduce round (degree-aware skew splitting;
+SURVEY §4 "hub splitting", reference has none).
+
+Everything is written as Parquet partitioned by `part` so (a) shard
+actors read only their own files, (b) a rerun reuses the layout, and
+(c) the layout doubles as the graph checkpoint. The manifest records P,
+n_vertices and the hub list so resume is stable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count
+
+
+@dataclass
+class GraphLayout:
+    path: str
+    P: int
+    n_vertices: int
+    hub_vids: list = field(default_factory=list)
+    directed: bool = True
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def save(self) -> None:
+        with open(self.manifest_path, "w") as f:
+            json.dump(
+                {
+                    "P": self.P,
+                    "n_vertices": self.n_vertices,
+                    "hub_vids": list(map(int, self.hub_vids)),
+                    "directed": self.directed,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "GraphLayout":
+        with open(os.path.join(path, "manifest.json")) as f:
+            m = json.load(f)
+        return cls(path=path, P=m["P"], n_vertices=m["n_vertices"], hub_vids=m["hub_vids"], directed=m["directed"])
+
+    def part_sizes(self) -> list[int]:
+        return [len(range(p, self.n_vertices, self.P)) for p in range(self.P)]
+
+
+def symmetrize(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Directed edge table -> both directions (for undirected kernels)."""
+    cols = edges.schema().names
+
+    def flip(t: pa.Table) -> pa.Table:
+        out = {"src": t["dst"], "dst": t["src"]}
+        for c in cols:
+            if c not in ("src", "dst"):
+                out[c] = t[c]
+        return pa.table(out)
+
+    rev = edges.map_batches(flip, batch_format="pyarrow")
+    return edges.select_columns(cols).union(rev.select_columns(cols))
+
+
+def build_layout(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    path: str,
+    P: int = 8,
+    hub_threshold: int | None = None,
+    directed: bool = True,
+    edge_cols: list[str] | None = None,
+) -> GraphLayout:
+    """Write the partitioned edge layout and its manifest.
+
+    edges: (src:int64, dst:int64, ...). If hub_threshold is set, dst
+    vertices with in-degree above it are routed by src instead (their
+    per-shard partial aggregates get a second combine round at runtime).
+    """
+    os.makedirs(path, exist_ok=True)
+    keep = ["src", "dst"] + [c for c in (edge_cols or []) if c not in ("src", "dst")]
+    edges = edges.select_columns([c for c in keep if c in edges.schema().names])
+
+    hub_vids: list[int] = []
+    if hub_threshold is not None:
+        thr = int(hub_threshold)
+        deg = edges.groupby("dst").aggregate(Count(alias_name="d"))
+        hubs = deg.map_batches(
+            lambda t: t.filter(pc.greater(t["d"], thr)).select(["dst"]),
+            batch_format="pyarrow",
+        )
+        ht = pa.concat_tables(ray.get(hubs.to_arrow_refs()))
+        hub_vids = sorted(ht["dst"].to_pylist())
+    hub_arr = np.array(hub_vids, dtype=np.int64)
+    hub_ref = ray.put(hub_arr)  # broadcast once, read per task
+    n_hubs = len(hub_vids)
+    P_ = P
+
+    def assign(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        part = dst % P_
+        if n_hubs:
+            is_hub = np.isin(dst, ray.get(hub_ref))
+            part = np.where(is_hub, src % P_, part)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    with_part = edges.map_batches(assign, batch_format="pyarrow")
+    edir = os.path.join(path, "edges")
+    with_part.write_parquet(edir, partition_cols=["part"])
+
+    layout = GraphLayout(path=path, P=P, n_vertices=n_vertices, hub_vids=hub_vids, directed=directed)
+    layout.save()
+    return layout
