@@ -1,0 +1,148 @@
+"""M3/M4: superstep engine kernels vs dense numpy / networkx oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ugfraud_ray.sources.pages import PagesSpec, _spec_edges
+from ugfraud_ray.pipelines.pagerank import pagerank
+from ugfraud_ray.pipelines.components import connected_components
+from ugfraud_ray.pipelines.labelprop import label_propagation
+
+
+def _graph(spec: PagesSpec):
+    """(src, dst) int64 edges: prods 0..n_p-1, users n_p.. (directed user->prod)."""
+    e = _spec_edges(spec)
+    n_p = spec.n_prods * spec.n_components
+    n_u = spec.n_users * spec.n_components
+    src = e[:, 0] + n_p  # users after prods
+    dst = e[:, 1]
+    used = np.union1d(src, dst)
+    n = n_p + n_u
+    return src, dst, n
+
+
+def _edges_ds(src, dst):
+    return ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+
+
+def _pagerank_oracle(src, dst, n, d=0.85, iters=200, tol=1e-9):
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    x = np.full(n, 1.0 / n)
+    w = 1.0 / np.where(outdeg > 0, outdeg, 1.0)
+    for _ in range(iters):
+        agg = np.bincount(dst, weights=x[src] * w[src], minlength=n)
+        dang = x[outdeg == 0].sum()
+        new = (1 - d) / n + d * agg + d * dang / n
+        if np.abs(new - x).sum() <= tol:
+            x = new
+            break
+        x = new
+    return x
+
+
+def test_pagerank_matches_dense_oracle(tmp_path):
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=11)
+    src, dst, n = _graph(spec)
+    got, metrics = pagerank(
+        _edges_ds(src, dst), n, str(tmp_path / "pr"), P=2, max_iters=100, tol=1e-12
+    )
+    gp = got.to_pandas().sort_values("vid")
+    want = _pagerank_oracle(src, dst, n, iters=200, tol=1e-12)
+    np.testing.assert_allclose(gp["rank"].to_numpy(), want, atol=1e-8)
+    assert abs(gp["rank"].sum() - 1.0) < 1e-6
+    assert len(metrics) > 2
+
+
+def test_pagerank_with_hub_splitting_identical(tmp_path):
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=11, zipf_a=2.0)
+    src, dst, n = _graph(spec)
+    a, _ = pagerank(_edges_ds(src, dst), n, str(tmp_path / "a"), P=2, max_iters=60, tol=1e-12)
+    b, _ = pagerank(
+        _edges_ds(src, dst), n, str(tmp_path / "b"), P=2, max_iters=60, tol=1e-12,
+        hub_threshold=5,
+    )
+    pa_, pb = a.to_pandas().sort_values("vid"), b.to_pandas().sort_values("vid")
+    np.testing.assert_allclose(pa_["rank"].to_numpy(), pb["rank"].to_numpy(), atol=1e-12)
+
+
+def test_connected_components_exact(tmp_path):
+    spec = PagesSpec(n_users=30, n_prods=5, n_edges=60, seed=9, n_components=3)
+    src, dst, n = _graph(spec)
+    got, _ = connected_components(_edges_ds(src, dst), n, str(tmp_path / "cc"), P=2)
+    gp = got.to_pandas().sort_values("vid")
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = np.empty(n, dtype=np.int64)
+    for comp in nx.connected_components(G):
+        rep = min(comp)
+        for v in comp:
+            want[v] = rep
+    np.testing.assert_array_equal(gp["component"].to_numpy(), want)
+    # really multiple components
+    assert gp["component"].nunique() >= 3
+
+
+def test_label_propagation_matches_dense(tmp_path):
+    spec = PagesSpec(n_users=40, n_prods=6, n_edges=120, seed=21)
+    src, dst, n = _graph(spec)
+    rng = np.random.default_rng(0)
+    seed_vids = rng.choice(n, size=8, replace=False)
+    seed_labels = rng.integers(0, 2, size=8)
+    seeds = ray.data.from_arrow(
+        pa.table({"vid": pa.array(seed_vids.astype(np.int64)),
+                  "seed_label": pa.array(seed_labels.astype(np.float64))})
+    )
+    iters = 12
+    got, _ = label_propagation(
+        _edges_ds(src, dst), seeds, n, 2, str(tmp_path / "lp"), P=2,
+        max_iters=iters, tol=-1.0,
+    )
+    gp = got.to_pandas().sort_values("vid")
+
+    # dense oracle, same Jacobi schedule
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0
+    A = np.maximum(A, A.T)
+    f = np.full((n, 2), 0.5)
+    clamp = np.zeros(n, dtype=bool)
+    clamp[seed_vids] = True
+    f[seed_vids] = 0.0
+    f[seed_vids, seed_labels] = 1.0
+    for _ in range(iters):
+        agg = A.T @ f
+        s = agg.sum(axis=1, keepdims=True)
+        ok = (s[:, 0] > 0) & ~clamp
+        nf = f.copy()
+        nf[ok] = agg[ok] / s[ok]
+        f = nf
+    want_label = f.argmax(axis=1)
+    np.testing.assert_array_equal(gp["label"].to_numpy(), want_label)
+
+
+def test_pagerank_checkpoint_resume(tmp_path):
+    spec = PagesSpec(n_users=30, n_prods=5, n_edges=80, seed=4)
+    src, dst, n = _graph(spec)
+    full, _ = pagerank(
+        _edges_ds(src, dst), n, str(tmp_path / "full"), P=2, max_iters=20, tol=-1.0
+    )
+    # run 1: stop early at 10 steps with checkpoints
+    half, _ = pagerank(
+        _edges_ds(src, dst), n, str(tmp_path / "g1"), P=2, max_iters=10, tol=-1.0,
+        ckpt_dir=str(tmp_path / "ck"), checkpoint_every=5,
+    )
+    # run 2: resume from the committed step and continue to 20
+    resumed, metrics = pagerank(
+        _edges_ds(src, dst), n, str(tmp_path / "g2"), P=2, max_iters=20, tol=-1.0,
+        ckpt_dir=str(tmp_path / "ck"), checkpoint_every=5, resume=True,
+    )
+    f = full.to_pandas().sort_values("vid")["rank"].to_numpy()
+    r = resumed.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(r, f, atol=1e-12)
+    # resumed run actually skipped the first steps
+    assert metrics[0]["step"] == 10

@@ -1,0 +1,64 @@
+"""Connected components via hash-min label propagation supersteps.
+
+Reference analog: SpEagle's BFS `schedule()` discovers components
+sequentially (/root/reference Detector/SpEagle.py:354-379); here every
+vertex starts labeled with its own vid and repeatedly takes the min of
+its neighbors' labels (combine='min') until no label changes — the
+classic partition-parallel hash-min algorithm. Exact-match criterion
+(north rule): labels are component representatives (min vid).
+
+The input edge table is symmetrized by the caller/driver function so
+undirected semantics hold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data
+
+from ugfraud_ray.state.engine import SuperstepEngine, VertexProgram
+from ugfraud_ray.state.layout import build_layout, symmetrize
+
+
+class HashMinProgram(VertexProgram):
+    state_dim = 1
+    combine = "min"
+
+    def init_state(self, vids, shard):
+        return vids.astype(np.float64)[:, None]
+
+    def message(self, src_state, edge_data, shard):
+        return src_state[:, 0]
+
+    def apply(self, vids, old, agg, have_msg, aux, shard):
+        new = np.where(have_msg, np.minimum(old[:, 0], agg[:, 0]), old[:, 0])
+        return new, {"delta": float((new != old[:, 0]).sum())}
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    P: int = 4,
+    max_iters: int = 100,
+    hub_threshold: int | None = None,
+    ckpt_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple["ray.data.Dataset", list[dict]]:
+    """Returns (Dataset(vid, component:int64), metrics). Exact labels."""
+    sym = symmetrize(edges.select_columns(["src", "dst"]))
+    layout = build_layout(sym, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold)
+    eng = SuperstepEngine(layout, HashMinProgram(), ckpt_dir=ckpt_dir, checkpoint_every=checkpoint_every)
+    eng.run(max_iters=max_iters, tol=0.0, resume=resume)
+
+    import pyarrow as pa
+
+    def to_int(t: pa.Table) -> pa.Table:
+        comp = t["s0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vid": t["vid"], "component": pa.array(comp)})
+
+    out = eng.result_dataset().map_batches(to_int, batch_format="pyarrow").materialize()
+    eng.shutdown()
+    return out, eng.metrics

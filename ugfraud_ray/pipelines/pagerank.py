@@ -1,0 +1,131 @@
+"""PageRank as a superstep vertex program.
+
+Reference analog: GANG's `pu_lbp` is literally the same SpMV power
+iteration `x <- p + c A x` (/root/reference Detector/GANG.py:114-137;
+SURVEY §2.12). Standard damped PageRank with dangling-mass
+redistribution:
+
+    x'_v = (1-d)/N + d * Σ_{u→v} x_u / outdeg(u) + d * dangling_sum / N
+
+- per-edge weight `w = 1/outdeg(src)` attached at graph-build time
+  (grouped count + broadcast lookup — never recomputed per superstep)
+- dangling_sum is a per-shard partial reduced by the driver (the engine's
+  stats channel), fed back as `aux` next superstep
+- delta = Σ|x'-x| L1; converged when <= tol.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from ugfraud_ray.state.engine import SuperstepEngine, VertexProgram
+from ugfraud_ray.state.layout import GraphLayout, build_layout
+
+
+class PageRankProgram(VertexProgram):
+    state_dim = 1
+    combine = "sum"
+    edge_cols = ("w",)
+
+    def __init__(self, damping: float = 0.85):
+        self.d = damping
+
+    def init_state(self, vids, shard):
+        n = shard.N
+        return np.full((len(vids), 1), 1.0 / n)
+
+    def init_stats(self, vids, state, shard):
+        dangling = shard.vertex_aux("outdeg", 0.0) == 0
+        return {"dangling_sum": float(state[dangling, 0].sum())}
+
+    def prepare_edges(self, edge_table: pa.Table, shard):
+        return edge_table["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def message(self, src_state, w, shard):
+        return src_state[:, 0] * w
+
+    def apply(self, vids, old, agg, have_msg, aux, shard):
+        n = shard.N
+        dang = aux.get("dangling_sum", 0.0)
+        new = (1.0 - self.d) / n + self.d * agg[:, 0] + self.d * dang / n
+        dangling = shard.vertex_aux("outdeg", 0.0) == 0
+        return new, {
+            "delta": float(np.abs(new - old[:, 0]).sum()),
+            "dangling_sum": float(new[dangling].sum()),
+        }
+
+
+def attach_edge_weights(edges: "ray.data.Dataset") -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """edges(src,dst) -> (edges + w=1/outdeg(src), outdeg table).
+
+    Grouped count (A1) then a broadcast small-side lookup inside
+    map_batches — the degree table is O(vertices), tiny next to edges.
+    """
+    outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+    dt = pa.concat_tables(ray.get(outdeg.to_arrow_refs()))
+    lookup_ref = ray.put(
+        dict(zip(dt["src"].to_pylist(), dt["outdeg"].to_pylist()))
+    )
+
+    def add_w(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        w = np.array([1.0 / lk[int(s)] for s in src], dtype=np.float64)
+        return t.append_column("w", pa.array(w))
+
+    outdeg_v = outdeg.rename_columns({"src": "vid"})
+    return edges.map_batches(add_w, batch_format="pyarrow"), outdeg_v
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    P: int = 4,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float = 1e-9,
+    hub_threshold: int | None = None,
+    ckpt_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple["ray.data.Dataset", list[dict]]:
+    """Run PageRank; returns (Dataset(vid, rank), per-superstep metrics)."""
+    weighted, outdeg_v = attach_edge_weights(edges)
+    layout = build_layout(
+        weighted,
+        n_vertices,
+        layout_dir,
+        P=P,
+        hub_threshold=hub_threshold,
+        edge_cols=["w"],
+        vertex_aux=outdeg_v,
+    )
+    return pagerank_on_layout(
+        layout, damping=damping, max_iters=max_iters, tol=tol,
+        ckpt_dir=ckpt_dir, checkpoint_every=checkpoint_every, resume=resume,
+    )
+
+
+def pagerank_on_layout(
+    layout: GraphLayout,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float = 1e-9,
+    ckpt_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple["ray.data.Dataset", list[dict]]:
+    eng = SuperstepEngine(
+        layout, PageRankProgram(damping), ckpt_dir=ckpt_dir, checkpoint_every=checkpoint_every
+    )
+    eng.run(max_iters=max_iters, tol=tol, resume=resume)
+    out = eng.result_dataset().rename_columns({"s0": "rank"})
+    out = out.materialize()
+    eng.shutdown()
+    return out, eng.metrics

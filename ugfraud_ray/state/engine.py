@@ -137,12 +137,24 @@ class GraphShard:
             self.owned_hub_vids = np.zeros(0, dtype=np.int64)
             self.owned_hub_local = np.zeros(0, dtype=np.int64)
             self.owned_hub_pos = np.zeros(0, dtype=np.int64)
+        # per-partition static vertex columns (e.g. out-degree, priors)
+        vfiles = sorted(glob.glob(os.path.join(layout_path, "vertex", f"part={p}", "*.parquet")))
+        self._aux_table = pa.concat_tables([pq.read_table(f) for f in vfiles]) if vfiles else None
         self.edge_data = program.prepare_edges(t, self)
         self.state = np.ascontiguousarray(program.init_state(self.vids, self), dtype=np.float64)
         if self.state.ndim == 1:
             self.state = self.state[:, None]
         self._agg = None
         self._have = None
+
+    def vertex_aux(self, col: str, default: float = 0.0) -> np.ndarray:
+        """Dense (n_local,) array of a static vertex column for owned vids."""
+        out = np.full(self.n_local, default, dtype=np.float64)
+        if self._aux_table is not None and col in self._aux_table.column_names:
+            vid = self._aux_table["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            val = self._aux_table[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            out[vid // self.P] = val
+        return out
 
     # ---- published state -------------------------------------------------
     def get_state(self) -> np.ndarray:

@@ -87,6 +87,7 @@ def build_layout(
     hub_threshold: int | None = None,
     directed: bool = True,
     edge_cols: list[str] | None = None,
+    vertex_aux: "ray.data.Dataset | None" = None,
 ) -> GraphLayout:
     """Write the partitioned edge layout and its manifest.
 
@@ -125,6 +126,15 @@ def build_layout(
     with_part = edges.map_batches(assign, batch_format="pyarrow")
     edir = os.path.join(path, "edges")
     with_part.write_parquet(edir, partition_cols=["part"])
+
+    if vertex_aux is not None:
+        def vassign(t: pa.Table) -> pa.Table:
+            vid = t["vid"].to_numpy(zero_copy_only=False)
+            return t.append_column("part", pa.array((vid % P_).astype(np.int64)))
+
+        vertex_aux.map_batches(vassign, batch_format="pyarrow").write_parquet(
+            os.path.join(path, "vertex"), partition_cols=["part"]
+        )
 
     layout = GraphLayout(path=path, P=P, n_vertices=n_vertices, hub_vids=hub_vids, directed=directed)
     layout.save()
