@@ -1,0 +1,37 @@
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ugfraud_ray.pipelines.triangles import triangle_count
+
+
+def _random_graph(n=60, m=300, seed=13):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    return src.astype(np.int64), dst.astype(np.int64)
+
+
+def test_triangle_count_matches_networkx():
+    src, dst = _random_graph()
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = triangle_count(ds)
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = sum(nx.triangles(G).values()) // 3
+    assert got == want
+    assert got > 0
+
+
+def test_triangle_count_known_small():
+    # K4 has 4 triangles
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                  "dst": pa.array([b for _, b in edges], pa.int64())})
+    )
+    assert triangle_count(ds) == 4
