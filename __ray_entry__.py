@@ -1,44 +1,431 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in ugfraud_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Graph queries run over two canonical, SQL-expressible derivations of the
+driver's testdata (see ugfraud_ray/pipelines/testdata_graph.py):
+
+- the *review graph* (bipartite customer->part, the reference corpus
+  shape, /root/reference Utils/helper.py:123-202), and
+- the *general graph* (directed, on the customer-id domain) for
+  PageRank / connected components / triangle counting.
+
+Iterative kernels (pagerank, components) run on the partitioned
+superstep engine (ugfraud_ray/state/engine.py) with scratch layouts
+under /tmp; everything else is pure Dataset ops.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+import ray
+import ray.data
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+TOPK_N = 100
+ANN_QUERIES = 5
+ANN_K = 10
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror the Ray-side derivations exactly)
+# ---------------------------------------------------------------------------
+
+_SQL_REVIEW_EDGES = """
+    SELECT o_custkey AS src,
+           l_partkey + 1000000 AS dst,
+           CAST(MIN(CASE WHEN l_discount >= 0.05 THEN 2 ELSE 1 END) AS BIGINT) AS rating,
+           CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS label
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+"""
+
+_SQL_GENERAL_EDGES = """
+    SELECT DISTINCT o_custkey AS src,
+           o_orderkey % (SELECT MAX(o_custkey) + 1 FROM orders) AS dst
+    FROM orders
+    WHERE o_custkey <> o_orderkey % (SELECT MAX(o_custkey) + 1 FROM orders)
+"""
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "ugfraud_ray_scratch", name)
+    os.makedirs(d, exist_ok=True)
+    return tempfile.mkdtemp(dir=d)
+
+
+# ---------------------------------------------------------------------------
+# Ray-side queries
+# ---------------------------------------------------------------------------
+
+
+def _q_review_edges(sf_dir: str):
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "rating": pc.cast(t["rating"], pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            }
+        )
+
+    return review_edges(sf_dir).map_batches(widen, batch_format="pyarrow")
+
+
+def _q_degree(sf_dir: str, direction: str):
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+    from ugfraud_ray.stages.graph_build import degree_table
+
+    return degree_table(review_edges(sf_dir), direction=direction)
+
+
+def _q_user_ground_truth(sf_dir: str):
+    """M9 create_ground_truth (helper.py:11-36): user spam if ANY review spam."""
+    from ray.data.aggregate import Max
+
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    gt = review_edges(sf_dir).groupby("src").aggregate(Max("label", alias_name="label"))
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table({"vid": t["src"], "label": pc.cast(t["label"], pa.int64())})
+
+    return gt.map_batches(widen, batch_format="pyarrow")
+
+
+def _q_scale_minmax(sf_dir: str):
+    """M7 scale_value, intended math (helper.py:66-86 minus the B1 bug)."""
+    from ugfraud_ray.stages.normalize import scale_value_ds
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    return scale_value_ds(orders, "o_totalprice", out_col="score").select_columns(
+        ["o_orderkey", "score"]
+    )
+
+
+def _q_top_orders(sf_dir: str):
+    """O1 descending score ranking: top-k with deterministic tie-break."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(TOPK_N)
+
+
+def _q_prior_median(sf_dir: str):
+    """B7/M8 median definition: element at int(n/2) of the DESCENDING sort."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    n = orders.count()
+    row = (
+        orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(n // 2 + 1)
+        .take(n // 2 + 1)
+    )[-1]
+    return pa.table({"median": pa.array([row["o_totalprice"]], pa.float64())})
+
+
+def _q_triangles(sf_dir: str):
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+    from ugfraud_ray.pipelines.triangles import triangle_count
+
+    n = triangle_count(general_edges(sf_dir))
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _q_components(sf_dir: str):
+    from ugfraud_ray.pipelines.components import connected_components
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    comp, _ = connected_components(e, n, _scratch("cc"), P=4)
+    # vid -> original id for both the vertex and its component representative
+    out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
+    out = unmap_vids(out, vmap, vid_col="component", out_col="component")
+    return out.select_columns(["id", "component"])
+
+
+def _q_pagerank(sf_dir: str):
+    from ugfraud_ray.pipelines.pagerank import pagerank
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    ranks, _ = pagerank(
+        e, n, _scratch("pr"), P=4, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None
+    )
+    out = unmap_vids(ranks, vmap, vid_col="vid", out_col="id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        r = np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
+        return pa.table({"id": t["id"], "rank": pa.array(r)})
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
+
+
+def _q_auc(sf_dir: str):
+    """A10/J3 evaluate: AUC of rating as a spam score over review edges.
+
+    Distributed midrank computation (sort + global rank + grouped sums);
+    reference computes this on driver dicts (helper.py:39-63).
+    """
+    from ugfraud_ray.stages.evaluate import auc_ds
+
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    e = review_edges(sf_dir)
+
+    def to_score(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "score": pc.cast(t["rating"], pa.float64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            }
+        )
+
+    auc = auc_ds(e.map_batches(to_score, batch_format="pyarrow"))
+    return pa.table({"auc": pa.array([round(auc, 9)], pa.float64())})
+
+
+def _q_doc_exact_dedup(sf_dir: str):
+    from ugfraud_ray.pipelines.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return exact_dedup(docs, key="text", id_col="doc_id")
+
+
+def _q_doc_token_count(sf_dir: str):
+    from ugfraud_ray.pipelines.text_analysis import token_counts
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return token_counts(docs)
+
+
+def _q_doc_quality(sf_dir: str):
+    from ugfraud_ray.pipelines.text_analysis import quality_features
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return quality_features(docs)
+
+
+def _q_ann_topk(sf_dir: str):
+    from ugfraud_ray.pipelines.similarity import brute_force_topk
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return brute_force_topk(emb, query_ids=list(range(ANN_QUERIES)), k=ANN_K)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "review_edges": _q_review_edges,
+        "degree_in": lambda sf: _q_degree(sf, "in"),
+        "degree_out": lambda sf: _q_degree(sf, "out"),
+        "user_ground_truth": _q_user_ground_truth,
+        "scale_minmax": _q_scale_minmax,
+        "top_orders": _q_top_orders,
+        "prior_median": _q_prior_median,
+        "triangle_count": _q_triangles,
+        "connected_components": _q_components,
+        "pagerank": _q_pagerank,
+        "auc_rating_label": _q_auc,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "ann_topk": _q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "review_edges": _SQL_REVIEW_EDGES,
+        "degree_in": f"""
+            WITH e AS ({_SQL_REVIEW_EDGES})
+            SELECT dst AS vid, COUNT(*) AS degree FROM e GROUP BY dst
+        """,
+        "degree_out": f"""
+            WITH e AS ({_SQL_REVIEW_EDGES})
+            SELECT src AS vid, COUNT(*) AS degree FROM e GROUP BY src
+        """,
+        "user_ground_truth": f"""
+            WITH e AS ({_SQL_REVIEW_EDGES})
+            SELECT src AS vid, CAST(MAX(label) AS BIGINT) AS label FROM e GROUP BY src
+        """,
+        "scale_minmax": """
+            SELECT o_orderkey,
+                   LEAST(GREATEST(
+                       (o_totalprice - (SELECT MIN(o_totalprice) FROM orders))
+                       / ((SELECT MAX(o_totalprice) FROM orders) - (SELECT MIN(o_totalprice) FROM orders)),
+                       1e-7), 1 - 1e-7) AS score
+            FROM orders
+        """,
+        "top_orders": f"""
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {TOPK_N}
+        """,
+        "prior_median": """
+            SELECT o_totalprice AS median FROM (
+                SELECT o_totalprice,
+                       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = (SELECT COUNT(*) // 2 + 1 FROM orders)
+        """,
+        "triangle_count": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g
+            )
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "connected_components": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            sym AS (
+                SELECT src, dst FROM g UNION SELECT dst, src FROM g
+            ),
+            v AS (SELECT DISTINCT src AS vid FROM sym),
+            walk(vid, comp) AS (
+                SELECT vid, vid FROM v
+                UNION
+                SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+            )
+            SELECT vid AS id, MIN(comp) AS component FROM walk GROUP BY vid
+        """,
+        "pagerank": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+            outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM g GROUP BY src),
+            pr AS (
+                SELECT vid, 1.0 / (SELECT n FROM nn) AS rank, 0 AS iter FROM v
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr p2
+                           LEFT JOIN outdeg o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) / (SELECT n FROM nn),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank / o.d) AS s
+                    FROM pr p JOIN g e ON e.src = p.vid JOIN outdeg o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PR_ITERS}
+            )
+            SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
+        "auc_rating_label": f"""
+            WITH e AS ({_SQL_REVIEW_EDGES}),
+            r AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(rating AS DOUBLE) AS s,
+                       RANK() OVER (ORDER BY rating ASC) AS rk,
+                       COUNT(*) OVER (PARTITION BY rating) AS tie_n
+                FROM e
+            ),
+            mr AS (SELECT label, rk + (tie_n - 1) / 2.0 AS midrank FROM r),
+            agg AS (
+                SELECT SUM(CASE WHEN label = 1 THEN midrank ELSE 0 END) AS pos_rank_sum,
+                       SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nn
+                FROM mr
+            )
+            SELECT ROUND((pos_rank_sum - np * (np + 1) / 2.0) / (np * nn), 9) AS auc FROM agg
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:space:]]', '', 'g')) AS BIGINT) AS n_spaces,
+                   CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_QUERIES}
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                       ) AS rnk
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, ROUND(CAST(sim AS DOUBLE), 4) AS sim,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= {ANN_K}
+        """,
+    }
+
+
+def entry() -> Any:
+    """Flagship pipeline on sf0.001: review graph -> PageRank scores."""
+    sf_dir = "/root/testdata/sf0.001"
+    from ugfraud_ray.pipelines.pagerank import pagerank
+    from ugfraud_ray.pipelines.testdata_graph import (
+        number_int_vertices,
+        review_edges,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(review_edges(sf_dir))
+    ranks, _ = pagerank(e, n, _scratch("entry"), P=4, max_iters=PR_ITERS, tol=None)
+    return unmap_vids(ranks, vmap, vid_col="vid", out_col="id").select_columns(["id", "rank"])

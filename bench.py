@@ -1,0 +1,222 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": <sf>, "num_cpus": N,
+   "edges_per_sec_superstep": ..., ...}
+
+--scaling runs the headline superstep job twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs and
+the 8->32 scaling efficiency (north rule evidences two cluster sizes via
+two parallelism levels; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _scratch(tag: str) -> str:
+    d = tempfile.mkdtemp(prefix=f"ugf_bench_{tag}_")
+    return d
+
+
+def bench_pipelines(sf_dir: str) -> dict:
+    """Headline pipelines over the driver testdata tables."""
+    import ray
+
+    from ugfraud_ray.pipelines.components import connected_components
+    from ugfraud_ray.pipelines.pagerank import pagerank
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        review_edges,
+    )
+    from ugfraud_ray.pipelines.triangles import triangle_count
+
+    out: dict = {"queries": {}}
+    q = out["queries"]
+
+    t0 = time.perf_counter()
+    redges, vmap, n_rv = number_int_vertices(review_edges(sf_dir))
+    redges = redges.materialize()
+    n_redges = redges.count()
+    q["graph_build"] = time.perf_counter() - t0
+    out["n_review_edges"] = n_redges
+
+    t0 = time.perf_counter()
+    d = _scratch("pr")
+    try:
+        ranks, metrics = pagerank(redges, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=None)
+        q["pagerank_10_supersteps"] = time.perf_counter() - t0
+        step_secs = [m["seconds"] for m in metrics]
+        out["pagerank_edges_per_sec_superstep"] = n_redges * len(step_secs) / sum(step_secs)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ge = general_edges(sf_dir).materialize()
+    gedges, gmap, n_gv = number_int_vertices(ge)
+    d = _scratch("cc")
+    try:
+        comp, _ = connected_components(gedges, n_gv, d, P=min(8, NUM_CPUS))
+        q["connected_components"] = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    out["n_triangles"] = triangle_count(ge)
+    q["triangle_count"] = time.perf_counter() - t0
+
+    # document-pipeline operators
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
+    from ugfraud_ray.pipelines.similarity import brute_force_topk
+    from ugfraud_ray.pipelines.text_analysis import language_id, quality_features, token_counts
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"]).materialize()
+    t0 = time.perf_counter()
+    exact_dedup(docs).count()
+    q["doc_exact_dedup"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    minhash_lsh_dedup(docs).count()
+    q["doc_minhash_lsh_dedup"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    simhash_dedup(docs).count()
+    q["doc_simhash_pairs"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    token_counts(docs).count()
+    quality_features(docs).count()
+    language_id(docs).count()
+    q["doc_text_analysis"] = time.perf_counter() - t0
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.perf_counter()
+    brute_force_topk(emb, query_ids=list(range(5)), k=10).count()
+    q["ann_brute_topk"] = time.perf_counter() - t0
+
+    return out
+
+
+def bench_superstep_throughput(num_cpus: int, n_vertices: int, n_edges: int, seed: int = 3):
+    """Headline scaling job: BP-style supersteps on a synthetic power-law graph.
+
+    Deterministic input (same seed at every parallelism level); P scales
+    with the 'cluster size' (num_cpus), like shards-per-node on a real
+    cluster. Returns edges/sec/superstep.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from ugfraud_ray.pipelines.pagerank import pagerank
+
+    rng = np.random.default_rng(seed)
+    # power-law-ish dst (hub skew), uniform src — Common-Crawl shape
+    src = rng.integers(0, n_vertices, size=n_edges)
+    dst = (n_vertices * rng.random(n_edges) ** 2.5).astype(np.int64)
+    m = src != dst
+    t = pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+    edges = ray.data.from_arrow(t).repartition(num_cpus * 2).materialize()
+    ne = edges.count()
+    d = _scratch(f"scale{num_cpus}")
+    try:
+        t0 = time.perf_counter()
+        P = max(4, num_cpus)
+        _, metrics = pagerank(
+            edges, n_vertices, d, P=P, max_iters=10, tol=None,
+            hub_threshold=max(64, 8 * ne // n_vertices),
+        )
+        wall = time.perf_counter() - t0
+        step_secs = sum(m["seconds"] for m in metrics)
+        return {
+            "num_cpus": num_cpus,
+            "n_edges": ne,
+            "supersteps": len(metrics),
+            "superstep_sec_total": step_secs,
+            "wall_sec": wall,
+            "edges_per_sec_superstep": ne * len(metrics) / step_secs,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    if "--scaling-worker" in sys.argv:
+        import ray
+
+        ncpu = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
+        res = bench_superstep_throughput(ncpu, n_vertices=2_000_000, n_edges=20_000_000)
+        ray.shutdown()
+        print("SCALING_RESULT " + json.dumps(res))
+        return
+
+    if "--scaling" in sys.argv:
+        results = []
+        for ncpu in (8, 32):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)],
+                capture_output=True, text=True, timeout=3000,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+            if not line:
+                print(json.dumps({"error": "scaling worker failed", "stderr": p.stderr[-2000:]}))
+                sys.exit(1)
+            results.append(json.loads(line[0][len("SCALING_RESULT "):]))
+        thr = [r["edges_per_sec_superstep"] for r in results]
+        eff = (thr[1] / thr[0]) / (results[1]["num_cpus"] / results[0]["num_cpus"])
+        print(json.dumps({
+            "metric": "edges/sec/superstep scaling 8->32 cpus",
+            "runs": results,
+            "throughput_low": thr[0],
+            "throughput_high": thr[1],
+            "scaling_efficiency": eff,
+        }))
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    t_all = time.perf_counter()
+    res = bench_pipelines(SF_DIR)
+    total = time.perf_counter() - t_all
+    out = {
+        "metric": "headline pipelines wall time (graph build, pagerank, cc, triangles, dedup, text, ann)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in res["queries"].items()},
+        "sf": _sf_from_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_review_edges": res.get("n_review_edges"),
+        "pagerank_edges_per_sec_superstep": round(res.get("pagerank_edges_per_sec_superstep", 0)),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,449 @@
+"""Deduplication operators for large-scale document corpora.
+
+The reference's only dedup is exact edge/id dedup (SURVEY §2.7 D1/D5,
+/root/reference Detector/Fraudar.py:18-20, Detector/fBox.py:33-41); a
+100 TB training-data engine also needs near-dup families. All operators
+are Dataset-native:
+
+- ``exact_dedup``           hash(text) -> groupby -> keep min-id row.
+- ``minhash_lsh_dedup``     shingle -> minhash -> band -> bucket
+                            groupby -> candidate pairs -> union-find
+                            components on the driver's (small) pair set.
+- ``simhash_dedup``         64-bit simhash -> band buckets (4x16-bit) ->
+                            hamming check inside buckets.
+- ``ngram_jaccard_pairs``   exact n-gram Jaccard for candidate pairs.
+- ``embedding_cosine_dedup``cosine near-dup over an embedding column
+                            (LSH random-hyperplane buckets).
+
+Hashing is deterministic (md5 / splitmix-style mixing, fixed seeds) so
+every operator is reproducible across runs and cluster sizes. The
+shuffle per operator is ONE groupby on the bucket key; per-batch work is
+numpy-vectorized over token arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _md5_hex(texts: list[str]) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def exact_dedup(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(text_hash, doc_id=min id, n_copies) — hash-partition + per-group first.
+
+    D1 semantics (`if k not in u_id2idx`, fBox.py:33-41): the survivor is
+    the smallest id, which equals first-occurrence for ordered ids.
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = _md5_hex(t[key].to_pylist())
+        return pa.table({"text_hash": pa.array(h, pa.string()), id_col: t[id_col]})
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token / shingle hashing (shared by minhash + jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic 64-bit mixing."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & _MASK64
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hash per whitespace token (md5-low64)."""
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, tk in enumerate(toks):
+        out[i] = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "little")
+    return out
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Hashes of word n-gram shingles via rolling combination of token hashes."""
+    th = _token_hashes(text)
+    if len(th) < n:
+        return _mix64(th) if len(th) else np.zeros(0, dtype=np.uint64)
+    # combine n consecutive token hashes positionally, then mix
+    acc = np.zeros(len(th) - n + 1, dtype=np.uint64)
+    for j in range(n):
+        acc = (acc * np.uint64(1099511628211) + th[j : len(th) - n + 1 + j]) & _MASK64
+    return _mix64(acc)
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 7) -> np.ndarray:
+    """(num_perm,) uint64 minhash via universal hashing a*x+b over shingle set."""
+    if len(shingles) == 0:
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    # (num_perm, n_shingles) without materializing huge products: loop perms
+    vals = (shingles[None, :] * a[:, None] + b[:, None]) & _MASK64
+    return _mix64(vals).min(axis=1)
+
+
+class _MinHasher:
+    """Actor-pool stage: permutation constants built once per actor."""
+
+    def __init__(self, num_perm: int, ngram: int, seed: int, id_col: str, key: str):
+        self.num_perm = num_perm
+        self.ngram = ngram
+        self.seed = seed
+        self.id_col = id_col
+        self.key = key
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        self.b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.empty((t.num_rows, self.num_perm), dtype=np.uint64)
+        for i, text in enumerate(t[self.key].to_pylist()):
+            sh = _shingle_hashes(text, self.ngram)
+            if len(sh) == 0:
+                sigs[i] = _MASK64
+            else:
+                vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) & _MASK64
+                sigs[i] = _mix64(vals).min(axis=1)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
+                ),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH.
+
+    shingle -> minhash (actor pool, constants in __init__) -> per-band
+    bucket key -> ONE groupby(band, bucket) -> per-group pair emission
+    -> exact pair dedup.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = docs.map_batches(
+        _MinHasher,
+        fn_constructor_args=(num_perm, ngram, seed, id_col, key),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, -1)
+        out_id = np.repeat(ids, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        bucket = np.empty(n * bands, dtype=np.uint64)
+        for bdx in range(bands):
+            seg = sig[:, bdx * rows_per_band : (bdx + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = (acc * np.uint64(1099511628211) + seg[:, j]) & _MASK64
+            bucket[bdx::bands] = _mix64(acc)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band": pa.array(band_idx),
+                "bucket": pa.array(bucket.view(np.int64)),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit_pairs(g) -> pa.Table:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[i]), "id_b": pa.array(ids[j])})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(emit_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+def minhash_lsh_dedup(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster) near-dup clusters: LSH candidates + union-find.
+
+    The candidate-pair table is tiny relative to the corpus (only
+    colliding docs); union-find runs on the driver over that table —
+    O(pairs), not O(docs).
+    """
+    pair_t = pa.concat_tables(
+        ray.get(minhash_lsh_candidates(docs, key, id_col, num_perm, bands, ngram, seed).to_arrow_refs())
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pair_t["id_a"].to_pylist(), pair_t["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {x: find(x) for x in parent}
+    roots_ref = ray.put(roots)
+
+    def assign(t: pa.Table) -> pa.Table:
+        rt = ray.get(roots_ref)
+        ids = t[id_col].to_pylist()
+        return pa.table(
+            {id_col: t[id_col], "cluster": pa.array([rt.get(i, i) for i in ids], pa.int64())}
+        )
+
+    return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit simhash over whitespace-token hashes (deterministic)."""
+    th = _token_hashes(text)
+    if len(th) == 0:
+        return 0
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for k in np.flatnonzero(v > 0):
+        out |= np.uint64(1) << np.uint64(k)
+    return int(out)
+
+
+def simhash_dedup(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """Candidate near-dup pairs by simhash banding (4×16-bit chunks).
+
+    Two docs within hamming distance 3 share at least one of the four
+    16-bit chunks (pigeonhole); ONE groupby on (chunk_idx, chunk_value)
+    then exact hamming check inside each bucket.
+    """
+
+    def sim_rows(t: pa.Table) -> pa.Table:
+        ids, chunk_idx, chunk_val, full = [], [], [], []
+        for i, text in zip(t[id_col].to_pylist(), t[key].to_pylist()):
+            h = simhash64(text)
+            for c in range(4):
+                ids.append(i)
+                chunk_idx.append(c)
+                chunk_val.append((h >> (16 * c)) & 0xFFFF)
+                full.append(h)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "chunk": pa.array(chunk_idx, pa.int8()),
+                "val": pa.array(chunk_val, pa.int64()),
+                "sim": pa.array(np.array(full, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+    banded = docs.map_batches(sim_rows, batch_format="pyarrow")
+
+    def check(g) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[order]
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        i, j = np.triu_indices(len(ids), k=1)
+        x = sims[i] ^ sims[j]
+        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(ids[i][keep]),
+                "id_b": pa.array(ids[j][keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    pairs = banded.groupby(["chunk", "val"]).map_groups(check, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.0,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard similarity for a candidate pair table.
+
+    The docs referenced by pairs are broadcast as a shingle-set dict
+    (ray.put once); pairs stream through map_batches. At 100 TB the pair
+    table comes from LSH so the broadcast side is only colliding docs.
+    """
+    pt = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    needed = set(pt["id_a"].to_pylist()) | set(pt["id_b"].to_pylist())
+    needed_ref = ray.put(needed)
+
+    def collect_shingles(t: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        ids, sh = [], []
+        for i, text in zip(t[id_col].to_pylist(), t[key].to_pylist()):
+            if i in want:
+                ids.append(i)
+                sh.append(_shingle_hashes(text, ngram).tobytes())
+        return pa.table({id_col: pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.binary())})
+
+    st = pa.concat_tables(ray.get(docs.map_batches(collect_shingles, batch_format="pyarrow").to_arrow_refs()))
+    shingle_map = {
+        i: np.unique(np.frombuffer(b, dtype=np.uint64))
+        for i, b in zip(st[id_col].to_pylist(), st["sh"].to_pylist())
+    }
+    sm_ref = ray.put(shingle_map)
+
+    def jac(t: pa.Table) -> pa.Table:
+        sm = ray.get(sm_ref)
+        a_ids = t["id_a"].to_pylist()
+        b_ids = t["id_b"].to_pylist()
+        out = np.empty(len(a_ids), dtype=np.float64)
+        for r, (a, b) in enumerate(zip(a_ids, b_ids)):
+            sa, sb = sm.get(a), sm.get(b)
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                out[r] = 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            out[r] = inter / (len(sa) + len(sb) - inter)
+        tbl = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": pa.array(out)})
+        return tbl.filter(pa.compute.greater_equal(tbl["jaccard"], threshold))
+
+    return pairs.map_batches(jac, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_dedup(
+    emb: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """Near-dup pairs (cosine >= threshold) via random-hyperplane LSH.
+
+    Bucket key = sign pattern of `n_planes` random projections (built
+    once per actor); ONE groupby(bucket); exact cosine inside buckets.
+    Recall is per-bucket — callers wanting higher recall union several
+    plane seeds (documented partitioning assumption).
+    """
+
+    class Bucketer:
+        def __init__(self):
+            self.planes = None
+            self.seed = seed
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            arr = np.asarray(t[vec_col].combine_chunks().flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+            dim = arr.size // t.num_rows
+            x = arr.reshape(t.num_rows, dim)
+            if self.planes is None:
+                self.planes = np.random.default_rng(self.seed).standard_normal((dim, n_planes))
+            signs = (x @ self.planes) > 0
+            bucket = np.zeros(t.num_rows, dtype=np.int64)
+            for k in range(n_planes):
+                bucket |= signs[:, k].astype(np.int64) << k
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "bucket": pa.array(bucket),
+                    vec_col: t[vec_col],
+                }
+            )
+
+    bucketed = emb.map_batches(Bucketer, batch_format="pyarrow", concurrency=2)
+
+    def pairs_in_bucket(g) -> pa.Table:
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g[vec_col].to_numpy())
+        order = np.argsort(ids)
+        ids, vecs = ids[order], vecs[order].astype(np.float64)
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        nv = vecs / norms[:, None]
+        sims = nv @ nv.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[i][keep]),
+                "id_b": pa.array(ids[j][keep]),
+                "cosine": pa.array(sims[i, j][keep]),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")

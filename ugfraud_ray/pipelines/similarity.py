@@ -1,0 +1,246 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Training-data-pipeline addition (no reference analog; closest is fBox's
+dense spectral reconstruction, /root/reference Detector/fBox.py:58-107).
+
+- ``brute_force_topk``: exact cosine top-k. The (small) query matrix is
+  broadcast once via ``ray.put``; every batch does ONE numpy matmul
+  against it and keeps its local top-k per query; a final
+  groupby(query_id) merge keeps the global top-k. Per-batch cost is
+  O(batch × dim × n_queries); driver never sees the corpus.
+- ``ivf_topk``: the scale path — k-means-ish coarse quantizer (seeded,
+  built from a sample), vectors bucketed by nearest centroid (ONE
+  shuffle), queries probe only `n_probe` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _vecs_from_column(col: pa.ChunkedArray | pa.Array, n_rows: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    return flat.reshape(n_rows, flat.size // n_rows)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    return x / n[:, None]
+
+
+def brute_force_topk(
+    emb: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rnk).
+
+    Ties broken (sim desc, neighbor_id asc); self-matches excluded.
+    """
+    qset = set(int(q) for q in query_ids)
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(qset))
+        return t.filter(pa.array(mask))
+
+    qt = pa.concat_tables(
+        ray.get(emb.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs())
+    )
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_vecs_from_column(qt[vec_col], len(qt)))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _normalize(_vecs_from_column(t[vec_col], t.num_rows))
+        sims = qm @ x.T  # (n_q, batch)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, x.shape[0])
+        for r in range(len(qi)):
+            s = sims[r]
+            valid = ids != qi[r]
+            cand = np.flatnonzero(valid)
+            if len(cand) == 0:
+                continue
+            sv = s[cand]
+            # local top-k by (sim desc, id asc)
+            order = np.lexsort((ids[cand], -sv))[:kk]
+            out_q.append(np.full(len(order), qi[r]))
+            out_n.append(ids[cand][order])
+            out_s.append(sv[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = emb.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g) -> pa.Table:
+        sims = g["sim"].to_numpy().astype(np.float64)
+        nid = g["neighbor_id"].to_numpy().astype(np.int64)
+        qid = int(g["query_id"].iloc[0])
+        order = np.lexsort((nid, -sims))[:k]
+        s = sims[order]
+        if round_to is not None:
+            s = np.round(s, round_to)
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid)),
+                "neighbor_id": pa.array(nid[order]),
+                "sim": pa.array(s),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class _IVFAssign:
+    """Actor-pool stage: centroid matrix shipped once per actor."""
+
+    def __init__(self, centroids_ref, id_col: str, vec_col: str):
+        self.centroids = _normalize(ray.get(centroids_ref))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = _normalize(_vecs_from_column(t[self.vec_col], t.num_rows))
+        assign = (x @ self.centroids.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "bucket": pa.array(assign),
+                self.vec_col: t[self.vec_col],
+            }
+        )
+
+
+def ivf_topk(
+    emb: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    sample_size: int = 4096,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: bucket by nearest of `n_centroids` sampled
+    centroids (one shuffle), probe the `n_probe` nearest buckets per query.
+
+    Partitioning assumption: bucket sizes are balanced enough that one
+    bucket's vectors fit a map_groups task — at 100 TB raise n_centroids
+    so corpus/n_centroids stays task-sized.
+    """
+    sample = emb.limit(sample_size)
+    st = pa.concat_tables(ray.get(sample.to_arrow_refs()))
+    xs = _normalize(_vecs_from_column(st[vec_col], len(st)))
+    rng = np.random.default_rng(seed)
+    centroids = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
+    # 5 Lloyd rounds on the sample (seeded, deterministic)
+    for _ in range(5):
+        a = (xs @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            m = a == c
+            if m.any():
+                v = xs[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    cent_ref = ray.put(centroids)
+
+    bucketed = emb.map_batches(
+        _IVFAssign,
+        fn_constructor_args=(cent_ref, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).materialize()
+
+    # queries + their probe buckets
+    qset = [int(q) for q in query_ids]
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, qset)))
+
+    qt = pa.concat_tables(ray.get(bucketed.map_batches(pick, batch_format="pyarrow").to_arrow_refs()))
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_vecs_from_column(qt[vec_col], len(qt)))
+    probes = np.argsort(-(q_mat @ _normalize(centroids).T), axis=1)[:, :n_probe]
+    probe_map: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in range(len(q_ids)):
+        for b in probes[r]:
+            probe_map.setdefault(int(b), []).append((int(q_ids[r]), q_mat[r]))
+    pm_ref = ray.put(probe_map)
+
+    def search_bucket(g) -> pa.Table:
+        pm = ray.get(pm_ref)
+        b = int(g["bucket"].iloc[0])
+        qs = pm.get(b)
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if not qs:
+            return empty
+        ids = g[id_col].to_numpy().astype(np.int64)
+        x = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        out_q, out_n, out_s = [], [], []
+        for qid, qv in qs:
+            s = x @ qv
+            valid = ids != qid
+            cand = np.flatnonzero(valid)
+            if not len(cand):
+                continue
+            order = np.lexsort((ids[cand], -s[cand]))[: min(k, len(cand))]
+            out_q.append(np.full(len(order), qid))
+            out_n.append(ids[cand][order])
+            out_s.append(s[cand][order])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = bucketed.groupby("bucket").map_groups(search_bucket, batch_format="pandas")
+
+    def merge(g) -> pa.Table:
+        sims = g["sim"].to_numpy().astype(np.float64)
+        nid = g["neighbor_id"].to_numpy().astype(np.int64)
+        qid = int(g["query_id"].iloc[0])
+        order = np.lexsort((nid, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid)),
+                "neighbor_id": pa.array(nid[order]),
+                "sim": pa.array(sims[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

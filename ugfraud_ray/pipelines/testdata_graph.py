@@ -1,0 +1,170 @@
+"""Canonical graph derivations over the driver's TPC-H-ish testdata.
+
+The engine's native input is the Common-Crawl-style `pages` table
+(sources/pages.py); the driver's correctness gate runs over the fixed
+parquet tables in ``/root/testdata/sf*``. This module pins ONE
+deterministic, SQL-expressible mapping from those tables to the two
+graph shapes the engine operates on, so every graph operator can be
+checked against a DuckDB oracle (``__ray_entry__.oracle_sql``):
+
+- **review graph** (bipartite user->product, the reference's shape,
+  /root/reference Utils/helper.py:123-202): customers review parts.
+  ``src = o_custkey``, ``dst = l_partkey + PART_OFFSET`` via
+  orders ⋈ lineitem on the order key; ``rating`` 1 (pos) / 2 (neg) from
+  the discount (the reference bins ratings >=4 -> 1, <4 -> 2 at
+  helper.py:192-196); ``label`` 1 (spam) if the line was returned
+  (l_returnflag='R'), else 0 (reference: -1 -> spam remapped to
+  binary, helper.py:20-34). Multi-edges collapse via
+  groupby(src,dst) -> (min rating, max label) — deterministic.
+- **general graph** (for PageRank / CC / triangles): a directed graph
+  on the customer-id domain, ``src = o_custkey``,
+  ``dst = o_orderkey mod (max custkey + 1)``, self-loops dropped,
+  exact-deduped.
+
+All reads are column-pruned; joins use the hash-partitioned
+``Dataset.join``; id-numbering holds only per-block row counts on the
+driver (stages/graph_build.py:with_row_index).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from ugfraud_ray.stages.graph_build import with_row_index
+
+PART_OFFSET = 1_000_000
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def review_edges(sf_dir: str) -> "ray.data.Dataset":
+    """(src, dst, rating:int8, label:int8) deduped bipartite review edges."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_discount", "l_returnflag"])
+    joined = lineitem.join(
+        orders.rename_columns({"o_orderkey": "l_orderkey"}),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        rating = pc.if_else(
+            pc.greater_equal(t["l_discount"], 0.05),
+            pa.scalar(2, pa.int8()),
+            pa.scalar(1, pa.int8()),
+        )
+        label = pc.if_else(
+            pc.equal(t["l_returnflag"], "R"), pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8())
+        )
+        return pa.table(
+            {
+                "src": t["o_custkey"],
+                "dst": pc.add(t["l_partkey"], PART_OFFSET),
+                "rating": rating,
+                "label": label,
+            }
+        )
+
+    e = joined.map_batches(project, batch_format="pyarrow")
+    # D5 exact dedup (Fraudar.py:18-20 multi-edge collapse), deterministic combine
+    return e.groupby(["src", "dst"]).aggregate(
+        Min("rating", alias_name="rating"), Max("label", alias_name="label")
+    )
+
+
+def general_edges(sf_dir: str) -> "ray.data.Dataset":
+    """(src, dst) simple directed graph on the customer-id domain."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    mod = int(orders.max("o_custkey")) + 1
+
+    def project(t: pa.Table) -> pa.Table:
+        src = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = (t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)) % mod
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    e = orders.map_batches(project, batch_format="pyarrow")
+    return e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+
+
+def number_int_vertices(
+    edges: "ray.data.Dataset", broadcast_threshold: int = 5_000_000
+) -> tuple["ray.data.Dataset", "ray.data.Dataset", int]:
+    """Arbitrary-int-id edges -> (edges with contiguous vids, vertex map, N).
+
+    The vertex map Dataset has (id:int64 original, vid:int64 contiguous),
+    numbered in ascending original-id order (order-preserving, so
+    min-vid component representatives translate back to min original id).
+    Mirrors number_vertices (graph_build.py) for the int-keyed case;
+    T3 in SURVEY §2.3 — the reference builds these id maps as driver
+    dicts (Detector/fBox.py:20-47).
+    """
+    ids = (
+        edges.select_columns(["src"]).rename_columns({"src": "id"})
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "id"}))
+        .groupby("id")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id"])
+        .sort("id")
+    )
+    vmap = with_row_index(ids, column="vid").materialize()
+    n = vmap.count()
+    if n <= broadcast_threshold:
+        vt = pa.concat_tables(ray.get(vmap.to_arrow_refs()))
+        orig = vt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense-array broadcast lookup (ray.put once, read per task)
+        lk = np.full(int(orig.max()) + 1, -1, dtype=np.int64)
+        lk[orig] = vid
+        lk_ref = ray.put(lk)
+
+        def remap(t: pa.Table) -> pa.Table:
+            m = ray.get(lk_ref)
+            cols = {c: t[c] for c in t.column_names}
+            cols["src"] = pa.array(m[t["src"].to_numpy(zero_copy_only=False)])
+            cols["dst"] = pa.array(m[t["dst"].to_numpy(zero_copy_only=False)])
+            return pa.table(cols)
+
+        return edges.map_batches(remap, batch_format="pyarrow"), vmap, n
+
+    e = edges.join(
+        vmap.rename_columns({"id": "src"}),
+        join_type="inner", num_partitions=32, on=("src",),
+    ).drop_columns(["src"]).rename_columns({"vid": "src"})
+    e = e.join(
+        vmap.rename_columns({"id": "dst"}),
+        join_type="inner", num_partitions=32, on=("dst",),
+    ).drop_columns(["dst"]).rename_columns({"vid": "dst"})
+    return e, vmap, n
+
+
+def unmap_vids(result: "ray.data.Dataset", vmap: "ray.data.Dataset", vid_col: str = "vid",
+               out_col: str = "id") -> "ray.data.Dataset":
+    """Translate contiguous vids in `result` back to original ids (broadcast)."""
+    vt = pa.concat_tables(ray.get(vmap.to_arrow_refs()))
+    rev = np.zeros(len(vt), dtype=np.int64)
+    rev[vt["vid"].to_numpy(zero_copy_only=False)] = vt["id"].to_numpy(zero_copy_only=False)
+    rev_ref = ray.put(rev)
+
+    def back(t: pa.Table) -> pa.Table:
+        m = ray.get(rev_ref)
+        cols = {}
+        for c in t.column_names:
+            if c == vid_col:
+                cols[out_col] = pa.array(m[t[c].to_numpy(zero_copy_only=False)])
+            else:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return result.map_batches(back, batch_format="pyarrow")

@@ -1,0 +1,205 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline additions (no direct reference analog; the
+reference's only scalar text ops are id prefixing and md5, SURVEY §2.8):
+language ID, quality features, token counting, rolling-hash
+fingerprints. Everything is a vectorized ``map_batches`` stage —
+pyarrow.compute regex kernels where possible, tight per-row loops only
+for the rolling hash (which is O(len) anyway).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# character classes chosen to match the DuckDB/RE2 POSIX classes used by
+# the oracle SQL exactly (ASCII): see __ray_entry__.oracle_sql
+_DIGIT_RE = "[0-9]"
+_SPACE_RE = "[\t\n\x0b\x0c\r ]"
+_PUNCT_RE = r"""[!-/:-@\[-`{-~]"""
+_TOKEN_RE = r"[\s\S]"  # unused placeholder
+
+
+def token_counts(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens): count of non-empty whitespace-separated tokens."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = np.array([len(s.split()) for s in t[key].to_pylist()], dtype=np.int64)
+        return pa.table({id_col: t[id_col], "n_tokens": pa.array(n)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_features(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_digits, n_spaces, n_punct) — all Arrow kernels."""
+
+    def f(t: pa.Table) -> pa.Table:
+        col = t[key]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": pc.cast(pc.utf8_length(col), pa.int64()),
+                "n_digits": pc.cast(pc.count_substring_regex(col, _DIGIT_RE), pa.int64()),
+                "n_spaces": pc.cast(pc.count_substring_regex(col, _SPACE_RE), pa.int64()),
+                "n_punct": pc.cast(pc.count_substring_regex(col, _PUNCT_RE), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def quality_score(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Heuristic [0,1] quality score from length/punct/space ratios."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t[key]).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_sp = pc.count_substring_regex(t[key], _SPACE_RE).to_numpy(zero_copy_only=False)
+        n_pu = pc.count_substring_regex(t[key], _PUNCT_RE).to_numpy(zero_copy_only=False)
+        nz = np.maximum(n_chars, 1.0)
+        space_ratio = n_sp / nz
+        punct_ratio = n_pu / nz
+        len_score = np.clip(n_chars / 500.0, 0.0, 1.0)
+        # reasonable text has some spaces (0.1-0.25) and few punct chars
+        space_score = 1.0 - np.clip(np.abs(space_ratio - 0.17) / 0.17, 0.0, 1.0)
+        punct_score = 1.0 - np.clip(punct_ratio / 0.2, 0.0, 1.0)
+        score = (len_score + space_score + punct_score) / 3.0
+        return pa.table({id_col: t[id_col], "quality": pa.array(score)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-n-gram profile heuristic
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker sets (function words + diacritics); a real
+# deployment would load fasttext in __init__ — the Ray-side plumbing
+# (actor pool, batch scoring) is identical.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "for", "that"),
+    "de": ("der", "die", "und", "ist", "das", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es": ("el", "la", "los", "que", "es", "una", "para", "con"),
+    "it": ("il", "la", "che", "di", "e", "per", "una", "sono"),
+    "zh": tuple("的是不了在有人这中大"),
+}
+
+
+class LanguageID:
+    """Actor-pool stage: marker tables prepared once per actor."""
+
+    def __init__(self, key: str = "text", id_col: str = "doc_id"):
+        self.key = key
+        self.id_col = id_col
+        self.word_markers = {
+            lang: frozenset(m) for lang, m in _LANG_MARKERS.items() if lang != "zh"
+        }
+        self.zh_chars = frozenset(_LANG_MARKERS["zh"])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        langs = []
+        confs = []
+        for text in t[self.key].to_pylist():
+            if any(ord(c) > 0x2E80 for c in text[:200]):
+                langs.append("zh")
+                confs.append(1.0)
+                continue
+            toks = text.lower().split()
+            if not toks:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            tokset = toks[:200]
+            best_lang, best = "und", 0
+            for lang, markers in self.word_markers.items():
+                score = sum(1 for w in tokset if w in markers)
+                if score > best:
+                    best_lang, best = lang, score
+            langs.append(best_lang)
+            confs.append(min(1.0, best / max(1, len(tokset)) * 10))
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_conf": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def language_id(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id", concurrency: int = 2
+) -> "ray.data.Dataset":
+    return docs.map_batches(
+        LanguageID,
+        fn_constructor_args=(key, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — winnowed rolling hash
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+) -> "ray.data.Dataset":
+    """(doc_id, fp:int64) winnowing fingerprints (Schleimer et al. 2003).
+
+    Rolling polynomial hash over k-char grams; one fingerprint per
+    winnowing window (the min hash in each window, deduped) — the
+    standard local fingerprinting scheme for copy detection.
+    """
+    B = np.uint64(257)
+    BK = np.uint64(pow(257, k - 1, 1 << 64))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids_out, fps_out = [], []
+        for i, text in zip(t[id_col].to_pylist(), t[key].to_pylist()):
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            n = len(data)
+            if n < k:
+                h = int.from_bytes(hashlib.md5(text.encode()).digest()[:8], "little")
+                ids_out.append(i)
+                fps_out.append(h & 0x7FFFFFFFFFFFFFFF)
+                continue
+            # vectorized rolling hash: prefix powers trick
+            m = n - k + 1
+            hashes = np.zeros(m, dtype=np.uint64)
+            h0 = np.uint64(0)
+            for j in range(k):
+                h0 = h0 * B + data[j]
+            hashes[0] = h0
+            for j in range(1, m):
+                h0 = (h0 - data[j - 1] * BK) * B + data[j + k - 1]
+                hashes[j] = h0
+            if m <= window:
+                sel = np.array([hashes.argmin()])
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                sel = np.unique(w.argmin(axis=1) + np.arange(len(w)))
+            for s in np.unique(hashes[sel]):
+                ids_out.append(i)
+                fps_out.append(int(s) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {id_col: pa.array(ids_out, pa.int64()), "fp": pa.array(fps_out, pa.int64())}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

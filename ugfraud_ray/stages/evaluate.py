@@ -66,6 +66,39 @@ def evaluate_collected(
     return roc_auc(y, s), average_precision(y, s)
 
 
+def auc_ds(
+    ds: "ray.data.Dataset", score_col: str = "score", label_col: str = "label"
+) -> float:
+    """Distributed midrank ROC-AUC from a (score, label) Dataset.
+
+    Shuffle shape: one groupby(score) producing per-distinct-score
+    (count, positives) — the distinct-score table is what reaches the
+    driver, never the rows. midrank(s) = #{scores < s} + (n_s + 1)/2;
+    AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺ n⁻).
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    g = ds.groupby(score_col).aggregate(
+        Count(alias_name="n"), Sum(label_col, alias_name="pos")
+    )
+    tables = [t for t in ray.get(g.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tables)
+    s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(s, kind="mergesort")
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    before = np.concatenate([[0.0], np.cumsum(n)[:-1]])
+    midrank = before + (n + 1) / 2.0
+    n_pos = pos.sum()
+    n_neg = n.sum() - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("auc_ds needs both classes present")
+    pos_rank_sum = float((pos * midrank).sum())
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
 def auc_distributed(
     joined: "ray.data.Dataset", score_col: str = "score", label_col: str = "y"
 ) -> float:

@@ -64,8 +64,11 @@ def scale_value(value_dict: dict) -> dict:
     return out
 
 
-def scale_value_ds(ds: "ray.data.Dataset", col: str = "score") -> "ray.data.Dataset":
+def scale_value_ds(
+    ds: "ray.data.Dataset", col: str = "score", out_col: str | None = None
+) -> "ray.data.Dataset":
     """Distributed intended-mode scale_value: global min/max then normalize."""
+    out_col = out_col or col
     stats = ds.aggregate(Min(col, alias_name="mn"), Max(col, alias_name="mx"))
     mn, mx = float(stats["mn"]), float(stats["mx"])
     span = mx - mn
@@ -73,7 +76,10 @@ def scale_value_ds(ds: "ray.data.Dataset", col: str = "score") -> "ray.data.Data
     def norm(t: pa.Table) -> pa.Table:
         v = (t[col].to_numpy(zero_copy_only=False) - mn) / span
         v = np.where(v == 0, 1e-7, np.where(v == 1, 1 - 1e-7, v))
-        return t.set_column(t.schema.get_field_index(col), col, pa.array(v, pa.float64()))
+        arr = pa.array(v, pa.float64())
+        if out_col == col:
+            return t.set_column(t.schema.get_field_index(col), col, arr)
+        return t.append_column(out_col, arr)
 
     return ds.map_batches(norm, batch_format="pyarrow")
 
