@@ -244,8 +244,88 @@ def _q_ann_topk(sf_dir: str):
     return brute_force_topk(emb, query_ids=list(range(ANN_QUERIES)), k=ANN_K)
 
 
+def _q_user_priors(sf_dir: str):
+    """Behavioral user prior: fraction of negative reviews (detectors/priors.py)."""
+    from ugfraud_ray.detectors.priors import user_priors
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    return user_priors(review_edges(sf_dir))
+
+
+def _q_prior_scores(sf_dir: str):
+    """Prior detector (eval_Prior.py:10-15): scale_value over review priors."""
+    from ugfraud_ray.detectors.priors import prior_review_scores
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    ds = prior_review_scores(review_edges(sf_dir))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": t["dst"],
+                "score": pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), 9)),
+            }
+        )
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+def _review_graph(sf_dir: str):
+    """Shared detector input: numbered review graph + priors."""
+    from ugfraud_ray.detectors.priors import review_priors, vertex_priors
+    from ugfraud_ray.pipelines.testdata_graph import number_int_vertices, review_edges
+
+    e, vmap, n = number_int_vertices(review_edges(sf_dir))
+    e = e.materialize()
+    vp = vertex_priors(e)
+    ep = review_priors(e)
+    return e, ep, vp, vmap, n
+
+
+def _q_gang(sf_dir: str):
+    from ugfraud_ray.detectors.gang import gang
+    from ugfraud_ray.pipelines.testdata_graph import unmap_vids
+
+    e, ep, vp, vmap, n = _review_graph(sf_dir)
+    post, _ = gang(e, vp, n, _scratch("gang"), P=4)
+    return unmap_vids(post, vmap, vid_col="vid", out_col="id").select_columns(
+        ["id", "posterior"]
+    )
+
+
+def _q_zoobp(sf_dir: str):
+    from ugfraud_ray.detectors.zoobp import zoobp
+    from ugfraud_ray.pipelines.testdata_graph import unmap_vids
+
+    e, ep, vp, vmap, n = _review_graph(sf_dir)
+    beliefs, _ = zoobp(e, vp.select_columns(["vid", "prior"]), n, _scratch("zoobp"), P=4)
+    return unmap_vids(beliefs, vmap, vid_col="vid", out_col="id").select_columns(
+        ["id", "belief"]
+    )
+
+
+def _q_speagle(sf_dir: str):
+    from ugfraud_ray.detectors.speagle import speagle
+    from ugfraud_ray.pipelines.testdata_graph import unmap_vids
+
+    e, ep, vp, vmap, n = _review_graph(sf_dir)
+    vs, rs, _ = speagle(
+        ep.select_columns(["src", "dst", "prior"]), vp, n, _scratch("speagle"),
+        P=4, max_iters=30, tol=1e-6,
+    )
+    return unmap_vids(vs, vmap, vid_col="vid", out_col="id").select_columns(
+        ["id", "kind", "score"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "user_priors": _q_user_priors,
+        "prior_review_scores": _q_prior_scores,
+        "gang_posteriors": _q_gang,
+        "zoobp_beliefs": _q_zoobp,
+        "speagle_scores": _q_speagle,
         "review_edges": _q_review_edges,
         "degree_in": lambda sf: _q_degree(sf, "in"),
         "degree_out": lambda sf: _q_degree(sf, "out"),
@@ -266,6 +346,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "user_priors": f"""
+            WITH e AS ({_SQL_REVIEW_EDGES})
+            SELECT src AS vid,
+                   CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS prior
+            FROM e GROUP BY src
+        """,
+        "prior_review_scores": f"""
+            WITH e AS ({_SQL_REVIEW_EDGES}),
+            r AS (SELECT src, dst, CASE WHEN rating = 2 THEN 0.9 ELSE 0.1 END AS p FROM e),
+            mm AS (SELECT MIN(p) AS mn, MAX(p) AS mx FROM r)
+            SELECT src, dst,
+                   ROUND(CASE WHEN (p - mn) / (mx - mn) = 0 THEN 1e-7
+                              WHEN (p - mn) / (mx - mn) = 1 THEN 1 - 1e-7
+                              ELSE (p - mn) / (mx - mn) END, 9) AS score
+            FROM r, mm
+        """,
         "review_edges": _SQL_REVIEW_EDGES,
         "degree_in": f"""
             WITH e AS ({_SQL_REVIEW_EDGES})

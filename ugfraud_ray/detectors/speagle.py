@@ -1,0 +1,344 @@
+"""SpEagle — loopy belief propagation on the user–review–product factor
+graph (Akoglu et al., KDD'15), rebuilt as a partitioned Jacobi superstep
+engine.
+
+Reference /root/reference/UGFraud/Detector/SpEagle.py:
+- one Python Node object per user, product AND review, messages in
+  per-node dicts (SpEagle.py:24-222), sequential Gauss–Seidel sweeps
+  with alternating direction (run_bp, SpEagle.py:424-463).
+- message update (recompute_outgoing, SpEagle.py:177-222):
+      m_i->j(x_j) = lse_{x_i}( logH[x_j, x_i] + (belief_i − m_j->i)(x_i) )
+  normalized by the lse over the whole 2x2 table; belief_i = prior_i +
+  Σ incoming (get_belief, SpEagle.py:141-175).
+- classify (SpEagle.py:465-508): softmax(belief)[1] per node.
+
+Engine form (north star): reviews ARE the edge rows — each edge carries
+its review prior and 4 log-message 2-vectors (u→r, p→r, r→u, r→p);
+vertices carry S_v = prior_v + Σ m_r→v. One superstep updates all 4
+message arrays Jacobi-style (vectorized logsumexp, no Python loop over
+edges), then rebuilds S via dst-local segment sums + compact
+src-partition partials shuffled to their owners. Gauss–Seidel vs Jacobi
+changes the trajectory, not the fixed point (SURVEY §2.9 I1):
+conformance is at convergence, np.allclose 1e-6.
+
+Checkpointing: every ``checkpoint_every`` supersteps each shard writes
+messages+S to ``ckpt/step=k/bp_p{p}.parquet`` and the driver commits a
+manifest after all shards land; resume loads the greatest committed step
+(per-partition lineage, mid-iteration resumability).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+EPS_PRIOR = 1e-5  # reference Node.__init__ prior clamp (SpEagle.py:57-63)
+
+
+def default_potentials(numerical_eps: float = 1e-5, eps: float = 0.1) -> dict:
+    """The demo's 4 log-potential matrices (eval_SpEagle.py:11-15)."""
+    ur = np.log(np.array([[1 - numerical_eps, numerical_eps],
+                          [numerical_eps, 1 - numerical_eps]]))
+    rp = np.log(np.array([[1 - eps, eps], [eps, 1 - eps]]))
+    return {"u_r": ur, "r_u": ur, "r_p": rp, "p_r": rp}
+
+
+def log_prior_2vec(p: np.ndarray) -> np.ndarray:
+    """prior scalar -> log [1-p, p] with the reference's eps clamps."""
+    p = np.asarray(p, dtype=np.float64)
+    p = np.where(p == 1.0, 1.0 - EPS_PRIOR, np.where(p == 0.0, EPS_PRIOR, p))
+    return np.column_stack([np.log(1.0 - p), np.log(p)])
+
+
+def _msg(v: np.ndarray, logH: np.ndarray) -> np.ndarray:
+    """Vectorized reference message kernel over E edges.
+
+    v: (E,2) log inputs; logH: (2,2). out[e,j] = lse_i(logH[j,i]+v[e,i]),
+    normalized so lse_j(out[e,:]) = 0 (SpEagle.py:210-215).
+    """
+    a = logH[None, :, :] + v[:, None, :]  # (E, 2out, 2in)
+    amax = a.max(axis=2, keepdims=True)
+    out = np.log(np.exp(a - amax).sum(axis=2)) + amax[:, :, 0]
+    omax = out.max(axis=1, keepdims=True)
+    z = np.log(np.exp(out - omax).sum(axis=1, keepdims=True)) + omax
+    return out - z
+
+
+@ray.remote
+class BPShard:
+    def __init__(self, layout_path: str, p: int, potentials: dict):
+        from ugfraud_ray.state.layout import GraphLayout
+
+        self.layout = GraphLayout.load(layout_path)
+        self.p = p
+        self.P = self.layout.P
+        self.N = self.layout.n_vertices
+        self.pot = {k: np.asarray(v, dtype=np.float64) for k, v in potentials.items()}
+        files = sorted(glob.glob(os.path.join(layout_path, "edges", f"part={p}", "*.parquet")))
+        cols = ["src", "dst", "prior"]
+        t = (
+            pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+            if files
+            else pa.table({c: pa.array([], pa.int64() if c != "prior" else pa.float64()) for c in cols})
+        )
+        self.src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.E = len(self.src)
+        self.prior_r = log_prior_2vec(t["prior"].to_numpy(zero_copy_only=False))
+        self.src_part = (self.src % self.P).astype(np.int64)
+        self.src_local = self.src // self.P
+        self.dst_part = (self.dst % self.P).astype(np.int64)
+        self.dst_local = self.dst // self.P
+        # owned vertices + their log priors
+        self.vids = np.arange(p, self.N, self.P, dtype=np.int64)
+        self.n_local = len(self.vids)
+        vfiles = sorted(glob.glob(os.path.join(layout_path, "vertex", f"part={p}", "*.parquet")))
+        pv = np.zeros(self.n_local, dtype=np.float64)
+        kind = np.zeros(self.n_local, dtype=np.int8)
+        if vfiles:
+            vt = pa.concat_tables([pq.read_table(f) for f in vfiles])
+            vid = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pv[vid // self.P] = vt["prior"].to_numpy(zero_copy_only=False)
+            if "kind" in vt.column_names:
+                kind[vid // self.P] = vt["kind"].to_numpy(zero_copy_only=False)
+        self.kind = kind
+        self.prior_v = log_prior_2vec(pv)
+        # message state (all zeros = uniform in log space, Node.add_neighbor)
+        self.m_u2r = np.zeros((self.E, 2))
+        self.m_p2r = np.zeros((self.E, 2))
+        self.m_r2u = np.zeros((self.E, 2))
+        self.m_r2p = np.zeros((self.E, 2))
+        self.S = self.prior_v.copy()
+
+    def get_state(self) -> np.ndarray:
+        return self.S
+
+    # ---- one Jacobi superstep over this shard's edges -------------------
+    def compute(self, state_refs: list):
+        blocks = ray.get(list(state_refs))
+        S_u = np.empty((self.E, 2))
+        S_p = np.empty((self.E, 2))
+        for q in range(self.P):
+            m = self.src_part == q
+            if m.any():
+                S_u[m] = blocks[q][self.src_local[m]]
+            m = self.dst_part == q
+            if m.any():
+                S_p[m] = blocks[q][self.dst_local[m]]
+        new_u2r = _msg(S_u - self.m_r2u, self.pot["u_r"])
+        new_p2r = _msg(S_p - self.m_r2p, self.pot["p_r"])
+        new_r2u = _msg(self.prior_r + self.m_p2r, self.pot["r_u"])
+        new_r2p = _msg(self.prior_r + self.m_u2r, self.pot["r_p"])
+        delta = (
+            np.abs(new_u2r - self.m_u2r).sum()
+            + np.abs(new_p2r - self.m_p2r).sum()
+            + np.abs(new_r2u - self.m_r2u).sum()
+            + np.abs(new_r2p - self.m_r2p).sum()
+        )
+        self.m_u2r, self.m_p2r = new_u2r, new_p2r
+        self.m_r2u, self.m_r2p = new_r2u, new_r2p
+        # compact per-destination-partition partial sums of m_r->v
+        partials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for part_arr, local_arr, msgs in (
+            (self.src_part, self.src_local, self.m_r2u),
+            (self.dst_part, self.dst_local, self.m_r2p),
+        ):
+            for q in range(self.P):
+                m = part_arr == q
+                if not m.any():
+                    continue
+                loc = local_arr[m]
+                uniq, inv = np.unique(loc, return_inverse=True)
+                sums = np.zeros((len(uniq), 2))
+                np.add.at(sums, inv, msgs[m])
+                if q in partials:
+                    pu, ps = partials[q]
+                    partials[q] = (np.concatenate([pu, uniq]), np.concatenate([ps, sums]))
+                else:
+                    partials[q] = (uniq, sums)
+        return {"delta": float(delta), "partials": partials}
+
+    def apply(self, partial_list: list):
+        S = self.prior_v.copy()
+        for idx, vals in partial_list:
+            np.add.at(S, idx, vals)
+        self.S = S
+        return True
+
+    # ---- read-outs ------------------------------------------------------
+    def vertex_scores(self) -> pa.Table:
+        b = self.S
+        m = b.max(axis=1, keepdims=True)
+        post = np.exp(b - m)
+        post /= post.sum(axis=1, keepdims=True)
+        return pa.table(
+            {
+                "vid": pa.array(self.vids),
+                "kind": pa.array(self.kind),
+                "score": pa.array(post[:, 1]),
+            }
+        )
+
+    def review_scores(self) -> pa.Table:
+        b = self.prior_r + self.m_u2r + self.m_p2r
+        m = b.max(axis=1, keepdims=True)
+        post = np.exp(b - m)
+        post /= post.sum(axis=1, keepdims=True)
+        return pa.table(
+            {
+                "src": pa.array(self.src),
+                "dst": pa.array(self.dst),
+                "score": pa.array(post[:, 1]),
+            }
+        )
+
+    # ---- checkpoint / resume --------------------------------------------
+    def checkpoint(self, ckpt_dir: str, step: int) -> bool:
+        d = os.path.join(ckpt_dir, f"step={step}")
+        os.makedirs(d, exist_ok=True)
+        cols = {"src": pa.array(self.src), "dst": pa.array(self.dst)}
+        for name, arr in (
+            ("u2r", self.m_u2r), ("p2r", self.m_p2r),
+            ("r2u", self.m_r2u), ("r2p", self.m_r2p),
+        ):
+            cols[f"{name}_0"] = pa.array(arr[:, 0])
+            cols[f"{name}_1"] = pa.array(arr[:, 1])
+        pq.write_table(pa.table(cols), os.path.join(d, f"bp_edges_p{self.p}.parquet"))
+        pq.write_table(
+            pa.table({"vid": pa.array(self.vids), "s0": pa.array(self.S[:, 0]),
+                      "s1": pa.array(self.S[:, 1])}),
+            os.path.join(d, f"bp_vertex_p{self.p}.parquet"),
+        )
+        return True
+
+    def restore(self, ckpt_dir: str, step: int) -> bool:
+        d = os.path.join(ckpt_dir, f"step={step}")
+        et = pq.read_table(os.path.join(d, f"bp_edges_p{self.p}.parquet"))
+        for name, attr in (("u2r", "m_u2r"), ("p2r", "m_p2r"), ("r2u", "m_r2u"), ("r2p", "m_r2p")):
+            setattr(self, attr, np.column_stack(
+                [et[f"{name}_0"].to_numpy(), et[f"{name}_1"].to_numpy()]
+            ).astype(np.float64))
+        vt = pq.read_table(os.path.join(d, f"bp_vertex_p{self.p}.parquet"))
+        self.S = np.column_stack([vt["s0"].to_numpy(), vt["s1"].to_numpy()]).astype(np.float64)
+        return True
+
+
+class SpEagleEngine:
+    """Driver loop for the BP shard pool."""
+
+    def __init__(self, layout, potentials: dict | None = None,
+                 ckpt_dir: str | None = None, checkpoint_every: int = 0):
+        self.layout = layout
+        self.pot = potentials or default_potentials()
+        self.ckpt_dir = ckpt_dir
+        self.checkpoint_every = checkpoint_every
+        self.shards = [BPShard.remote(layout.path, p, self.pot) for p in range(layout.P)]
+        self.metrics: list[dict] = []
+        self.n_nodes = None  # set by caller for reference-style delta norm
+
+    def run(self, max_iters: int, tol: float = 1e-3, resume: bool = False,
+            n_nodes: int | None = None) -> dict:
+        start = 0
+        if resume and self.ckpt_dir:
+            latest = self._latest_checkpoint()
+            if latest is not None:
+                ray.get([s.restore.remote(self.ckpt_dir, latest) for s in self.shards])
+                start = latest + 1
+        norm = float(n_nodes or self.layout.n_vertices)
+        last = {}
+        for it in range(start, max_iters):
+            t0 = time.perf_counter()
+            state_refs = [s.get_state.remote() for s in self.shards]
+            outs = ray.get([s.compute.remote(state_refs) for s in self.shards])
+            # regroup compact partials by destination shard
+            per_q: list[list] = [[] for _ in range(self.layout.P)]
+            delta = 0.0
+            for o in outs:
+                delta += o["delta"]
+                for q, pv in o["partials"].items():
+                    per_q[q].append(pv)
+            ray.get([s.apply.remote(per_q[q]) for q, s in enumerate(self.shards)])
+            dt = time.perf_counter() - t0
+            mean_delta = delta / norm
+            last = {"step": it, "seconds": dt, "delta": mean_delta}
+            self.metrics.append(last)
+            if self.checkpoint_every and self.ckpt_dir and (it + 1) % self.checkpoint_every == 0:
+                self._commit(it)
+            if mean_delta < tol:
+                break
+        if self.ckpt_dir:
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+            with open(os.path.join(self.ckpt_dir, "metrics.json"), "w") as f:
+                json.dump(self.metrics, f)
+        return last
+
+    def _commit(self, step: int) -> None:
+        ray.get([s.checkpoint.remote(self.ckpt_dir, step) for s in self.shards])
+        with open(os.path.join(self.ckpt_dir, f"step_{step}.json"), "w") as f:
+            json.dump({"step": step, "P": self.layout.P}, f)
+
+    def _latest_checkpoint(self):
+        if not self.ckpt_dir or not os.path.isdir(self.ckpt_dir):
+            return None
+        best = None
+        for f in glob.glob(os.path.join(self.ckpt_dir, "step_*.json")):
+            with open(f) as fh:
+                s = json.load(fh)["step"]
+            best = s if best is None else max(best, s)
+        return best
+
+    def vertex_scores(self) -> "ray.data.Dataset":
+        return ray.data.from_arrow_refs([s.vertex_scores.remote() for s in self.shards])
+
+    def review_scores(self) -> "ray.data.Dataset":
+        return ray.data.from_arrow_refs([s.review_scores.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+
+def speagle(
+    edges_with_prior: "ray.data.Dataset",
+    vertex_prior: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    P: int = 4,
+    potentials: dict | None = None,
+    max_iters: int = 20,
+    tol: float = 1e-3,
+    ckpt_dir: str | None = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset", list[dict]]:
+    """Run SpEagle BP to convergence.
+
+    edges_with_prior: (src, dst, prior) review edges (prior = review
+    prior in [0,1]); vertex_prior: (vid, prior, kind 1=user/0=prod).
+    Returns (vertex_scores, review_scores, metrics).
+    """
+    from ugfraud_ray.state.layout import build_layout
+
+    layout = build_layout(
+        edges_with_prior, n_vertices, layout_dir, P=P,
+        edge_cols=["prior"], vertex_aux=vertex_prior,
+    )
+    eng = SpEagleEngine(layout, potentials, ckpt_dir=ckpt_dir,
+                        checkpoint_every=checkpoint_every)
+    n_edges = edges_with_prior.count()
+    eng.run(max_iters=max_iters, tol=tol, resume=resume,
+            n_nodes=n_vertices + n_edges)
+    vs = eng.vertex_scores().materialize()
+    rs = eng.review_scores().materialize()
+    eng.shutdown()
+    return vs, rs, eng.metrics

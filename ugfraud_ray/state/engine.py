@@ -289,8 +289,14 @@ class SuperstepEngine:
         tol: float | None = None,
         aux: dict | None = None,
         resume: bool = False,
+        stop_fn=None,
     ) -> dict:
-        """Run supersteps until convergence (stats['delta'] <= tol) or max_iters."""
+        """Run supersteps until convergence or max_iters.
+
+        Convergence: stats['delta'] <= tol, or, if ``stop_fn(stats, prev_aux)``
+        is given, whenever it returns True (driver-side rule, e.g. GANG's
+        global-sum difference /root/reference Detector/GANG.py:126-137).
+        """
         aux = dict(aux or {})
         start_step = 0
         if resume and self.ckpt_dir:
@@ -315,9 +321,12 @@ class SuperstepEngine:
             dt = time.perf_counter() - t0
             rec = {"step": it, "seconds": dt, **{k: float(v) for k, v in stats.items() if np.isscalar(v)}}
             self.metrics.append(rec)
+            prev_aux = aux
             aux = {**aux, **stats}
             if self.checkpoint_every and self.ckpt_dir and (it + 1) % self.checkpoint_every == 0:
                 self._commit_checkpoint(it, aux)
+            if stop_fn is not None and stop_fn(stats, prev_aux):
+                break
             if tol is not None and stats.get("delta", np.inf) <= tol:
                 break
         if self.ckpt_dir:
