@@ -319,9 +319,78 @@ def _q_speagle(sf_dir: str):
     )
 
 
+def _prod_indexed_edges(sf_dir: str):
+    """Review edges with dst re-based to a dense 0-based product index."""
+    from ugfraud_ray.pipelines.testdata_graph import PART_OFFSET, review_edges
+
+    e = review_edges(sf_dir)
+
+    def rebase(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": pc.subtract(t["dst"], PART_OFFSET),
+                "rating": pc.cast(t["rating"], pa.float64()),
+            }
+        )
+
+    eb = e.map_batches(rebase, batch_format="pyarrow").materialize()
+    n_prods = int(eb.max("dst")) + 1
+    return eb, n_prods
+
+
+def _q_fbox_users(sf_dir: str):
+    from ugfraud_ray.detectors.fbox import fbox
+
+    eb, n_prods = _prod_indexed_edges(sf_dir)
+    sus_u, _ = fbox(eb, n_prods, tau=20.0, k=min(50, n_prods - 1))
+    return sus_u.select_columns(["vid", "degree"])
+
+
+def _q_fraudar_blocks(sf_dir: str):
+    from ugfraud_ray.detectors.fraudar import detect_blocks
+
+    eb, _ = _prod_indexed_edges(sf_dir)
+    blocks = detect_blocks(eb, max_blocks=5)
+    return pa.table(
+        {
+            "block": pa.array(range(len(blocks)), pa.int64()),
+            "n_rows": pa.array([len(b[0]) for b in blocks], pa.int64()),
+            "n_cols": pa.array([len(b[1]) for b in blocks], pa.int64()),
+            "score": pa.array([round(b[2], 9) for b in blocks], pa.float64()),
+        }
+    )
+
+
+def _q_fraudar_user_scores(sf_dir: str):
+    from ugfraud_ray.detectors.fraudar import detect_blocks, fraudar_scores
+
+    eb, _ = _prod_indexed_edges(sf_dir)
+    blocks = detect_blocks(eb, max_blocks=5)
+    users, _ = fraudar_scores(eb, blocks)
+    return users
+
+
+def _q_svd_singular_values(sf_dir: str):
+    from ugfraud_ray.detectors.svd import svd_decompose
+
+    eb, n_prods = _prod_indexed_edges(sf_dir)
+    s, _ = svd_decompose(eb, n_prods, percent=0.02)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(s)), pa.int64()),
+            "sigma": pa.array(np.round(s, 6)),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "user_priors": _q_user_priors,
+        "fbox_suspicious_users": _q_fbox_users,
+        "fraudar_blocks": _q_fraudar_blocks,
+        "fraudar_user_scores": _q_fraudar_user_scores,
+        "svd_singular_values": _q_svd_singular_values,
         "prior_review_scores": _q_prior_scores,
         "gang_posteriors": _q_gang,
         "zoobp_beliefs": _q_zoobp,

@@ -1,0 +1,150 @@
+"""fBox — spectral-reconstruction outlier detection.
+
+Reference /root/reference/UGFraud/Detector/fBox.py:52-107: truncated
+SVD (k), reconstructed out/in degree = row norms of U·S / V·S; for each
+distinct ORIGINAL degree d, threshold = np.percentile(rec degrees of
+nodes with degree d, tau); node suspicious iff its rec degree is
+strictly below its degree's threshold.
+
+Engine form: Gram-based exact truncated SVD (detectors/spectral.py),
+degree table via grouped count (A1), per-degree exact percentile via
+groupby(degree).map_groups (A4 — degree groups are skewed, d=1 giant;
+np.percentile per group is vectorized and the group carries only its
+rec-degree floats, not adjacency).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from ugfraud_ray.detectors.spectral import (
+    col_recon_norms,
+    gram_matrix,
+    row_recon_norms,
+    truncated_svd_from_gram,
+)
+
+
+def _percentile_thresholds(
+    deg_rec: "ray.data.Dataset", tau: float
+) -> "ray.data.Dataset":
+    """(degree, threshold): exact per-degree percentile (fBox.py:72-76)."""
+
+    def pct(g) -> pa.Table:
+        return pa.table(
+            {
+                "degree": pa.array([int(g["degree"].iloc[0])]),
+                "threshold": pa.array([float(np.percentile(g["rec"].to_numpy(), tau))]),
+            }
+        )
+
+    return deg_rec.groupby("degree").map_groups(pct, batch_format="pandas")
+
+
+def fbox(
+    edges: "ray.data.Dataset",
+    n_prods: int,
+    tau: float = 20.0,
+    k: int = 50,
+    prod_offset: int = 0,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Run fBox on binary (src=user, dst=prod-index) edges.
+
+    dst values must be in [prod_offset, prod_offset + n_prods). Returns
+    (suspicious_users(vid, degree, rec, threshold),
+     suspicious_prods(pid, degree, rec, threshold)).
+    """
+    e = edges.select_columns(["src", "dst"])
+    if prod_offset:
+        def shift(t: pa.Table) -> pa.Table:
+            d = t["dst"].to_numpy(zero_copy_only=False) - prod_offset
+            return pa.table({"src": t["src"], "dst": pa.array(d)})
+
+        e = e.map_batches(shift, batch_format="pyarrow")
+    e = e.materialize()
+
+    G = gram_matrix(e, n_prods)
+    k_eff = min(k, n_prods - 1 if n_prods > 1 else 1)
+    s, Vk = truncated_svd_from_gram(G, k_eff)
+
+    # users: rec out-degree + original out-degree
+    rec_u = row_recon_norms(e, Vk)
+    deg_u = e.groupby("src").aggregate(Count(alias_name="degree")).rename_columns({"src": "vid"})
+    du = rec_u.join(deg_u, join_type="inner", num_partitions=8, on=("vid",)).materialize()
+    thr_u = _percentile_thresholds(du, tau)
+    tu = pa.concat_tables([b for b in ray.get(thr_u.to_arrow_refs()) if b.num_rows])
+    thr_map = np.zeros(int(tu["degree"].to_numpy(zero_copy_only=False).max()) + 1)
+    thr_map[tu["degree"].to_numpy(zero_copy_only=False)] = tu["threshold"].to_numpy(zero_copy_only=False)
+    thr_ref = ray.put(thr_map)
+
+    def flag(t: pa.Table) -> pa.Table:
+        tm = ray.get(thr_ref)
+        deg = t["degree"].to_numpy(zero_copy_only=False)
+        rec = t["rec"].to_numpy(zero_copy_only=False)
+        th = tm[deg]
+        keep = rec < th
+        return pa.table(
+            {
+                "vid": pa.array(t["vid"].to_numpy(zero_copy_only=False)[keep]),
+                "degree": pa.array(deg[keep]),
+                "rec": pa.array(rec[keep]),
+                "threshold": pa.array(th[keep]),
+            }
+        )
+
+    sus_users = du.map_batches(flag, batch_format="pyarrow")
+
+    # products: driver-side (n_prods-sized)
+    rec_p = col_recon_norms(s, Vk)
+    dt = pa.concat_tables(
+        ray.get(
+            e.groupby("dst").aggregate(Count(alias_name="degree")).to_arrow_refs()
+        )
+    )
+    pid = dt["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pdeg = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+    prec = rec_p[pid]
+    sus_p_rows = {"pid": [], "degree": [], "rec": [], "threshold": []}
+    for d in np.unique(pdeg):
+        m = pdeg == d
+        th = float(np.percentile(prec[m], tau))
+        bad = m & (prec < th)
+        sus_p_rows["pid"].extend((pid[bad] + prod_offset).tolist())
+        sus_p_rows["degree"].extend(pdeg[bad].tolist())
+        sus_p_rows["rec"].extend(prec[bad].tolist())
+        sus_p_rows["threshold"].extend([th] * int(bad.sum()))
+    sus_prods = pa.table(
+        {
+            "pid": pa.array(sus_p_rows["pid"], pa.int64()),
+            "degree": pa.array(sus_p_rows["degree"], pa.int64()),
+            "rec": pa.array(sus_p_rows["rec"], pa.float64()),
+            "threshold": pa.array(sus_p_rows["threshold"], pa.float64()),
+        }
+    )
+    return sus_users, ray.data.from_arrow(sus_prods)
+
+
+def fbox_review_scores(
+    edges: "ray.data.Dataset",
+    review_prior_edges: "ray.data.Dataset",
+    sus_users: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """eval_fBox.py:33-38 read-out: review score = review prior if the
+    user is suspicious else 0 (broadcast semi-join, J5)."""
+    st = pa.concat_tables(ray.get(sus_users.select_columns(["vid"]).to_arrow_refs()))
+    sus = set(st["vid"].to_pylist())
+    sus_ref = ray.put(sus)
+
+    def f(t: pa.Table) -> pa.Table:
+        s = ray.get(sus_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        mask = np.array([int(x) in s for x in src])
+        score = np.where(mask, t["prior"].to_numpy(zero_copy_only=False), 0.0)
+        return pa.table({"src": t["src"], "dst": t["dst"], "score": pa.array(score)})
+
+    return review_prior_edges.map_batches(f, batch_format="pyarrow")

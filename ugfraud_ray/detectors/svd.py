@@ -1,0 +1,98 @@
+"""SVD detector — low-rank user embeddings from the rating matrix.
+
+Reference /root/reference/UGFraud/Detector/SVD.py:16-55: dense
+(n_users x n_prods) rating matrix (np.empty — B4: unset cells are
+uninitialized; the engine uses zeros, the corrected semantics), then
+``svds(matrix, k=int(round(min_dim * percent)))`` and U as the user
+embedding. The reference then trains a scikit-learn SVM on U
+(SVD.py:90-103) — sklearn is unavailable in this environment (the
+reference itself cannot run that step here either, SURVEY §7.0), so the
+engine exposes:
+
+- ``svd_user_embedding``: (vid, e0..e{k-1}) — exact U_k via the Gram
+  route (U_k = A V_k / s_k), distributed over edges;
+- ``svd_singular_values``: exact s_k (conformance gate 7);
+- ``svd_user_scores``: a deterministic centroid scorer on the embedding
+  (distance-to-labeled-centroid ratio) replacing the SVM readout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ugfraud_ray.detectors.spectral import gram_matrix, truncated_svd_from_gram
+
+
+def svd_decompose(
+    edges: "ray.data.Dataset",
+    n_prods: int,
+    percent: float = 0.9,
+    value: str = "rating",
+) -> tuple[np.ndarray, np.ndarray]:
+    """(s_k, V_k) of the rating matrix; k = int(round(n_prods*percent))
+    clamped to >=1 (SVD.py:52)."""
+    k = max(1, int(round(n_prods * percent)))
+    k = min(k, n_prods)
+    G = gram_matrix(edges, n_prods, value=value)
+    return truncated_svd_from_gram(G, k)
+
+
+def svd_user_embedding(
+    edges: "ray.data.Dataset",
+    s: np.ndarray,
+    Vk: np.ndarray,
+    value: str = "rating",
+) -> "ray.data.Dataset":
+    """(vid, emb: fixed_size_list<double, k>) — U_k rows = A V_k / s_k."""
+    s_safe = np.where(s > 0, s, 1.0)
+    proj = Vk / s_safe[None, :]
+    ref = ray.put(np.ascontiguousarray(proj))
+
+    def per_user(g) -> pa.Table:
+        P = ray.get(ref)
+        cols = g["dst"].to_numpy().astype(np.int64)
+        vals = g[value].to_numpy().astype(np.float64)
+        row = (vals[:, None] * P[cols]).sum(axis=0)
+        return pa.table(
+            {
+                "vid": pa.array([int(g["src"].iloc[0])]),
+                "emb": pa.FixedSizeListArray.from_arrays(pa.array(row), len(row)),
+            }
+        )
+
+    return edges.groupby("src").map_groups(per_user, batch_format="pandas")
+
+
+def svd_user_scores(
+    embedding: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Deterministic replacement for the reference's SVM readout:
+    score = d(neg centroid) / (d(pos centroid) + d(neg centroid)),
+    centroids from the labeled subset (broadcast, tiny)."""
+    lt = pa.concat_tables(ray.get(labels.to_arrow_refs()))
+    lab = dict(zip(lt["vid"].to_pylist(), lt["label"].to_pylist()))
+    et = pa.concat_tables(ray.get(embedding.to_arrow_refs()))
+    vids = et["vid"].to_numpy(zero_copy_only=False)
+    k = len(et["emb"][0])
+    embs = np.asarray(et["emb"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(vids), k)
+    mask_pos = np.array([lab.get(int(v), 0) == 1 for v in vids])
+    mask_neg = np.array([lab.get(int(v), 1) == 0 for v in vids])
+    c_pos = embs[mask_pos].mean(axis=0) if mask_pos.any() else np.zeros(k)
+    c_neg = embs[mask_neg].mean(axis=0) if mask_neg.any() else np.zeros(k)
+    cref = ray.put((c_pos, c_neg))
+
+    def score(t: pa.Table) -> pa.Table:
+        cp, cn = ray.get(cref)
+        kk = len(t["emb"][0])
+        x = np.asarray(t["emb"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(t.num_rows, kk)
+        dp = np.linalg.norm(x - cp, axis=1)
+        dn = np.linalg.norm(x - cn, axis=1)
+        sc = dn / np.maximum(dp + dn, 1e-12)
+        return pa.table({"vid": t["vid"], "score": pa.array(sc)})
+
+    return embedding.map_batches(score, batch_format="pyarrow")
