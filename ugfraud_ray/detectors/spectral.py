@@ -40,42 +40,50 @@ def gram_matrix(
 ) -> np.ndarray:
     """Exact G = AᵀA for the (implicit) row_id x col_id matrix.
 
-    value=None -> binary matrix. Rows are grouped per row_id; each
-    group emits its upper-triangle co-occurrence COO rows (vectorized
-    triu), a single groupby-sum reduces them, the driver densifies.
+    value=None -> binary matrix. G[i,j] = Σ_rows A[r,i]·A[r,j] is the
+    co-occurrence count: a hash self-join of the edge table on row_id
+    (fully vectorized, no per-group Python) expands each row's pair
+    products, one groupby-sum reduces them, the driver densifies.
+    Scale note: pair volume is Σ_r d_r² — bounded for bipartite
+    review/link shapes where the row side is low-degree; split or cap
+    pathological heavy rows before calling.
     """
-
-    def pairs(g) -> pa.Table:
-        cols = g[col_id].to_numpy().astype(np.int64)
-        if value is None:
-            vals = np.ones(len(cols))
-        else:
-            vals = g[value].to_numpy().astype(np.float64)
-        order = np.argsort(cols)
-        cols, vals = cols[order], vals[order]
-        i, j = np.triu_indices(len(cols))
-        return pa.table(
-            {
-                "gi": pa.array(cols[i]),
-                "gj": pa.array(cols[j]),
-                "v": pa.array(vals[i] * vals[j]),
-            }
-        )
-
-    coo = (
-        edges.groupby(row_id)
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["gi", "gj"])
-        .aggregate(Sum("v", alias_name="v"))
+    left_cols = [row_id, col_id] + ([value] if value else [])
+    left = edges.select_columns(left_cols).rename_columns(
+        {col_id: "gi", **({value: "vi"} if value else {})}
     )
-    t = pa.concat_tables([b for b in ray.get(coo.to_arrow_refs()) if b.num_rows])
-    G = np.zeros((n_cols, n_cols))
-    gi = t["gi"].to_numpy(zero_copy_only=False)
-    gj = t["gj"].to_numpy(zero_copy_only=False)
-    v = t["v"].to_numpy(zero_copy_only=False)
-    G[gi, gj] = v
-    G[gj, gi] = v
-    return G
+    right = edges.select_columns(left_cols).rename_columns(
+        {col_id: "gj", **({value: "vj"} if value else {})}
+    )
+    joined = left.join(right, join_type="inner", num_partitions=16, on=(row_id,))
+
+    @ray.remote
+    def dense_partial(block: pa.Table) -> np.ndarray:
+        G = np.zeros((n_cols, n_cols))
+        gi = block["gi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gj = block["gj"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if value is None:
+            v = np.ones(len(gi))
+        else:
+            v = (
+                block["vi"].to_numpy(zero_copy_only=False)
+                * block["vj"].to_numpy(zero_copy_only=False)
+            )
+        np.add.at(G, (gi, gj), v)
+        return G
+
+    @ray.remote
+    def tree_sum(*parts: np.ndarray) -> np.ndarray:
+        out = parts[0].copy()
+        for p in parts[1:]:
+            out += p
+        return out
+
+    refs = [dense_partial.remote(b) for b in joined.to_arrow_refs()]
+    # tree reduce: fan-in 8 to keep driver out of the data path
+    while len(refs) > 1:
+        refs = [tree_sum.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    return ray.get(refs[0]) if refs else np.zeros((n_cols, n_cols))
 
 
 def truncated_svd_from_gram(G: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -94,21 +102,43 @@ def row_recon_norms(
     value: str | None = None,
 ) -> "ray.data.Dataset":
     """(vid, rec) where rec = ‖(A V_k)[row]‖ — the reconstructed-degree
-    norm fBox thresholds on (fBox.py:60-63). V_k broadcast once."""
+    norm fBox thresholds on (fBox.py:60-63). V_k broadcast once.
+
+    Fully vectorized: each batch emits per-row partial k-vectors
+    (segment-sum by row inside the batch), a k-column Sum aggregate
+    combines them, then a map computes the norms — no per-group Python.
+    """
+    k = Vk.shape[1]
     v_ref = ray.put(np.ascontiguousarray(Vk))
 
-    def per_row(g) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         V = ray.get(v_ref)
-        cols = g[col_id].to_numpy().astype(np.int64)
-        if value is None:
-            row = V[cols].sum(axis=0)
-        else:
-            row = (g[value].to_numpy().astype(np.float64)[:, None] * V[cols]).sum(axis=0)
-        return pa.table(
-            {"vid": pa.array([int(g[row_id].iloc[0])]), "rec": pa.array([float(np.linalg.norm(row))])}
-        )
+        rows = t[row_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = t[col_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = V[cols]
+        if value is not None:
+            contrib = contrib * t[value].to_numpy(zero_copy_only=False).astype(np.float64)[:, None]
+        uniq, inv = np.unique(rows, return_inverse=True)
+        sums = np.zeros((len(uniq), k))
+        np.add.at(sums, inv, contrib)
+        out = {"vid": pa.array(uniq)}
+        for j in range(k):
+            out[f"c{j}"] = pa.array(sums[:, j])
+        return pa.table(out)
 
-    return edges.groupby(row_id).map_groups(per_row, batch_format="pandas")
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(*[_Sum(f"c{j}", alias_name=f"c{j}") for j in range(k)])
+    )
+
+    def norms(t: pa.Table) -> pa.Table:
+        mat = np.column_stack([t[f"c{j}"].to_numpy(zero_copy_only=False) for j in range(k)])
+        return pa.table({"vid": t["vid"], "rec": pa.array(np.linalg.norm(mat, axis=1))})
+
+    return agg.map_batches(norms, batch_format="pyarrow")
 
 
 def col_recon_norms(s: np.ndarray, Vk: np.ndarray) -> np.ndarray:

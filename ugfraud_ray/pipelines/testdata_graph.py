@@ -110,6 +110,10 @@ def number_int_vertices(
     T3 in SURVEY §2.3 — the reference builds these id maps as driver
     dicts (Detector/fBox.py:20-47).
     """
+    # consumed by three branches (src ids, dst ids, remap) — materialize
+    # once so the upstream lineage (e.g. the orders ⋈ lineitem join)
+    # doesn't re-execute per branch.
+    edges = edges.materialize()
     ids = (
         edges.select_columns(["src"]).rename_columns({"src": "id"})
         .union(edges.select_columns(["dst"]).rename_columns({"dst": "id"}))

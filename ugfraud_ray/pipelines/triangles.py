@@ -89,15 +89,33 @@ def triangle_count(edges: "ray.data.Dataset", P: int = 8) -> int:
 
     tagged_edges = e.map_batches(edge_rows, batch_format="pyarrow")
 
-    def count_closed(g: pd.DataFrame) -> pa.Table:
-        has_edge = (g["kind"] == 1).any()
-        n_wedges = int((g["kind"] == 0).sum())
-        return pa.table({"t": pa.array([n_wedges if has_edge else 0], pa.int64())})
+    # per (x,y): wedge count = #kind-0 rows, closing edge present = max(kind);
+    # triangles = Σ wedges where an edge closes the pair. Pure hash
+    # aggregates — no per-group Python (the pair-key group count is huge).
+    from ray.data.aggregate import Max, Sum
 
-    closed = wedge_ds.union(tagged_edges).groupby(["x", "y"]).map_groups(
-        count_closed, batch_format="pandas"
+    def wedge_flag(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": t["x"],
+                "y": t["y"],
+                "w": pa.array((kind == 0).astype(np.int64)),
+                "kind": t["kind"],
+            }
+        )
+
+    tagged = wedge_ds.union(tagged_edges).map_batches(wedge_flag, batch_format="pyarrow")
+    closed = tagged.groupby(["x", "y"]).aggregate(
+        Sum("w", alias_name="n_wedges"), Max("kind", alias_name="has_edge")
     )
-    from ray.data.aggregate import Sum
 
-    total = closed.aggregate(Sum("t", alias_name="total"))
+    def tri(t: pa.Table) -> pa.Table:
+        n = t["n_wedges"].to_numpy(zero_copy_only=False)
+        he = t["has_edge"].to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array([int(n[he == 1].sum())], pa.int64())})
+
+    total = closed.map_batches(tri, batch_format="pyarrow").aggregate(
+        Sum("t", alias_name="total")
+    )
     return int(total["total"])
