@@ -384,9 +384,56 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_labelprop(sf_dir: str):
+    """Semi-supervised LP on the general graph; deterministic seeds
+    (every 10th vertex labeled vid%3). Rows-only check (iterative float
+    normalization is not SQL-expressible)."""
+    from ugfraud_ray.pipelines.labelprop import label_propagation
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        vid = t["vid"].to_numpy(zero_copy_only=False)
+        keep = vid % 10 == 0
+        return pa.table(
+            {
+                "vid": pa.array(vid[keep]),
+                "seed_label": pa.array((vid[keep] % 3).astype(np.float64)),
+            }
+        )
+
+    seeds = vmap.select_columns(["vid"]).map_batches(seed_rows, batch_format="pyarrow")
+    out, _ = label_propagation(e, seeds, n, n_classes=3, layout_dir=_scratch("lp"), P=4)
+    return unmap_vids(out, vmap, vid_col="vid", out_col="id").select_columns(["id", "label"])
+
+
+def _q_seeded_sample(sf_dir: str):
+    """O5/J4 deterministic hash-based sampling (reference versions are
+    unseeded random.sample — the engine's is partition-parallel and
+    reproducible, SURVEY §2.6)."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (k * 2654435761) % 4294967296 % 10 == 0
+        return pa.table({"o_orderkey": pa.array(k[keep]),
+                         "o_custkey": t["o_custkey"].filter(pa.array(keep))})
+
+    return orders.map_batches(pick, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "user_priors": _q_user_priors,
+        "label_propagation": _q_labelprop,
+        "seeded_sample": _q_seeded_sample,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
@@ -430,6 +477,10 @@ def oracle_sql() -> dict[str, str]:
                               WHEN (p - mn) / (mx - mn) = 1 THEN 1 - 1e-7
                               ELSE (p - mn) / (mx - mn) END, 9) AS score
             FROM r, mm
+        """,
+        "seeded_sample": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE (o_orderkey * 2654435761) % 4294967296 % 10 = 0
         """,
         "review_edges": _SQL_REVIEW_EDGES,
         "degree_in": f"""

@@ -117,12 +117,16 @@ def bench_pipelines(sf_dir: str) -> dict:
     return out
 
 
-def bench_superstep_throughput(num_cpus: int, n_vertices: int, n_edges: int, seed: int = 3):
-    """Headline scaling job: BP-style supersteps on a synthetic power-law graph.
+def bench_superstep_throughput(num_cpus: int, n_users: int, n_prods: int,
+                               n_edges: int, seed: int = 3, supersteps: int = 10):
+    """Headline scaling job: SpEagle BP supersteps on a synthetic
+    power-law bipartite review graph (the north-star metric —
+    edges/sec per BP-superstep, BASELINE.md).
 
-    Deterministic input (same seed at every parallelism level); P scales
-    with the 'cluster size' (num_cpus), like shards-per-node on a real
-    cluster. Returns edges/sec/superstep.
+    Deterministic input (same seed at every parallelism level); shard
+    count P scales with the 'cluster size' (num_cpus), like
+    shards-per-node on a real cluster. Also times a 10-superstep
+    PageRank sweep on the same graph.
     """
     import numpy as np
     import pyarrow as pa
@@ -130,33 +134,70 @@ def bench_superstep_throughput(num_cpus: int, n_vertices: int, n_edges: int, see
     import ray
     import ray.data
 
+    from ugfraud_ray.detectors.speagle import SpEagleEngine
     from ugfraud_ray.pipelines.pagerank import pagerank
+    from ugfraud_ray.state.layout import build_layout
 
     rng = np.random.default_rng(seed)
-    # power-law-ish dst (hub skew), uniform src — Common-Crawl shape
-    src = rng.integers(0, n_vertices, size=n_edges)
-    dst = (n_vertices * rng.random(n_edges) ** 2.5).astype(np.int64)
-    m = src != dst
-    t = pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
+    n_vertices = n_users + n_prods
+    src = rng.integers(0, n_users, size=n_edges)
+    # power-law product popularity (hub skew, Common-Crawl-like)
+    dst = n_users + (n_prods * rng.random(n_edges) ** 2.5).astype(np.int64)
+    t = pa.table(
+        {
+            "src": pa.array(src),
+            "dst": pa.array(dst),
+            "prior": pa.array(rng.uniform(0.05, 0.95, n_edges)),
+        }
+    )
     edges = ray.data.from_arrow(t).repartition(num_cpus * 2).materialize()
     ne = edges.count()
+    vp = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(np.arange(n_vertices, dtype=np.int64)),
+                "prior": pa.array(rng.uniform(0.05, 0.95, n_vertices)),
+                "kind": pa.array((np.arange(n_vertices) < n_users).astype(np.int8)),
+            }
+        )
+    )
+    P = max(4, num_cpus)
     d = _scratch(f"scale{num_cpus}")
     try:
         t0 = time.perf_counter()
-        P = max(4, num_cpus)
-        _, metrics = pagerank(
-            edges, n_vertices, d, P=P, max_iters=10, tol=None,
-            hub_threshold=max(64, 8 * ne // n_vertices),
+        layout = build_layout(edges, n_vertices, d, P=P, edge_cols=["prior"], vertex_aux=vp)
+        t_layout = time.perf_counter() - t0
+        eng = SpEagleEngine(layout)
+        t0 = time.perf_counter()
+        eng.run(max_iters=supersteps, tol=0.0)
+        bp_wall = time.perf_counter() - t0
+        # steady-state: the first 2 supersteps pay actor init / lazy
+        # parquet load / first-touch allocation; warmup is reported
+        # separately so throughput reflects the sustained rate.
+        warm = [m["seconds"] for m in eng.metrics[:2]]
+        steady = [m["seconds"] for m in eng.metrics[2:]]
+        eng.shutdown()
+
+        t0 = time.perf_counter()
+        _, pr_metrics = pagerank(
+            edges.select_columns(["src", "dst"]), n_vertices,
+            os.path.join(d, "pr"), P=P, max_iters=10, tol=None,
         )
-        wall = time.perf_counter() - t0
-        step_secs = sum(m["seconds"] for m in metrics)
+        pr_wall = time.perf_counter() - t0
+        pr_steady = [m["seconds"] for m in pr_metrics[2:]]
         return {
             "num_cpus": num_cpus,
             "n_edges": ne,
-            "supersteps": len(metrics),
-            "superstep_sec_total": step_secs,
-            "wall_sec": wall,
-            "edges_per_sec_superstep": ne * len(metrics) / step_secs,
+            "supersteps": supersteps,
+            "layout_sec": t_layout,
+            "bp_warmup_sec": sum(warm),
+            "bp_superstep_sec_steady": sum(steady),
+            "bp_wall_sec": bp_wall,
+            "edges_per_sec_superstep": ne * len(steady) / sum(steady),
+            "msg_updates_per_sec": 4 * ne * len(steady) / sum(steady),
+            "pagerank_superstep_sec_steady": sum(pr_steady),
+            "pagerank_wall_sec": pr_wall,
+            "pagerank_edges_per_sec_superstep": ne * len(pr_steady) / sum(pr_steady),
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -168,7 +209,9 @@ def main() -> None:
 
         ncpu = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
-        res = bench_superstep_throughput(ncpu, n_vertices=2_000_000, n_edges=20_000_000)
+        res = bench_superstep_throughput(
+            ncpu, n_users=2_000_000, n_prods=200_000, n_edges=20_000_000
+        )
         ray.shutdown()
         print("SCALING_RESULT " + json.dumps(res))
         return

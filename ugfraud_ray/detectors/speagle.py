@@ -64,13 +64,21 @@ def _msg(v: np.ndarray, logH: np.ndarray) -> np.ndarray:
 
     v: (E,2) log inputs; logH: (2,2). out[e,j] = lse_i(logH[j,i]+v[e,i]),
     normalized so lse_j(out[e,:]) = 0 (SpEagle.py:210-215).
+
+    2-class closed form via np.logaddexp — ~4x less memory traffic than
+    the generic (E,2,2) broadcast (the BP superstep is bandwidth-bound
+    at scale, so temporaries cost wall-clock, not just RAM).
     """
-    a = logH[None, :, :] + v[:, None, :]  # (E, 2out, 2in)
-    amax = a.max(axis=2, keepdims=True)
-    out = np.log(np.exp(a - amax).sum(axis=2)) + amax[:, :, 0]
-    omax = out.max(axis=1, keepdims=True)
-    z = np.log(np.exp(out - omax).sum(axis=1, keepdims=True)) + omax
-    return out - z
+    v0, v1 = v[:, 0], v[:, 1]
+    o0 = np.logaddexp(logH[0, 0] + v0, logH[0, 1] + v1)
+    o1 = np.logaddexp(logH[1, 0] + v0, logH[1, 1] + v1)
+    z = np.logaddexp(o0, o1)
+    o0 -= z
+    o1 -= z
+    out = np.empty_like(v)
+    out[:, 0] = o0
+    out[:, 1] = o1
+    return out
 
 
 @ray.remote
@@ -98,6 +106,25 @@ class BPShard:
         self.src_local = self.src // self.P
         self.dst_part = (self.dst % self.P).astype(np.int64)
         self.dst_local = self.dst // self.P
+        # static gather/scatter plans (O(E) per superstep independent of
+        # P): edges sorted by endpoint partition once; per-partition
+        # slices carry precomputed unique-local indices + inverse maps
+        # so partial sums are bincounts, never per-partition masks.
+        self.plans = {}
+        for name, part, local in (
+            ("src", self.src_part, self.src_local),
+            ("dst", self.dst_part, self.dst_local),
+        ):
+            order = np.argsort(part, kind="stable")
+            counts = np.bincount(part, minlength=self.P)
+            bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            local_sorted = local[order]
+            groups = []
+            for q in range(self.P):
+                seg = local_sorted[bounds[q] : bounds[q + 1]]
+                uniq, inv = np.unique(seg, return_inverse=True)
+                groups.append((uniq, inv))
+            self.plans[name] = (order, bounds, local_sorted, groups)
         # owned vertices + their log priors
         self.vids = np.arange(p, self.N, self.P, dtype=np.int64)
         self.n_local = len(self.vids)
@@ -124,16 +151,20 @@ class BPShard:
 
     # ---- one Jacobi superstep over this shard's edges -------------------
     def compute(self, state_refs: list):
+        t0 = time.perf_counter()
         blocks = ray.get(list(state_refs))
+        t_fetch = time.perf_counter() - t0
+        t0 = time.perf_counter()
         S_u = np.empty((self.E, 2))
         S_p = np.empty((self.E, 2))
-        for q in range(self.P):
-            m = self.src_part == q
-            if m.any():
-                S_u[m] = blocks[q][self.src_local[m]]
-            m = self.dst_part == q
-            if m.any():
-                S_p[m] = blocks[q][self.dst_local[m]]
+        for arr, plan in ((S_u, self.plans["src"]), (S_p, self.plans["dst"])):
+            order, bounds, local_sorted, _ = plan
+            for q in range(self.P):
+                sl = slice(bounds[q], bounds[q + 1])
+                if sl.start < sl.stop:
+                    arr[order[sl]] = blocks[q][local_sorted[sl]]
+        t_gather = time.perf_counter() - t0
+        t0 = time.perf_counter()
         new_u2r = _msg(S_u - self.m_r2u, self.pot["u_r"])
         new_p2r = _msg(S_p - self.m_r2p, self.pot["p_r"])
         new_r2u = _msg(self.prior_r + self.m_p2r, self.pot["r_u"])
@@ -146,32 +177,53 @@ class BPShard:
         )
         self.m_u2r, self.m_p2r = new_u2r, new_p2r
         self.m_r2u, self.m_r2p = new_r2u, new_r2p
-        # compact per-destination-partition partial sums of m_r->v
-        partials: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for part_arr, local_arr, msgs in (
-            (self.src_part, self.src_local, self.m_r2u),
-            (self.dst_part, self.dst_local, self.m_r2p),
-        ):
-            for q in range(self.P):
-                m = part_arr == q
-                if not m.any():
-                    continue
-                loc = local_arr[m]
-                uniq, inv = np.unique(loc, return_inverse=True)
-                sums = np.zeros((len(uniq), 2))
-                np.add.at(sums, inv, msgs[m])
-                if q in partials:
-                    pu, ps = partials[q]
-                    partials[q] = (np.concatenate([pu, uniq]), np.concatenate([ps, sums]))
-                else:
-                    partials[q] = (uniq, sums)
-        return {"delta": float(delta), "partials": partials}
+        t_kernel = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # dst-side sums are fully shard-local (edges live with their dst
+        # partition): one dense accumulation, no shuffle. Only the
+        # src-side (user) partial sums move — shard-to-shard through the
+        # object store (get_partial refs), never through the driver.
+        self._dst_sums = np.column_stack(
+            [
+                np.bincount(self.dst_local, weights=self.m_r2p[:, 0], minlength=self.n_local),
+                np.bincount(self.dst_local, weights=self.m_r2p[:, 1], minlength=self.n_local),
+            ]
+        )
+        self._partials_src = {}
+        order, bounds, _, groups = self.plans["src"]
+        msgs_sorted = self.m_r2u[order]
+        for q in range(self.P):
+            sl = slice(bounds[q], bounds[q + 1])
+            if sl.start >= sl.stop:
+                continue
+            uniq, inv = groups[q]
+            sums = np.column_stack(
+                [
+                    np.bincount(inv, weights=msgs_sorted[sl, 0], minlength=len(uniq)),
+                    np.bincount(inv, weights=msgs_sorted[sl, 1], minlength=len(uniq)),
+                ]
+            )
+            # straight to the object store: the driver ships only the
+            # (tiny) refs to the owning shard, data moves shard-to-shard
+            self._partials_src[q] = ray.put((uniq, sums))
+        t_partial = time.perf_counter() - t0
+        return {
+            "delta": float(delta),
+            "partials": self._partials_src,
+            "t_fetch": t_fetch, "t_gather": t_gather,
+            "t_kernel": t_kernel, "t_partial": t_partial,
+        }
 
-    def apply(self, partial_list: list):
-        S = self.prior_v.copy()
-        for idx, vals in partial_list:
-            np.add.at(S, idx, vals)
+    def apply(self, partial_refs: list):
+        S = self.prior_v + self._dst_sums
+        for part in ray.get(list(partial_refs)):
+            if part is not None:
+                idx, vals = part
+                np.add.at(S, idx, vals)
         self.S = S
+        # NOTE: _partials_src is intentionally NOT cleared here — peer
+        # shards' apply() may still be fetching from us concurrently;
+        # the next compute() overwrites it.
         return True
 
     # ---- read-outs ------------------------------------------------------
@@ -259,17 +311,20 @@ class SpEagleEngine:
             t0 = time.perf_counter()
             state_refs = [s.get_state.remote() for s in self.shards]
             outs = ray.get([s.compute.remote(state_refs) for s in self.shards])
-            # regroup compact partials by destination shard
-            per_q: list[list] = [[] for _ in range(self.layout.P)]
-            delta = 0.0
-            for o in outs:
-                delta += o["delta"]
-                for q, pv in o["partials"].items():
-                    per_q[q].append(pv)
-            ray.get([s.apply.remote(per_q[q]) for q, s in enumerate(self.shards)])
+            delta = float(sum(o["delta"] for o in outs))
+            # shard-to-shard partial exchange: compute() already put the
+            # partials in the object store; the driver only routes refs
+            ray.get(
+                [
+                    s.apply.remote([o["partials"][q] for o in outs if q in o["partials"]])
+                    for q, s in enumerate(self.shards)
+                ]
+            )
             dt = time.perf_counter() - t0
             mean_delta = delta / norm
             last = {"step": it, "seconds": dt, "delta": mean_delta}
+            for key in ("t_fetch", "t_gather", "t_kernel", "t_partial"):
+                last[key + "_max"] = max(o[key] for o in outs)
             self.metrics.append(last)
             if self.checkpoint_every and self.ckpt_dir and (it + 1) % self.checkpoint_every == 0:
                 self._commit(it)

@@ -60,25 +60,33 @@ class PageRankProgram(VertexProgram):
         }
 
 
-def attach_edge_weights(edges: "ray.data.Dataset") -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+def attach_edge_weights(
+    edges: "ray.data.Dataset", n_vertices: int
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """edges(src,dst) -> (edges + w=1/outdeg(src), outdeg table).
 
-    Grouped count (A1) then a broadcast small-side lookup inside
-    map_batches — the degree table is O(vertices), tiny next to edges.
+    Degree via dense bincount partials + tree reduce (A1 — a per-vertex
+    hash aggregate degrades at millions of groups), then the dense
+    inverse-degree array is broadcast once (ray.put) and applied as a
+    vectorized take per batch.
     """
-    outdeg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
-    dt = pa.concat_tables(ray.get(outdeg.to_arrow_refs()))
-    lookup_ref = ray.put(
-        dict(zip(dt["src"].to_pylist(), dt["outdeg"].to_pylist()))
-    )
+    from ugfraud_ray.stages.graph_build import dense_degrees
+
+    deg = dense_degrees(edges, "src", n_vertices)
+    inv = np.zeros(n_vertices, dtype=np.float64)
+    nz = deg > 0
+    inv[nz] = 1.0 / deg[nz]
+    lookup_ref = ray.put(inv)
 
     def add_w(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        w = np.array([1.0 / lk[int(s)] for s in src], dtype=np.float64)
-        return t.append_column("w", pa.array(w))
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("w", pa.array(lk[src]))
 
-    outdeg_v = outdeg.rename_columns({"src": "vid"})
+    nz_ids = np.flatnonzero(nz)
+    outdeg_v = ray.data.from_arrow(
+        pa.table({"vid": pa.array(nz_ids), "outdeg": pa.array(deg[nz].astype(np.float64))})
+    )
     return edges.map_batches(add_w, batch_format="pyarrow"), outdeg_v
 
 
@@ -96,7 +104,7 @@ def pagerank(
     resume: bool = False,
 ) -> tuple["ray.data.Dataset", list[dict]]:
     """Run PageRank; returns (Dataset(vid, rank), per-superstep metrics)."""
-    weighted, outdeg_v = attach_edge_weights(edges)
+    weighted, outdeg_v = attach_edge_weights(edges, n_vertices)
     layout = build_layout(
         weighted,
         n_vertices,

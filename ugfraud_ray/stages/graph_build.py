@@ -153,6 +153,37 @@ def map_edges_to_vids(
     return e
 
 
+@ray.remote
+def _bincount_block(t: pa.Table, col: str, n: int) -> np.ndarray:
+    v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.bincount(v, minlength=n)
+
+
+@ray.remote
+def _sum_blocks(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out += p
+    return out
+
+
+def dense_degrees(edges: "ray.data.Dataset", col: str, n_vertices: int) -> np.ndarray:
+    """Dense (n_vertices,) int64 degree array via per-block bincount
+    partials + 8-way tree reduce.
+
+    Ray's hash aggregate degrades badly when the group count is in the
+    millions (one group per vertex); per-block dense partials are one
+    vectorized pass and the reduce moves only n_vertices-sized arrays.
+    Scale note: at vertex counts where a dense array per task no longer
+    fits (>~10^9), switch to vid-range-bucketed partials (two-level
+    combine over range shards) — same shape, chunked.
+    """
+    refs = [_bincount_block.remote(b, col, n_vertices) for b in edges.to_arrow_refs()]
+    while len(refs) > 1:
+        refs = [_sum_blocks.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+    return ray.get(refs[0]) if refs else np.zeros(n_vertices, dtype=np.int64)
+
+
 def degree_table(edges: "ray.data.Dataset", direction: str = "both") -> "ray.data.Dataset":
     """Per-vertex degree via grouped count (A1).
 

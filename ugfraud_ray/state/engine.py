@@ -114,6 +114,13 @@ class GraphShard:
         self.src_local = self.src // self.P
         self.dst_part = (self.dst % self.P).astype(np.int64)
         self.dst_local = self.dst // self.P
+        # static gather plan: edges grouped by src partition once, so the
+        # per-superstep gather is O(E) regardless of P (a per-partition
+        # boolean mask loop would be O(E·P) and kill scaling efficiency)
+        self.src_order = np.argsort(self.src_part, kind="stable")
+        counts = np.bincount(self.src_part, minlength=self.P)
+        self.src_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.src_local_sorted = self.src_local[self.src_order]
         # hub handling: edges whose dst is a hub may belong to any dst
         # partition; aggregate them separately into the hub index space.
         self.hub_vids = np.array(self.layout.hub_vids, dtype=np.int64)
@@ -171,9 +178,9 @@ class GraphShard:
         blocks = ray.get(list(state_refs))
         src_vals = np.empty((self.n_edges, k), dtype=np.float64)
         for q in range(self.P):
-            m = self.src_part == q
-            if m.any():
-                src_vals[m] = blocks[q][self.src_local[m]]
+            sl = slice(self.src_bounds[q], self.src_bounds[q + 1])
+            if sl.start < sl.stop:
+                src_vals[self.src_order[sl]] = blocks[q][self.src_local_sorted[sl]]
         msgs = self.program.message(src_vals, self.edge_data, self)
         if msgs.ndim == 1:
             msgs = msgs[:, None]

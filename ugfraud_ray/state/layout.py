@@ -101,14 +101,10 @@ def build_layout(
 
     hub_vids: list[int] = []
     if hub_threshold is not None:
-        thr = int(hub_threshold)
-        deg = edges.groupby("dst").aggregate(Count(alias_name="d"))
-        hubs = deg.map_batches(
-            lambda t: t.filter(pc.greater(t["d"], thr)).select(["dst"]),
-            batch_format="pyarrow",
-        )
-        ht = pa.concat_tables(ray.get(hubs.to_arrow_refs()))
-        hub_vids = sorted(ht["dst"].to_pylist())
+        from ugfraud_ray.stages.graph_build import dense_degrees
+
+        indeg = dense_degrees(edges, "dst", n_vertices)
+        hub_vids = np.flatnonzero(indeg > int(hub_threshold)).tolist()
     hub_arr = np.array(hub_vids, dtype=np.int64)
     hub_ref = ray.put(hub_arr)  # broadcast once, read per task
     n_hubs = len(hub_vids)
