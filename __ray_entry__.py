@@ -429,8 +429,133 @@ def _q_seeded_sample(sf_dir: str):
     return orders.map_batches(pick, batch_format="pyarrow")
 
 
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from ugfraud_ray.pipelines.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=8)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _docs(sf_dir).materialize()
+    cands = minhash_lsh_candidates(docs)
+    out = ngram_jaccard_pairs(docs, cands)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "jaccard": pa.array(np.round(t["jaccard"].to_numpy(zero_copy_only=False), 9)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from ugfraud_ray.pipelines.dedup import embedding_cosine_dedup
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = embedding_cosine_dedup(emb, threshold=0.3)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "cosine": pa.array(np.round(t["cosine"].to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    from ugfraud_ray.pipelines.text_analysis import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def _q_quality_score(sf_dir: str):
+    from ugfraud_ray.pipelines.text_analysis import quality_score
+
+    out = quality_score(_docs(sf_dir))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(np.round(t["quality"].to_numpy(zero_copy_only=False), 9)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_fingerprints(sf_dir: str):
+    from ugfraud_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_ann_ivf(sf_dir: str):
+    from ugfraud_ray.pipelines.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = ivf_topk(emb, query_ids=list(range(ANN_QUERIES)), k=ANN_K)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "neighbor_id": t["neighbor_id"],
+                "sim": pa.array(np.round(t["sim"].to_numpy(zero_copy_only=False), 4)),
+                "rnk": t["rnk"],
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media synthesized at a
+    size tied to sf (no media column exists in the testdata tables)."""
+    from ugfraud_ray.pipelines.multimodal import media_features, synthesize_media
+
+    n_docs = _docs(sf_dir).count()
+    media = ray.data.from_arrow(synthesize_media(min(n_docs, 200), kind="image"))
+    return media_features(media)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "doc_minhash_dedup": _q_minhash_dedup,
+        "doc_simhash_pairs": _q_simhash_pairs,
+        "doc_ngram_jaccard": _q_ngram_jaccard,
+        "embedding_neardup": _q_embedding_neardup,
+        "doc_lang_id": _q_lang_id,
+        "doc_quality_score": _q_quality_score,
+        "doc_fingerprints": _q_fingerprints,
+        "ann_ivf_topk": _q_ann_ivf,
+        "media_features": _q_media_features,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
         "seeded_sample": _q_seeded_sample,

@@ -114,7 +114,59 @@ def bench_pipelines(sf_dir: str) -> dict:
     brute_force_topk(emb, query_ids=list(range(5)), k=10).count()
     q["ann_brute_topk"] = time.perf_counter() - t0
 
+    pages_res = bench_pages_pipeline()
+    q.update(pages_res.pop("queries", {}))
+    out.update(pages_res)
     return out
+
+
+def bench_pages_pipeline(n_users: int = 30_000, n_prods: int = 3_000,
+                         n_links: int = 150_000) -> dict:
+    """The native flagship: Common-Crawl-style pages -> link extraction
+    (+ byte-identical text conformance, the north-rule S2 invariant) ->
+    graph build -> PageRank."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.pagerank import pagerank
+    from ugfraud_ray.sources.pages import PagesSpec, synthesize_pages
+    from ugfraud_ray.stages.extract import text_conformance_mismatches
+    from ugfraud_ray.stages.graph_build import build_graph
+
+    out: dict = {}
+    d = _scratch("pages")
+    try:
+        table, _ = synthesize_pages(
+            PagesSpec(n_users=n_users, n_prods=n_prods, n_edges=n_links, seed=7)
+        )
+        pq.write_table(table, os.path.join(d, "pages.parquet"))
+        n_pages = table.num_rows
+        pages = ray.data.read_parquet(os.path.join(d, "pages.parquet"))
+
+        t0 = time.perf_counter()
+        mismatches = text_conformance_mismatches(pages)
+        out["pages_text_conformance_mismatches"] = mismatches
+        out.setdefault("queries", {})["pages_text_conformance"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        g = build_graph(pages)
+        edges = g["edges"].materialize()
+        dt = time.perf_counter() - t0
+        out["queries"]["pages_graph_build"] = dt
+        out["pages_per_sec_extract_build"] = n_pages / dt
+        out["n_pages"] = n_pages
+        out["n_link_edges"] = edges.count()
+
+        t0 = time.perf_counter()
+        pagerank(
+            edges.select_columns(["src", "dst"]), g["n_vertices"],
+            os.path.join(d, "pr"), P=min(8, NUM_CPUS), max_iters=10, tol=None,
+        )
+        out["queries"]["pages_pagerank"] = time.perf_counter() - t0
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def bench_superstep_throughput(num_cpus: int, n_users: int, n_prods: int,
@@ -256,6 +308,9 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "n_review_edges": res.get("n_review_edges"),
         "pagerank_edges_per_sec_superstep": round(res.get("pagerank_edges_per_sec_superstep", 0)),
+        "n_pages": res.get("n_pages"),
+        "pages_text_conformance_mismatches": res.get("pages_text_conformance_mismatches"),
+        "pages_per_sec_extract_build": round(res.get("pages_per_sec_extract_build", 0)),
     }
     print(json.dumps(out))
     ray.shutdown()

@@ -1,0 +1,114 @@
+"""Dedup-family property tests: planted near-duplicates must be found."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform"
+).split()
+
+
+def _corpus_with_dups(n_base=60, n_dup_pairs=8, seed=19):
+    """Docs 0..n_base-1 random; each dup doc i' copies doc i with one
+    word changed. Returns (table, set of (i, i') planted pairs)."""
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(_WORDS, size=rng.integers(30, 60)))
+        for _ in range(n_base)
+    ]
+    planted = set()
+    for j in range(n_dup_pairs):
+        src = j  # dup the first n_dup_pairs docs
+        words = texts[src].split()
+        words[len(words) // 2] = "zulu"
+        texts.append(" ".join(words))
+        planted.add((src, n_base + j))
+    ids = np.arange(len(texts), dtype=np.int64)
+    return (
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}),
+        planted,
+    )
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, minhash_lsh_dedup
+
+    t, planted = _corpus_with_dups()
+    docs = ray.data.from_arrow(t).materialize()
+    cands = minhash_lsh_candidates(docs).to_pandas()
+    got_pairs = set(zip(cands["id_a"], cands["id_b"]))
+    assert planted <= got_pairs, planted - got_pairs
+    # false-positive rate sane: candidates well below all-pairs
+    assert len(got_pairs) < len(t) * 4
+
+    clusters = minhash_lsh_dedup(docs).to_pandas()
+    cl = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    for a, b in planted:
+        assert cl[a] == cl[b]
+
+
+def test_ngram_jaccard_separates_dups_from_random(ray_session):
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    t, planted = _corpus_with_dups()
+    docs = ray.data.from_arrow(t).materialize()
+    cands = minhash_lsh_candidates(docs)
+    jac = ngram_jaccard_pairs(docs, cands).to_pandas()
+    jmap = {(a, b): v for a, b, v in zip(jac["id_a"], jac["id_b"], jac["jaccard"])}
+    for p in planted:
+        assert jmap.get(p, 0.0) > 0.7, (p, jmap.get(p))
+    others = [v for k, v in jmap.items() if k not in planted]
+    if others:
+        assert max(others) < 0.7
+
+
+def test_simhash_finds_planted_dups(ray_session):
+    from ugfraud_ray.pipelines.dedup import simhash_dedup
+
+    t, planted = _corpus_with_dups()
+    docs = ray.data.from_arrow(t).materialize()
+    pairs = simhash_dedup(docs, max_hamming=10).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    found = sum(1 for p in planted if p in got)
+    assert found >= len(planted) * 0.75, (found, len(planted))
+
+
+def test_exact_dedup_identical_copies(ray_session):
+    from ugfraud_ray.pipelines.dedup import exact_dedup
+
+    texts = ["same text here"] * 3 + ["different one", "another distinct"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(5, dtype=np.int64)), "text": pa.array(texts)}
+    )
+    out = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 3
+    trip = out[out.n_copies == 3]
+    assert len(trip) == 1 and trip.iloc[0]["doc_id"] == 0  # min-id survivor
+
+
+def test_embedding_cosine_dedup_planted(ray_session):
+    from ugfraud_ray.pipelines.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(43)
+    n, dim = 200, 16
+    vecs = rng.standard_normal((n, dim))
+    vecs[150] = vecs[10] + 0.01 * rng.standard_normal(dim)  # planted near-dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1).astype(np.float32)), dim
+            ),
+        }
+    )
+    pairs = embedding_cosine_dedup(
+        ray.data.from_arrow(t), threshold=0.99
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (10, 150) in got

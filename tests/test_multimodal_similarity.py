@@ -1,0 +1,91 @@
+"""Multimodal stage plumbing + IVF ANN recall tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+
+def test_media_feature_extraction(ray_session):
+    from ugfraud_ray.pipelines.multimodal import media_features, synthesize_media
+
+    t = synthesize_media(40, kind="image")
+    ds = ray.data.from_arrow(t)
+    feats = media_features(ds).to_pandas().sort_values("media_id")
+    assert len(feats) == 40
+    assert feats["content_hash"].nunique() == 40  # deterministic, distinct
+    # deterministic across runs
+    feats2 = media_features(ray.data.from_arrow(t)).to_pandas().sort_values("media_id")
+    assert (feats["content_hash"].to_numpy() == feats2["content_hash"].to_numpy()).all()
+
+
+def test_media_resize_roundtrip(ray_session):
+    from ugfraud_ray.pipelines.multimodal import (
+        FakeDecoder,
+        media_features,
+        media_resize,
+        synthesize_media,
+    )
+
+    ds = ray.data.from_arrow(synthesize_media(10, kind="image"))
+    resized = media_resize(ds, target=(8, 8))
+    out = resized.to_pandas()
+    assert len(out) == 10
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    dec = FakeDecoder()
+    arr = dec.decode(out.iloc[0]["payload"])
+    assert arr.shape == (8, 8)
+    # resized output feeds the next stage (composability)
+    feats = media_features(resized).to_pandas()
+    assert len(feats) == 10 and (feats["h"] == 8).all()
+
+
+def test_frame_sampler_flatmap(ray_session):
+    from ugfraud_ray.pipelines.multimodal import sample_frames, synthesize_media
+
+    t = synthesize_media(12, kind="video")
+    out = sample_frames(ray.data.from_arrow(t), every_k=4).to_pandas()
+    want = sum(len(range(0, max(1, nf), 4)) for nf in t["n_frames"].to_pylist())
+    assert len(out) == want
+
+
+def test_strict_decoder_marks_missing_codec(ray_session):
+    from ugfraud_ray.pipelines.multimodal import media_features, synthesize_media
+
+    ds = ray.data.from_arrow(synthesize_media(4, kind="image"))
+    with pytest.raises(Exception) as ei:
+        media_features(ds, decoder="strict").to_pandas()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    from ugfraud_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(41)
+    n, dim = 600, 32
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), dim
+            ),
+        }
+    )
+    emb = ray.data.from_arrow(t)
+    qids = [0, 1, 2]
+    exact = brute_force_topk(emb, qids, k=10, round_to=None).to_pandas()
+    approx = ivf_topk(emb, qids, k=10, n_centroids=8, n_probe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    # n_probe=4 of 8 buckets: expect strong but not perfect recall
+    assert np.mean(recalls) >= 0.6, recalls

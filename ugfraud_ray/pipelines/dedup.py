@@ -340,7 +340,13 @@ def ngram_jaccard_pairs(
     (ray.put once); pairs stream through map_batches. At 100 TB the pair
     table comes from LSH so the broadcast side is only colliding docs.
     """
-    pt = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+    pt_blocks = [b for b in ray.get(pairs.to_arrow_refs()) if b.num_rows]
+    if not pt_blocks:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    pt = pa.concat_tables(pt_blocks)
     needed = set(pt["id_a"].to_pylist()) | set(pt["id_b"].to_pylist())
     needed_ref = ray.put(needed)
 
@@ -353,7 +359,9 @@ def ngram_jaccard_pairs(
                 sh.append(_shingle_hashes(text, ngram).tobytes())
         return pa.table({id_col: pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.binary())})
 
-    st = pa.concat_tables(ray.get(docs.map_batches(collect_shingles, batch_format="pyarrow").to_arrow_refs()))
+    st = pa.concat_tables(
+        [b for b in ray.get(docs.map_batches(collect_shingles, batch_format="pyarrow").to_arrow_refs()) if b.num_rows]
+    )
     shingle_map = {
         i: np.unique(np.frombuffer(b, dtype=np.uint64))
         for i, b in zip(st[id_col].to_pylist(), st["sh"].to_pylist())

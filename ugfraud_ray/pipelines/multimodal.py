@@ -1,0 +1,239 @@
+"""Multimodal (image/audio/video) column processing stages.
+
+Training-data-pipeline addition (no reference analog). Media payloads
+are opaque ``binary`` columns with typed metadata; every stage is an
+actor-pool ``map_batches`` class — decoder/model state built once per
+actor in ``__init__``, batches processed in ``__call__``, small
+``batch_size`` because rows are megabyte-scale.
+
+The image/audio codec libraries are NOT in this container, so the
+decode step is pluggable: ``decoder=None`` uses a deterministic fake
+decoder (parses the tiny header written by ``synthesize_media``) so the
+Ray-side plumbing — schema, actor signature, batch sizing, output
+layout — is real and tested end-to-end; a real deployment passes e.g.
+``decoder=PILDecoder()``. Passing ``decoder="strict"`` raises
+NotImplementedError at the decode site, marking exactly what a real
+codec must implement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # 'image' | 'audio' | 'video'
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+_MAGIC = b"FAKEMEDIA1"
+
+
+def synthesize_media(n: int, kind: str = "image", seed: int = 23) -> pa.Table:
+    """Deterministic fake media table matching MEDIA_SCHEMA.
+
+    Payload = magic + packed (w, h, frames, rate, seed_i) header +
+    seeded pseudo-pixel bytes — enough structure for the fake decoder
+    to produce deterministic arrays.
+    """
+    rng = np.random.default_rng(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        frames = int(rng.integers(1, 16)) if kind == "video" else 1
+        rate = 16000 if kind == "audio" else 0
+        body_len = w * h if kind != "audio" else rate // 10
+        payload = (
+            _MAGIC
+            + struct.pack("<iiiii", w, h, frames, rate, i)
+            + bytes(rng.integers(0, 256, body_len, dtype=np.uint8))
+        )
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(frames)
+        rows["sample_rate"].append(rate)
+    return pa.table(
+        {name: pa.array(rows[name], MEDIA_SCHEMA.field(name).type) for name in rows}
+    )
+
+
+class FakeDecoder:
+    """Deterministic stand-in for a codec: payload bytes -> uint8 array."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload.startswith(_MAGIC):
+            raise ValueError("not a FAKEMEDIA payload")
+        w, h, frames, rate, _ = struct.unpack("<iiiii", payload[len(_MAGIC) : len(_MAGIC) + 20])
+        body = np.frombuffer(payload[len(_MAGIC) + 20 :], dtype=np.uint8)
+        if rate:
+            return body  # audio: 1-D samples
+        return body[: w * h].reshape(h, w)
+
+
+class _StrictDecoder:
+    def decode(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "real image/audio decoding requires a codec library (PIL / "
+            "soundfile / pyav) that is not available in this environment; "
+            "pass decoder=FakeDecoder() for the deterministic test path"
+        )
+
+
+def _resolve_decoder(decoder):
+    if decoder is None:
+        return FakeDecoder()
+    if decoder == "strict":
+        return _StrictDecoder()
+    return decoder
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: payload -> per-item feature vector.
+
+    Features: byte stats (mean/std), content hash, decoded shape — the
+    plumbing a real embedding model slots into (load model here in
+    __init__, run batched inference in __call__).
+    """
+
+    def __init__(self, decoder=None):
+        self.decoder = _resolve_decoder(decoder)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, means, stds, hashes, h_out, w_out = [], [], [], [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            arr = self.decoder.decode(payload)
+            ids.append(mid)
+            means.append(float(arr.mean()))
+            stds.append(float(arr.std()))
+            hashes.append(hashlib.md5(arr.tobytes()).hexdigest())
+            if arr.ndim == 2:
+                h_out.append(arr.shape[0])
+                w_out.append(arr.shape[1])
+            else:
+                h_out.append(1)
+                w_out.append(len(arr))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mean": pa.array(means, pa.float64()),
+                "std": pa.array(stds, pa.float64()),
+                "content_hash": pa.array(hashes, pa.string()),
+                "h": pa.array(h_out, pa.int32()),
+                "w": pa.array(w_out, pa.int32()),
+            }
+        )
+
+
+class MediaResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode
+    (fake container). Shows the decode->transform->encode layout."""
+
+    def __init__(self, target: tuple[int, int] = (32, 32), decoder=None):
+        self.target = target
+        self.decoder = _resolve_decoder(decoder)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        th, tw = self.target
+        ids, out = [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            arr = self.decoder.decode(payload)
+            if arr.ndim != 2:
+                continue
+            ys = (np.arange(th) * arr.shape[0] // th).astype(np.int64)
+            xs = (np.arange(tw) * arr.shape[1] // tw).astype(np.int64)
+            resized = arr[ys][:, xs]
+            ids.append(mid)
+            out.append(
+                _MAGIC + struct.pack("<iiiii", tw, th, 1, 0, mid) + resized.tobytes()
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array([tw] * len(ids), pa.int32()),
+                "height": pa.array([th] * len(ids), pa.int32()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> every k-th frame as a row
+    (flat_map shape: one input row -> n output rows)."""
+
+    def __init__(self, every_k: int = 4, decoder=None):
+        self.k = every_k
+        self.decoder = _resolve_decoder(decoder)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_idx, payloads = [], [], []
+        for mid, payload, n_frames in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist(), t["n_frames"].to_pylist()
+        ):
+            for f in range(0, max(1, n_frames), self.k):
+                # fake frame extraction: re-tag the container per frame
+                ids.append(mid)
+                frame_idx.append(f)
+                payloads.append(payload)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def media_features(
+    media: "ray.data.Dataset", decoder=None, concurrency: int = 2, batch_size: int = 16
+) -> "ray.data.Dataset":
+    """Feature extraction over a media Dataset — small batches (binary
+    rows are large), actor pool (decoder state per actor)."""
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_args=(decoder,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_resize(
+    media: "ray.data.Dataset", target=(32, 32), decoder=None,
+    concurrency: int = 2, batch_size: int = 16,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_args=(target, decoder),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media: "ray.data.Dataset", every_k: int = 4, decoder=None,
+    concurrency: int = 2, batch_size: int = 16,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_args=(every_k, decoder),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

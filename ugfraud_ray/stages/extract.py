@@ -105,6 +105,25 @@ def extract_edges(pages: "ray.data.Dataset", concurrency: int | None = None) -> 
     )
 
 
+def text_conformance_mismatches(pages: "ray.data.Dataset") -> int:
+    """North-rule per-row invariant: extracted text byte-identical to the
+    ground-truth `text` column per url. One streaming pass; returns the
+    global mismatch count (0 = conformant)."""
+    extractor = TextExtractor()
+
+    def check(batch: pa.Table) -> pa.Table:
+        got = extractor(batch)["extracted_text"]
+        import pyarrow.compute as pc
+
+        bad = pc.sum(pc.cast(pc.not_equal(got, batch["text"]), pa.int64())).as_py() or 0
+        return pa.table({"mismatches": pa.array([bad], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = pages.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+    return int(out.aggregate(Sum("mismatches", alias_name="m"))["m"])
+
+
 def extract_text(pages: "ray.data.Dataset", concurrency: int | None = None) -> "ray.data.Dataset":
     """pages Dataset -> (url, extracted_text, lang) Dataset."""
     kwargs: dict = {}

@@ -119,14 +119,19 @@ def map_edges_to_vids(
     n = vertices.count()
     if n <= broadcast_threshold:
         vt = pa.concat_tables(ray.get(vertices.to_arrow_refs()))
-        # broadcast once via ray.put; each task reads the shared copy
-        lookup_ref = ray.put(dict(zip(vt["url"].to_pylist(), vt["vid"].to_pylist())))
+        # broadcast the (url -> vid) columns once via ray.put; per batch
+        # the lookup is a vectorized pc.index_in against the url array
+        # (urls are pre-sorted by number_vertices, vid is positional
+        # after a take), never a per-row Python dict probe
+        urls = vt["url"].combine_chunks()
+        vids = vt["vid"].combine_chunks()
+        lookup_ref = ray.put((urls, vids))
 
         def map_ids(t: pa.Table) -> pa.Table:
-            lk = ray.get(lookup_ref)
-            src = pa.array([lk[u] for u in t["src_url"].to_pylist()], pa.int64())
-            dst = pa.array([lk[u] for u in t["dst_url"].to_pylist()], pa.int64())
-            cols = {"src": src, "dst": dst}
+            u, v = ray.get(lookup_ref)
+            src = pc.take(v, pc.index_in(t["src_url"], value_set=u))
+            dst = pc.take(v, pc.index_in(t["dst_url"], value_set=u))
+            cols = {"src": pc.cast(src, pa.int64()), "dst": pc.cast(dst, pa.int64())}
             for name in t.column_names:
                 if name not in ("src_url", "dst_url"):
                     cols[name] = t[name]
