@@ -236,3 +236,62 @@ def test_prior_scale_matches_dict(ray_session):
     want = scale_value(d)
     for _, row in got.iterrows():
         assert abs(row["score"] - want[(row["src"], row["dst"])]) < 1e-12
+
+
+def test_gang_norflg_false_matches_dict_oracle(tmp_path, ray_session):
+    from ugfraud_ray.detectors.gang import GANG_WEIGHT, gang
+    from ugfraud_ray.stages.normalize import nor_priors
+
+    src, dst, rating, u_prior, p_prior, r_prior, U, P_ = _mini_review_graph(seed=17)
+    N = U + P_
+    # dict oracle: nor_priors normalization + median centering, then LBP
+    u_d = {i: float(u_prior[i]) for i in range(U)}
+    p_d = {i: float(p_prior[i]) for i in range(P_)}
+    r_d = {i: float(r_prior[i]) for i in range(len(src))}
+    normed, meds = nor_priors([u_d, r_d, p_d])
+    u_mean, r_mean, p_mean = meds  # descending-sort median AFTER normalize
+    prior = np.concatenate(
+        [
+            np.array([normed[0][i] for i in range(U)]) - u_mean,
+            np.array([normed[2][i] for i in range(P_)]) - p_mean,
+        ]
+    )
+    A = np.zeros((N, N))
+    A[src, dst] = 1
+    A[dst, src] = 1
+    x = np.zeros(N)
+    for _ in range(1000):
+        s0 = x.sum()
+        x = prior + GANG_WEIGHT * (A @ x)
+        if abs(x.sum() - s0) < 0.1:
+            break
+
+    edges = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    vp = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(np.arange(N, dtype=np.int64)),
+                "prior": pa.array(np.concatenate([u_prior, p_prior])),
+                "kind": pa.array((np.arange(N) < U).astype(np.int8)),
+            }
+        )
+    )
+    out, _ = gang(edges, vp, N, str(tmp_path / "gg"), P=3, nor_flg=False)
+    df = out.to_pandas().sort_values("vid")
+    assert np.allclose(df["posterior"].to_numpy(), x, atol=1e-6)
+
+
+def test_zoobp_reference_degenerate_mode():
+    """B2/B3 conformance: converged beliefs = centered prior + constant
+    (rank order identical to the prior, as measured in SURVEY §2.11)."""
+    from ugfraud_ray.detectors.zoobp import zoobp_reference_degenerate
+
+    rng = np.random.default_rng(9)
+    u = {str(i): float(v) for i, v in enumerate(rng.uniform(0.1, 0.9, 12))}
+    p = {str(i): float(v) for i, v in enumerate(rng.uniform(0.1, 0.9, 4))}
+    u_out, p_out = zoobp_reference_degenerate(u, p, n_pos_edges=30, n_neg_edges=10)
+    uv = np.array(list(u_out.values()))
+    pri = np.array(list(u.values())) - 0.5
+    diffs = uv - pri
+    assert np.allclose(diffs, diffs[0], atol=1e-9)  # prior + constant
+    assert np.array_equal(np.argsort(uv), np.argsort(pri))

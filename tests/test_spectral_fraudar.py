@@ -157,3 +157,26 @@ def test_fraudar_recovers_planted_block(ray_session):
     # planted block must dominate the densest block found
     assert len(prow & top_rows) / len(prow) >= 0.9
     assert len(pcol & top_cols) / len(pcol) >= 0.9
+
+
+def test_fraudar_batched_peel_recovers_planted_block():
+    from ugfraud_ray.detectors.fraudar import (
+        fast_greedy_decreasing,
+        fast_greedy_decreasing_batched,
+        inject_clique_camo,
+    )
+
+    rng = np.random.default_rng(53)
+    m, n = 400, 60
+    src = rng.integers(0, m, 900)
+    dst = rng.integers(0, n, 900)
+    src2, dst2, prow, pcol = inject_clique_camo(src, dst, m, n, m0=20, n0=6, p=1.0)
+    colsum = np.bincount(dst2, minlength=n).astype(np.float64)
+    col_w = 1.0 / np.log(colsum + 5)
+    er, ec, es = fast_greedy_decreasing(src2, dst2, col_w, m=m, n=n)
+    br, bc, bs = fast_greedy_decreasing_batched(src2, dst2, col_w, m=m, n=n)
+    # the approximation must still recover the planted block well
+    assert len(prow & br) / len(prow) >= 0.8
+    assert len(pcol & bc) / len(pcol) >= 0.8
+    # and its score must be close to the exact peel's
+    assert bs >= 0.8 * es

@@ -145,6 +145,57 @@ def fast_greedy_decreasing(
     return row_set, col_set, float(best_ave)
 
 
+def fast_greedy_decreasing_batched(
+    src: np.ndarray,
+    dst: np.ndarray,
+    col_w: np.ndarray,
+    m: int | None = None,
+    n: int | None = None,
+    batch_eps: float = 0.05,
+) -> tuple[set, set, float]:
+    """Known-approximation peel for 10^12-edge inputs (SURVEY §7.3):
+    each round deletes EVERY node whose delta is within ``batch_eps`` of
+    the round minimum, so the number of rounds is O(log) instead of
+    O(m+n) sequential argmin steps, and every round is a vectorized
+    O(E) pass (the per-round recompute distributes as a segment-sum per
+    partition at scale). Deviates from the exact reference order —
+    documented, not silent; use fast_greedy_decreasing for conformance.
+    """
+    if m is None:
+        m = int(src.max()) + 1 if len(src) else 0
+    if n is None:
+        n = int(dst.max()) + 1 if len(dst) else 0
+    alive_r = np.ones(m, dtype=bool)
+    alive_c = np.ones(n, dtype=bool)
+    w_edge = col_w[dst]
+    cur = float(w_edge.sum())
+    best_ave = cur / (m + n) if (m + n) else 0.0
+    best_r, best_c = alive_r.copy(), alive_c.copy()
+    edge_alive = np.ones(len(src), dtype=bool)
+    while alive_r.any() and alive_c.any():
+        ea = edge_alive
+        row_delta = np.bincount(src[ea], weights=w_edge[ea], minlength=m)
+        col_delta = np.bincount(dst[ea], weights=w_edge[ea], minlength=n)
+        rmin = row_delta[alive_r].min() if alive_r.any() else np.inf
+        cmin = col_delta[alive_c].min() if alive_c.any() else np.inf
+        thr = min(rmin, cmin) * (1.0 + batch_eps) + 1e-12
+        del_r = alive_r & (row_delta <= thr)
+        del_c = alive_c & (col_delta <= thr)
+        if not (del_r.any() or del_c.any()):
+            break
+        alive_r &= ~del_r
+        alive_c &= ~del_c
+        edge_alive = ea & alive_r[src] & alive_c[dst]
+        cur = float(w_edge[edge_alive].sum())
+        denom = int(alive_r.sum() + alive_c.sum())
+        if denom == 0:
+            break
+        if cur / denom > best_ave:
+            best_ave = cur / denom
+            best_r, best_c = alive_r.copy(), alive_c.copy()
+    return set(np.flatnonzero(best_r).tolist()), set(np.flatnonzero(best_c).tolist()), best_ave
+
+
 def detect_blocks(
     edges: "ray.data.Dataset",
     mode: str = "log",

@@ -60,6 +60,53 @@ def _stop_on_sum_diff(threshold: float = 0.1):
     return stop
 
 
+def normalize_priors_by_kind(vertex_prior: "ray.data.Dataset") -> "ray.data.Dataset":
+    """The nor_flg=False prior path: per-kind min-max normalization then
+    centering by the per-kind "mean" — which the reference defines as
+    the element at index int(n/2) of the DESCENDING value sort
+    (nor_priors, Utils/helper.py:89-115; B7 in SURVEY §2.11).
+
+    Per-kind min/max via grouped aggregate; the median element via a
+    per-kind sort + offset pick (kinds are few, values per kind are the
+    vertex count — the sort is the only shuffle).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    stats_t = pa.concat_tables(
+        ray.get(
+            vertex_prior.groupby("kind")
+            .aggregate(Min("prior", alias_name="mn"), Max("prior", alias_name="mx"),
+                       Count(alias_name="n"))
+            .to_arrow_refs()
+        )
+    )
+    stats = {}
+    for r in stats_t.to_pylist():
+        stats[int(r["kind"])] = (float(r["mn"]), float(r["mx"]), int(r["n"]))
+    medians = {}
+    for kind, (mn, mx, n) in stats.items():
+        sub = vertex_prior.filter(lambda row, k=kind: row["kind"] == k)
+        row = sub.sort("prior", descending=True).limit(n // 2 + 1).take(n // 2 + 1)[-1]
+        # the reference subtracts the RAW median from the NORMALIZED
+        # values (nor_priors returns pre-normalization medians,
+        # helper.py:105-107 + GANG.py:69-80) — replicated exactly
+        medians[kind] = float(row["prior"])
+    stats_ref = ray.put((stats, medians))
+
+    def center(t: pa.Table) -> pa.Table:
+        st, med = ray.get(stats_ref)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        p = t["prior"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.empty_like(p)
+        for k, (mn, mx, _) in st.items():
+            m = kind == k
+            span = (mx - mn) or 1.0
+            out[m] = (p[m] - mn) / span - med[k]
+        return pa.table({"vid": t["vid"], "prior_centered": pa.array(out)})
+
+    return vertex_prior.map_batches(center, batch_format="pyarrow")
+
+
 def gang(
     edges: "ray.data.Dataset",
     vertex_prior: "ray.data.Dataset",
@@ -76,17 +123,18 @@ def gang(
     """Run GANG pu_lbp; returns (Dataset(vid, posterior), metrics).
 
     edges: directed user->prod (symmetrized here); vertex_prior:
-    (vid, prior, kind). nor_flg=True centers raw priors at 0.5
-    (GANG.py:66-68); the nor_flg=False path (min-max + median centering)
-    is the caller's job via stages.normalize before passing priors.
+    (vid, prior, kind). nor_flg=True centers RAW priors at 0.5
+    (GANG.py:66-68); nor_flg=False min-max-normalizes per kind and
+    centers at the per-kind nor_priors median (GANG.py:69-71).
     """
-    mean = 0.5 if nor_flg else 0.0
+    if nor_flg:
+        def center(t: pa.Table) -> pa.Table:
+            c = t["prior"].to_numpy(zero_copy_only=False) - 0.5
+            return pa.table({"vid": t["vid"], "prior_centered": pa.array(c, pa.float64())})
 
-    def center(t: pa.Table) -> pa.Table:
-        c = t["prior"].to_numpy(zero_copy_only=False) - mean
-        return pa.table({"vid": t["vid"], "prior_centered": pa.array(c, pa.float64())})
-
-    centered = vertex_prior.map_batches(center, batch_format="pyarrow")
+        centered = vertex_prior.map_batches(center, batch_format="pyarrow")
+    else:
+        centered = normalize_priors_by_kind(vertex_prior)
     sym = symmetrize(edges.select_columns(["src", "dst"]))
     layout = build_layout(
         sym, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold,

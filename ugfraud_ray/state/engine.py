@@ -360,6 +360,19 @@ class SuperstepEngine:
                 best = (m["step"], m.get("aux", {}))
         return best
 
+    def refresh_shards(self, touched: list[int]) -> None:
+        """Per-partition lineage invalidation after `append_edges`
+        (layout.py): ONLY the touched shards are killed and rebuilt from
+        the grown layout; untouched shards keep their in-memory state,
+        so a subsequent run() re-converges incrementally (the engine
+        analog of the reference's add_new_data + local_schedule,
+        Detector/SpEagle.py:283-323, 381-422)."""
+        self.layout = type(self.layout).load(self.layout.path)
+        for p in touched:
+            ray.kill(self.shards[p])
+            self.shards[p] = GraphShard.remote(self.layout.path, p, self.program)
+        self.n_hubs = len(self.layout.hub_vids)
+
     def result_dataset(self) -> "ray.data.Dataset":
         import ray.data
 

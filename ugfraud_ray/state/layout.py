@@ -135,3 +135,58 @@ def build_layout(
     layout = GraphLayout(path=path, P=P, n_vertices=n_vertices, hub_vids=hub_vids, directed=directed)
     layout.save()
     return layout
+
+
+def append_edges(
+    layout: GraphLayout,
+    new_edges: "ray.data.Dataset",
+    n_vertices: int | None = None,
+    vertex_aux: "ray.data.Dataset | None" = None,
+) -> list[int]:
+    """Incremental graph growth (reference `add_new_data`,
+    Detector/SpEagle.py:283-323; SURVEY §2.9 I5): append new edge rows
+    into the existing partitioned layout and report which partitions
+    were touched — the per-partition lineage unit. Engines rebuild ONLY
+    the touched shards; untouched partitions keep their files (and any
+    checkpoints keyed to them) verbatim.
+
+    New vertices are allowed: pass the grown ``n_vertices`` (vids must
+    keep the same ``vid % P`` partitioning). Hub routing is preserved
+    for the existing hub list; newly-hot vertices keep normal routing
+    until the next full rebuild (documented approximation).
+    """
+    P_ = layout.P
+    hub_arr = np.array(layout.hub_vids, dtype=np.int64)
+    hub_ref = ray.put(hub_arr)
+    n_hubs = len(hub_arr)
+
+    def assign(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        part = dst % P_
+        if n_hubs:
+            is_hub = np.isin(dst, ray.get(hub_ref))
+            part = np.where(is_hub, src % P_, part)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    with_part = new_edges.map_batches(assign, batch_format="pyarrow").materialize()
+    touched = sorted(
+        r["part"]
+        for r in with_part.groupby("part").count().select_columns(["part"]).take_all()
+    )
+    with_part.write_parquet(os.path.join(layout.path, "edges"), partition_cols=["part"])
+    if vertex_aux is not None:
+        def vassign(t: pa.Table) -> pa.Table:
+            vid = t["vid"].to_numpy(zero_copy_only=False)
+            return t.append_column("part", pa.array((vid % P_).astype(np.int64)))
+
+        va = vertex_aux.map_batches(vassign, batch_format="pyarrow").materialize()
+        for r in va.groupby("part").count().select_columns(["part"]).take_all():
+            if r["part"] not in touched:
+                touched.append(r["part"])
+        va.write_parquet(os.path.join(layout.path, "vertex"), partition_cols=["part"])
+        touched = sorted(touched)
+    if n_vertices is not None and n_vertices != layout.n_vertices:
+        layout.n_vertices = n_vertices
+        layout.save()
+    return touched
