@@ -295,3 +295,19 @@ def test_zoobp_reference_degenerate_mode():
     diffs = uv - pri
     assert np.allclose(diffs, diffs[0], atol=1e-9)  # prior + constant
     assert np.array_equal(np.argsort(uv), np.argsort(pri))
+
+
+def test_scale_value_reference_bug_semantics():
+    """B1 (helper.py:77-86): the for/else truncation keeps only entries
+    normalizing to exactly 0 or 1, plus the final iterated key."""
+    from ugfraud_ray.stages.normalize import scale_value, scale_value_reference
+
+    d = {"a": 1.0, "b": 5.0, "c": 3.0, "d": 2.0, "e": 4.0}
+    ref = scale_value_reference(d)
+    # min ('a') -> 1e-7, max ('b') -> 1-1e-7, last key ('e') -> raw norm
+    assert set(ref) == {"a", "b", "e"}
+    assert ref["a"] == 1e-7 and ref["b"] == 1 - 1e-7
+    assert abs(ref["e"] - 0.75) < 1e-12
+    # intended mode keeps everything
+    full = scale_value(d)
+    assert set(full) == set(d) and abs(full["c"] - 0.5) < 1e-12
