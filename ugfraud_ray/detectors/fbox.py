@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count
 
@@ -101,11 +103,7 @@ def fbox(
 
     # products: driver-side (n_prods-sized)
     rec_p = col_recon_norms(s, Vk)
-    dt = pa.concat_tables(
-        ray.get(
-            e.groupby("dst").aggregate(Count(alias_name="degree")).to_arrow_refs()
-        )
-    )
+    dt = collect_table(e.groupby("dst").aggregate(Count(alias_name="degree")))
     pid = dt["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     pdeg = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
     prec = rec_p[pid]
@@ -136,7 +134,7 @@ def fbox_review_scores(
 ) -> "ray.data.Dataset":
     """eval_fBox.py:33-38 read-out: review score = review prior if the
     user is suspicious else 0 (broadcast semi-join, J5)."""
-    st = pa.concat_tables(ray.get(sus_users.select_columns(["vid"]).to_arrow_refs()))
+    st = collect_table(sus_users.select_columns(["vid"]))
     sus = set(st["vid"].to_pylist())
     sus_ref = ray.put(sus)
 

@@ -32,12 +32,14 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count
 
 
 def _collect_edges(edges: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
-    t = pa.concat_tables(ray.get(edges.select_columns(["src", "dst"]).to_arrow_refs()))
+    t = collect_table(edges.select_columns(["src", "dst"]))
     return (
         t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
         t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),

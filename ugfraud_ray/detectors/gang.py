@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 
 from ugfraud_ray.state.engine import SuperstepEngine, VertexProgram
@@ -72,12 +74,10 @@ def normalize_priors_by_kind(vertex_prior: "ray.data.Dataset") -> "ray.data.Data
     """
     from ray.data.aggregate import Count, Max, Min
 
-    stats_t = pa.concat_tables(
-        ray.get(
-            vertex_prior.groupby("kind")
-            .aggregate(Min("prior", alias_name="mn"), Max("prior", alias_name="mx"),
-                       Count(alias_name="n"))
-            .to_arrow_refs()
+    stats_t = collect_table(
+        vertex_prior.groupby("kind").aggregate(
+            Min("prior", alias_name="mn"), Max("prior", alias_name="mx"),
+            Count(alias_name="n"),
         )
     )
     stats = {}
@@ -154,7 +154,7 @@ def gang_review_scores(
     """classify's review read-out: (user posterior + review prior) / 2
     (GANG.py:158-159), via broadcast of the (per-vertex, small) posterior
     table into a map over edges."""
-    pt = pa.concat_tables(ray.get(posteriors.to_arrow_refs()))
+    pt = collect_table(posteriors)
     vid = pt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     post = pt["posterior"].to_numpy(zero_copy_only=False)
     dense = np.zeros(int(vid.max()) + 1 if len(vid) else 1, dtype=np.float64)

@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 
 from ugfraud_ray.detectors.spectral import gram_matrix, truncated_svd_from_gram
@@ -74,9 +76,9 @@ def svd_user_scores(
     """Deterministic replacement for the reference's SVM readout:
     score = d(neg centroid) / (d(pos centroid) + d(neg centroid)),
     centroids from the labeled subset (broadcast, tiny)."""
-    lt = pa.concat_tables(ray.get(labels.to_arrow_refs()))
+    lt = collect_table(labels)
     lab = dict(zip(lt["vid"].to_pylist(), lt["label"].to_pylist()))
-    et = pa.concat_tables(ray.get(embedding.to_arrow_refs()))
+    et = collect_table(embedding)
     vids = et["vid"].to_numpy(zero_copy_only=False)
     k = len(et["emb"][0])
     embs = np.asarray(et["emb"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(len(vids), k)

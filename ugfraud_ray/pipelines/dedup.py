@@ -107,7 +107,10 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 7) -> np.
 
 
 class _MinHasher:
-    """Actor-pool stage: permutation constants built once per actor."""
+    """Actor-pool stage: permutation constants AND a token-hash cache
+    built once per actor (natural-language token vocabulary is tiny
+    relative to the token stream, so md5-per-token amortizes to
+    md5-per-distinct-token)."""
 
     def __init__(self, num_perm: int, ngram: int, seed: int, id_col: str, key: str):
         self.num_perm = num_perm
@@ -118,12 +121,33 @@ class _MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
         self.b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+        self._token_cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._token_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            self._token_cache[tok] = h
+        return h
+
+    def _shingles(self, text: str) -> np.ndarray:
+        toks = text.split()
+        if not toks:
+            return np.zeros(0, dtype=np.uint64)
+        th = np.fromiter((self._tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+        n = self.ngram
+        if len(th) < n:
+            return _mix64(th)
+        acc = np.zeros(len(th) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            acc = (acc * np.uint64(1099511628211) + th[j : len(th) - n + 1 + j]) & _MASK64
+        return _mix64(acc)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         sigs = np.empty((t.num_rows, self.num_perm), dtype=np.uint64)
         for i, text in enumerate(t[self.key].to_pylist()):
-            sh = _shingle_hashes(text, self.ngram)
+            sh = self._shingles(text)
             if len(sh) == 0:
                 sigs[i] = _MASK64
             else:
@@ -187,18 +211,14 @@ def minhash_lsh_candidates(
         )
 
     banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+    # ONE shuffle over coarse buckets (a per-(band,bucket) map_groups
+    # pays Python dispatch per LSH bucket — tens of thousands of them);
+    # within a coarse bucket the per-bucket pair emission is a numpy
+    # run loop over lexsorted keys.
+    pairs = _bucketed_pair_emit(banded, ["band", "bucket"], id_col)
+    from ugfraud_ray.stages.graph_build import dedup_pairs as _dp
 
-    def emit_pairs(g) -> pa.Table:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pa.table({"id_a": pa.array(ids[i]), "id_b": pa.array(ids[j])})
-
-    pairs = banded.groupby(["band", "bucket"]).map_groups(emit_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands")).select_columns(
-        ["id_a", "id_b"]
-    )
+    return _dp(pairs, a="id_a", b="id_b")
 
 
 def minhash_lsh_dedup(
@@ -216,8 +236,10 @@ def minhash_lsh_dedup(
     colliding docs); union-find runs on the driver over that table —
     O(pairs), not O(docs).
     """
-    pair_t = pa.concat_tables(
-        ray.get(minhash_lsh_candidates(docs, key, id_col, num_perm, bands, ngram, seed).to_arrow_refs())
+    from ugfraud_ray.functions.collect import collect_table
+
+    pair_t = collect_table(
+        minhash_lsh_candidates(docs, key, id_col, num_perm, bands, ngram, seed)
     )
     parent: dict[int, int] = {}
 
@@ -242,6 +264,64 @@ def minhash_lsh_dedup(
         )
 
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def _bucketed_pair_emit(
+    ds: "ray.data.Dataset", key_cols: list[str], id_col: str, n_buckets: int = 64,
+    carry: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Emit all unordered id pairs sharing the exact key tuple.
+
+    Shuffle = one groupby over n_buckets coarse hash buckets; inside a
+    bucket, lexsort by the key tuple and expand each run's triangle.
+    Optional `carry` columns are taken from the first row of each run's
+    id_a side... (not needed yet; reserved).
+    """
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (h * np.uint64(0x100000001B3)) ^ (v * np.uint64(0x9E3779B97F4A7C15))
+        h ^= h >> np.uint64(31)
+        return t.append_column("_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def emit(g) -> pa.Table:
+        keys = [g[c].to_numpy() for c in key_cols]
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, *reversed(keys)))
+        keys = [k[order] for k in keys]
+        ids = ids[order]
+        if len(ids):
+            change = np.zeros(len(ids) - 1, dtype=bool)
+            for k in keys:
+                change |= np.diff(k) != 0
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            ends = np.append(starts[1:], len(ids))
+        else:
+            starts = ends = np.zeros(0, dtype=np.int64)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            grp = ids[s:e]
+            i, j = np.triu_indices(e - s, k=1)
+            out_a.append(grp[i])
+            out_b.append(grp[j])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(emit, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -297,28 +377,64 @@ def simhash_dedup(
 
     banded = docs.map_batches(sim_rows, batch_format="pyarrow")
 
+    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        return _POP[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
     def check(g) -> pa.Table:
-        ids = g[id_col].to_numpy()
-        sims = g["sim"].to_numpy().astype(np.int64).view(np.uint64)
-        order = np.argsort(ids)
-        ids, sims = ids[order], sims[order]
-        if len(ids) < 2:
+        # coarse bucket: runs of (chunk, val) after lexsort; pairs +
+        # vectorized xor-popcount per run (no per-LSH-bucket dispatch)
+        chunk = g["chunk"].to_numpy().astype(np.int64)
+        val = g["val"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        sims = g["sim"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, val, chunk))
+        chunk, val, ids, sims = chunk[order], val[order], ids[order], sims[order]
+        if len(ids):
+            change = (np.diff(chunk) != 0) | (np.diff(val) != 0)
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            ends = np.append(starts[1:], len(ids))
+        else:
+            starts = ends = np.zeros(0, dtype=np.int64)
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            gi = ids[s:e]
+            gs = sims[s:e].view(np.uint64)
+            i, j = np.triu_indices(e - s, k=1)
+            ham = popcount64(gs[i] ^ gs[j])
+            keep = ham <= max_hamming
+            a_out.append(gi[i][keep])
+            b_out.append(gi[j][keep])
+            h_out.append(ham[keep])
+        if not a_out:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        i, j = np.triu_indices(len(ids), k=1)
-        x = sims[i] ^ sims[j]
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
-        keep = ham <= max_hamming
         return pa.table(
             {
-                "id_a": pa.array(ids[i][keep]),
-                "id_b": pa.array(ids[j][keep]),
-                "hamming": pa.array(ham[keep]),
+                "id_a": pa.array(np.concatenate(a_out)),
+                "id_b": pa.array(np.concatenate(b_out)),
+                "hamming": pa.array(np.concatenate(h_out)),
             }
         )
 
-    pairs = banded.groupby(["chunk", "val"]).map_groups(check, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = t["chunk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (c * np.uint64(0x100000001B3)) ^ (v * np.uint64(0x9E3779B97F4A7C15))
+        h ^= h >> np.uint64(31)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    pairs = (
+        banded.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(check, batch_format="pandas")
+    )
+    from ugfraud_ray.stages.graph_build import dedup_pairs as _dp
+
+    return _dp(pairs, a="id_a", b="id_b", extra={"hamming": "min"})
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 
 
@@ -154,7 +156,7 @@ def ivf_topk(
     so corpus/n_centroids stays task-sized.
     """
     sample = emb.limit(sample_size)
-    st = pa.concat_tables(ray.get(sample.to_arrow_refs()))
+    st = collect_table(sample)
     xs = _normalize(_vecs_from_column(st[vec_col], len(st)))
     rng = np.random.default_rng(seed)
     centroids = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
@@ -184,7 +186,7 @@ def ivf_topk(
         ids = t[id_col].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(np.isin(ids, qset)))
 
-    qt = pa.concat_tables(ray.get(bucketed.map_batches(pick, batch_format="pyarrow").to_arrow_refs()))
+    qt = collect_table(bucketed.map_batches(pick, batch_format="pyarrow"))
     q_ids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     q_mat = _normalize(_vecs_from_column(qt[vec_col], len(qt)))
     probes = np.argsort(-(q_mat @ _normalize(centroids).T), axis=1)[:, :n_probe]

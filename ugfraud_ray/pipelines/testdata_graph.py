@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
@@ -77,10 +79,12 @@ def review_edges(sf_dir: str) -> "ray.data.Dataset":
         )
 
     e = joined.map_batches(project, batch_format="pyarrow")
-    # D5 exact dedup (Fraudar.py:18-20 multi-edge collapse), deterministic combine
-    return e.groupby(["src", "dst"]).aggregate(
-        Min("rating", alias_name="rating"), Max("label", alias_name="label")
-    )
+    # D5 exact dedup (Fraudar.py:18-20 multi-edge collapse), deterministic
+    # combine; bucket-partitioned (per-pair hash aggregates are the
+    # measured many-groups slow path, see graph_build.dedup_pairs)
+    from ugfraud_ray.stages.graph_build import dedup_pairs
+
+    return dedup_pairs(e, extra={"rating": "min", "label": "max"})
 
 
 def general_edges(sf_dir: str) -> "ray.data.Dataset":
@@ -95,7 +99,9 @@ def general_edges(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
     e = orders.map_batches(project, batch_format="pyarrow")
-    return e.groupby(["src", "dst"]).aggregate(Count(alias_name="_n")).select_columns(["src", "dst"])
+    from ugfraud_ray.stages.graph_build import dedup_pairs
+
+    return dedup_pairs(e)
 
 
 def number_int_vertices(
@@ -125,7 +131,7 @@ def number_int_vertices(
     vmap = with_row_index(ids, column="vid").materialize()
     n = vmap.count()
     if n <= broadcast_threshold:
-        vt = pa.concat_tables(ray.get(vmap.to_arrow_refs()))
+        vt = collect_table(vmap)
         orig = vt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         vid = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
         # dense-array broadcast lookup (ray.put once, read per task)
@@ -156,7 +162,7 @@ def number_int_vertices(
 def unmap_vids(result: "ray.data.Dataset", vmap: "ray.data.Dataset", vid_col: str = "vid",
                out_col: str = "id") -> "ray.data.Dataset":
     """Translate contiguous vids in `result` back to original ids (broadcast)."""
-    vt = pa.concat_tables(ray.get(vmap.to_arrow_refs()))
+    vt = collect_table(vmap)
     rev = np.zeros(len(vt), dtype=np.int64)
     rev[vt["vid"].to_numpy(zero_copy_only=False)] = vt["id"].to_numpy(zero_copy_only=False)
     rev_ref = ray.put(rev)

@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count
 
@@ -39,7 +41,9 @@ def _canonical_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
 
     e = edges.map_batches(canon, batch_format="pyarrow")
-    return e.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"])
+    from ugfraud_ray.stages.graph_build import dedup_pairs
+
+    return dedup_pairs(e, a="a", b="b")
 
 
 def triangle_count(edges: "ray.data.Dataset", P: int = 8) -> int:
@@ -53,7 +57,7 @@ def triangle_count(edges: "ray.data.Dataset", P: int = 8) -> int:
         .groupby("v")
         .aggregate(Count(alias_name="deg"))
     )
-    dt = pa.concat_tables(ray.get(deg_ds.to_arrow_refs()))
+    dt = collect_table(deg_ds)
     deg_ref = ray.put(dict(zip(dt["v"].to_pylist(), dt["deg"].to_pylist())))
 
     def orient(t: pa.Table) -> pa.Table:

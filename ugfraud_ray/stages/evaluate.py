@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 
 from ugfraud_ray.functions.metrics import average_precision, roc_auc
@@ -46,7 +48,7 @@ def evaluate_collected(
     """Semi-join scores ⋉ labels then numpy AUC/AP."""
     import pyarrow as pa
 
-    lt = pa.concat_tables(ray.get(labels.select_columns([key, label_col]).to_arrow_refs()))
+    lt = collect_table(labels.select_columns([key, label_col]))
     lab = dict(zip(lt[key].to_pylist(), lt[label_col].to_pylist()))
     lab_ref = ray.put(lab)
 

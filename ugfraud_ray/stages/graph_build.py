@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+
+from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -51,6 +53,55 @@ def with_row_index(ds: "ray.data.Dataset", column: str = "row_id", offset: int =
     starts = offset + np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
     out = [_add_index.remote(r, int(s), column) for r, s in zip(refs, starts)]
     return ray.data.from_arrow_refs(out)
+
+
+def dedup_pairs(
+    ds: "ray.data.Dataset",
+    a: str = "src",
+    b: str = "dst",
+    extra: dict | None = None,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact (a, b) pair dedup with optional per-column min/max combine.
+
+    A per-pair hash aggregate creates one group per distinct pair —
+    millions of groups, the measured Ray slow path. Instead the pair key
+    is hashed into ``n_buckets`` coarse buckets (ONE shuffle over a few
+    dozen groups) and each bucket deduplicates vectorized (lexsort +
+    run-boundary reduceat). extra maps column -> 'min' | 'max'.
+    """
+    extra = extra or {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        av = t[a].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bv = t[b].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = av * np.uint64(0x9E3779B97F4A7C15) ^ bv * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def dedup_bucket(g) -> pa.Table:
+        av = g[a].to_numpy().astype(np.int64)
+        bv = g[b].to_numpy().astype(np.int64)
+        order = np.lexsort((bv, av))
+        av, bv = av[order], bv[order]
+        if len(av):
+            starts = np.flatnonzero(
+                np.concatenate([[True], (np.diff(av) != 0) | (np.diff(bv) != 0)])
+            )
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+        out = {a: pa.array(av[starts]), b: pa.array(bv[starts])}
+        for col, how in extra.items():
+            v = g[col].to_numpy()[order]
+            red = np.minimum.reduceat(v, starts) if how == "min" else np.maximum.reduceat(v, starts)
+            out[col] = pa.array(red)
+        return pa.table(out)
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
 
 
 def dedup_edges(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -118,7 +169,7 @@ def map_edges_to_vids(
     """
     n = vertices.count()
     if n <= broadcast_threshold:
-        vt = pa.concat_tables(ray.get(vertices.to_arrow_refs()))
+        vt = collect_table(vertices)
         # broadcast the (url -> vid) columns once via ray.put; per batch
         # the lookup is a vectorized pc.index_in against the url array
         # (urls are pre-sorted by number_vertices, vid is positional
