@@ -435,6 +435,15 @@ def _docs(sf_dir: str):
     )
 
 
+def _q_doc_md5(sf_dir: str):
+    """S6 input-checksum gate (helper.py:118-120) as an order-independent
+    distributed reduce."""
+    from ugfraud_ray.stages.graph_build import dataset_md5
+
+    h = dataset_md5(_docs(sf_dir), "text")
+    return pa.table({"checksum": pa.array([h], pa.string())})
+
+
 def _q_minhash_dedup(sf_dir: str):
     from ugfraud_ray.pipelines.dedup import minhash_lsh_dedup
 
@@ -547,6 +556,7 @@ def _q_media_features(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "doc_md5_checksum": _q_doc_md5,
         "doc_minhash_dedup": _q_minhash_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
@@ -602,6 +612,10 @@ def oracle_sql() -> dict[str, str]:
                               WHEN (p - mn) / (mx - mn) = 1 THEN 1 - 1e-7
                               ELSE (p - mn) / (mx - mn) END, 9) AS score
             FROM r, mm
+        """,
+        "doc_md5_checksum": """
+            SELECT md5(string_agg(md5(text), '' ORDER BY md5(text))) AS checksum
+            FROM documents
         """,
         "seeded_sample": """
             SELECT o_orderkey, o_custkey FROM orders

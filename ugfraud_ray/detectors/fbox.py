@@ -127,6 +127,57 @@ def fbox(
     return sus_users, ray.data.from_arrow(sus_prods)
 
 
+def spectral_recon_matrix(
+    deg_rec: "ray.data.Dataset", bins: int = 100
+) -> tuple[pa.Table, np.ndarray]:
+    """A9 get_srms analog (fBox.py:109-143): histogram the reconstructed
+    degrees per original degree.
+
+    Driver computes the global bin edges (min/max aggregate, linspace —
+    the same edges np.histogram would produce); each batch digitizes
+    vectorized and emits (bin, degree, n) partials; one small groupby
+    sums them (bins x distinct-degrees groups — bounded). Returns the
+    sparse COO table and the bin edges.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = deg_rec.aggregate(Min("rec", alias_name="mn"), Max("rec", alias_name="mx"))
+    edges = np.linspace(float(stats["mn"]), float(stats["mx"]), bins + 1)
+    edges_ref = ray.put(edges)
+
+    def digitize(t: pa.Table) -> pa.Table:
+        ed = ray.get(edges_ref)
+        rec = t["rec"].to_numpy(zero_copy_only=False)
+        deg = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.digitize(rec, ed)
+        # per-batch (bin, degree) pair counts via lexsort runs
+        order = np.lexsort((deg, b))
+        bs, ds_ = b[order], deg[order]
+        if len(bs):
+            starts = np.flatnonzero(
+                np.concatenate([[True], (np.diff(bs) != 0) | (np.diff(ds_) != 0)])
+            )
+            counts = np.diff(np.append(starts, len(bs)))
+        else:
+            starts = counts = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(bs[starts]),
+                "degree": pa.array(ds_[starts]),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    coo = (
+        deg_rec.map_batches(digitize, batch_format="pyarrow")
+        .groupby(["bin", "degree"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    from ugfraud_ray.functions.collect import collect_table
+
+    return collect_table(coo), edges
+
+
 def fbox_review_scores(
     edges: "ray.data.Dataset",
     review_prior_edges: "ray.data.Dataset",

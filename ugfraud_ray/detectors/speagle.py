@@ -351,6 +351,20 @@ class SpEagleEngine:
             best = s if best is None else max(best, s)
         return best
 
+    def refresh_shards(self, touched: list[int]) -> None:
+        """Per-partition lineage invalidation after layout.append_edges —
+        the engine analog of the reference's add_new_data
+        (Detector/SpEagle.py:283-323): only touched shards reload; their
+        messages reset to uniform and re-converge on the next run()
+        while untouched shards keep state (cf. local_schedule,
+        SpEagle.py:381-422)."""
+        from ugfraud_ray.state.layout import GraphLayout
+
+        self.layout = GraphLayout.load(self.layout.path)
+        for p in touched:
+            ray.kill(self.shards[p])
+            self.shards[p] = BPShard.remote(self.layout.path, p, self.pot)
+
     def vertex_scores(self) -> "ray.data.Dataset":
         return ray.data.from_arrow_refs([s.vertex_scores.remote() for s in self.shards])
 

@@ -101,6 +101,40 @@ def auc_ds(
     return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
 
 
+def ap_ds(
+    ds: "ray.data.Dataset", score_col: str = "score", label_col: str = "label"
+) -> float:
+    """Distributed average precision from a (score, label) Dataset.
+
+    Same shuffle shape as auc_ds: ONE groupby(score) to per-distinct-
+    score (count, positives); the driver computes AP over descending
+    distinct scores (ties collapse into one threshold, the standard
+    definition — matches functions.metrics.average_precision).
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    t = collect_table(
+        ds.groupby(score_col).aggregate(Count(alias_name="n"), Sum(label_col, alias_name="pos"))
+    )
+    s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(-s, kind="mergesort")
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    pos = t["pos"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    n_pos = pos.sum()
+    if n_pos == 0:
+        return 0.0
+    tps = np.cumsum(pos)
+    fps = np.cumsum(n - pos)
+    precision = tps / (tps + fps)
+    recall = tps / n_pos
+    recall_prev = np.concatenate([[0.0], recall[:-1]])
+    return float(np.sum((recall - recall_prev) * precision))
+
+
 def auc_distributed(
     joined: "ray.data.Dataset", score_col: str = "score", label_col: str = "y"
 ) -> float:

@@ -55,6 +55,63 @@ def with_row_index(ds: "ray.data.Dataset", column: str = "row_id", offset: int =
     return ray.data.from_arrow_refs(out)
 
 
+def dataset_md5(ds: "ray.data.Dataset", col: str) -> str:
+    """Order-independent content checksum of a column (S6 analog of the
+    reference's whole-file md5 gate, Utils/helper.py:118-120 /
+    Demo/demo_pre.py:16-29).
+
+    Per-block: md5 per row (vectorized loop), then the block's sorted
+    digests; driver merges the (small) per-block digest lists, sorts
+    globally, and hashes the concatenation — deterministic regardless
+    of partitioning/order. Matches the DuckDB oracle
+    ``md5(string_agg(md5(col), '' ORDER BY md5(col)))``.
+    """
+    import hashlib
+
+    def block_digests(t: pa.Table) -> pa.Table:
+        vals = t[col].to_pylist()
+        digs = sorted(hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in vals)
+        return pa.table({"d": pa.array(digs, pa.string())})
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    dt = collect_table(ds.map_batches(block_digests, batch_format="pyarrow"))
+    all_digs = sorted(dt["d"].to_pylist())
+    return hashlib.md5("".join(all_digs).encode("ascii")).hexdigest()
+
+
+PAGES_SCHEMA_COLS = {
+    "url": pa.string(),
+    "warc_ts": pa.timestamp("us"),
+    "html": pa.binary(),
+    "text": pa.string(),
+    "lang": pa.string(),
+}
+
+
+def validate_pages_schema(ds: "ray.data.Dataset") -> None:
+    """M2 data_checker analog (Utils/helper.py:205-233): an Arrow schema
+    assertion at read time, NOT a data pass. Raises ValueError naming
+    every missing/mistyped column."""
+    schema = ds.schema()
+    errs = []
+    for name, typ in PAGES_SCHEMA_COLS.items():
+        if name not in schema.names:
+            errs.append(f"missing column {name}:{typ}")
+        else:
+            got = schema.base_schema.field(name).type if hasattr(schema, "base_schema") else None
+            try:
+                got = dict(zip(schema.names, schema.types))[name]
+            except Exception:
+                got = None
+            if got is not None and got != typ and not (
+                name == "text" and got in (pa.string(), pa.large_string())
+            ):
+                errs.append(f"column {name} has type {got}, expected {typ}")
+    if errs:
+        raise ValueError("pages schema invalid: " + "; ".join(errs))
+
+
 def dedup_pairs(
     ds: "ray.data.Dataset",
     a: str = "src",
