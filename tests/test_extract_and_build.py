@@ -91,3 +91,25 @@ def test_multi_component_spec():
     _, edges = synthesize_pages(spec)
     users = {int(u) for u, _ in edges}
     assert max(users) >= 40  # shifted clone components exist
+
+
+def test_distributed_pages_writer_resumable(tmp_path):
+    import os
+
+    import ray.data
+
+    from ugfraud_ray.sources.pages import synthesize_pages_distributed
+    from ugfraud_ray.stages.extract import text_conformance_mismatches
+
+    out = str(tmp_path / "corpus")
+    w1 = synthesize_pages_distributed(out, n_users=2500, n_prods=300, shard_rows=1000)
+    assert w1 == 3
+    # resume: nothing rewritten
+    assert synthesize_pages_distributed(out, n_users=2500, n_prods=300, shard_rows=1000) == 0
+    # partial failure sim: drop one shard's marker -> only it rewrites
+    os.remove(os.path.join(out, "shard=1", "_DONE"))
+    assert synthesize_pages_distributed(out, n_users=2500, n_prods=300, shard_rows=1000) == 1
+    ds = ray.data.read_parquet(out)
+    assert ds.count() == 2800
+    # the invariant holds on the distributed corpus too
+    assert text_conformance_mismatches(ds) == 0

@@ -229,6 +229,39 @@ def detect_blocks(
     return res
 
 
+def detect_multiple(
+    edges: "ray.data.Dataset", n_blocks: int, mode: str = "log"
+) -> list[tuple[set, set, float]]:
+    """Fraudar.py:35-45 detectMultiple: exactly n_blocks peel rounds
+    (no score-delta stop), removing each found block's edges."""
+    return detect_blocks(edges, mode=mode, score_tol=-1.0, max_blocks=n_blocks)
+
+
+def block_jaccard(pred: tuple[set, set], actual: tuple[set, set]) -> float:
+    """Fraudar.py:114-117 block-recovery Jaccard over rows+cols."""
+    inter = len(pred[0] & actual[0]) + len(pred[1] & actual[1])
+    union = len(pred[0] | actual[0]) + len(pred[1] | actual[1])
+    return inter / union if union else 0.0
+
+
+def block_precision(pred: tuple[set, set], actual: tuple[set, set]) -> float:
+    """Fraudar.py:120-122."""
+    denom = len(pred[0]) + len(pred[1])
+    return (len(pred[0] & actual[0]) + len(pred[1] & actual[1])) / denom if denom else 0.0
+
+
+def block_recall(pred: tuple[set, set], actual: tuple[set, set]) -> float:
+    """Fraudar.py:125-127."""
+    denom = len(actual[0]) + len(actual[1])
+    return (len(pred[0] & actual[0]) + len(pred[1] & actual[1])) / denom if denom else 0.0
+
+
+def block_fmeasure(pred: tuple[set, set], actual: tuple[set, set]) -> float:
+    """Fraudar.py:130-134."""
+    p, r = block_precision(pred, actual), block_recall(pred, actual)
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
 def fraudar_scores(
     edges: "ray.data.Dataset", blocks: list[tuple[set, set, float]]
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:

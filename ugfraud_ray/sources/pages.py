@@ -179,3 +179,61 @@ def write_pages_parquet(table: pa.Table, path: str) -> str:
 
     pq.write_table(table, path)
     return path
+
+
+def synthesize_pages_distributed(
+    out_dir: str,
+    n_users: int,
+    n_prods: int,
+    edges_per_user: int = 5,
+    seed: int = 42,
+    shard_rows: int = 10_000,
+    resume: bool = True,
+) -> int:
+    """Distributed, RESUMABLE synthetic corpus writer.
+
+    One Ray task per shard of `shard_rows` pages; each shard is a pure
+    function of (seed, shard index) and lands as
+    ``out_dir/shard={i}/pages.parquet`` with an adjacent ``_DONE``
+    marker — a rerun skips finished shards (the partitioned-output /
+    skip-finished pattern every 100 TB job needs). User pages link to
+    seeded product urls; product pages fill the tail shards.
+
+    Returns the number of shards written this call.
+    """
+    import os
+
+    import ray
+
+    n_pages = n_users + n_prods
+    n_shards = (n_pages + shard_rows - 1) // shard_rows
+
+    @ray.remote
+    def write_shard(i: int) -> int:
+        lo = i * shard_rows
+        hi = min(lo + shard_rows, n_pages)
+        d = os.path.join(out_dir, f"shard={i}")
+        marker = os.path.join(d, "_DONE")
+        if resume and os.path.exists(marker):
+            return 0
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng((seed, i))
+        urls, outlinks = [], {}
+        for idx in range(lo, hi):
+            if idx < n_users:
+                u = user_url(idx)
+                urls.append(u)
+                prods = rng.integers(0, n_prods, size=edges_per_user)
+                outlinks[u] = [prod_url(int(p)) for p in prods]
+            else:
+                urls.append(prod_url(idx - n_users))
+        t = build_pages_table(urls, outlinks, seed=seed + i)
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, os.path.join(d, "pages.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+        return 1
+
+    written = sum(ray.get([write_shard.remote(i) for i in range(n_shards)]))
+    return written
