@@ -58,14 +58,18 @@ def triangle_count(edges: "ray.data.Dataset", P: int = 8) -> int:
         .aggregate(Count(alias_name="deg"))
     )
     dt = collect_table(deg_ds)
-    deg_ref = ray.put(dict(zip(dt["v"].to_pylist(), dt["deg"].to_pylist())))
+    vids = dt["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = dt["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dense = np.zeros(int(vids.max()) + 1 if len(vids) else 1, dtype=np.int64)
+    dense[vids] = degs
+    deg_ref = ray.put(dense)
 
     def orient(t: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        da = np.array([dg[int(v)] for v in a])
-        db = np.array([dg[int(v)] for v in b])
+        da = dg[a]
+        db = dg[b]
         # orient from lower (deg, vid) to higher
         a_first = (da < db) | ((da == db) & (a < b))
         src = np.where(a_first, a, b)
@@ -74,16 +78,21 @@ def triangle_count(edges: "ray.data.Dataset", P: int = 8) -> int:
 
     oriented = e.map_batches(orient, batch_format="pyarrow")
 
-    def wedges(g: pd.DataFrame) -> pa.Table:
-        nb = np.sort(g["w"].to_numpy())
-        if len(nb) < 2:
-            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
-                             "kind": pa.array([], pa.int8())})
-        i, j = np.triu_indices(len(nb), k=1)
-        return pa.table({"x": pa.array(nb[i]), "y": pa.array(nb[j]),
-                         "kind": pa.array(np.zeros(len(i), np.int8))})
+    # wedges = all out-neighbor pairs sharing an oriented source: the
+    # shared coarse-bucket pair emitter (one small-group shuffle +
+    # vectorized run loops) instead of one Python group per vertex
+    from ugfraud_ray.pipelines.dedup import _bucketed_pair_emit
 
-    wedge_ds = oriented.groupby("u").map_groups(wedges, batch_format="pandas")
+    wedge_ds = _bucketed_pair_emit(oriented, ["u"], "w").map_batches(
+        lambda t: pa.table(
+            {
+                "x": t["id_a"],
+                "y": t["id_b"],
+                "kind": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
     def edge_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -93,33 +102,40 @@ def triangle_count(edges: "ray.data.Dataset", P: int = 8) -> int:
 
     tagged_edges = e.map_batches(edge_rows, batch_format="pyarrow")
 
-    # per (x,y): wedge count = #kind-0 rows, closing edge present = max(kind);
-    # triangles = Σ wedges where an edge closes the pair. Pure hash
-    # aggregates — no per-group Python (the pair-key group count is huge).
-    from ray.data.aggregate import Max, Sum
+    # per (x,y): triangles = Σ wedge rows whose pair also appears as an
+    # edge row. A per-pair hash aggregate would build millions of
+    # groups; instead hash (x,y) into 64 coarse buckets (one shuffle)
+    # and count per bucket with lexsort runs + reduceat — vectorized.
+    from ray.data.aggregate import Sum
 
-    def wedge_flag(t: pa.Table) -> pa.Table:
-        kind = t["kind"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "x": t["x"],
-                "y": t["y"],
-                "w": pa.array((kind == 0).astype(np.int64)),
-                "kind": t["kind"],
-            }
-        )
+    def bucketize(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = x * np.uint64(0x9E3779B97F4A7C15) ^ y * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
 
-    tagged = wedge_ds.union(tagged_edges).map_batches(wedge_flag, batch_format="pyarrow")
-    closed = tagged.groupby(["x", "y"]).aggregate(
-        Sum("w", alias_name="n_wedges"), Max("kind", alias_name="has_edge")
-    )
+    def count_bucket(g) -> pa.Table:
+        x = g["x"].to_numpy().astype(np.int64)
+        y = g["y"].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        order = np.lexsort((y, x))
+        x, y, kind = x[order], y[order], kind[order]
+        if len(x):
+            starts = np.flatnonzero(
+                np.concatenate([[True], (np.diff(x) != 0) | (np.diff(y) != 0)])
+            )
+            n_wedges = np.add.reduceat((kind == 0).astype(np.int64), starts)
+            has_edge = np.maximum.reduceat(kind, starts)
+            tri = int(n_wedges[has_edge == 1].sum())
+        else:
+            tri = 0
+        return pa.table({"t": pa.array([tri], pa.int64())})
 
-    def tri(t: pa.Table) -> pa.Table:
-        n = t["n_wedges"].to_numpy(zero_copy_only=False)
-        he = t["has_edge"].to_numpy(zero_copy_only=False)
-        return pa.table({"t": pa.array([int(n[he == 1].sum())], pa.int64())})
-
-    total = closed.map_batches(tri, batch_format="pyarrow").aggregate(
-        Sum("t", alias_name="total")
+    tagged = wedge_ds.union(tagged_edges).map_batches(bucketize, batch_format="pyarrow")
+    total = (
+        tagged.groupby("_cb")
+        .map_groups(count_bucket, batch_format="pandas")
+        .aggregate(Sum("t", alias_name="total"))
     )
     return int(total["total"])
