@@ -120,34 +120,32 @@ def bench_pipelines(sf_dir: str) -> dict:
     return out
 
 
-def bench_pages_pipeline(n_users: int = 30_000, n_prods: int = 3_000,
-                         n_links: int = 150_000) -> dict:
-    """The native flagship: Common-Crawl-style pages -> link extraction
-    (+ byte-identical text conformance, the north-rule S2 invariant) ->
+def bench_pages_pipeline(n_users: int = 90_000, n_prods: int = 10_000) -> dict:
+    """The native flagship: Common-Crawl-style pages (written by the
+    distributed resumable shard writer) -> link extraction (+
+    byte-identical text conformance, the north-rule S2 invariant) ->
     graph build -> PageRank."""
-    import pyarrow.parquet as pq
-
     import ray.data
 
     from ugfraud_ray.pipelines.pagerank import pagerank
-    from ugfraud_ray.sources.pages import PagesSpec, synthesize_pages
+    from ugfraud_ray.sources.pages import synthesize_pages_distributed
     from ugfraud_ray.stages.extract import text_conformance_mismatches
     from ugfraud_ray.stages.graph_build import build_graph
 
     out: dict = {}
     d = _scratch("pages")
     try:
-        table, _ = synthesize_pages(
-            PagesSpec(n_users=n_users, n_prods=n_prods, n_edges=n_links, seed=7)
-        )
-        pq.write_table(table, os.path.join(d, "pages.parquet"))
-        n_pages = table.num_rows
-        pages = ray.data.read_parquet(os.path.join(d, "pages.parquet"))
+        t0 = time.perf_counter()
+        synthesize_pages_distributed(d, n_users=n_users, n_prods=n_prods,
+                                     edges_per_user=5, shard_rows=10_000)
+        out.setdefault("queries", {})["pages_synthesize"] = time.perf_counter() - t0
+        n_pages = n_users + n_prods
+        pages = ray.data.read_parquet(d)
 
         t0 = time.perf_counter()
         mismatches = text_conformance_mismatches(pages)
         out["pages_text_conformance_mismatches"] = mismatches
-        out.setdefault("queries", {})["pages_text_conformance"] = time.perf_counter() - t0
+        out["queries"]["pages_text_conformance"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         g = build_graph(pages)

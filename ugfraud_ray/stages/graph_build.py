@@ -164,9 +164,35 @@ def dedup_pairs(
 def dedup_edges(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact (src_url, dst_url) dedup keeping the min ts (deterministic).
 
-    D5: `Fraudar.py:18-20` (`M > 0 -> 1`).
+    D5: `Fraudar.py:18-20` (`M > 0 -> 1`). Hash-bucketed like
+    dedup_pairs (string keys: pandas vectorized hash + per-bucket
+    groupby) — a per-pair hash aggregate is the many-groups slow path.
     """
-    return edge_urls.groupby(["src_url", "dst_url"]).aggregate(Min("ts", alias_name="ts"))
+
+    def bucketize(df):
+        import pandas as pd
+
+        h = pd.util.hash_array(df["src_url"].to_numpy(dtype=object)) ^ pd.util.hash_array(
+            df["dst_url"].to_numpy(dtype=object)
+        ) * np.uint64(0x9E3779B97F4A7C15)
+        df["_cb"] = (h % 64).astype("int64")
+        return df
+
+    def per_bucket(g) -> pa.Table:
+        gg = g.groupby(["src_url", "dst_url"], sort=False)["ts"].min().reset_index()
+        return pa.table(
+            {
+                "src_url": pa.array(gg["src_url"].to_numpy(dtype=object), pa.string()),
+                "dst_url": pa.array(gg["dst_url"].to_numpy(dtype=object), pa.string()),
+                "ts": pa.array(gg["ts"]),
+            }
+        )
+
+    return (
+        edge_urls.map_batches(bucketize, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def number_vertices(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -176,6 +202,10 @@ def number_vertices(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
     corpus), kind=1 for source-only pages ("users"); targets are numbered
     first so detector math that slices `[:n_prods]` (GANG.py:150-155)
     has the reference's layout. Deterministic: sorted by (kind, url).
+
+    Distinct-url extraction is hash-bucketed (one shuffle over 64
+    coarse groups, per-bucket vectorized pandas dedup) — a per-url hash
+    aggregate builds one group per page, the measured slow path.
     """
     dsts = edge_urls.select_columns(["dst_url"]).rename_columns({"dst_url": "url"})
     srcs = edge_urls.select_columns(["src_url"]).rename_columns({"src_url": "url"})
@@ -187,21 +217,26 @@ def number_vertices(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
         lambda t: t.append_column("is_dst", pa.array(np.zeros(t.num_rows, np.int8))),
         batch_format="pyarrow",
     )
+    tagged = is_dst.union(is_src)
+
+    def bucketize(df):
+        import pandas as pd
+
+        # vectorized string hashing (deterministic default key);
+        # correctness doesn't depend on the bucket fn — only spreading
+        df["_cb"] = (pd.util.hash_array(df["url"].to_numpy(dtype=object)) % 64).astype("int64")
+        return df
+
+    def per_bucket(g) -> pa.Table:
+        gb = g.groupby("url", sort=False)["is_dst"].max()
+        urls = gb.index.to_numpy()
+        kind = np.where(gb.to_numpy() == 1, 0, 1).astype(np.int8)
+        return pa.table({"url": pa.array(urls, pa.string()), "kind": pa.array(kind)})
+
     verts = (
-        is_dst.union(is_src)
-        .groupby("url")
-        .aggregate(Count(alias_name="deg_total"), Min("is_dst", alias_name="_min_dst"),
-                   _MaxI8("is_dst", "_max_dst"))
-    )
-    # kind: 0 if ever a dst else 1
-    verts = verts.map_batches(
-        lambda t: pa.table(
-            {
-                "url": t["url"],
-                "kind": pc.if_else(pc.equal(t["_max_dst"], 1), pa.scalar(0, pa.int8()), pa.scalar(1, pa.int8())),
-            }
-        ),
-        batch_format="pyarrow",
+        tagged.map_batches(bucketize, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pandas")
     )
     verts = verts.sort(["kind", "url"])
     return with_row_index(verts, column="vid")
@@ -267,8 +302,18 @@ def map_edges_to_vids(
 
 
 @ray.remote
-def _bincount_block(t: pa.Table, col: str, n: int) -> np.ndarray:
-    v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+def _bincount_block(t, col: str, n: int) -> np.ndarray:
+    # blocks may arrive as Arrow tables OR pandas frames (Ray hands back
+    # whatever format the upstream stage produced), and empty shuffle
+    # blocks can be columnless
+    if isinstance(t, pa.Table):
+        if t.num_rows == 0:
+            return np.zeros(n, dtype=np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        if len(t) == 0 or col not in getattr(t, "columns", []):
+            return np.zeros(n, dtype=np.int64)
+        v = np.asarray(t[col]).astype(np.int64)
     return np.bincount(v, minlength=n)
 
 
