@@ -159,3 +159,83 @@ def test_reference_create_ground_truth_matches(fixture_graph):
         k = str(src[e])
         want_u[k] = max(want_u.get(k, 0), 1 if labels[e] == -1 else 0)
     assert ref_u == want_u
+
+
+def test_reference_fraudar_peel_matches_engine(fixture_graph):
+    """Gate 6: the exact peel (order + tie-breaks) vs the reference's
+    fastGreedyDecreasing/MinTree run on the same matrix."""
+    src, dst, rating, u_prior, p_prior, r_prior, U, Pn, G = fixture_graph
+    from UGFraud.Detector.Fraudar import listToSparseMatrix, logWeightedAveDegree
+
+    from ugfraud_ray.detectors.fraudar import fast_greedy_decreasing
+
+    rows = src.astype(int).tolist()
+    cols = (dst - U).astype(int).tolist()
+    M = listToSparseMatrix(rows, cols)
+    (ref_rows, ref_cols), ref_score = logWeightedAveDegree(M)
+
+    m = max(rows) + 1
+    n = max(cols) + 1
+    import numpy as _np
+
+    dedup = _np.array(sorted({(r, c) for r, c in zip(rows, cols)}), dtype=_np.int64)
+    colsum = _np.bincount(dedup[:, 1], minlength=n).astype(_np.float64)
+    col_w = 1.0 / _np.log(colsum + 5)
+    got_rows, got_cols, got_score = fast_greedy_decreasing(
+        dedup[:, 0], dedup[:, 1], col_w, m=m, n=n
+    )
+    assert got_rows == set(ref_rows) and got_cols == set(ref_cols)
+    assert abs(got_score - ref_score) < 1e-9
+
+
+def test_reference_fbox_matches_engine(fixture_graph, ray_session):
+    """Gate 5: suspicious user/product sets vs the reference fBox."""
+    src, dst, rating, u_prior, p_prior, r_prior, U, Pn, G = fixture_graph
+    from UGFraud.Detector.fBox import fBox
+
+    from ugfraud_ray.detectors.fbox import fbox
+
+    model = fBox(G)
+    tau, k = 20.0, 3
+    sus_u_by_deg, sus_p_by_deg = model.run(tau, k)
+    ref_users = {u for lst in sus_u_by_deg.values() for u in lst}
+    ref_prods = {p for lst in sus_p_by_deg.values() for p in lst}
+
+    # the reference indexes by FIRST-SEEN edge order; suspicious sets are
+    # id sets, so only membership must match. Engine runs on the same
+    # bipartite matrix (users = src, prods = dst-U).
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst - U)})
+    )
+    got_u, got_p = fbox(e, Pn, tau=tau, k=k)
+    got_users = {str(Pn + v) for v in got_u.to_pandas()["vid"]}
+    got_prods = {str(p) for p in got_p.to_pandas()["pid"]}
+    assert got_users == ref_users
+    assert got_prods == ref_prods
+
+
+def test_reference_zoobp_degenerate_matches(fixture_graph):
+    """Gates 3/4: the reference ZooBP (with its B2 view bug and B3
+    scalar-logsumexp update) vs the engine's explicit degenerate mode."""
+    src, dst, rating, u_prior, p_prior, r_prior, U, Pn, G = fixture_graph
+    import numpy as _np
+
+    from UGFraud.Detector.ZooBP import ZooBP
+
+    from ugfraud_ray.detectors.zoobp import zoobp_reference_degenerate
+
+    H = _np.array([[0.5, -0.5], [-0.5, 0.5]])
+    model = ZooBP(G, 0.01, H)
+    ref_user_beliefs, ref_prod_beliefs = model.run()
+
+    # engine conformance mode on the same dicts
+    u_ids = [n for n, d in G.nodes(data=True) if d["types"] == "user"]
+    p_ids = [n for n, d in G.nodes(data=True) if d["types"] == "prod"]
+    u_priors = {n: G.nodes[n]["prior"] for n in u_ids}
+    p_priors = {n: G.nodes[n]["prior"] for n in p_ids}
+    ratings = _np.array([d["rating"] for _, _, d in G.edges(data=True)])
+    n_pos = int((ratings == 1).sum())
+    n_neg = int((ratings == 2).sum())
+    got_u, got_p = zoobp_reference_degenerate(u_priors, p_priors, n_pos, n_neg, ep=0.01)
+    for k_ in ref_user_beliefs:
+        assert abs(ref_user_beliefs[k_] - got_u[k_]) < 1e-6, k_
