@@ -118,3 +118,31 @@ def test_speagle_incremental_refresh(tmp_path, ray_session):
     full = eng2.vertex_scores().to_pandas().sort_values("vid")["score"].to_numpy()
     eng2.shutdown()
     assert np.allclose(inc, full, atol=1e-8)
+
+
+def test_speagle_hub_splitting_invariant(tmp_path, ray_session):
+    """Hub-routed edges (two-level combine) must not change the fixed point."""
+    from tests.test_detectors import _mini_review_graph
+
+    from ugfraud_ray.detectors.speagle import speagle
+
+    src, dst, rating, u_prior, p_prior, r_prior, U, Pn = _mini_review_graph(
+        seed=91, n_users=40, n_prods=4, n_edges=150
+    )
+    N = U + Pn
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst), "prior": pa.array(r_prior)})
+    vp = pa.table(
+        {
+            "vid": pa.array(np.arange(N, dtype=np.int64)),
+            "prior": pa.array(np.concatenate([u_prior, p_prior])),
+            "kind": pa.array((np.arange(N) < U).astype(np.int8)),
+        }
+    )
+    a, _, _ = speagle(ray.data.from_arrow(edges), ray.data.from_arrow(vp), N,
+                      str(tmp_path / "a"), P=3, max_iters=100, tol=1e-12)
+    b, _, _ = speagle(ray.data.from_arrow(edges), ray.data.from_arrow(vp), N,
+                      str(tmp_path / "b"), P=3, max_iters=100, tol=1e-12,
+                      hub_threshold=5)  # every prod is a hub at this size
+    av = a.to_pandas().sort_values("vid")["score"].to_numpy()
+    bv = b.to_pandas().sort_values("vid")["score"].to_numpy()
+    assert np.allclose(av, bv, atol=1e-9)

@@ -179,49 +179,59 @@ class BPShard:
         self.m_r2u, self.m_r2p = new_r2u, new_r2p
         t_kernel = time.perf_counter() - t0
         t0 = time.perf_counter()
-        # dst-side sums are fully shard-local (edges live with their dst
-        # partition): one dense accumulation, no shuffle. Only the
-        # src-side (user) partial sums move — shard-to-shard through the
-        # object store (get_partial refs), never through the driver.
-        self._dst_sums = np.column_stack(
-            [
-                np.bincount(self.dst_local, weights=self.m_r2p[:, 0], minlength=self.n_local),
-                np.bincount(self.dst_local, weights=self.m_r2p[:, 1], minlength=self.n_local),
-            ]
-        )
-        self._partials_src = {}
-        order, bounds, _, groups = self.plans["src"]
-        msgs_sorted = self.m_r2u[order]
-        for q in range(self.P):
-            sl = slice(bounds[q], bounds[q + 1])
-            if sl.start >= sl.stop:
-                continue
-            uniq, inv = groups[q]
-            sums = np.column_stack(
-                [
-                    np.bincount(inv, weights=msgs_sorted[sl, 0], minlength=len(uniq)),
-                    np.bincount(inv, weights=msgs_sorted[sl, 1], minlength=len(uniq)),
-                ]
-            )
-            # straight to the object store: the driver ships only the
-            # (tiny) refs to the owning shard, data moves shard-to-shard
-            self._partials_src[q] = ray.put((uniq, sums))
+        # Two-sided partial exchange: both m_r2u (to users, by src) and
+        # m_r2p (to prods, by dst) aggregate via the precomputed
+        # per-partition plans. Own-partition sums accumulate locally
+        # (no serialization); remote partials go straight to the object
+        # store — the driver ships only refs, data moves shard-to-shard.
+        # dst partials are only remote when hub splitting rerouted hub
+        # prods' edges by src (degree-aware skew handling).
+        self._local_sums = np.zeros((self.n_local, 2))
+        staged: dict[int, list] = {}
+        for side, msgs in (("src", self.m_r2u), ("dst", self.m_r2p)):
+            order, bounds, _, groups = self.plans[side]
+            msgs_sorted = msgs[order]
+            for q in range(self.P):
+                sl = slice(bounds[q], bounds[q + 1])
+                if sl.start >= sl.stop:
+                    continue
+                uniq, inv = groups[q]
+                sums = np.column_stack(
+                    [
+                        np.bincount(inv, weights=msgs_sorted[sl, 0], minlength=len(uniq)),
+                        np.bincount(inv, weights=msgs_sorted[sl, 1], minlength=len(uniq)),
+                    ]
+                )
+                if q == self.p:
+                    np.add.at(self._local_sums, uniq, sums)
+                else:
+                    staged.setdefault(q, []).append((uniq, sums))
+        # ONE object-store put per shard (P² small puts cost ~1ms each
+        # and dominate superstep overhead at high P); arrays come back
+        # zero-copy, so each owner only touches its own slices
+        merged = {
+            q: (np.concatenate([u for u, _ in parts]),
+                np.concatenate([s for _, s in parts]))
+            for q, parts in staged.items()
+        }
+        self._partials = ray.put(merged) if merged else None
         t_partial = time.perf_counter() - t0
         return {
             "delta": float(delta),
-            "partials": self._partials_src,
+            "partials": self._partials,
             "t_fetch": t_fetch, "t_gather": t_gather,
             "t_kernel": t_kernel, "t_partial": t_partial,
         }
 
     def apply(self, partial_refs: list):
-        S = self.prior_v + self._dst_sums
-        for part in ray.get(list(partial_refs)):
+        S = self.prior_v + self._local_sums
+        for peer_dict in ray.get(list(partial_refs)):
+            part = peer_dict.get(self.p) if peer_dict else None
             if part is not None:
                 idx, vals = part
                 np.add.at(S, idx, vals)
         self.S = S
-        # NOTE: _partials_src is intentionally NOT cleared here — peer
+        # NOTE: _partials is intentionally NOT cleared here — peer
         # shards' apply() may still be fetching from us concurrently;
         # the next compute() overwrites it.
         return True
@@ -314,12 +324,9 @@ class SpEagleEngine:
             delta = float(sum(o["delta"] for o in outs))
             # shard-to-shard partial exchange: compute() already put the
             # partials in the object store; the driver only routes refs
-            ray.get(
-                [
-                    s.apply.remote([o["partials"][q] for o in outs if q in o["partials"]])
-                    for q, s in enumerate(self.shards)
-                ]
-            )
+            # (one per shard; each owner picks its slice zero-copy)
+            refs = [o["partials"] for o in outs if o["partials"] is not None]
+            ray.get([s.apply.remote(refs) for s in self.shards])
             dt = time.perf_counter() - t0
             mean_delta = delta / norm
             last = {"step": it, "seconds": dt, "delta": mean_delta}
@@ -386,6 +393,7 @@ def speagle(
     potentials: dict | None = None,
     max_iters: int = 20,
     tol: float = 1e-3,
+    hub_threshold: int | None = None,
     ckpt_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
@@ -394,6 +402,9 @@ def speagle(
 
     edges_with_prior: (src, dst, prior) review edges (prior = review
     prior in [0,1]); vertex_prior: (vid, prior, kind 1=user/0=prod).
+    hub_threshold: in-degree above which a product's edges are spread
+    by src across shards (two-level combine through the generic
+    partial exchange — degree-aware skew splitting).
     Returns (vertex_scores, review_scores, metrics).
     """
     from ugfraud_ray.state.layout import build_layout
@@ -401,6 +412,7 @@ def speagle(
     layout = build_layout(
         edges_with_prior, n_vertices, layout_dir, P=P,
         edge_cols=["prior"], vertex_aux=vertex_prior,
+        hub_threshold=hub_threshold,
     )
     eng = SpEagleEngine(layout, potentials, ckpt_dir=ckpt_dir,
                         checkpoint_every=checkpoint_every)
