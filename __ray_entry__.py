@@ -495,6 +495,18 @@ def _q_embedding_neardup(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_embedding_neardup_exact(sf_dir: str):
+    """Exact brute-force cosine-threshold pairs (the oracle-checkable
+    baseline for the LSH variant above; threshold applied to the 4-dp
+    ROUNDED cosine so the keep decision is float-impl independent)."""
+    from ugfraud_ray.pipelines.dedup import embedding_cosine_pairs_exact
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_cosine_pairs_exact(emb, threshold=0.3, round_to=4)
+
+
 def _q_lang_id(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import language_id
 
@@ -561,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality_score,
         "doc_fingerprints": _q_fingerprints,
@@ -593,6 +606,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
     }
+
+
+def _lang_id_sql() -> str:
+    from ugfraud_ray.pipelines.text_analysis import _LANG_MARKERS
+
+    def mk(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
+    sql = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_matches(substring(text, 1, 200), '[^\x00-\x{2E80}]') AS is_zh,
+                 list_slice(regexp_extract_all(lower(text), '[^\t\n\x0b\x0c\r ]+'), 1, 200) AS toks
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, is_zh, len(toks) AS n_tok,
+                 len(list_filter(toks, x -> list_contains(MK_EN, x))) AS s_en,
+                 len(list_filter(toks, x -> list_contains(MK_DE, x))) AS s_de,
+                 len(list_filter(toks, x -> list_contains(MK_FR, x))) AS s_fr,
+                 len(list_filter(toks, x -> list_contains(MK_ES, x))) AS s_es,
+                 len(list_filter(toks, x -> list_contains(MK_IT, x))) AS s_it
+          FROM scored_src
+        )
+        SELECT doc_id,
+          CASE WHEN is_zh THEN 'zh'
+               WHEN n_tok = 0 THEN 'und'
+               WHEN GREATEST(s_en,s_de,s_fr,s_es,s_it) = 0 THEN 'und'
+               WHEN s_en = GREATEST(s_en,s_de,s_fr,s_es,s_it) THEN 'en'
+               WHEN s_de = GREATEST(s_en,s_de,s_fr,s_es,s_it) THEN 'de'
+               WHEN s_fr = GREATEST(s_en,s_de,s_fr,s_es,s_it) THEN 'fr'
+               WHEN s_es = GREATEST(s_en,s_de,s_fr,s_es,s_it) THEN 'es'
+               ELSE 'it' END AS lang_pred,
+          CASE WHEN is_zh THEN 1.0
+               WHEN n_tok = 0 THEN 0.0
+               ELSE LEAST(1.0, CAST(GREATEST(s_en,s_de,s_fr,s_es,s_it) AS DOUBLE)
+                               / GREATEST(n_tok, 1) * 10) END AS lang_conf
+        FROM scored
+    """
+    sql = sql.replace("scored_src", "base")
+    for lang in ("en", "de", "fr", "es", "it"):
+        sql = sql.replace(f"MK_{lang.upper()}", mk(lang))
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -753,7 +808,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             sims AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.qv, e.embedding) AS sim
+                       list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS sim
                 FROM q CROSS JOIN embeddings e
                 WHERE e.vec_id <> q.query_id
             ),
@@ -767,6 +823,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, ROUND(CAST(sim AS DOUBLE), 4) AS sim,
                    CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= {ANN_K}
+        """,
+        # double-precision cosine (CAST before the kernel): float32
+        # list_cosine_similarity flips the 4th decimal vs numpy float64
+        "embedding_neardup_exact": """
+            WITH s AS (
+                SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+                       ROUND(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                                    CAST(e2.embedding AS DOUBLE[])), 4) AS cosine
+                FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            )
+            SELECT * FROM s WHERE cosine >= 0.3
+        """,
+        # marker lists generated from the engine's table (no drift);
+        # CASE chain replicates the strict-> first-wins tie rule of the
+        # Python marker loop; ASCII-whitespace tokenizer class matches
+        # str.split() on the ASCII corpora the driver tables contain
+        "doc_lang_id": _lang_id_sql(),
+        # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
+        "doc_quality_score": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_extract_all(text, '[\t\n\x0b\x0c\r ]')) AS DOUBLE) AS n_sp,
+                       CAST(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_pu
+                FROM documents
+            )
+            SELECT doc_id, ROUND((
+                  LEAST(n_chars/500.0, 1.0)
+                + (1.0 - LEAST(ABS(n_sp/GREATEST(n_chars,1.0) - 0.17)/0.17, 1.0))
+                + (1.0 - LEAST(n_pu/GREATEST(n_chars,1.0)/0.2, 1.0))
+            )/3.0, 9) AS quality FROM f
         """,
     }
 

@@ -112,3 +112,41 @@ def test_embedding_cosine_dedup_planted(ray_session):
     ).to_pandas()
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (10, 150) in got
+
+
+def test_embedding_cosine_pairs_exact_matches_numpy(ray_session):
+    """Exact brute-force pairs == dense numpy all-pairs at the rounded
+    threshold; and every LSH-found pair is in the exact set."""
+    from ugfraud_ray.pipelines.dedup import (
+        embedding_cosine_dedup,
+        embedding_cosine_pairs_exact,
+    )
+
+    rng = np.random.default_rng(47)
+    n, dim = 150, 12
+    vecs = rng.standard_normal((n, dim))
+    vecs[120] = vecs[3] + 0.01 * rng.standard_normal(dim)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1).astype(np.float32)), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = embedding_cosine_pairs_exact(ds, threshold=0.5, round_to=4).to_pandas()
+
+    x = vecs.astype(np.float32).astype(np.float64)
+    nv = x / np.linalg.norm(x, axis=1)[:, None]
+    sims = np.round(nv @ nv.T, 4)
+    i, j = np.triu_indices(n, k=1)
+    keep = sims[i, j] >= 0.5
+    want = set(zip(i[keep].tolist(), j[keep].tolist()))
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs == want
+
+    lsh = embedding_cosine_dedup(ds, threshold=0.5).to_pandas()
+    assert set(zip(lsh["id_a"], lsh["id_b"])) <= {
+        (a, b) for a, b in zip(i[sims[i, j] >= 0.5 - 1e-9], j[sims[i, j] >= 0.5 - 1e-9])
+    }

@@ -507,6 +507,61 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def embedding_cosine_pairs_exact(
+    emb: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_to: int = 4,
+) -> "ray.data.Dataset":
+    """ALL pairs (id_a < id_b) with round(cosine, round_to) >= threshold.
+
+    Exact O(n²) baseline for the LSH variant below: the normalized
+    matrix is broadcast ONCE via ``ray.put`` and every block does one
+    numpy matmul of its rows against it (block × corpus). Use this as
+    the ground-truth/small-side path; at 100 TB the corpus no longer
+    broadcasts — use ``embedding_cosine_dedup`` (bucketed LSH) there.
+    Thresholding happens on the ROUNDED value so the decision is
+    reproducible across float implementations (matches the SQL oracle).
+    """
+    from ugfraud_ray.functions.collect import collect_table
+
+    t = collect_table(emb.select_columns([id_col, vec_col]))
+    all_ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(
+        t[vec_col].combine_chunks().flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+    )
+    x = flat.reshape(len(all_ids), -1)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put((all_ids, x / norms[:, None]))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        ids_all, nv = ray.get(mat_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(
+            t[vec_col].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        xb = flat.reshape(len(ids), -1)
+        nb = np.linalg.norm(xb, axis=1)
+        nb[nb == 0] = 1.0
+        sims = np.round((xb / nb[:, None]) @ nv.T, round_to)  # (block, corpus)
+        # only emit (block_row, corpus_col) with id_row < id_col — each
+        # unordered pair is produced by exactly one block
+        keep = (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        bi, ci = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi]),
+                "id_b": pa.array(ids_all[ci]),
+                "cosine": pa.array(sims[bi, ci]),
+            }
+        )
+
+    return emb.map_batches(block_pairs, batch_format="pyarrow")
+
+
 def embedding_cosine_dedup(
     emb: "ray.data.Dataset",
     id_col: str = "vec_id",
