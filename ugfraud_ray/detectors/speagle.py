@@ -13,13 +13,23 @@ Reference /root/reference/UGFraud/Detector/SpEagle.py:
 - classify (SpEagle.py:465-508): softmax(belief)[1] per node.
 
 Engine form (north star): reviews ARE the edge rows — each edge carries
-its review prior and 4 log-message 2-vectors (u→r, p→r, r→u, r→p);
+its review prior and 4 log-odds messages (u→r, p→r, r→u, r→p);
 vertices carry S_v = prior_v + Σ m_r→v. One superstep updates all 4
-message arrays Jacobi-style (vectorized logsumexp, no Python loop over
+message arrays Jacobi-style (vectorized logaddexp, no Python loop over
 edges), then rebuilds S via dst-local segment sums + compact
 src-partition partials shuffled to their owners. Gauss–Seidel vs Jacobi
 changes the trajectory, not the fixed point (SURVEY §2.9 I1):
 conformance is at convergence, np.allclose 1e-6.
+
+Scalar log-odds representation: a normalized 2-class log message
+[m0, m1] is fully determined by its difference d = m1 − m0
+(m0 = −logaddexp(0, d)), the message kernel is shift-invariant in its
+input, and belief sums are LINEAR in d — so the whole algorithm closes
+over one float64 per message instead of two. This halves the
+superstep's memory traffic (the measured bottleneck) and drops the
+per-edge transcendental count from 12 to 8 logaddexp. Read-out
+posteriors exp(S1)/(exp(S0)+exp(S1)) = sigmoid(S_diff) are unchanged
+mathematically; convergence delta is reported in mean |Δ log-odds|.
 
 Checkpointing: every ``checkpoint_every`` supersteps each shard writes
 messages+S to ``ckpt/step=k/bp_p{p}.parquet`` and the driver commits a
@@ -59,15 +69,19 @@ def log_prior_2vec(p: np.ndarray) -> np.ndarray:
     return np.column_stack([np.log(1.0 - p), np.log(p)])
 
 
+def log_prior_odds(p: np.ndarray) -> np.ndarray:
+    """prior scalar -> log-odds log(p/(1-p)) with the reference's clamps."""
+    p = np.asarray(p, dtype=np.float64)
+    p = np.where(p == 1.0, 1.0 - EPS_PRIOR, np.where(p == 0.0, EPS_PRIOR, p))
+    return np.log(p) - np.log(1.0 - p)
+
+
 def _msg(v: np.ndarray, logH: np.ndarray) -> np.ndarray:
-    """Vectorized reference message kernel over E edges.
+    """Vectorized reference message kernel over E edges (2-vector form,
+    kept for conformance-oracle reuse in tests).
 
     v: (E,2) log inputs; logH: (2,2). out[e,j] = lse_i(logH[j,i]+v[e,i]),
     normalized so lse_j(out[e,:]) = 0 (SpEagle.py:210-215).
-
-    2-class closed form via np.logaddexp — ~4x less memory traffic than
-    the generic (E,2,2) broadcast (the BP superstep is bandwidth-bound
-    at scale, so temporaries cost wall-clock, not just RAM).
     """
     v0, v1 = v[:, 0], v[:, 1]
     o0 = np.logaddexp(logH[0, 0] + v0, logH[0, 1] + v1)
@@ -79,6 +93,19 @@ def _msg(v: np.ndarray, logH: np.ndarray) -> np.ndarray:
     out[:, 0] = o0
     out[:, 1] = o1
     return out
+
+
+def _msg_diff(d: np.ndarray, logH: np.ndarray) -> np.ndarray:
+    """Scalar log-odds message kernel: the difference out1 − out0 of
+    `_msg` depends only on the input difference d = v1 − v0 (shift
+    invariance of lse), so per message only TWO logaddexp over (E,)
+    are needed and normalization cancels:
+
+        out_diff = lse(logH[1,0], logH[1,1]+d) − lse(logH[0,0], logH[0,1]+d)
+    """
+    return np.logaddexp(logH[1, 0], logH[1, 1] + d) - np.logaddexp(
+        logH[0, 0], logH[0, 1] + d
+    )
 
 
 @ray.remote
@@ -101,7 +128,7 @@ class BPShard:
         self.src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.E = len(self.src)
-        self.prior_r = log_prior_2vec(t["prior"].to_numpy(zero_copy_only=False))
+        self.prior_r = log_prior_odds(t["prior"].to_numpy(zero_copy_only=False))
         self.src_part = (self.src % self.P).astype(np.int64)
         self.src_local = self.src // self.P
         self.dst_part = (self.dst % self.P).astype(np.int64)
@@ -138,12 +165,27 @@ class BPShard:
             if "kind" in vt.column_names:
                 kind[vid // self.P] = vt["kind"].to_numpy(zero_copy_only=False)
         self.kind = kind
-        self.prior_v = log_prior_2vec(pv)
-        # message state (all zeros = uniform in log space, Node.add_neighbor)
-        self.m_u2r = np.zeros((self.E, 2))
-        self.m_p2r = np.zeros((self.E, 2))
-        self.m_r2u = np.zeros((self.E, 2))
-        self.m_r2p = np.zeros((self.E, 2))
+        self.prior_v = log_prior_odds(pv)
+        # message state (all zeros = uniform log-odds, Node.add_neighbor).
+        # Double-buffered + preallocated scratch: the superstep kernel
+        # runs ALLOCATION-FREE — concurrent shards each mmap/munmap'ing
+        # ~40 MB temporaries per step serialize on the kernel's mmap
+        # lock and caused multi-second stalls (measured: pure-numpy
+        # kernel sections spiking 5x only under concurrency).
+        self.m_u2r = np.zeros(self.E)
+        self.m_p2r = np.zeros(self.E)
+        self.m_r2u = np.zeros(self.E)
+        self.m_r2p = np.zeros(self.E)
+        # zeros (not empty) pre-faults the pages at actor init, keeping
+        # first-touch page faults out of the first measured superstep
+        self._n_u2r = np.zeros(self.E)
+        self._n_p2r = np.zeros(self.E)
+        self._n_r2u = np.zeros(self.E)
+        self._n_r2p = np.zeros(self.E)
+        self._Su = np.zeros(self.E)
+        self._Sp = np.zeros(self.E)
+        self._t1 = np.zeros(self.E)
+        self._t2 = np.zeros(self.E)
         self.S = self.prior_v.copy()
 
     def get_state(self) -> np.ndarray:
@@ -155,28 +197,48 @@ class BPShard:
         blocks = ray.get(list(state_refs))
         t_fetch = time.perf_counter() - t0
         t0 = time.perf_counter()
-        S_u = np.empty((self.E, 2))
-        S_p = np.empty((self.E, 2))
-        for arr, plan in ((S_u, self.plans["src"]), (S_p, self.plans["dst"])):
+        for arr, plan in ((self._Su, self.plans["src"]), (self._Sp, self.plans["dst"])):
             order, bounds, local_sorted, _ = plan
             for q in range(self.P):
                 sl = slice(bounds[q], bounds[q + 1])
                 if sl.start < sl.stop:
-                    arr[order[sl]] = blocks[q][local_sorted[sl]]
+                    np.take(blocks[q], local_sorted[sl], out=self._t1[: sl.stop - sl.start])
+                    arr[order[sl]] = self._t1[: sl.stop - sl.start]
         t_gather = time.perf_counter() - t0
         t0 = time.perf_counter()
-        new_u2r = _msg(S_u - self.m_r2u, self.pot["u_r"])
-        new_p2r = _msg(S_p - self.m_r2p, self.pot["p_r"])
-        new_r2u = _msg(self.prior_r + self.m_p2r, self.pot["r_u"])
-        new_r2p = _msg(self.prior_r + self.m_u2r, self.pot["r_p"])
+
+        def msg_into(cavity_a, cavity_b, sign, logH, out):
+            # out <- _msg_diff(cavity_a +/- cavity_b, logH), allocation-free
+            d = self._t1
+            np.subtract(cavity_a, cavity_b, out=d) if sign < 0 else np.add(
+                cavity_a, cavity_b, out=d
+            )
+            np.add(d, logH[1, 1], out=self._t2)
+            np.logaddexp(logH[1, 0], self._t2, out=self._t2)
+            np.add(d, logH[0, 1], out=d)
+            np.logaddexp(logH[0, 0], d, out=d)
+            np.subtract(self._t2, d, out=out)
+
+        def l1_delta(new, old):
+            np.subtract(new, old, out=self._t1)
+            np.abs(self._t1, out=self._t1)
+            return self._t1.sum()
+
+        msg_into(self._Su, self.m_r2u, -1, self.pot["u_r"], self._n_u2r)
+        msg_into(self._Sp, self.m_r2p, -1, self.pot["p_r"], self._n_p2r)
+        msg_into(self.prior_r, self.m_p2r, +1, self.pot["r_u"], self._n_r2u)
+        msg_into(self.prior_r, self.m_u2r, +1, self.pot["r_p"], self._n_r2p)
         delta = (
-            np.abs(new_u2r - self.m_u2r).sum()
-            + np.abs(new_p2r - self.m_p2r).sum()
-            + np.abs(new_r2u - self.m_r2u).sum()
-            + np.abs(new_r2p - self.m_r2p).sum()
+            l1_delta(self._n_u2r, self.m_u2r)
+            + l1_delta(self._n_p2r, self.m_p2r)
+            + l1_delta(self._n_r2u, self.m_r2u)
+            + l1_delta(self._n_r2p, self.m_r2p)
         )
-        self.m_u2r, self.m_p2r = new_u2r, new_p2r
-        self.m_r2u, self.m_r2p = new_r2u, new_r2p
+        # swap double buffers: new become current, old become next scratch
+        self.m_u2r, self._n_u2r = self._n_u2r, self.m_u2r
+        self.m_p2r, self._n_p2r = self._n_p2r, self.m_p2r
+        self.m_r2u, self._n_r2u = self._n_r2u, self.m_r2u
+        self.m_r2p, self._n_r2p = self._n_r2p, self.m_r2p
         t_kernel = time.perf_counter() - t0
         t0 = time.perf_counter()
         # Two-sided partial exchange: both m_r2u (to users, by src) and
@@ -186,22 +248,18 @@ class BPShard:
         # store — the driver ships only refs, data moves shard-to-shard.
         # dst partials are only remote when hub splitting rerouted hub
         # prods' edges by src (degree-aware skew handling).
-        self._local_sums = np.zeros((self.n_local, 2))
+        self._local_sums = np.zeros(self.n_local)
         staged: dict[int, list] = {}
         for side, msgs in (("src", self.m_r2u), ("dst", self.m_r2p)):
             order, bounds, _, groups = self.plans[side]
-            msgs_sorted = msgs[order]
+            msgs_sorted = self._t2
+            np.take(msgs, order, out=msgs_sorted)
             for q in range(self.P):
                 sl = slice(bounds[q], bounds[q + 1])
                 if sl.start >= sl.stop:
                     continue
                 uniq, inv = groups[q]
-                sums = np.column_stack(
-                    [
-                        np.bincount(inv, weights=msgs_sorted[sl, 0], minlength=len(uniq)),
-                        np.bincount(inv, weights=msgs_sorted[sl, 1], minlength=len(uniq)),
-                    ]
-                )
+                sums = np.bincount(inv, weights=msgs_sorted[sl], minlength=len(uniq))
                 if q == self.p:
                     np.add.at(self._local_sums, uniq, sums)
                 else:
@@ -210,8 +268,9 @@ class BPShard:
         # and dominate superstep overhead at high P); arrays come back
         # zero-copy, so each owner only touches its own slices
         merged = {
-            q: (np.concatenate([u for u, _ in parts]),
-                np.concatenate([s for _, s in parts]))
+            q: (parts[0] if len(parts) == 1 else
+                (np.concatenate([u for u, _ in parts]),
+                 np.concatenate([s for _, s in parts])))
             for q, parts in staged.items()
         }
         self._partials = ray.put(merged) if merged else None
@@ -223,7 +282,7 @@ class BPShard:
             "t_kernel": t_kernel, "t_partial": t_partial,
         }
 
-    def apply(self, partial_refs: list):
+    def apply(self, partial_refs: list) -> np.ndarray:
         S = self.prior_v + self._local_sums
         for peer_dict in ray.get(list(partial_refs)):
             part = peer_dict.get(self.p) if peer_dict else None
@@ -234,32 +293,35 @@ class BPShard:
         # NOTE: _partials is intentionally NOT cleared here — peer
         # shards' apply() may still be fetching from us concurrently;
         # the next compute() overwrites it.
-        return True
+        # Returning S lets the driver feed apply FUTURES straight into
+        # the next compute() round — no apply barrier, no per-step
+        # get_state round; each shard's compute blocks only on its
+        # peers' apply, shard-to-shard through the object store.
+        return S
 
     # ---- read-outs ------------------------------------------------------
+    @staticmethod
+    def _sigmoid(d: np.ndarray) -> np.ndarray:
+        # softmax[1] of the 2-class belief == sigmoid of its log-odds;
+        # computed in log space for stability at extreme |d|
+        return np.exp(d - np.logaddexp(0.0, d))
+
     def vertex_scores(self) -> pa.Table:
-        b = self.S
-        m = b.max(axis=1, keepdims=True)
-        post = np.exp(b - m)
-        post /= post.sum(axis=1, keepdims=True)
         return pa.table(
             {
                 "vid": pa.array(self.vids),
                 "kind": pa.array(self.kind),
-                "score": pa.array(post[:, 1]),
+                "score": pa.array(self._sigmoid(self.S)),
             }
         )
 
     def review_scores(self) -> pa.Table:
         b = self.prior_r + self.m_u2r + self.m_p2r
-        m = b.max(axis=1, keepdims=True)
-        post = np.exp(b - m)
-        post /= post.sum(axis=1, keepdims=True)
         return pa.table(
             {
                 "src": pa.array(self.src),
                 "dst": pa.array(self.dst),
-                "score": pa.array(post[:, 1]),
+                "score": pa.array(self._sigmoid(b)),
             }
         )
 
@@ -272,12 +334,10 @@ class BPShard:
             ("u2r", self.m_u2r), ("p2r", self.m_p2r),
             ("r2u", self.m_r2u), ("r2p", self.m_r2p),
         ):
-            cols[f"{name}_0"] = pa.array(arr[:, 0])
-            cols[f"{name}_1"] = pa.array(arr[:, 1])
+            cols[name] = pa.array(arr)
         pq.write_table(pa.table(cols), os.path.join(d, f"bp_edges_p{self.p}.parquet"))
         pq.write_table(
-            pa.table({"vid": pa.array(self.vids), "s0": pa.array(self.S[:, 0]),
-                      "s1": pa.array(self.S[:, 1])}),
+            pa.table({"vid": pa.array(self.vids), "s": pa.array(self.S)}),
             os.path.join(d, f"bp_vertex_p{self.p}.parquet"),
         )
         return True
@@ -286,11 +346,9 @@ class BPShard:
         d = os.path.join(ckpt_dir, f"step={step}")
         et = pq.read_table(os.path.join(d, f"bp_edges_p{self.p}.parquet"))
         for name, attr in (("u2r", "m_u2r"), ("p2r", "m_p2r"), ("r2u", "m_r2u"), ("r2p", "m_r2p")):
-            setattr(self, attr, np.column_stack(
-                [et[f"{name}_0"].to_numpy(), et[f"{name}_1"].to_numpy()]
-            ).astype(np.float64))
+            setattr(self, attr, et[name].to_numpy(zero_copy_only=False).astype(np.float64))
         vt = pq.read_table(os.path.join(d, f"bp_vertex_p{self.p}.parquet"))
-        self.S = np.column_stack([vt["s0"].to_numpy(), vt["s1"].to_numpy()]).astype(np.float64)
+        self.S = vt["s"].to_numpy(zero_copy_only=False).astype(np.float64)
         return True
 
 
@@ -317,16 +375,20 @@ class SpEagleEngine:
                 start = latest + 1
         norm = float(n_nodes or self.layout.n_vertices)
         last = {}
+        # bootstrap state refs once; afterwards each superstep's state
+        # refs are the PREVIOUS apply futures (pipelined — the driver
+        # never barriers on apply, exceptions surface at the next
+        # compute's internal ray.get)
+        state_refs = [s.get_state.remote() for s in self.shards]
         for it in range(start, max_iters):
             t0 = time.perf_counter()
-            state_refs = [s.get_state.remote() for s in self.shards]
             outs = ray.get([s.compute.remote(state_refs) for s in self.shards])
             delta = float(sum(o["delta"] for o in outs))
             # shard-to-shard partial exchange: compute() already put the
             # partials in the object store; the driver only routes refs
             # (one per shard; each owner picks its slice zero-copy)
             refs = [o["partials"] for o in outs if o["partials"] is not None]
-            ray.get([s.apply.remote(refs) for s in self.shards])
+            state_refs = [s.apply.remote(refs) for s in self.shards]
             dt = time.perf_counter() - t0
             mean_delta = delta / norm
             last = {"step": it, "seconds": dt, "delta": mean_delta}
