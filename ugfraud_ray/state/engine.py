@@ -151,8 +151,15 @@ class GraphShard:
         self.state = np.ascontiguousarray(program.init_state(self.vids, self), dtype=np.float64)
         if self.state.ndim == 1:
             self.state = self.state[:, None]
-        self._agg = None
-        self._have = None
+        # preallocated superstep buffers (zeros pre-faults the pages at
+        # actor init): concurrent shards mmap/munmap'ing large fresh
+        # temporaries every step serialize on the kernel mmap lock —
+        # measured multi-second stalls in the BP engine
+        k = program.state_dim
+        self._src_vals = np.zeros((self.n_edges, k))
+        self._gtmp = np.zeros((self.n_edges, k))
+        self._agg = np.zeros((self.n_local, k))
+        self._have = np.zeros(self.n_local, dtype=bool)
 
     def vertex_aux(self, col: str, default: float = 0.0) -> np.ndarray:
         """Dense (n_local,) array of a static vertex column for owned vids."""
@@ -173,20 +180,28 @@ class GraphShard:
 
     # ---- superstep phase 1: gather + combine -----------------------------
     def compute(self, state_refs: list) -> np.ndarray:
-        """Aggregate messages for owned vids; return hub partials (small)."""
+        """Aggregate messages for owned vids; return hub partials (small).
+
+        state_refs may be get_state blocks (arrays) or pipelined apply
+        results ((state, stats) pairs are split by num_returns=2, so
+        plain arrays arrive either way)."""
         k = self.program.state_dim
         blocks = ray.get(list(state_refs))
-        src_vals = np.empty((self.n_edges, k), dtype=np.float64)
+        src_vals = self._src_vals
         for q in range(self.P):
             sl = slice(self.src_bounds[q], self.src_bounds[q + 1])
             if sl.start < sl.stop:
-                src_vals[self.src_order[sl]] = blocks[q][self.src_local_sorted[sl]]
+                n = sl.stop - sl.start
+                np.take(blocks[q], self.src_local_sorted[sl], axis=0, out=self._gtmp[:n])
+                src_vals[self.src_order[sl]] = self._gtmp[:n]
         msgs = self.program.message(src_vals, self.edge_data, self)
         if msgs.ndim == 1:
             msgs = msgs[:, None]
         ident = _COMBINE_IDENT[self.program.combine]
-        agg = np.full((self.n_local, k), ident, dtype=np.float64)
-        have = np.zeros(self.n_local, dtype=bool)
+        agg = self._agg
+        agg.fill(ident)
+        have = self._have
+        have.fill(False)
         lm = self.local_mask
         dl = self.dst_local[lm]
         if self.program.combine == "sum":
@@ -222,7 +237,7 @@ class GraphShard:
         return self.program.init_stats(self.vids, self.state, self)
 
     # ---- superstep phase 2: apply ---------------------------------------
-    def apply(self, hub_agg: np.ndarray | None, aux: dict) -> dict:
+    def apply(self, hub_agg: np.ndarray | None, aux: dict):
         agg, have = self._agg, self._have
         if hub_agg is not None and len(self.owned_hub_pos):
             vals = hub_agg[self.owned_hub_pos, :-1]
@@ -233,8 +248,11 @@ class GraphShard:
         if new_state.ndim == 1:
             new_state = new_state[:, None]
         self.state = np.ascontiguousarray(new_state, dtype=np.float64)
-        self._agg = self._have = None
-        return stats
+        # (state, stats): called with num_returns=2 so the driver feeds
+        # the state ref straight into the next compute round (pipelined,
+        # shard-to-shard through the object store) and fetches only the
+        # small stats ref itself
+        return self.state, stats
 
     # ---- checkpointing ---------------------------------------------------
     def checkpoint(self, ckpt_dir: str, step: int) -> bool:
@@ -317,25 +335,54 @@ class SuperstepEngine:
             init = ray.get([s.initial_stats.remote() for s in self.shards])
             if any(init):
                 aux.update(self.program.reduce_stats(init))
+        # Pipelined superstep loop: apply is called with num_returns=2 —
+        # its state ref feeds the NEXT compute round directly (no
+        # per-step get_state round, no driver barrier on state) while
+        # the driver fetches only the small stats refs. Convergence is
+        # checked before each apply launch, so the number of applied
+        # supersteps is identical to the barriered loop; at most one
+        # extra compute (which only fills shard-local buffers) runs
+        # after convergence.
+        state_refs = [s.get_state.remote() for s in self.shards]
+        stats_refs = None
+
+        def _consume_stats(refs):
+            """Merge a finished step's stats into aux/metrics; returns
+            (stats, aux_before_merge) for the convergence checks."""
+            nonlocal aux
+            stats = self.program.reduce_stats(ray.get(refs))
+            self.metrics[-1].update(
+                {k: float(v) for k, v in stats.items() if np.isscalar(v)}
+            )
+            step = self.metrics[-1]["step"]
+            aux_before = aux
+            aux = {**aux, **stats}
+            if self.checkpoint_every and self.ckpt_dir and (step + 1) % self.checkpoint_every == 0:
+                self._commit_checkpoint(step, aux)
+            return stats, aux_before
+
         for it in range(start_step, max_iters):
             t0 = time.perf_counter()
-            state_refs = [s.get_state.remote() for s in self.shards]
-            hub_parts = ray.get([s.compute.remote(state_refs) for s in self.shards])
+            compute_futs = [s.compute.remote(state_refs) for s in self.shards]
+            if stats_refs is not None:
+                # stats of the PREVIOUS step, fetched while compute runs
+                stats, aux_before = _consume_stats(stats_refs)
+                stats_refs = None
+                if stop_fn is not None and stop_fn(stats, aux_before):
+                    break
+                if tol is not None and stats.get("delta", np.inf) <= tol:
+                    break
+            hub_parts = ray.get(compute_futs)
             hub_agg = self._combine_hub(hub_parts)
-            stats = self.program.reduce_stats(
-                ray.get([s.apply.remote(hub_agg, aux) for s in self.shards])
-            )
+            pairs = [
+                s.apply.options(num_returns=2).remote(hub_agg, aux) for s in self.shards
+            ]
+            state_refs = [p[0] for p in pairs]
+            stats_refs = [p[1] for p in pairs]
             dt = time.perf_counter() - t0
-            rec = {"step": it, "seconds": dt, **{k: float(v) for k, v in stats.items() if np.isscalar(v)}}
-            self.metrics.append(rec)
-            prev_aux = aux
-            aux = {**aux, **stats}
-            if self.checkpoint_every and self.ckpt_dir and (it + 1) % self.checkpoint_every == 0:
-                self._commit_checkpoint(it, aux)
-            if stop_fn is not None and stop_fn(stats, prev_aux):
-                break
-            if tol is not None and stats.get("delta", np.inf) <= tol:
-                break
+            self.metrics.append({"step": it, "seconds": dt})
+        if stats_refs is not None:
+            _consume_stats(stats_refs)
         if self.ckpt_dir:
             os.makedirs(self.ckpt_dir, exist_ok=True)
             with open(os.path.join(self.ckpt_dir, "metrics.json"), "w") as f:
