@@ -89,7 +89,9 @@ def review_edges(sf_dir: str) -> "ray.data.Dataset":
 
 def general_edges(sf_dir: str) -> "ray.data.Dataset":
     """(src, dst) simple directed graph on the customer-id domain."""
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # materialized once: consumed by the max() aggregate AND the
+    # projection pass (otherwise the parquet read re-executes per branch)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
     mod = int(orders.max("o_custkey")) + 1
 
     def project(t: pa.Table) -> pa.Table:
@@ -120,6 +122,43 @@ def number_int_vertices(
     # once so the upstream lineage (e.g. the orders ⋈ lineitem join)
     # doesn't re-execute per branch.
     edges = edges.materialize()
+    n_edges = edges.count()  # metadata on a materialized dataset — free
+    if n_edges <= broadcast_threshold:
+        # small-side fast path: distinct ids via per-block np.unique +
+        # ONE driver merge — the union→groupby→sort→row-index chain
+        # spins up hash-shuffle pools and costs ~12 s of fixed overhead
+        # for a 15k-id result (measured at sf0.1). The driver holds
+        # only the distinct-id array, which the broadcast remap below
+        # needs anyway at this size.
+        def block_ids(t: pa.Table) -> pa.Table:
+            u = np.unique(
+                np.concatenate(
+                    [
+                        t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    ]
+                )
+            )
+            return pa.table({"id": pa.array(u)})
+
+        ut = collect_table(edges.map_batches(block_ids, batch_format="pyarrow"))
+        orig = np.unique(ut["id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        vid = np.arange(len(orig), dtype=np.int64)
+        vmap = ray.data.from_arrow(pa.table({"id": pa.array(orig), "vid": pa.array(vid)}))
+        n = len(orig)
+        lk = np.full(int(orig.max()) + 1 if n else 1, -1, dtype=np.int64)
+        lk[orig] = vid
+        lk_ref = ray.put(lk)
+
+        def remap(t: pa.Table) -> pa.Table:
+            m = ray.get(lk_ref)
+            cols = {c: t[c] for c in t.column_names}
+            cols["src"] = pa.array(m[t["src"].to_numpy(zero_copy_only=False)])
+            cols["dst"] = pa.array(m[t["dst"].to_numpy(zero_copy_only=False)])
+            return pa.table(cols)
+
+        return edges.map_batches(remap, batch_format="pyarrow"), vmap, n
+
     ids = (
         edges.select_columns(["src"]).rename_columns({"src": "id"})
         .union(edges.select_columns(["dst"]).rename_columns({"dst": "id"}))
