@@ -214,11 +214,13 @@ def minhash_lsh_candidates(
     # ONE shuffle over coarse buckets (a per-(band,bucket) map_groups
     # pays Python dispatch per LSH bucket — tens of thousands of them);
     # within a coarse bucket the per-bucket pair emission is a numpy
-    # run loop over lexsorted keys.
-    pairs = _bucketed_pair_emit(banded, ["band", "bucket"], id_col)
+    # run loop over lexsorted keys. Small corpora skip the shuffle
+    # entirely (driver-local run loop; n_docs from parquet metadata).
+    n_banded = docs.count() * bands
+    pairs = _bucketed_pair_emit(banded, ["band", "bucket"], id_col, approx_rows=n_banded)
     from ugfraud_ray.stages.graph_build import dedup_pairs as _dp
 
-    return _dp(pairs, a="id_a", b="id_b")
+    return _dp(pairs, a="id_a", b="id_b", approx_rows=n_banded)
 
 
 def minhash_lsh_dedup(
@@ -269,6 +271,7 @@ def minhash_lsh_dedup(
 def _bucketed_pair_emit(
     ds: "ray.data.Dataset", key_cols: list[str], id_col: str, n_buckets: int = 64,
     carry: list[str] | None = None,
+    approx_rows: int | None = None, local_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Emit all unordered id pairs sharing the exact key tuple.
 
@@ -276,6 +279,10 @@ def _bucketed_pair_emit(
     bucket, lexsort by the key tuple and expand each run's triangle.
     Optional `carry` columns are taken from the first row of each run's
     id_a side... (not needed yet; reserved).
+
+    approx_rows ≤ local_threshold runs the identical run-loop
+    driver-local on the collected table (skips the shuffle pool's
+    fixed spin-up, the dominant cost for small inputs).
     """
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -316,6 +323,11 @@ def _bucketed_pair_emit(
                 "id_b": pa.array(np.concatenate(out_b)),
             }
         )
+
+    if approx_rows is not None and approx_rows <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        return ray.data.from_arrow(emit(collect_table(ds).to_pandas()))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -427,14 +439,20 @@ def simhash_dedup(
         h ^= h >> np.uint64(31)
         return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
 
-    pairs = (
-        banded.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(check, batch_format="pandas")
-    )
+    n_banded = docs.count() * 4
+    if n_banded <= 1_000_000:
+        from ugfraud_ray.functions.collect import collect_table
+
+        pairs = ray.data.from_arrow(check(collect_table(banded).to_pandas()))
+    else:
+        pairs = (
+            banded.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(check, batch_format="pandas")
+        )
     from ugfraud_ray.stages.graph_build import dedup_pairs as _dp
 
-    return _dp(pairs, a="id_a", b="id_b", extra={"hamming": "min"})
+    return _dp(pairs, a="id_a", b="id_b", extra={"hamming": "min"}, approx_rows=n_banded)
 
 
 # ---------------------------------------------------------------------------

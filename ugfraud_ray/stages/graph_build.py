@@ -118,6 +118,8 @@ def dedup_pairs(
     b: str = "dst",
     extra: dict | None = None,
     n_buckets: int = 64,
+    approx_rows: int | None = None,
+    local_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Exact (a, b) pair dedup with optional per-column min/max combine.
 
@@ -126,8 +128,34 @@ def dedup_pairs(
     is hashed into ``n_buckets`` coarse buckets (ONE shuffle over a few
     dozen groups) and each bucket deduplicates vectorized (lexsort +
     run-boundary reduceat). extra maps column -> 'min' | 'max'.
+
+    approx_rows: caller-known upper bound on the input row count. When
+    it is ≤ local_threshold the dedup runs driver-local on the collected
+    table (the coarse-bucket shuffle has ~2-4 s fixed pool-spin-up cost
+    that dwarfs small inputs); the distributed path is unchanged.
     """
     extra = extra or {}
+
+    if approx_rows is not None and approx_rows <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(ds)
+        av = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bv, av))
+        av, bv = av[order], bv[order]
+        if len(av):
+            starts = np.flatnonzero(
+                np.concatenate([[True], (np.diff(av) != 0) | (np.diff(bv) != 0)])
+            )
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+        out = {a: pa.array(av[starts]), b: pa.array(bv[starts])}
+        for col, how in extra.items():
+            v = t[col].to_numpy(zero_copy_only=False)[order]
+            red = np.minimum.reduceat(v, starts) if how == "min" else np.maximum.reduceat(v, starts)
+            out[col] = pa.array(red)
+        return ray.data.from_arrow(pa.table(out))
 
     def bucketize(t: pa.Table) -> pa.Table:
         av = t[a].to_numpy(zero_copy_only=False).astype(np.uint64)
