@@ -53,38 +53,80 @@ def review_edges(sf_dir: str) -> "ray.data.Dataset":
     """(src, dst, rating:int8, label:int8) deduped bipartite review edges."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_discount", "l_returnflag"])
-    joined = lineitem.join(
-        orders.rename_columns({"o_orderkey": "l_orderkey"}),
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-    )
+    n_ord = orders.count()  # parquet metadata — free
 
-    def project(t: pa.Table) -> pa.Table:
-        rating = pc.if_else(
-            pc.greater_equal(t["l_discount"], 0.05),
-            pa.scalar(2, pa.int8()),
-            pa.scalar(1, pa.int8()),
-        )
-        label = pc.if_else(
-            pc.equal(t["l_returnflag"], "R"), pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8())
-        )
-        return pa.table(
-            {
-                "src": t["o_custkey"],
-                "dst": pc.add(t["l_partkey"], PART_OFFSET),
-                "rating": rating,
-                "label": label,
-            }
+    if n_ord <= 10_000_000:
+        # broadcast join: the order→customer map ships ONCE via ray.put
+        # and each lineitem batch probes a dense int array — Ray's hash
+        # join spins a shuffle pool (~7 s fixed at sf0.1) that dwarfs a
+        # small build side. Inner-join semantics kept via the -1 mask.
+        ot = collect_table(orders)
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lk = np.full(int(ok.max()) + 1 if len(ok) else 1, -1, dtype=np.int64)
+        lk[ok] = oc
+        lk_ref = ray.put(lk)
+
+        def project_bcast(t: pa.Table) -> pa.Table:
+            m = ray.get(lk_ref)
+            lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cust = np.where(lo < len(m), m[np.minimum(lo, len(m) - 1)], -1)
+            keep = cust >= 0
+            tk = t.filter(pa.array(keep))
+            rating = pc.if_else(
+                pc.greater_equal(tk["l_discount"], 0.05),
+                pa.scalar(2, pa.int8()),
+                pa.scalar(1, pa.int8()),
+            )
+            label = pc.if_else(
+                pc.equal(tk["l_returnflag"], "R"), pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8())
+            )
+            return pa.table(
+                {
+                    "src": pa.array(cust[keep]),
+                    "dst": pc.add(tk["l_partkey"], PART_OFFSET),
+                    "rating": rating,
+                    "label": label,
+                }
+            )
+
+        e = lineitem.map_batches(project_bcast, batch_format="pyarrow")
+    else:
+        joined = lineitem.join(
+            orders.rename_columns({"o_orderkey": "l_orderkey"}),
+            join_type="inner",
+            num_partitions=16,
+            on=("l_orderkey",),
         )
 
-    e = joined.map_batches(project, batch_format="pyarrow")
+        def project(t: pa.Table) -> pa.Table:
+            rating = pc.if_else(
+                pc.greater_equal(t["l_discount"], 0.05),
+                pa.scalar(2, pa.int8()),
+                pa.scalar(1, pa.int8()),
+            )
+            label = pc.if_else(
+                pc.equal(t["l_returnflag"], "R"), pa.scalar(1, pa.int8()), pa.scalar(0, pa.int8())
+            )
+            return pa.table(
+                {
+                    "src": t["o_custkey"],
+                    "dst": pc.add(t["l_partkey"], PART_OFFSET),
+                    "rating": rating,
+                    "label": label,
+                }
+            )
+
+        e = joined.map_batches(project, batch_format="pyarrow")
     # D5 exact dedup (Fraudar.py:18-20 multi-edge collapse), deterministic
     # combine; bucket-partitioned (per-pair hash aggregates are the
-    # measured many-groups slow path, see graph_build.dedup_pairs)
+    # measured many-groups slow path, see graph_build.dedup_pairs).
+    # Row bound for the small-side local path: the inner join emits at
+    # most one row per lineitem row (parquet metadata count — free).
     from ugfraud_ray.stages.graph_build import dedup_pairs
 
-    return dedup_pairs(e, extra={"rating": "min", "label": "max"})
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    return dedup_pairs(e, extra={"rating": "min", "label": "max"}, approx_rows=n_li)
 
 
 def general_edges(sf_dir: str) -> "ray.data.Dataset":
@@ -103,7 +145,7 @@ def general_edges(sf_dir: str) -> "ray.data.Dataset":
     e = orders.map_batches(project, batch_format="pyarrow")
     from ugfraud_ray.stages.graph_build import dedup_pairs
 
-    return dedup_pairs(e)
+    return dedup_pairs(e, approx_rows=orders.count())
 
 
 def number_int_vertices(

@@ -30,7 +30,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 
-def _canonical_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def _canonical_edges(edges: "ray.data.Dataset", approx_rows: int | None = None) -> "ray.data.Dataset":
     def canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)
         d = t["dst"].to_numpy(zero_copy_only=False)
@@ -43,7 +43,7 @@ def _canonical_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     e = edges.map_batches(canon, batch_format="pyarrow")
     from ugfraud_ray.stages.graph_build import dedup_pairs
 
-    return dedup_pairs(e, a="a", b="b")
+    return dedup_pairs(e, a="a", b="b", approx_rows=approx_rows)
 
 
 def triangle_count(
@@ -56,7 +56,11 @@ def triangle_count(
     three shuffle stages cost seconds of fixed pool spin-up each, which
     dwarfs small graphs. The distributed path is unchanged.
     """
-    e = _canonical_edges(edges).materialize()
+    try:
+        hint = edges.count()  # free on materialized / parquet-read inputs
+    except Exception:
+        hint = None
+    e = _canonical_edges(edges, approx_rows=hint).materialize()
     ne = e.count()
     if ne <= local_threshold:
         t = collect_table(e)
