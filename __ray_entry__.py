@@ -412,6 +412,32 @@ def _q_labelprop(sf_dir: str):
     return unmap_vids(out, vmap, vid_col="vid", out_col="id").select_columns(["id", "label"])
 
 
+def _events(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_events_windowed(sf_dir: str):
+    """Tumbling-hour event-time window aggregate (partial combine inside
+    map_batches, then a tiny windows×types merge)."""
+    from ugfraud_ray.pipelines.events import windowed_counts
+
+    return windowed_counts(_events(sf_dir))
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap), vectorized lexsort+cumsum."""
+    from ugfraud_ray.pipelines.events import sessionize
+
+    return sessionize(_events(sf_dir), gap_minutes=30)
+
+
+def _q_events_props(sf_dir: str):
+    """Vectorized JSON int-field extraction via the Arrow RE2 kernel."""
+    from ugfraud_ray.pipelines.events import extract_props
+
+    return extract_props(_events(sf_dir))
+
+
 def _q_seeded_sample(sf_dir: str):
     """O5/J4 deterministic hash-based sampling (reference versions are
     unseeded random.sample — the engine's is partition-parallel and
@@ -582,6 +608,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
         "seeded_sample": _q_seeded_sample,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "events_props": _q_events_props,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
@@ -834,6 +863,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             )
             SELECT * FROM s WHERE cosine >= 0.3
+        """,
+        "events_windowed": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            )
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   epoch_us(MIN(ts)) AS session_start_us,
+                   COUNT(*) AS n_events,
+                   date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "events_props": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         # marker lists generated from the engine's table (no drift);
         # CASE chain replicates the strict-> first-wins tie rule of the

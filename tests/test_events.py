@@ -1,0 +1,85 @@
+"""Event-stream operator tests: windowing, sessionization, extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _synth_events(n=2000, n_users=37, seed=23) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ts = base + np.sort(rng.integers(0, 14 * 86400 * 1_000_000, size=n))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, n_users, size=n)),
+            "event_type": pa.array(
+                np.array(["view", "click", "error"])[rng.integers(0, 3, size=n)], pa.string()
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 50, size=n), 2)),
+        }
+    )
+
+
+def test_windowed_counts_match_pandas(ray_session):
+    from ugfraud_ray.pipelines.events import windowed_counts
+
+    t = _synth_events()
+    got = windowed_counts(ray.data.from_arrow(t)).to_pandas()
+
+    df = t.to_pandas()
+    df["ws"] = df["ts"].to_numpy().astype("datetime64[h]").astype("datetime64[us]").astype(np.int64)
+    want = (
+        df.groupby(["ws", "event_type"])
+        .agg(n_events=("value", "size"), total_value=("value", "sum"))
+        .reset_index()
+    )
+    got = got.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)
+    want = want.sort_values(["ws", "event_type"]).reset_index(drop=True)
+    assert (got["window_start_us"].to_numpy() == want["ws"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(got["total_value"], np.round(want["total_value"], 6))
+
+
+def test_sessionize_local_and_bucketed_agree(ray_session):
+    from ugfraud_ray.pipelines.events import sessionize
+
+    t = _synth_events()
+    ds = ray.data.from_arrow(t)
+    local = sessionize(ds, gap_minutes=45).to_pandas()
+    dist = sessionize(ds, gap_minutes=45, local_threshold=0).to_pandas()
+    key = ["user_id", "session_id"]
+    local = local.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert len(local) == len(dist)
+    for c in local.columns:
+        if local[c].dtype == np.float64:
+            assert np.allclose(local[c], dist[c])
+        else:
+            assert (local[c].to_numpy() == dist[c].to_numpy()).all()
+    # session invariants: gaps inside a session never exceed 45 min
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    gap_us = 45 * 60 * 1_000_000
+    for uid, g in df.groupby("user_id"):
+        tsv = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n_sessions = 1 + int((np.diff(tsv) > gap_us).sum()) if len(tsv) else 0
+        assert (local["user_id"] == uid).sum() == n_sessions
+
+
+def test_extract_props(ray_session):
+    from ugfraud_ray.pipelines.events import extract_props
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "props": pa.array(['{"k": 7}', '{"k": -3}', '{"j": 1, "k": 42}'], pa.string()),
+        }
+    )
+    got = extract_props(ray.data.from_arrow(t)).to_pandas().sort_values("event_id")
+    assert got["k"].tolist() == [7, -3, 42]
