@@ -438,6 +438,22 @@ def _q_events_props(sf_dir: str):
     return extract_props(_events(sf_dir))
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join: latest same-user 'error' event at or before each event
+    (merge-scan composition — the operator Ray Data lacks natively)."""
+    from ugfraud_ray.pipelines.events import asof_last_event
+
+    return asof_last_event(_events(sf_dir), match_type="error")
+
+
+def _q_events_topk(sf_dir: str):
+    """Top-3 events per user by (value desc, id asc) — partial top-k
+    combiner per block, then merge."""
+    from ugfraud_ray.pipelines.events import topk_per_user
+
+    return topk_per_user(_events(sf_dir), k=3)
+
+
 def _q_seeded_sample(sf_dir: str):
     """O5/J4 deterministic hash-based sampling (reference versions are
     unseeded random.sample — the engine's is partition-parallel and
@@ -611,6 +627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_props": _q_events_props,
+        "events_asof_last_error": _q_events_asof,
+        "events_topk_per_user": _q_events_topk,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
@@ -897,6 +915,25 @@ def oracle_sql() -> dict[str, str]:
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        # native ASOF JOIN; COALESCE to -1 keeps the columns integer
+        # (NULL-free) so the value compare is exact
+        "events_asof_last_error": """
+            SELECT e.event_id,
+                   COALESCE(er.event_id, -1) AS last_match_id,
+                   COALESCE(epoch_us(er.ts), -1) AS last_match_ts_us
+            FROM events e ASOF LEFT JOIN (
+                SELECT * FROM events WHERE event_type = 'error'
+            ) er ON e.user_id = er.user_id AND e.ts >= er.ts
+        """,
+        "events_topk_per_user": """
+            SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                       ) AS rnk
+                FROM events
+            ) WHERE rnk <= 3
         """,
         # marker lists generated from the engine's table (no drift);
         # CASE chain replicates the strict-> first-wins tie rule of the

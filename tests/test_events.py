@@ -83,3 +83,57 @@ def test_extract_props(ray_session):
     )
     got = extract_props(ray.data.from_arrow(t)).to_pandas().sort_values("event_id")
     assert got["k"].tolist() == [7, -3, 42]
+
+
+def test_asof_local_and_bucketed_agree(ray_session):
+    from ugfraud_ray.pipelines.events import asof_last_event
+
+    t = _synth_events(n=1500, n_users=29, seed=31)
+    ds = ray.data.from_arrow(t)
+    local = asof_last_event(ds, "error").to_pandas().sort_values("event_id").reset_index(drop=True)
+    dist = (
+        asof_last_event(ds, "error", local_threshold=0)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert (local == dist).all().all()
+    # hand-check semantics: a matching event joins itself (inclusive)
+    df = t.to_pandas()
+    err_ids = set(df[df["event_type"] == "error"]["event_id"])
+    self_rows = local[local["event_id"].isin(err_ids)]
+    assert (self_rows["last_match_id"] == self_rows["event_id"]).all()
+
+
+def test_asof_tiny_hand_case(ray_session):
+    from ugfraud_ray.pipelines.events import asof_last_event
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = lambda m: base + np.timedelta64(m * 60_000_000, "us")
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([mins(0), mins(5), mins(10), mins(1), mins(20)]),
+            "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+            "event_type": pa.array(["error", "view", "error", "view", "error"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        }
+    )
+    got = asof_last_event(ray.data.from_arrow(t), "error").to_pandas().sort_values("event_id")
+    assert got["last_match_id"].tolist() == [0, 0, 2, -1, 4]
+
+
+def test_topk_per_user(ray_session):
+    from ugfraud_ray.pipelines.events import topk_per_user
+
+    t = _synth_events(n=1200, n_users=17, seed=41)
+    ds = ray.data.from_arrow(t)
+    local = topk_per_user(ds, k=3).to_pandas().sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    dist = (
+        topk_per_user(ds, k=3, local_threshold=0)
+        .to_pandas().sort_values(["user_id", "rnk"]).reset_index(drop=True)
+    )
+    assert (local == dist).all().all()
+    df = t.to_pandas()
+    for uid, g in df.groupby("user_id"):
+        want = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        got = local[local["user_id"] == uid]
+        assert got["event_id"].tolist() == want["event_id"].tolist()

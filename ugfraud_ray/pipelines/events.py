@@ -182,6 +182,146 @@ def sessionize(
     )
 
 
+def _asof_block(
+    user: np.ndarray, ts_us: np.ndarray, eid: np.ndarray, is_match: np.ndarray
+) -> pa.Table:
+    """Merge-scan as-of join of one (complete-user) block: for every
+    event, the latest matching event of the same user with ts <= event's
+    ts (inclusive — a matching event joins itself). -1 when none."""
+    n = len(user)
+    m = int(is_match.sum())
+    # stream = all left rows + duplicated right (match) rows; right
+    # sorts BEFORE left at equal (user, ts) => inclusive semantics
+    cu = np.concatenate([user, user[is_match]])
+    ct = np.concatenate([ts_us, ts_us[is_match]])
+    ce = np.concatenate([eid, eid[is_match]])
+    is_left = np.concatenate([np.ones(n, np.int8), np.zeros(m, np.int8)])
+    order = np.lexsort((ce, is_left, ct, cu))
+    cu, ct, ce, is_left = cu[order], ct[order], ce[order], is_left[order]
+    pos = np.where(is_left == 0, np.arange(n + m), -1)
+    filled = np.maximum.accumulate(pos) if n + m else np.zeros(0, np.int64)
+    left_rows = np.flatnonzero(is_left == 1)
+    f = filled[left_rows]
+    ok = (f >= 0) & (cu[np.maximum(f, 0)] == cu[left_rows])
+    last_id = np.where(ok, ce[np.maximum(f, 0)], -1)
+    last_ts = np.where(ok, ct[np.maximum(f, 0)], -1)
+    return pa.table(
+        {
+            "event_id": pa.array(ce[left_rows]),
+            "last_match_id": pa.array(last_id.astype(np.int64)),
+            "last_match_ts_us": pa.array(last_ts.astype(np.int64)),
+        }
+    )
+
+
+def asof_last_event(
+    events: "ray.data.Dataset",
+    match_type: str = "error",
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """As-of join: (event_id, last_match_id, last_match_ts_us) — the
+    most recent event of ``match_type`` by the same user at or before
+    each event's timestamp (-1/-1 when none). The custom operator the
+    Dataset API lacks; composed as a merge-scan over (user, ts)-sorted
+    streams. Partitioning assumption: user-colocated buckets (same as
+    ``sessionize``); small inputs run driver-local.
+    """
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    ds = events.select_columns(cols)
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.asarray(pc.equal(t["event_type"], match_type).to_numpy(zero_copy_only=False))
+        else:
+            u = t["user_id"].to_numpy().astype(np.int64)
+            ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            e = t["event_id"].to_numpy().astype(np.int64)
+            m = t["event_type"].to_numpy() == match_type
+        return u, ts, e, m
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(_asof_block(*extract(collect_table(ds))))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _asof_block(*extract(g)), batch_format="pandas")
+    )
+
+
+def topk_per_user(
+    events: "ray.data.Dataset", k: int = 3, local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """(user_id, event_id, value, rnk) — top-k events per user by
+    (value desc, event_id asc). Vectorized: lexsort + run boundaries,
+    no per-user dispatch; same user-colocation bucketing at scale."""
+    cols = ["user_id", "event_id", "value"]
+    ds = events.select_columns(cols)
+
+    def block_topk(t) -> pa.Table:
+        if isinstance(t, pa.Table):
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            u = t["user_id"].to_numpy().astype(np.int64)
+            e = t["event_id"].to_numpy().astype(np.int64)
+            v = t["value"].to_numpy().astype(np.float64)
+        order = np.lexsort((e, -v, u))
+        u, e, v = u[order], e[order], v[order]
+        if len(u):
+            starts = np.flatnonzero(np.concatenate([[True], np.diff(u) != 0]))
+            run_id = np.cumsum(np.concatenate([[True], np.diff(u) != 0])) - 1
+            rnk = np.arange(len(u)) - starts[run_id] + 1
+            keep = rnk <= k
+        else:
+            rnk = keep = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep]),
+                "event_id": pa.array(e[keep]),
+                "value": pa.array(v[keep]),
+                "rnk": pa.array(rnk[keep].astype(np.int64)),
+            }
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        # per-block partial top-k (the combiner), then one driver merge —
+        # merged input is ≤ k x users x blocks rows
+        partial = collect_table(ds.map_batches(block_topk, batch_format="pyarrow"))
+        return ray.data.from_arrow(block_topk(partial.drop_columns(["rnk"]).rename_columns(cols)))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        ds.map_batches(block_topk, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(block_topk, batch_format="pandas")
+    )
+
+
 def extract_props(
     events: "ray.data.Dataset", props_col: str = "props", field: str = "k"
 ) -> "ray.data.Dataset":
