@@ -49,6 +49,12 @@ def connected_components(
 ) -> tuple["ray.data.Dataset", list[dict]]:
     """Returns (Dataset(vid, component:int64), metrics). Exact labels."""
     sym = symmetrize(edges.select_columns(["src", "dst"]))
+    # small materialized inputs: materialize sym so build_layout's
+    # driver-local write path applies (count is free only then)
+    import ray.data as _rd
+
+    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() * 2 <= 1_000_000:
+        sym = sym.materialize()
     layout = build_layout(sym, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold)
     eng = SuperstepEngine(layout, HashMinProgram(), ckpt_dir=ckpt_dir, checkpoint_every=checkpoint_every)
     eng.run(max_iters=max_iters, tol=0.0, resume=resume)

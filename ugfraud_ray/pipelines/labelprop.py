@@ -67,6 +67,12 @@ def label_propagation(
     argmax class (lowest class wins ties) and score its probability.
     """
     sym = symmetrize(edges.select_columns(["src", "dst"]))
+    # small materialized inputs: materialize sym so build_layout's
+    # driver-local write path applies (count is free only then)
+    import ray.data as _rd
+
+    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() * 2 <= 1_000_000:
+        sym = sym.materialize()
     layout = build_layout(sym, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold, vertex_aux=seeds)
     eng = SuperstepEngine(layout, LabelPropProgram(n_classes))
     eng.run(max_iters=max_iters, tol=tol)

@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Count
@@ -97,8 +98,66 @@ def build_layout(
     """
     os.makedirs(path, exist_ok=True)
     keep = ["src", "dst"] + [c for c in (edge_cols or []) if c not in ("src", "dst")]
-    edges = edges.select_columns([c for c in keep if c in edges.schema().names])
+    keep = [c for c in keep if c in edges.schema().names]
 
+    # Driver-local layout write for small MATERIALIZED edge tables (count
+    # is metadata-free only then — a lazy lineage must never execute
+    # twice; checked BEFORE select_columns, which would wrap the dataset
+    # lazily): the distributed partitioned write costs ~1-2 s of fixed
+    # overhead per call, which dominates small-graph pagerank/cc runs.
+    import ray.data as _rd
+
+    if (
+        isinstance(edges, _rd.dataset.MaterializedDataset)
+        and edges.count() <= 1_000_000
+        and (vertex_aux is None or isinstance(vertex_aux, _rd.dataset.MaterializedDataset))
+    ):
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(edges).select(keep)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hub_vids_l: list[int] = []
+        part = dst % P
+        if hub_threshold is not None and len(dst):
+            indeg = np.bincount(dst, minlength=n_vertices)
+            hub_vids_l = np.flatnonzero(indeg > int(hub_threshold)).tolist()
+            if hub_vids_l:
+                is_hub = np.isin(dst, np.array(hub_vids_l, dtype=np.int64))
+                part = np.where(is_hub, src % P, part)
+        order = np.argsort(part, kind="stable")
+        bounds = np.concatenate([[0], np.cumsum(np.bincount(part, minlength=P))]).astype(np.int64)
+        sorted_t = t.take(pa.array(order))
+        for p in range(P):
+            d = os.path.join(path, "edges", f"part={p}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                sorted_t.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p])),
+                os.path.join(d, "data.parquet"),
+            )
+        if vertex_aux is not None:
+            vt = collect_table(vertex_aux)
+            vid = vt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vpart = vid % P
+            vorder = np.argsort(vpart, kind="stable")
+            vbounds = np.concatenate(
+                [[0], np.cumsum(np.bincount(vpart, minlength=P))]
+            ).astype(np.int64)
+            vsorted = vt.take(pa.array(vorder))
+            for p in range(P):
+                d = os.path.join(path, "vertex", f"part={p}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    vsorted.slice(int(vbounds[p]), int(vbounds[p + 1] - vbounds[p])),
+                    os.path.join(d, "data.parquet"),
+                )
+        layout = GraphLayout(
+            path=path, P=P, n_vertices=n_vertices, hub_vids=hub_vids_l, directed=directed
+        )
+        layout.save()
+        return layout
+
+    edges = edges.select_columns(keep)
     hub_vids: list[int] = []
     if hub_threshold is not None:
         from ugfraud_ray.stages.graph_build import dense_degrees
