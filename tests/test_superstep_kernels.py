@@ -146,3 +146,39 @@ def test_pagerank_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(r, f, atol=1e-12)
     # resumed run actually skipped the first steps
     assert metrics[0]["step"] == 10
+
+
+def test_layout_local_and_distributed_paths_agree(tmp_path, ray_session):
+    """The driver-local small-side layout write and the distributed
+    partitioned write must produce identical engine results (a lazy
+    input forces the distributed path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+    from ugfraud_ray.pipelines.pagerank import pagerank
+
+    rng = np.random.default_rng(53)
+    n, ne = 500, 3000
+    t = pa.table(
+        {
+            "src": pa.array(rng.integers(0, n, ne)),
+            "dst": pa.array(rng.integers(0, n, ne)),
+        }
+    )
+    mat = ray.data.from_arrow(t)  # materialized -> local write path
+    lazy = mat.map_batches(lambda b: b, batch_format="pyarrow")  # -> distributed
+    r1, _ = pagerank(mat, n, str(tmp_path / "a"), P=3, max_iters=8, tol=None)
+    r2, _ = pagerank(lazy, n, str(tmp_path / "b"), P=3, max_iters=8, tol=None)
+    a = r1.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = r2.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(a, b, atol=1e-12)
+
+    from ugfraud_ray.pipelines.components import connected_components
+
+    c1, _ = connected_components(mat, n, str(tmp_path / "ca"), P=3)
+    c2, _ = connected_components(lazy, n, str(tmp_path / "cb"), P=3)
+    ca = c1.to_pandas().sort_values("vid")["component"].to_numpy()
+    cb = c2.to_pandas().sort_values("vid")["component"].to_numpy()
+    assert (ca == cb).all()

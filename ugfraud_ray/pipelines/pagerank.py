@@ -105,6 +105,13 @@ def pagerank(
 ) -> tuple["ray.data.Dataset", list[dict]]:
     """Run PageRank; returns (Dataset(vid, rank), per-superstep metrics)."""
     weighted, outdeg_v = attach_edge_weights(edges, n_vertices)
+    # small materialized inputs: materialize the weighted edges so
+    # build_layout's driver-local write path applies (count is
+    # metadata-free only on materialized datasets)
+    import ray.data as _rd
+
+    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() <= 1_000_000:
+        weighted = weighted.materialize()
     layout = build_layout(
         weighted,
         n_vertices,
