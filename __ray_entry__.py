@@ -454,6 +454,14 @@ def _q_events_topk(sf_dir: str):
     return topk_per_user(_events(sf_dir), k=3)
 
 
+def _q_events_sliding(sf_dir: str):
+    """Value-based trailing-window count per event (SQL RANGE-frame
+    semantics), vectorized searchsorted per user segment."""
+    from ugfraud_ray.pipelines.events import sliding_window_count
+
+    return sliding_window_count(_events(sf_dir), window_minutes=60)
+
+
 def _q_seeded_sample(sf_dir: str):
     """O5/J4 deterministic hash-based sampling (reference versions are
     unseeded random.sample — the engine's is partition-parallel and
@@ -629,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": _q_events_props,
         "events_asof_last_error": _q_events_asof,
         "events_topk_per_user": _q_events_topk,
+        "events_sliding_count": _q_events_sliding,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
@@ -925,6 +934,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN (
                 SELECT * FROM events WHERE event_type = 'error'
             ) er ON e.user_id = er.user_id AND e.ts >= er.ts
+        """,
+        "events_sliding_count": """
+            SELECT event_id,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_in_window
+            FROM events
         """,
         "events_topk_per_user": """
             SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM (

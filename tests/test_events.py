@@ -137,3 +137,26 @@ def test_topk_per_user(ray_session):
         want = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
         got = local[local["user_id"] == uid]
         assert got["event_id"].tolist() == want["event_id"].tolist()
+
+
+def test_sliding_window_count(ray_session):
+    from ugfraud_ray.pipelines.events import sliding_window_count
+
+    t = _synth_events(n=900, n_users=11, seed=59)
+    ds = ray.data.from_arrow(t)
+    local = sliding_window_count(ds, 60).to_pandas().sort_values("event_id").reset_index(drop=True)
+    dist = (
+        sliding_window_count(ds, 60, local_threshold=0)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert (local == dist).all().all()
+    # brute-force check
+    df = t.to_pandas()
+    ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = df["user_id"].to_numpy()
+    win = 60 * 60 * 1_000_000
+    want = np.array(
+        [((uid == uid[i]) & (ts >= ts[i] - win) & (ts <= ts[i])).sum() for i in range(len(df))]
+    )
+    got = local.set_index("event_id").loc[df["event_id"]]["n_in_window"].to_numpy()
+    assert (got == want).all()

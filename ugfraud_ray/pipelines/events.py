@@ -322,6 +322,72 @@ def topk_per_user(
     )
 
 
+def _sliding_count_block(
+    user: np.ndarray, ts_us: np.ndarray, eid: np.ndarray, win_us: int
+) -> pa.Table:
+    """Per event: count of the user's events in [ts - win, ts] (RANGE
+    frame semantics — value-based, includes ts peers on both ends)."""
+    order = np.lexsort((eid, ts_us, user))
+    user, ts_us, eid = user[order], ts_us[order], eid[order]
+    cnt = np.zeros(len(user), dtype=np.int64)
+    if len(user):
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(user) != 0]))
+        ends = np.append(starts[1:], len(user))
+        for s, e in zip(starts, ends):
+            seg = ts_us[s:e]
+            hi = np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            cnt[s:e] = hi - lo
+    return pa.table({"event_id": pa.array(eid), "n_in_window": pa.array(cnt)})
+
+
+def sliding_window_count(
+    events: "ray.data.Dataset",
+    window_minutes: int = 60,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """(event_id, n_in_window): per event, how many of the SAME user's
+    events fall in the trailing value-based window [ts - W, ts] — the
+    engine form of SQL's `RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT
+    ROW` frame. Two vectorized searchsorteds per user segment; same
+    user-colocation bucketing as ``sessionize`` at scale.
+    """
+    win_us = int(window_minutes) * 60 * 1_000_000
+    ds = events.select_columns(["user_id", "ts", "event_id"])
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            return (
+                t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+                t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        return (
+            t["user_id"].to_numpy().astype(np.int64),
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            t["event_id"].to_numpy().astype(np.int64),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(_sliding_count_block(*extract(collect_table(ds)), win_us))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _sliding_count_block(*extract(g), win_us), batch_format="pandas")
+    )
+
+
 def extract_props(
     events: "ray.data.Dataset", props_col: str = "props", field: str = "k"
 ) -> "ray.data.Dataset":
