@@ -71,6 +71,48 @@ def bench_pipelines(sf_dir: str) -> dict:
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    # north-star metric on the driver testdata: SpEagle BP supersteps
+    # over the review graph (see --scaling for the 40M-edge evidence)
+    t0 = time.perf_counter()
+    d = _scratch("bp")
+    try:
+        import numpy as _np
+        import pyarrow as _pa
+
+        import ray.data as _rd
+
+        from ugfraud_ray.detectors.speagle import speagle
+
+        vids = _np.arange(n_rv, dtype=_np.int64)
+        vp = _rd.from_arrow(
+            _pa.table(
+                {
+                    "vid": _pa.array(vids),
+                    "prior": _pa.array(_np.full(n_rv, 0.5)),
+                    "kind": _pa.array((vids < n_rv // 2).astype(_np.int8)),
+                }
+            )
+        )
+
+        def with_prior(t: _pa.Table) -> _pa.Table:
+            r = t["rating"].to_numpy(zero_copy_only=False).astype(_np.float64)
+            return _pa.table(
+                {"src": t["src"], "dst": t["dst"],
+                 "prior": _pa.array(_np.where(r >= 2, 0.9, 0.1))}
+            )
+
+        bp_edges = redges.map_batches(with_prior, batch_format="pyarrow").materialize()
+        _, _, bp_metrics = speagle(
+            bp_edges, vp, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=0.0
+        )
+        q["speagle_bp_10_supersteps"] = time.perf_counter() - t0
+        bp_steps = [m["seconds"] for m in bp_metrics[2:]]
+        med = float(_np.median(bp_steps)) if bp_steps else float("nan")
+        out["bp_edges_per_sec_superstep"] = n_redges / med
+        out["bp_msg_updates_per_sec"] = 4 * n_redges / med
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     t0 = time.perf_counter()
     ge = general_edges(sf_dir).materialize()
     gedges, gmap, n_gv = number_int_vertices(ge)
@@ -336,6 +378,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "n_review_edges": res.get("n_review_edges"),
         "pagerank_edges_per_sec_superstep": round(res.get("pagerank_edges_per_sec_superstep", 0)),
+        "bp_edges_per_sec_superstep": round(res.get("bp_edges_per_sec_superstep", 0)),
+        "bp_msg_updates_per_sec": round(res.get("bp_msg_updates_per_sec", 0)),
         "n_pages": res.get("n_pages"),
         "pages_text_conformance_mismatches": res.get("pages_text_conformance_mismatches"),
         "pages_per_sec_extract_build": round(res.get("pages_per_sec_extract_build", 0)),
