@@ -160,3 +160,33 @@ def test_sliding_window_count(ray_session):
     )
     got = local.set_index("event_id").loc[df["event_id"]]["n_in_window"].to_numpy()
     assert (got == want).all()
+
+
+def test_events_ops_empty_input(ray_session):
+    """Empty event tables must not crash any operator (driver robustness)."""
+    from ugfraud_ray.pipelines.events import (
+        asof_last_event,
+        extract_props,
+        sessionize,
+        sliding_window_count,
+        topk_per_user,
+        windowed_counts,
+    )
+
+    t = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    assert windowed_counts(ds).count() == 0
+    assert sessionize(ds).count() == 0
+    assert asof_last_event(ds).count() == 0
+    assert topk_per_user(ds).count() == 0
+    assert sliding_window_count(ds).count() == 0
+    assert extract_props(ds).count() == 0

@@ -60,6 +60,17 @@ def windowed_counts(
         return out
 
     parts = collect_table(events.map_batches(partial, batch_format="pandas")).to_pandas()
+    if len(parts) == 0 or "window_start" not in parts.columns:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "window_start_us": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "total_value": pa.array([], pa.float64()),
+                }
+            )
+        )
     merged = (
         parts.groupby(["window_start", "event_type"], sort=False)
         .agg(n_events=("n_events", "sum"), total_value=("total_value", "sum"))
@@ -306,7 +317,18 @@ def topk_per_user(
         # per-block partial top-k (the combiner), then one driver merge —
         # merged input is ≤ k x users x blocks rows
         partial = collect_table(ds.map_batches(block_topk, batch_format="pyarrow"))
-        return ray.data.from_arrow(block_topk(partial.drop_columns(["rnk"]).rename_columns(cols)))
+        if partial.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "user_id": pa.array([], pa.int64()),
+                        "event_id": pa.array([], pa.int64()),
+                        "value": pa.array([], pa.float64()),
+                        "rnk": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        return ray.data.from_arrow(block_topk(partial))
 
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
