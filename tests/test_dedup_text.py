@@ -150,3 +150,41 @@ def test_embedding_cosine_pairs_exact_matches_numpy(ray_session):
     assert set(zip(lsh["id_a"], lsh["id_b"])) <= {
         (a, b) for a, b in zip(i[sims[i, j] >= 0.5 - 1e-9], j[sims[i, j] >= 0.5 - 1e-9])
     }
+
+
+def test_pair_dedup_local_and_distributed_agree(ray_session):
+    """dedup_pairs and _bucketed_pair_emit: the driver-local fast path
+    and the coarse-bucket shuffle path must produce identical results."""
+    from ugfraud_ray.pipelines.dedup import _bucketed_pair_emit
+    from ugfraud_ray.stages.graph_build import dedup_pairs
+
+    rng = np.random.default_rng(67)
+    t = pa.table(
+        {
+            "src": pa.array(rng.integers(0, 50, 4000)),
+            "dst": pa.array(rng.integers(0, 50, 4000)),
+            "w": pa.array(rng.random(4000)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    loc = dedup_pairs(ds, extra={"w": "min"}, approx_rows=4000).to_pandas()
+    dist = dedup_pairs(ds, extra={"w": "min"}, approx_rows=None).to_pandas()
+    key = ["src", "dst"]
+    loc = loc.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert len(loc) == len(dist)
+    assert (loc[key].to_numpy() == dist[key].to_numpy()).all()
+    assert np.allclose(loc["w"], dist["w"])
+
+    kt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 30, 2000)),
+            "id": pa.array(rng.permutation(2000).astype(np.int64)),
+        }
+    )
+    kds = ray.data.from_arrow(kt)
+    pl = _bucketed_pair_emit(kds, ["k"], "id", approx_rows=2000).to_pandas()
+    pd_ = _bucketed_pair_emit(kds, ["k"], "id", approx_rows=None).to_pandas()
+    sl = set(zip(pl["id_a"], pl["id_b"]))
+    sd = set(zip(pd_["id_a"], pd_["id_b"]))
+    assert sl == sd and len(sl) > 0
