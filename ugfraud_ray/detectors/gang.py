@@ -136,6 +136,13 @@ def gang(
     else:
         centered = normalize_priors_by_kind(vertex_prior)
     sym = symmetrize(edges.select_columns(["src", "dst"]))
+    # small materialized inputs: materialize sym and the centered priors
+    # so build_layout's driver-local write path applies
+    import ray.data as _rd
+
+    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() * 2 <= 1_000_000:
+        sym = sym.materialize()
+        centered = centered.materialize()
     layout = build_layout(
         sym, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold,
         vertex_aux=centered,

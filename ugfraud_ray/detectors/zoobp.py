@@ -30,7 +30,6 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from ugfraud_ray.functions.numerics import logsumexp
 from ugfraud_ray.state.engine import SuperstepEngine, VertexProgram
@@ -95,12 +94,10 @@ def zoobp(
         return pa.table({"src": t["src"], "dst": t["dst"], "sign": pa.array(s)})
 
     signed = edges.map_batches(sign_col, batch_format="pyarrow")
-    sym = symmetrize(signed)
-
-    deg = (
-        sym.groupby("dst").aggregate(Count(alias_name="degree"))
-        .rename_columns({"dst": "vid"})
-    )
+    # materialized once: consumed by dense_degrees AND build_layout (a
+    # lazy lineage would execute twice); also enables build_layout's
+    # driver-local write path for small graphs
+    sym = symmetrize(signed).materialize()
 
     def center(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -112,17 +109,23 @@ def zoobp(
             }
         )
 
-    centered = vertex_prior.map_batches(center, batch_format="pyarrow")
-    vaux = centered.join(deg, join_type="left_outer", num_partitions=8, on=("vid",))
+    # dense degree array broadcast once + vectorized take — the previous
+    # groupby-Count + hash join cost two shuffle-pool spin-ups per call
+    from ugfraud_ray.stages.graph_build import dense_degrees
 
-    def fill(t: pa.Table) -> pa.Table:
-        d = t["degree"].to_numpy(zero_copy_only=False)
-        d = np.where(np.isnan(d.astype(np.float64)), 0.0, d.astype(np.float64))
+    dv = dense_degrees(sym, "dst", n_vertices).astype(np.float64)
+    dv_ref = ray.put(dv)
+
+    def with_degree(t: pa.Table) -> pa.Table:
+        d = ray.get(dv_ref)
+        vid = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"vid": t["vid"], "prior_centered": t["prior_centered"], "degree": pa.array(d)}
+            {"vid": t["vid"], "prior_centered": t["prior_centered"], "degree": pa.array(d[vid])}
         )
 
-    vaux = vaux.map_batches(fill, batch_format="pyarrow")
+    vaux = vertex_prior.map_batches(center, batch_format="pyarrow").map_batches(
+        with_degree, batch_format="pyarrow"
+    ).materialize()
 
     layout = build_layout(
         sym, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold,
