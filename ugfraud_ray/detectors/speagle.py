@@ -186,6 +186,14 @@ class BPShard:
         self._Sp = np.zeros(self.E)
         self._t1 = np.zeros(self.E)
         self._t2 = np.zeros(self.E)
+        # exp of the potential entries, precomputed per message type:
+        # the kernel uses the closed form
+        #   f(d) = log((e^h10 + e^h11 t)/(e^h00 + e^h01 t)),  t = e^d
+        # (= _msg_diff algebraically) with d clipped to ±40 — ONE exp +
+        # ONE log per message instead of two logaddexp (which cost an
+        # exp + log1p each); clip error < e^-40, far below conformance
+        # tolerance. Transcendental passes per superstep: 16 -> 8.
+        self._epot = {k: np.exp(v) for k, v in self.pot.items()}
         self.S = self.prior_v.copy()
 
     def get_state(self) -> np.ndarray:
@@ -207,27 +215,32 @@ class BPShard:
         t_gather = time.perf_counter() - t0
         t0 = time.perf_counter()
 
-        def msg_into(cavity_a, cavity_b, sign, logH, out):
-            # out <- _msg_diff(cavity_a +/- cavity_b, logH), allocation-free
+        def msg_into(cavity_a, cavity_b, sign, key, out):
+            # out <- _msg_diff(cavity_a +/- cavity_b, pot[key]) via the
+            # exp closed form (see __init__), allocation-free
+            eh = self._epot[key]
             d = self._t1
             np.subtract(cavity_a, cavity_b, out=d) if sign < 0 else np.add(
                 cavity_a, cavity_b, out=d
             )
-            np.add(d, logH[1, 1], out=self._t2)
-            np.logaddexp(logH[1, 0], self._t2, out=self._t2)
-            np.add(d, logH[0, 1], out=d)
-            np.logaddexp(logH[0, 0], d, out=d)
-            np.subtract(self._t2, d, out=out)
+            np.clip(d, -40.0, 40.0, out=d)
+            np.exp(d, out=d)  # t
+            np.multiply(d, eh[1, 1], out=out)
+            out += eh[1, 0]  # numerator
+            np.multiply(d, eh[0, 1], out=d)
+            d += eh[0, 0]  # denominator
+            np.divide(out, d, out=out)
+            np.log(out, out=out)
 
         def l1_delta(new, old):
             np.subtract(new, old, out=self._t1)
             np.abs(self._t1, out=self._t1)
             return self._t1.sum()
 
-        msg_into(self._Su, self.m_r2u, -1, self.pot["u_r"], self._n_u2r)
-        msg_into(self._Sp, self.m_r2p, -1, self.pot["p_r"], self._n_p2r)
-        msg_into(self.prior_r, self.m_p2r, +1, self.pot["r_u"], self._n_r2u)
-        msg_into(self.prior_r, self.m_u2r, +1, self.pot["r_p"], self._n_r2p)
+        msg_into(self._Su, self.m_r2u, -1, "u_r", self._n_u2r)
+        msg_into(self._Sp, self.m_r2p, -1, "p_r", self._n_p2r)
+        msg_into(self.prior_r, self.m_p2r, +1, "r_u", self._n_r2u)
+        msg_into(self.prior_r, self.m_u2r, +1, "r_p", self._n_r2p)
         delta = (
             l1_delta(self._n_u2r, self.m_u2r)
             + l1_delta(self._n_p2r, self.m_p2r)
@@ -251,7 +264,7 @@ class BPShard:
         self._local_sums = np.zeros(self.n_local)
         staged: dict[int, list] = {}
         for side, msgs in (("src", self.m_r2u), ("dst", self.m_r2p)):
-            order, bounds, _, groups = self.plans[side]
+            order, bounds, local_sorted, groups = self.plans[side]
             msgs_sorted = self._t2
             np.take(msgs, order, out=msgs_sorted)
             for q in range(self.P):
@@ -259,21 +272,28 @@ class BPShard:
                 if sl.start >= sl.stop:
                     continue
                 uniq, inv = groups[q]
-                sums = np.bincount(inv, weights=msgs_sorted[sl], minlength=len(uniq))
+                n_q = len(range(q, self.N, self.P))
                 if q == self.p:
-                    np.add.at(self._local_sums, uniq, sums)
+                    # dense accumulate straight off the raw local indices
+                    self._local_sums += np.bincount(
+                        local_sorted[sl], weights=msgs_sorted[sl], minlength=self.n_local
+                    )
+                elif len(uniq) * 3 > n_q:
+                    # DENSE partial (8 B/owned-vertex): when most of the
+                    # peer's vertices are touched, (uniq, sums) pairs
+                    # triple the bytes and at high fill the exchange
+                    # volume caused plasma eviction churn (measured:
+                    # 160M-edge run, 2.7 GB/superstep of sparse partials)
+                    staged.setdefault(q, []).append(
+                        ("d", np.bincount(local_sorted[sl], weights=msgs_sorted[sl], minlength=n_q))
+                    )
                 else:
-                    staged.setdefault(q, []).append((uniq, sums))
+                    sums = np.bincount(inv, weights=msgs_sorted[sl], minlength=len(uniq))
+                    staged.setdefault(q, []).append(("s", (uniq, sums)))
         # ONE object-store put per shard (P² small puts cost ~1ms each
         # and dominate superstep overhead at high P); arrays come back
         # zero-copy, so each owner only touches its own slices
-        merged = {
-            q: (parts[0] if len(parts) == 1 else
-                (np.concatenate([u for u, _ in parts]),
-                 np.concatenate([s for _, s in parts])))
-            for q, parts in staged.items()
-        }
-        self._partials = ray.put(merged) if merged else None
+        self._partials = ray.put(staged) if staged else None
         t_partial = time.perf_counter() - t0
         return {
             "delta": float(delta),
@@ -285,10 +305,13 @@ class BPShard:
     def apply(self, partial_refs: list) -> np.ndarray:
         S = self.prior_v + self._local_sums
         for peer_dict in ray.get(list(partial_refs)):
-            part = peer_dict.get(self.p) if peer_dict else None
-            if part is not None:
-                idx, vals = part
-                np.add.at(S, idx, vals)
+            parts = peer_dict.get(self.p) if peer_dict else None
+            for kind, payload in parts or ():
+                if kind == "d":
+                    S += payload
+                else:
+                    idx, vals = payload
+                    np.add.at(S, idx, vals)
         self.S = S
         # NOTE: _partials is intentionally NOT cleared here — peer
         # shards' apply() may still be fetching from us concurrently;
