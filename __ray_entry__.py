@@ -525,6 +525,24 @@ def _q_ngram_jaccard(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_jaccard_pairs_exact(sf_dir: str):
+    from ugfraud_ray.pipelines.dedup import exact_shingle_jaccard
+
+    docs = _docs(sf_dir).materialize()
+    out = exact_shingle_jaccard(docs, threshold=0.02, approx_docs=docs.count())
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "jaccard": pa.array(np.round(t["jaccard"].to_numpy(zero_copy_only=False), 9)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_embedding_neardup(sf_dir: str):
     from ugfraud_ray.pipelines.dedup import embedding_cosine_dedup
 
@@ -622,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": _q_minhash_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_jaccard_pairs_exact": _q_jaccard_pairs_exact,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "doc_lang_id": _q_lang_id,
@@ -879,6 +898,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, ROUND(CAST(sim AS DOUBLE), 4) AS sim,
                    CAST(rnk AS BIGINT) AS rnk
             FROM ranked WHERE rnk <= {ANN_K}
+        """,
+        # exact word-3-gram Jaccard over pairs sharing >= 1 shingle;
+        # Jaccard over the engine's 64-bit shingle hashes equals Jaccard
+        # over the string trigram sets (hashing is injective on this
+        # input; a collision would shift the ratio and fail this gate)
+        "doc_jaccard_pairs_exact": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+                FROM toks WHERE len(ts) >= 3
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 9) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.02
+        """,
+        # DuckDB md5_number_upper(tok) == the engine's md5-low64 token
+        # hash (first 8 digest bytes little-endian), so the 64-bit
+        # simhash is reproduced bit-exactly in SQL: per-token bit votes,
+        # sign threshold v>0, then the 4x16-bit chunk-banding pigeonhole
+        # (pairs within hamming<=8 share >=1 chunk is NOT guaranteed —
+        # the banding is part of the operator's semantics, mirrored here)
+        "doc_simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, t.tok
+                FROM documents, unnest(string_split_regex(text, '\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            bits AS (
+                SELECT doc_id, b.k,
+                       sum(CASE WHEN (md5_number_upper(tok) >> b.k) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM toks, (SELECT unnest(range(64)) AS k) b
+                GROUP BY doc_id, b.k
+            ),
+            sims AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << k)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id
+            ),
+            allsims AS (
+                SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+                FROM documents d LEFT JOIN sims s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+            FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
+            WHERE ( (a.sim & 65535) = (b.sim & 65535)
+                 OR ((a.sim >> 16) & 65535) = ((b.sim >> 16) & 65535)
+                 OR ((a.sim >> 32) & 65535) = ((b.sim >> 32) & 65535)
+                 OR ((a.sim >> 48) & 65535) = ((b.sim >> 48) & 65535) )
+              AND bit_count(xor(a.sim, b.sim)) <= 8
         """,
         # double-precision cosine (CAST before the kernel): float32
         # list_cosine_similarity flips the 4th decimal vs numpy float64

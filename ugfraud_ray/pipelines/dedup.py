@@ -520,6 +520,60 @@ def ngram_jaccard_pairs(
     return pairs.map_batches(jac, batch_format="pyarrow")
 
 
+def exact_shingle_jaccard(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.0,
+    approx_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+
+    distinct-shingle explode -> exact-key pair emission (ONE groupby
+    over coarse hash buckets, runs expanded vectorized) -> pair dedup
+    -> broadcast-set Jaccard (`ngram_jaccard_pairs`). This is the
+    exact, oracle-checkable baseline for the LSH candidate path
+    (`minhash_lsh_candidates`), the same exact/approx pairing as
+    `embedding_cosine_pairs_exact` vs the LSH near-dup variant.
+
+    At corpus scale a document-frequency cap on shingles (drop
+    stop-shingles from the inverted index before pair emission) bounds
+    the quadratic blowup of hot keys; the testdata vocabulary is tiny,
+    the pair table stays ~docs-squared-small, and the cap is left off
+    so the SQL oracle matches term-for-term.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        for i, text in zip(t[id_col].to_pylist(), t[key].to_pylist()):
+            if len(text.split()) < ngram:
+                continue
+            hs = np.unique(_shingle_hashes(text, ngram))
+            ids_out.append(np.full(len(hs), i, dtype=np.int64))
+            sh_out.append(hs.view(np.int64))
+        if not ids_out:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(ids_out)),
+                "sh": pa.array(np.concatenate(sh_out)),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    n_exp = approx_docs * 128 if approx_docs is not None else None
+    pairs = _bucketed_pair_emit(exploded, ["sh"], id_col, approx_rows=n_exp)
+    from ugfraud_ray.stages.graph_build import dedup_pairs as _dp
+
+    cands = _dp(pairs, a="id_a", b="id_b", approx_rows=n_exp)
+    return ngram_jaccard_pairs(
+        docs, cands, key=key, id_col=id_col, ngram=ngram, threshold=threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
