@@ -725,8 +725,176 @@ def _lang_id_sql() -> str:
     return sql
 
 
+def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 7) -> str:
+    """Shared CTE chain reproducing ``minhash_lsh_candidates`` bit-exactly
+    in DuckDB, ending at ``cand(id_a, id_b)`` (plus ``sh(doc_id, sh)``).
+
+    Every hashing stage of the engine's LSH path is reproduced in SQL:
+    md5-low64 token hashes (== ``md5_number_upper``), FNV-rolled word
+    n-gram shingles, splitmix64 finalization, the (a*x+b) mod 2**64
+    universal-hash minhash with the engine's seeded constants injected as
+    literals, FNV-rolled band buckets, and candidate pairs. All mod-2**64
+    arithmetic is HUGEINT-staged so no 128-bit overflow occurs.
+    """
+    import numpy as np
+
+    M64 = 1 << 64
+    FNV = 1099511628211
+    F2, F3 = FNV * FNV % M64, FNV * FNV % M64 * FNV % M64
+    rpb = num_perm // bands
+
+    def mulc(x: str, c: int) -> str:
+        # (x * c) mod 2**64 for a constant c, staged via 32-bit halves
+        c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+        e = f"CAST(({x}) AS HUGEINT) * {c_lo}"
+        if c_hi:
+            e += f" + ((CAST(({x}) AS HUGEINT) % 4294967296) * {c_hi} % 4294967296) * 4294967296"
+        return f"CAST(({e}) % {M64} AS UBIGINT)"
+
+    def mix64(x: str) -> str:
+        s1 = f"xor({x}, ({x}) >> 30)"
+        s2 = mulc(s1, 0xBF58476D1CE4E5B9)
+        s3 = f"xor({s2}, ({s2}) >> 27)"
+        s4 = mulc(s3, 0x94D049BB133111EB)
+        return f"xor({s4}, ({s4}) >> 31)"
+
+    def mul_vv(a: str, x: str) -> str:
+        # (a * x) mod 2**64, both variable, staged via x's 32-bit halves
+        return (
+            f"CAST((CAST(({a}) AS HUGEINT) * (({x}) % 4294967296)"
+            f" + (CAST(({a}) % 4294967296 AS HUGEINT) * (({x}) >> 32) % 4294967296)"
+            f" * 4294967296) % {M64} AS UBIGINT)"
+        )
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    a_lit = "[" + ", ".join(str(int(v)) for v in a) + "]"
+    b_lit = "[" + ", ".join(str(int(v)) for v in b) + "]"
+
+    shingle3 = mix64(
+        f"CAST((CAST({mulc('t0.th', F2)} AS HUGEINT) + {mulc('t1.th', FNV)} + t2.th) % {M64} AS UBIGINT)"
+    )
+    axb = mix64(f"CAST((CAST({mul_vv('p.a', 's.sh')} AS HUGEINT) + p.b) % {M64} AS UBIGINT)")
+    bucket = mix64(
+        f"CAST((CAST({mulc('m0', F3)} AS HUGEINT) + {mulc('m1', F2)} + {mulc('m2', FNV)} + m3)"
+        f" % {M64} AS UBIGINT)"
+    )
+
+    return rf"""
+        toklist AS (
+          SELECT doc_id,
+                 string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ts
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ),
+        tok AS (
+          SELECT doc_id,
+                 unnest(range(1, len(ts) + 1)) AS i,
+                 unnest(list_transform(ts, t -> md5_number_upper(t))) AS th,
+                 len(ts) AS nt
+          FROM toklist
+        ),
+        sh AS (
+          SELECT t0.doc_id, {shingle3} AS sh
+          FROM tok t0
+          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+          JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+          WHERE t0.nt >= {ngram}
+          UNION ALL
+          SELECT doc_id, {mix64('th')} FROM tok WHERE nt < {ngram}
+        ),
+        perms AS (
+          SELECT unnest(range({num_perm})) AS p,
+                 unnest(CAST({a_lit} AS UBIGINT[])) AS a,
+                 unnest(CAST({b_lit} AS UBIGINT[])) AS b
+        ),
+        sig AS (
+          SELECT s.doc_id, p.p, MIN({axb}) AS mh
+          FROM sh s CROSS JOIN perms p
+          GROUP BY s.doc_id, p.p
+        ),
+        fullsig AS (
+          SELECT d.doc_id, p.p, COALESCE(s.mh, 18446744073709551615) AS mh
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN perms p
+          LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.p = p.p
+        ),
+        bandkey AS (
+          SELECT doc_id, p // {rpb} AS band,
+                 MAX(CASE WHEN p % {rpb} = 0 THEN mh END) AS m0,
+                 MAX(CASE WHEN p % {rpb} = 1 THEN mh END) AS m1,
+                 MAX(CASE WHEN p % {rpb} = 2 THEN mh END) AS m2,
+                 MAX(CASE WHEN p % {rpb} = 3 THEN mh END) AS m3
+          FROM fullsig GROUP BY doc_id, p // {rpb}
+        ),
+        buck AS (SELECT doc_id, band, {bucket} AS bucket FROM bandkey),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM buck x JOIN buck y
+            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        )
+    """
+
+
+def _minhash_dedup_sql() -> str:
+    """SQL replica of ``pipelines.dedup.minhash_lsh_dedup``: the bit-exact
+    LSH candidate pairs (see ``_minhash_cand_ctes``), then the engine's
+    driver-side union-find (min-id roots) expressed as a recursive-CTE
+    min-label connected components over the candidate graph."""
+    return rf"""
+        WITH RECURSIVE {_minhash_cand_ctes()},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION
+          SELECT id_b, id_a FROM cand
+        ),
+        walk(vid, comp) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+        ),
+        comps AS (SELECT vid, MIN(comp) AS comp FROM walk GROUP BY vid)
+        SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN comps c ON c.vid = d.doc_id
+    """
+
+
+def _ngram_jaccard_sql() -> str:
+    """SQL replica of ``_q_ngram_jaccard`` (``minhash_lsh_candidates`` +
+    ``ngram_jaccard_pairs``): exact Jaccard over each doc's DISTINCT
+    64-bit shingle hashes for every LSH candidate pair — identical hash
+    space on both sides, so collisions (if any) cancel out exactly.
+    Pairs where either side has no shingles score 0.0 (the engine's
+    empty-set guard); threshold 0.0 keeps every candidate pair."""
+    return rf"""
+        WITH {_minhash_cand_ctes()},
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.id_a
+          JOIN shd b ON b.doc_id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0) = 0
+                          THEN 0.0
+                          ELSE CAST(COALESCE(i.i, 0) AS DOUBLE)
+                               / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0))
+                     END, 9) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        LEFT JOIN sz sa ON sa.doc_id = c.id_a
+        LEFT JOIN sz sb ON sb.doc_id = c.id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_minhash_dedup": _minhash_dedup_sql(),
+        "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "user_priors": f"""
             WITH e AS ({_SQL_REVIEW_EDGES})
             SELECT src AS vid,
