@@ -32,6 +32,7 @@ import ray.data
 
 PR_DAMPING = 0.85
 PR_ITERS = 10
+LP_ITERS = 12
 TOPK_N = 100
 ANN_QUERIES = 5
 ANN_K = 10
@@ -386,8 +387,10 @@ def _q_svd_singular_values(sf_dir: str):
 
 def _q_labelprop(sf_dir: str):
     """Semi-supervised LP on the general graph; deterministic seeds
-    (every 10th vertex labeled vid%3). Rows-only check (iterative float
-    normalization is not SQL-expressible)."""
+    (every 10th vertex labeled vid%3). Runs exactly LP_ITERS Jacobi
+    supersteps (tol=None) so the recursive-CTE oracle replays the same
+    fixed iteration count; only the argmax label is compared (integer,
+    float-summation-order-proof)."""
     from ugfraud_ray.pipelines.labelprop import label_propagation
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
@@ -408,7 +411,10 @@ def _q_labelprop(sf_dir: str):
         )
 
     seeds = vmap.select_columns(["vid"]).map_batches(seed_rows, batch_format="pyarrow")
-    out, _ = label_propagation(e, seeds, n, n_classes=3, layout_dir=_scratch("lp"), P=4)
+    out, _ = label_propagation(
+        e, seeds, n, n_classes=3, layout_dir=_scratch("lp"), P=4,
+        max_iters=LP_ITERS, tol=None,
+    )
     return unmap_vids(out, vmap, vid_col="vid", out_col="id").select_columns(["id", "label"])
 
 
@@ -891,10 +897,168 @@ def _ngram_jaccard_sql() -> str:
     """
 
 
+def _fingerprints_sql(k: int = 16, window: int = 8) -> str:
+    """SQL replica of ``text_analysis.fingerprints`` (winnowing, Schleimer
+    et al. 2003): per-position k-byte polynomial rolling hash (base 257
+    mod 2**64, computed directly — identical to the engine's incremental
+    uint64 update), first-min selection per winnowing window (numpy
+    argmin tie order = ORDER BY hash, pos), DISTINCT selected hash values
+    per doc, then the sign-bit mask. Docs shorter than k bytes fall back
+    to the md5-low64 hash (== ``md5_number_upper``). Byte values come
+    from ``ascii(substr(...))`` — exact because the driver corpora are
+    pure ASCII (asserted: octet_length == length at every sf)."""
+    M64 = 1 << 64
+    pows = [pow(257, k - 1 - t, M64) for t in range(k)]
+    poly = " + ".join(
+        f"CAST(bl[p + {t}] AS HUGEINT) * {p_}" if t else f"CAST(bl[p] AS HUGEINT) * {p_}"
+        for t, p_ in enumerate(pows)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        hl AS (
+          SELECT doc_id,
+                 list_transform(range(1, n - {k - 2}), p ->
+                   CAST(({poly}) % {M64} AS UBIGINT)) AS hashes
+          FROM (
+            SELECT doc_id, n,
+                   list_transform(range(1, n + 1), j -> ascii(substr(text, j, 1))) AS bl
+            FROM base WHERE n >= {k}
+          )
+        ),
+        h AS (
+          SELECT doc_id,
+                 unnest(range(1, len(hashes) + 1)) AS pos,
+                 unnest(hashes) AS hash,
+                 len(hashes) AS m
+          FROM hl
+        ),
+        winsel AS (
+          SELECT doc_id, hash FROM (
+            SELECT h.doc_id, w.wstart, h.hash,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY h.doc_id, w.wstart ORDER BY h.hash, h.pos
+                   ) AS rn
+            FROM h
+            JOIN (
+              SELECT doc_id, unnest(range(1, m - {window - 2})) AS wstart
+              FROM (SELECT DISTINCT doc_id, m FROM h) WHERE m > {window}
+            ) w ON w.doc_id = h.doc_id AND h.pos BETWEEN w.wstart AND w.wstart + {window - 1}
+          ) WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, hash FROM (
+            SELECT doc_id, hash,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hash, pos) AS rn
+            FROM h WHERE m <= {window}
+          ) WHERE rn = 1
+        )
+        SELECT doc_id, CAST(hash & 9223372036854775807 AS BIGINT) AS fp
+        FROM (SELECT DISTINCT doc_id, hash FROM winsel)
+        UNION ALL
+        SELECT doc_id,
+               CAST(md5_number_upper(text) & 9223372036854775807 AS BIGINT) AS fp
+        FROM base WHERE n < {k}
+    """
+
+
+def _embedding_neardup_sql(threshold: float = 0.3, n_planes: int = 12, seed: int = 11, dim: int = 64) -> str:
+    """SQL replica of ``dedup.embedding_cosine_dedup``: the engine's
+    seeded random-hyperplane matrix is injected as literals (shortest
+    float repr round-trips exactly to the same float64), the 12-bit
+    sign-pattern bucket is rebuilt with ``list_inner_product``, and exact
+    double cosine runs on same-bucket pairs. Float64 dot products agree
+    with numpy to ~1e-15, far below the round-6 compare and the sign /
+    threshold margins of this data."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in planes[:, k]) + "]" for k in range(n_planes)
+    )
+    return f"""
+        WITH planes AS (
+          SELECT unnest(range({n_planes})) AS k,
+                 unnest(CAST([{plane_lits}] AS DOUBLE[][])) AS pv
+        ),
+        b AS (
+          SELECT e.vec_id,
+                 SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pv) > 0
+                          THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id
+        ),
+        cand AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
+        "doc_fingerprints": _fingerprints_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
+        # replays the engine's exact LP_ITERS Jacobi supersteps: seeds
+        # (every 10th vid labeled vid%3, on the ascending-original-id
+        # dense numbering) stay clamped one-hot, unlabeled vertices take
+        # the normalized sum of in-neighbor distributions over the
+        # UNION-ALL-symmetrized graph, vertices with no in-edges keep
+        # their state; only the integer argmax label (first-max ties,
+        # numpy argmax order) is compared
+        "label_propagation": f"""
+            WITH RECURSIVE g0 AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid
+                FROM (SELECT DISTINCT id
+                      FROM (SELECT src AS id FROM g0 UNION ALL SELECT dst AS id FROM g0))
+            ),
+            g AS (
+                SELECT vs.vid AS src, vd.vid AS dst
+                FROM g0 JOIN v vs ON vs.id = g0.src JOIN v vd ON vd.id = g0.dst
+            ),
+            sym AS (SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g),
+            seeds AS (SELECT vid, vid % 3 AS lab FROM v WHERE vid % 10 = 0),
+            lp AS (
+                SELECT v.vid,
+                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 0 THEN 1.0 ELSE 0.0 END AS s0,
+                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 1 THEN 1.0 ELSE 0.0 END AS s1,
+                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 2 THEN 1.0 ELSE 0.0 END AS s2,
+                       0 AS iter
+                FROM v LEFT JOIN seeds sd ON sd.vid = v.vid
+                UNION ALL
+                SELECT v.vid,
+                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
+                            THEN cur.s0 ELSE m.a0 / (m.a0 + m.a1 + m.a2) END,
+                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
+                            THEN cur.s1 ELSE m.a1 / (m.a0 + m.a1 + m.a2) END,
+                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
+                            THEN cur.s2 ELSE m.a2 / (m.a0 + m.a1 + m.a2) END,
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM lp) p0
+                JOIN lp cur ON cur.vid = v.vid
+                LEFT JOIN seeds sd ON sd.vid = v.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.s0) AS a0, SUM(p.s1) AS a1, SUM(p.s2) AS a2
+                    FROM lp p JOIN sym e ON e.src = p.vid GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {LP_ITERS}
+            )
+            SELECT v.id,
+                   CAST(CASE WHEN l.s0 >= l.s1 AND l.s0 >= l.s2 THEN 0
+                             WHEN l.s1 >= l.s2 THEN 1 ELSE 2 END AS BIGINT) AS label
+            FROM lp l JOIN v ON v.vid = l.vid
+            WHERE l.iter = {LP_ITERS}
+        """,
         "user_priors": f"""
             WITH e AS ({_SQL_REVIEW_EDGES})
             SELECT src AS vid,
