@@ -33,6 +33,8 @@ import ray.data
 PR_DAMPING = 0.85
 PR_ITERS = 10
 LP_ITERS = 12
+ZOOBP_ITERS = 30
+GANG_MAX_SQL_ITERS = 60
 TOPK_N = 100
 ANN_QUERIES = 5
 ANN_K = 10
@@ -285,25 +287,58 @@ def _review_graph(sf_dir: str):
 
 
 def _q_gang(sf_dir: str):
+    """GANG pu_lbp with the reference's |Δbelief_sum|<0.1 stop rule; the
+    SQL oracle replays every superstep up to a fixed horizon and picks
+    the same stop iteration post-hoc, so the data-dependent iteration
+    count is reproduced rather than pinned. Posteriors rounded to 6."""
     from ugfraud_ray.detectors.gang import gang
     from ugfraud_ray.pipelines.testdata_graph import unmap_vids
 
     e, ep, vp, vmap, n = _review_graph(sf_dir)
     post, _ = gang(e, vp, n, _scratch("gang"), P=4)
-    return unmap_vids(post, vmap, vid_col="vid", out_col="id").select_columns(
+    out = unmap_vids(post, vmap, vid_col="vid", out_col="id").select_columns(
         ["id", "posterior"]
     )
 
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "posterior": pa.array(
+                    np.round(t["posterior"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
 
 def _q_zoobp(sf_dir: str):
+    """Paper-correct ZooBP, exactly ZOOBP_ITERS supersteps (tol=None) so
+    the recursive-CTE oracle replays the same fixed iteration count;
+    beliefs rounded to 6 decimals on both sides (float-order noise is
+    ~1e-15, nine orders below the rounding boundary)."""
     from ugfraud_ray.detectors.zoobp import zoobp
     from ugfraud_ray.pipelines.testdata_graph import unmap_vids
 
     e, ep, vp, vmap, n = _review_graph(sf_dir)
-    beliefs, _ = zoobp(e, vp.select_columns(["vid", "prior"]), n, _scratch("zoobp"), P=4)
-    return unmap_vids(beliefs, vmap, vid_col="vid", out_col="id").select_columns(
+    beliefs, _ = zoobp(
+        e, vp.select_columns(["vid", "prior"]), n, _scratch("zoobp"), P=4,
+        max_iters=ZOOBP_ITERS, tol=None,
+    )
+    out = unmap_vids(beliefs, vmap, vid_col="vid", out_col="id").select_columns(
         ["id", "belief"]
     )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "belief": pa.array(np.round(t["belief"].to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def _q_speagle(sf_dir: str):
@@ -315,9 +350,20 @@ def _q_speagle(sf_dir: str):
         ep.select_columns(["src", "dst", "prior"]), vp, n, _scratch("speagle"),
         P=4, max_iters=30, tol=1e-6,
     )
-    return unmap_vids(vs, vmap, vid_col="vid", out_col="id").select_columns(
+    out = unmap_vids(vs, vmap, vid_col="vid", out_col="id").select_columns(
         ["id", "kind", "score"]
     )
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "kind": t["kind"],
+                "score": pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), 6)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def _prod_indexed_edges(sf_dir: str):
@@ -1001,12 +1047,205 @@ def _embedding_neardup_sql(threshold: float = 0.3, n_planes: int = 12, seed: int
     """
 
 
+def _speagle_sql(max_iters: int = 30, tol: float = 1e-6) -> str:
+    """SQL replica of SpEagle BP (``detectors.speagle``): one row per
+    review edge carries the four scalar log-odds messages (u2r, p2r,
+    r2u, r2p); each recursive-CTE iteration is one Jacobi superstep
+    using the engine's exact closed-form kernel
+    f(d) = ln((e^h10 + e^h11·t)/(e^h00 + e^h01·t)), t = e^clip(d,±40),
+    with the exp(log(potential)) round-tripped entries injected as
+    literals. The reference's data-dependent stop (mean |Δmessage| over
+    (n_vertices + n_edges) < tol) is replayed post-hoc over the
+    materialized iterations, exactly like the GANG oracle. Read-out:
+    sigmoid(prior_odds + incoming message sum), rounded to 6."""
+    import numpy as np
+
+    ur = np.exp(np.log(np.array([[1 - 1e-5, 1e-5], [1e-5, 1 - 1e-5]])))
+    rp = np.exp(np.log(np.array([[1 - 0.1, 0.1], [0.1, 1 - 0.1]])))
+
+    def K(d: str, m: np.ndarray) -> str:
+        a00, a01, a10, a11 = (repr(float(m[i, j])) for i in (0, 1) for j in (0, 1))
+        t = f"exp(LEAST(GREATEST({d}, -40.0), 40.0))"
+        return f"ln(({t} * {a11} + {a10}) / ({t} * {a01} + {a00}))"
+
+    return f"""
+        WITH RECURSIVE e AS ({_SQL_REVIEW_EDGES}),
+        pri AS (
+            SELECT src AS id, CAST(1 AS TINYINT) AS kind,
+                   CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS prior
+            FROM e GROUP BY src
+            UNION ALL
+            SELECT dst, CAST(0 AS TINYINT),
+                   CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+            FROM e GROUP BY dst
+        ),
+        v AS (SELECT id, kind, prior, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid FROM pri),
+        vo AS (
+            SELECT vid, id, kind, ln(cp) - ln(1 - cp) AS po
+            FROM (SELECT vid, id, kind,
+                         CASE WHEN prior = 1.0 THEN 1.0 - 1e-05
+                              WHEN prior = 0.0 THEN 1e-05 ELSE prior END AS cp
+                  FROM v)
+        ),
+        ed AS (
+            SELECT vs.vid AS u, vd.vid AS p,
+                   ln(CASE WHEN e.rating = 2 THEN 0.9 ELSE 0.1 END)
+                   - ln(CASE WHEN e.rating = 2 THEN 0.1 ELSE 0.9 END) AS pr
+            FROM e JOIN v vs ON vs.id = e.src JOIN v vd ON vd.id = e.dst
+        ),
+        sp AS (
+            SELECT u, p, pr,
+                   CAST(0 AS DOUBLE) AS mu2r, CAST(0 AS DOUBLE) AS mp2r,
+                   CAST(0 AS DOUBLE) AS mr2u, CAST(0 AS DOUBLE) AS mr2p,
+                   0 AS iter
+            FROM ed
+            UNION ALL
+            SELECT c.u, c.p, c.pr,
+                   {K('(uo.po + au.s) - c.mr2u', ur)},
+                   {K('(po_.po + ap.s) - c.mr2p', rp)},
+                   {K('c.pr + c.mp2r', ur)},
+                   {K('c.pr + c.mu2r', rp)},
+                   c.iter + 1
+            FROM sp c
+            JOIN vo uo ON uo.vid = c.u
+            JOIN vo po_ ON po_.vid = c.p
+            JOIN (SELECT u, SUM(mr2u) AS s FROM sp GROUP BY u) au ON au.u = c.u
+            JOIN (SELECT p, SUM(mr2p) AS s FROM sp GROUP BY p) ap ON ap.p = c.p
+            WHERE c.iter < {max_iters}
+        ),
+        deltas AS (
+            SELECT curr.iter AS k,
+                   SUM(ABS(curr.mu2r - prev.mu2r) + ABS(curr.mp2r - prev.mp2r)
+                     + ABS(curr.mr2u - prev.mr2u) + ABS(curr.mr2p - prev.mr2p)) AS d
+            FROM sp curr
+            JOIN sp prev ON prev.u = curr.u AND prev.p = curr.p AND prev.iter = curr.iter - 1
+            GROUP BY curr.iter
+        ),
+        kstar AS (
+            SELECT COALESCE(MIN(k), {max_iters}) AS k
+            FROM deltas
+            WHERE d / ((SELECT COUNT(*) FROM vo) + (SELECT COUNT(*) FROM ed)) < {tol!r}
+        )
+        SELECT vo.id, vo.kind,
+               ROUND(1.0 / (1.0 + exp(-(vo.po + COALESCE(agg.s, 0)))), 6) AS score
+        FROM vo
+        LEFT JOIN (
+            SELECT u AS vid, SUM(mu) AS s FROM (
+                SELECT sp.u, sp.mr2u AS mu FROM sp, kstar WHERE sp.iter = kstar.k
+            ) t(u, mu) GROUP BY u
+            UNION ALL
+            SELECT p, SUM(mp) FROM (
+                SELECT sp.p, sp.mr2p AS mp FROM sp, kstar WHERE sp.iter = kstar.k
+            ) t(p, mp) GROUP BY p
+        ) agg ON agg.vid = vo.vid
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
+        "speagle_scores": _speagle_sql(),
+        # paper-correct ZooBP collapses to a scalar recursion because H =
+        # [[.5,-.5],[-.5,.5]] preserves the centered beliefs' antisymmetry
+        # (B_v = (b,-b), B @ H.T = (b,-b)): b_v <- (prior_v - 0.5)
+        # + 0.5·eps·SUM_sym(sign·b_w) − 0.25·eps²·deg_v·b_v, replayed for
+        # exactly ZOOBP_ITERS iterations on the ascending-id dense vid
+        # numbering; sign = +1 for rating 1, −1 for rating 2; deg = total
+        # degree in the symmetrized signed graph
+        "zoobp_beliefs": f"""
+            WITH RECURSIVE e AS ({_SQL_REVIEW_EDGES}),
+            pri AS (
+                SELECT src AS id,
+                       CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS prior
+                FROM e GROUP BY src
+                UNION ALL
+                SELECT dst AS id,
+                       CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS prior
+                FROM e GROUP BY dst
+            ),
+            v AS (SELECT id, prior, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid FROM pri),
+            g AS (
+                SELECT vs.vid AS src, vd.vid AS dst,
+                       CASE WHEN e.rating = 1 THEN 1.0 ELSE -1.0 END AS sign
+                FROM e JOIN v vs ON vs.id = e.src JOIN v vd ON vd.id = e.dst
+            ),
+            sym AS (SELECT src, dst, sign FROM g UNION ALL SELECT dst, src, sign FROM g),
+            vp AS (
+                SELECT v.vid, v.prior - 0.5 AS pc,
+                       CAST(COALESCE(d.deg, 0) AS DOUBLE) AS deg
+                FROM v LEFT JOIN (SELECT dst, COUNT(*) AS deg FROM sym GROUP BY dst) d
+                  ON d.dst = v.vid
+            ),
+            zb AS (
+                SELECT vid, pc AS b, 0 AS iter FROM vp
+                UNION ALL
+                SELECT w.vid,
+                       w.pc + COALESCE(m.s, 0) - {0.25 * 0.01 ** 2!r} * w.deg * cur.b,
+                       p0.iter + 1
+                FROM vp w
+                CROSS JOIN (SELECT DISTINCT iter FROM zb) p0
+                JOIN zb cur ON cur.vid = w.vid
+                LEFT JOIN (
+                    SELECT s.dst AS vid, SUM({0.5 * 0.01!r} * s.sign * p.b) AS s
+                    FROM zb p JOIN sym s ON s.src = p.vid GROUP BY s.dst
+                ) m ON m.vid = w.vid
+                WHERE p0.iter < {ZOOBP_ITERS}
+            )
+            SELECT v.id, ROUND(zb.b, 6) AS belief
+            FROM zb JOIN v ON v.vid = zb.vid
+            WHERE zb.iter = {ZOOBP_ITERS}
+        """,
+        # GANG pu_lbp: x_0 = 0, x_k = (prior−0.5) + 2·0.008·A@x_{k−1}
+        # over the symmetric 0/1 review adjacency; the reference's stop
+        # rule (first k with |sum(x_k) − sum(x_{k−1})| < 0.1, sum(x_0)=0)
+        # is replayed post-hoc over all materialized iterations — the
+        # recursive CTE keeps every superstep, so the data-dependent
+        # iteration count needs no pinning (horizon {GANG_MAX_SQL_ITERS}
+        # covers the gate scales: 9 supersteps at sf0.001, 15 at sf0.01)
+        "gang_posteriors": f"""
+            WITH RECURSIVE e AS ({_SQL_REVIEW_EDGES}),
+            pri AS (
+                SELECT src AS id,
+                       CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS prior
+                FROM e GROUP BY src
+                UNION ALL
+                SELECT dst AS id,
+                       CAST(SUM(CASE WHEN rating = 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS prior
+                FROM e GROUP BY dst
+            ),
+            v AS (SELECT id, prior - 0.5 AS pc, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid FROM pri),
+            g AS (
+                SELECT vs.vid AS src, vd.vid AS dst
+                FROM e JOIN v vs ON vs.id = e.src JOIN v vd ON vd.id = e.dst
+            ),
+            sym AS (SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g),
+            gx AS (
+                SELECT vid, CAST(0 AS DOUBLE) AS b, 0 AS iter FROM v
+                UNION ALL
+                SELECT w.vid,
+                       w.pc + {2 * 0.008!r} * COALESCE(m.s, 0),
+                       p0.iter + 1
+                FROM v w
+                CROSS JOIN (SELECT DISTINCT iter FROM gx) p0
+                LEFT JOIN (
+                    SELECT s.dst AS vid, SUM(p.b) AS s
+                    FROM gx p JOIN sym s ON s.src = p.vid GROUP BY s.dst
+                ) m ON m.vid = w.vid
+                WHERE p0.iter < {GANG_MAX_SQL_ITERS}
+            ),
+            sums AS (SELECT iter, SUM(b) AS s FROM gx GROUP BY iter),
+            kstar AS (
+                SELECT MIN(cur.iter) AS k
+                FROM sums cur JOIN sums prev ON prev.iter = cur.iter - 1
+                WHERE cur.iter >= 1 AND ABS(cur.s - prev.s) < 0.1
+            )
+            SELECT v.id, ROUND(gx.b, 6) AS posterior
+            FROM gx JOIN v ON v.vid = gx.vid, kstar
+            WHERE gx.iter = COALESCE(kstar.k, {GANG_MAX_SQL_ITERS})
+        """,
         # replays the engine's exact LP_ITERS Jacobi supersteps: seeds
         # (every 10th vid labeled vid%3, on the ascending-original-id
         # dense numbering) stay clamped one-hot, unlabeled vertices take
