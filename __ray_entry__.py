@@ -390,7 +390,9 @@ def _q_fbox_users(sf_dir: str):
     from ugfraud_ray.detectors.fbox import fbox
 
     eb, n_prods = _prod_indexed_edges(sf_dir)
-    sus_u, _ = fbox(eb, n_prods, tau=20.0, k=min(50, n_prods - 1))
+    sus_u, _ = fbox(
+        eb, n_prods, tau=20.0, k=min(50, n_prods - 1), approx_edges=eb.count()
+    )
     return sus_u.select_columns(["vid", "degree"])
 
 
@@ -422,7 +424,7 @@ def _q_svd_singular_values(sf_dir: str):
     from ugfraud_ray.detectors.svd import svd_decompose
 
     eb, n_prods = _prod_indexed_edges(sf_dir)
-    s, _ = svd_decompose(eb, n_prods, percent=0.02)
+    s, _ = svd_decompose(eb, n_prods, percent=0.02, approx_edges=eb.count())
     return pa.table(
         {
             "rank": pa.array(range(len(s)), pa.int64()),

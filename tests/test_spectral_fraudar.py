@@ -180,3 +180,37 @@ def test_fraudar_batched_peel_recovers_planted_block():
     assert len(pcol & bc) / len(pcol) >= 0.8
     # and its score must be close to the exact peel's
     assert bs >= 0.8 * es
+
+
+def test_gram_local_fast_path_matches_distributed(ray_session):
+    """gram_matrix's approx_edges-gated driver-local kernel must agree
+    with the distributed self-join route (binary and weighted)."""
+    from ugfraud_ray.detectors.spectral import gram_matrix
+
+    src, dst, rating, *_, U, Pn = _mini_review_graph(seed=29)
+    e = _edges_ds(src, dst, rating=rating, offset=U)
+    for value in (None, "rating"):
+        G_dist = gram_matrix(e, Pn, value=value)
+        G_loc = gram_matrix(e, Pn, value=value, approx_edges=len(src))
+        assert np.allclose(G_dist, G_loc, atol=1e-9)
+
+
+def test_fbox_local_fast_path_matches_distributed(ray_session):
+    """fbox's approx_edges-gated driver-local read-out must flag the
+    same users/products with the same thresholds as the distributed
+    read-out."""
+    from ugfraud_ray.detectors.fbox import fbox
+
+    src, dst, rating, *_, U, Pn = _mini_review_graph(
+        seed=31, n_users=60, n_prods=10, n_edges=200
+    )
+    e = _edges_ds(src, dst, offset=U)
+    du, dp = fbox(e, Pn, tau=20.0, k=3)
+    lu, lp = fbox(e, Pn, tau=20.0, k=3, approx_edges=len(src))
+    for got, want, key in ((lu, du, "vid"), (lp, dp, "pid")):
+        g = got.to_pandas().sort_values(key).reset_index(drop=True)
+        w = want.to_pandas().sort_values(key).reset_index(drop=True)
+        assert g[key].tolist() == w[key].tolist()
+        assert g["degree"].tolist() == w["degree"].tolist()
+        assert np.allclose(g["rec"], w["rec"], atol=1e-9)
+        assert np.allclose(g["threshold"], w["threshold"], atol=1e-9)

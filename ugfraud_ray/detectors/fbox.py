@@ -48,18 +48,86 @@ def _percentile_thresholds(
     return deg_rec.groupby("degree").map_groups(pct, batch_format="pandas")
 
 
+def _flag_side(
+    ids: np.ndarray, deg: np.ndarray, rec: np.ndarray, tau: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-degree percentile threshold + strict-below flag (fBox.py:72-76)
+    over compact arrays — shared by the local fast path and the
+    driver-side product read-out."""
+    out_id, out_deg, out_rec, out_thr = [], [], [], []
+    for d in np.unique(deg):
+        m = deg == d
+        th = float(np.percentile(rec[m], tau))
+        bad = m & (rec < th)
+        out_id.append(ids[bad])
+        out_deg.append(deg[bad])
+        out_rec.append(rec[bad])
+        out_thr.append(np.full(int(bad.sum()), th))
+    cat = lambda xs: np.concatenate(xs) if xs else np.array([])
+    return cat(out_id), cat(out_deg), cat(out_rec), cat(out_thr)
+
+
+def _fbox_local(
+    src: np.ndarray, dst: np.ndarray, n_prods: int, tau: float, k: int,
+    prod_offset: int,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Driver-local fBox over collected COO edges — identical kernels
+    (local_gram → eigh → rec norms → per-degree percentile) without the
+    4 shuffle spin-ups of the distributed read-out."""
+    from ugfraud_ray.detectors.spectral import local_gram
+
+    G = local_gram(src, dst, None, n_prods)
+    k_eff = min(k, n_prods - 1 if n_prods > 1 else 1)
+    s, Vk = truncated_svd_from_gram(G, k_eff)
+
+    uniq_u, inv_u = np.unique(src, return_inverse=True)
+    sums = np.zeros((len(uniq_u), k_eff))
+    np.add.at(sums, inv_u, Vk[dst])
+    rec_u = np.linalg.norm(sums, axis=1)
+    deg_u = np.bincount(inv_u).astype(np.int64)
+    ui, ud, ur, ut = _flag_side(uniq_u, deg_u, rec_u, tau)
+    sus_users = pa.table(
+        {
+            "vid": pa.array(ui.astype(np.int64)),
+            "degree": pa.array(ud.astype(np.int64)),
+            "rec": pa.array(ur.astype(np.float64)),
+            "threshold": pa.array(ut.astype(np.float64)),
+        }
+    )
+
+    rec_p_full = col_recon_norms(s, Vk)
+    uniq_p, pdeg = np.unique(dst, return_counts=True)
+    pi, pd_, pr, pt = _flag_side(uniq_p, pdeg.astype(np.int64), rec_p_full[uniq_p], tau)
+    sus_prods = pa.table(
+        {
+            "pid": pa.array(pi.astype(np.int64) + prod_offset),
+            "degree": pa.array(pd_.astype(np.int64)),
+            "rec": pa.array(pr.astype(np.float64)),
+            "threshold": pa.array(pt.astype(np.float64)),
+        }
+    )
+    return ray.data.from_arrow(sus_users), ray.data.from_arrow(sus_prods)
+
+
 def fbox(
     edges: "ray.data.Dataset",
     n_prods: int,
     tau: float = 20.0,
     k: int = 50,
     prod_offset: int = 0,
+    approx_edges: int | None = None,
+    local_threshold: int = 2_000_000,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Run fBox on binary (src=user, dst=prod-index) edges.
 
     dst values must be in [prod_offset, prod_offset + n_prods). Returns
     (suspicious_users(vid, degree, rec, threshold),
      suspicious_prods(pid, degree, rec, threshold)).
+
+    approx_edges: caller-known edge-count bound; at or below
+    ``local_threshold`` the whole read-out runs driver-local on the
+    collected edges with identical kernels (the distributed read-out
+    pays ~4 shuffle-pool spin-ups that dwarf sub-million-row inputs).
     """
     e = edges.select_columns(["src", "dst"])
     if prod_offset:
@@ -68,6 +136,15 @@ def fbox(
             return pa.table({"src": t["src"], "dst": pa.array(d)})
 
         e = e.map_batches(shift, batch_format="pyarrow")
+
+    if approx_edges is not None and approx_edges <= local_threshold:
+        t = collect_table(e)
+        return _fbox_local(
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            n_prods, tau, k, prod_offset,
+        )
+
     e = e.materialize()
 
     G = gram_matrix(e, n_prods)

@@ -31,12 +31,41 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def local_gram(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray | None, n_cols: int
+) -> np.ndarray:
+    """Driver-local exact G = AᵀA over compact COO arrays — the same
+    per-row pair-product expansion the distributed path performs, fully
+    vectorized (no Python loop over rows). O(Σ_r d_r²) work."""
+    G = np.zeros((n_cols, n_cols))
+    if not len(rows):
+        return G
+    order = np.argsort(rows, kind="stable")
+    d_s = cols[order].astype(np.int64)
+    v_s = None if vals is None else vals[order].astype(np.float64)
+    _, counts = np.unique(rows[order], return_counts=True)
+    seg_off = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pair_counts = counts * counts
+    total = int(pair_counts.sum())
+    pair_row = np.repeat(np.arange(len(counts)), pair_counts)
+    block_start = np.concatenate([[0], np.cumsum(pair_counts)])[:-1]
+    idx = np.arange(total) - block_start[pair_row]
+    c = counts[pair_row]
+    L = seg_off[pair_row] + idx // c
+    R = seg_off[pair_row] + idx % c
+    pv = np.ones(total) if v_s is None else v_s[L] * v_s[R]
+    np.add.at(G, (d_s[L], d_s[R]), pv)
+    return G
+
+
 def gram_matrix(
     edges: "ray.data.Dataset",
     n_cols: int,
     col_id: str = "dst",
     row_id: str = "src",
     value: str | None = None,
+    approx_edges: int | None = None,
+    local_threshold: int = 2_000_000,
 ) -> np.ndarray:
     """Exact G = AᵀA for the (implicit) row_id x col_id matrix.
 
@@ -47,7 +76,24 @@ def gram_matrix(
     Scale note: pair volume is Σ_r d_r² — bounded for bipartite
     review/link shapes where the row side is low-degree; split or cap
     pathological heavy rows before calling.
+
+    approx_edges: caller-known upper bound on the edge count. At or
+    below ``local_threshold`` the self-join's fixed shuffle-pool
+    spin-up (~2-7 s) dwarfs the compute, so the edges collect to the
+    driver and run the identical pair-expansion kernel (``local_gram``)
+    locally; the distributed path is unchanged for scale.
     """
+    if approx_edges is not None and approx_edges <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        cols_needed = [row_id, col_id] + ([value] if value else [])
+        t = collect_table(edges.select_columns(cols_needed))
+        return local_gram(
+            t[row_id].to_numpy(zero_copy_only=False),
+            t[col_id].to_numpy(zero_copy_only=False).astype(np.int64),
+            None if value is None else t[value].to_numpy(zero_copy_only=False),
+            n_cols,
+        )
     left_cols = [row_id, col_id] + ([value] if value else [])
     left = edges.select_columns(left_cols).rename_columns(
         {col_id: "gi", **({value: "vi"} if value else {})}

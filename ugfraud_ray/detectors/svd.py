@@ -34,12 +34,14 @@ def svd_decompose(
     n_prods: int,
     percent: float = 0.9,
     value: str = "rating",
+    approx_edges: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(s_k, V_k) of the rating matrix; k = int(round(n_prods*percent))
-    clamped to >=1 (SVD.py:52)."""
+    clamped to >=1 (SVD.py:52). approx_edges gates gram_matrix's
+    driver-local fast path for small inputs."""
     k = max(1, int(round(n_prods * percent)))
     k = min(k, n_prods)
-    G = gram_matrix(edges, n_prods, value=value)
+    G = gram_matrix(edges, n_prods, value=value, approx_edges=approx_edges)
     return truncated_svd_from_gram(G, k)
 
 
