@@ -38,6 +38,8 @@ GANG_MAX_SQL_ITERS = 60
 TOPK_N = 100
 ANN_QUERIES = 5
 ANN_K = 10
+ANN_LSH_PLANES = 4
+ANN_LSH_SEED = 11
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -678,6 +680,22 @@ def _q_ann_ivf(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN top-k (pipelines/similarity.py:lsh_topk): the
+    SQL-replicable scale path — candidates pruned to the query's seeded
+    random-hyperplane sign bucket, ranked by (round-6 cosine desc,
+    neighbor_id asc) so ordering is float-implementation independent."""
+    from ugfraud_ray.pipelines.similarity import lsh_topk
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return lsh_topk(
+        emb, query_ids=list(range(ANN_QUERIES)), k=ANN_K,
+        n_planes=ANN_LSH_PLANES, seed=ANN_LSH_SEED,
+    )
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media synthesized at a
     size tied to sf (no media column exists in the testdata tables)."""
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_score": _q_quality_score,
         "doc_fingerprints": _q_fingerprints,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_topk": _q_ann_lsh,
         "media_features": _q_media_features,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
@@ -1049,6 +1068,54 @@ def _embedding_neardup_sql(threshold: float = 0.3, n_planes: int = 12, seed: int
     """
 
 
+def _ann_lsh_sql() -> str:
+    """SQL replica of ``similarity.lsh_topk``: the engine's seeded
+    hyperplane matrix is injected as literals (shortest float repr
+    round-trips to the same float64), candidates are same-sign-bucket
+    vectors, and ranking is by (round-6 cosine desc, neighbor_id asc) —
+    the same float-impl-independent order the Ray side uses."""
+    import numpy as np
+
+    dim = 64
+    planes = np.random.default_rng(ANN_LSH_SEED).standard_normal((dim, ANN_LSH_PLANES))
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(float(v)) for v in planes[:, k]) + "]"
+        for k in range(ANN_LSH_PLANES)
+    )
+    return f"""
+        WITH planes AS (
+          SELECT unnest(range({ANN_LSH_PLANES})) AS k,
+                 unnest(CAST([{plane_lits}] AS DOUBLE[][])) AS pv
+        ),
+        b AS (
+          SELECT e.vec_id,
+                 SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pv) > 0
+                          THEN CAST(1 AS BIGINT) << p.k ELSE 0 END) AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < {ANN_QUERIES}),
+        cand AS (
+          SELECT q.query_id, nb.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                              CAST(ne.embedding AS DOUBLE[])), 6) AS sim
+          FROM q
+          JOIN b nb ON nb.bucket = q.bucket AND nb.vec_id <> q.query_id
+          JOIN embeddings qe ON qe.vec_id = q.query_id
+          JOIN embeddings ne ON ne.vec_id = nb.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                 ) AS rnk
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {ANN_K}
+    """
+
+
 def _speagle_sql(max_iters: int = 30, tol: float = 1e-6) -> str:
     """SQL replica of SpEagle BP (``detectors.speagle``): one row per
     review edge carries the four scalar log-odds messages (u2r, p2r,
@@ -1149,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "speagle_scores": _speagle_sql(),
         # paper-correct ZooBP collapses to a scalar recursion because H =
         # [[.5,-.5],[-.5,.5]] preserves the centered beliefs' antisymmetry

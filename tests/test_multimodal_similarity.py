@@ -89,3 +89,47 @@ def test_ivf_recall_vs_brute_force(ray_session):
         recalls.append(len(e & a) / len(e))
     # n_probe=4 of 8 buckets: expect strong but not perfect recall
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_lsh_topk_matches_numpy_replica(ray_session):
+    """lsh_topk must equal a local replica: same-bucket candidates only,
+    ranked by (round-6 cosine desc, id asc)."""
+    from ugfraud_ray.pipelines.similarity import lsh_topk
+
+    rng = np.random.default_rng(3)
+    n, dim, n_planes, seed, k = 300, 16, 3, 11, 5
+    X = rng.standard_normal((n, dim))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.reshape(-1)), dim
+                ),
+            }
+        )
+    ).repartition(4)
+    queries = [0, 1, 2]
+    got = (
+        lsh_topk(ds, queries, k=k, n_planes=n_planes, seed=seed)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    buckets = ((X @ planes) > 0).astype(np.int64) @ (1 << np.arange(n_planes))
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    rows = []
+    for q in queries:
+        cand = np.flatnonzero((buckets == buckets[q]) & (np.arange(n) != q))
+        sims = np.round(Xn[cand] @ Xn[q], 6)
+        order = np.lexsort((cand, -sims))[:k]
+        for r, o in enumerate(order):
+            rows.append((q, int(cand[o]), float(sims[o]), r + 1))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim", "rnk"])
+    assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+    assert got["rnk"].tolist() == want["rnk"].tolist()
+    assert np.allclose(got["sim"], want["sim"], atol=1e-9)

@@ -246,3 +246,88 @@ def ivf_topk(
         )
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_topk(
+    emb: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """LSH-bucketed approximate cosine top-k — the SQL-replicable scale
+    path (vs ``ivf_topk``'s k-means quantizer): candidates are ONLY the
+    vectors whose seeded random-hyperplane sign bucket equals the
+    query's bucket, so each batch scans ~corpus/2^n_planes rows per
+    query instead of the full corpus, with no shuffle at all (the
+    bucket filter happens inside map_batches; only per-batch top-k
+    partials leave the task).
+
+    Ranking is by (sim ROUNDED to ``round_to`` desc, neighbor_id asc)
+    so ordering and the oracle's are float-implementation independent.
+    Returns (query_id, neighbor_id, sim, rnk).
+    """
+    qset = [int(q) for q in query_ids]
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, qset)))
+
+    qt = collect_table(emb.map_batches(pick_queries, batch_format="pyarrow"))
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_raw = _vecs_from_column(qt[vec_col], len(qt))
+    dim = q_raw.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    q_buckets = ((q_raw @ planes) > 0).astype(np.int64) @ (1 << np.arange(n_planes))
+    q_mat = _normalize(q_raw)
+    q_ref = ray.put((q_ids, q_mat, q_buckets, planes))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, qm, qb, P = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = _vecs_from_column(t[vec_col], t.num_rows)
+        buckets = ((raw @ P) > 0).astype(np.int64) @ (1 << np.arange(P.shape[1]))
+        x = _normalize(raw)
+        out_q, out_n, out_s = [], [], []
+        for r in range(len(qi)):
+            cand = np.flatnonzero((buckets == qb[r]) & (ids != qi[r]))
+            if not len(cand):
+                continue
+            sv = np.round(x[cand] @ qm[r], round_to)
+            order = np.lexsort((ids[cand], -sv))[: min(k, len(cand))]
+            out_q.append(np.full(len(order), qi[r]))
+            out_n.append(ids[cand][order])
+            out_s.append(sv[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = emb.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g) -> pa.Table:
+        sims = g["sim"].to_numpy().astype(np.float64)
+        nid = g["neighbor_id"].to_numpy().astype(np.int64)
+        qid = int(g["query_id"].iloc[0])
+        order = np.lexsort((nid, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid)),
+                "neighbor_id": pa.array(nid[order]),
+                "sim": pa.array(sims[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
