@@ -113,3 +113,37 @@ def test_distributed_pages_writer_resumable(tmp_path):
     assert ds.count() == 2800
     # the invariant holds on the distributed corpus too
     assert text_conformance_mismatches(ds) == 0
+
+
+def test_read_metadata_gz_matches_reference_parse(ray_session, tmp_path):
+    """sources/metadata.read_metadata must parse the reference's gzipped
+    5-field format (helper.py:123-202) including the 'None' rating and
+    the truncating <=3 -> 2 binning."""
+    import gzip
+
+    from ugfraud_ray.sources.metadata import read_edge_list, read_metadata
+
+    lines = [
+        "u1 p1 5.0 -1 2012-06-01",
+        "u2 p1 3.5 1 2012-06-02",   # int(3.5)=3 -> binned 2
+        "u2 p2 None 0 2012-06-03",
+        "u3 p2 1.0 1 2012-06-04",
+    ]
+    gz = tmp_path / "meta.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    got = read_metadata(str(gz)).to_pandas().sort_values(["user_id", "prod_id"]).reset_index(drop=True)
+    assert got["user_id"].tolist() == ["u1", "u2", "u2", "u3"]
+    assert got["prod_id"].tolist() == ["p1", "p1", "p2", "p2"]
+    import numpy as np
+    r = got["rating"].to_numpy()
+    assert r[0] == 5.0 and r[1] == 3.5 and np.isnan(r[2]) and r[3] == 1.0
+    assert got["label"].tolist() == [-1, 1, 0, 1]
+    b = got["rating_12"].tolist()
+    assert b[0] == 1 and b[1] == 2 and b[3] == 2
+
+    el = tmp_path / "edges.txt"
+    el.write_text("0 1\n2 3\n2 1\n")
+    e = read_edge_list(str(el)).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert e["src"].tolist() == [0, 2, 2]
+    assert e["dst"].tolist() == [1, 1, 3]
