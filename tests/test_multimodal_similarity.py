@@ -133,3 +133,35 @@ def test_lsh_topk_matches_numpy_replica(ray_session):
     assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
     assert got["rnk"].tolist() == want["rnk"].tolist()
     assert np.allclose(got["sim"], want["sim"], atol=1e-9)
+
+
+def test_topk_partition_invariance(ray_session):
+    """brute_force_topk and lsh_topk results must not depend on how the
+    corpus is partitioned (the per-batch local top-k + merge must be a
+    true combiner)."""
+    from ugfraud_ray.pipelines.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    X = rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), dim),
+        }
+    )
+    outs = {}
+    for parts in (1, 3, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        bf = brute_force_topk(ds, [0, 5], k=7).to_pandas().sort_values(
+            ["query_id", "rnk"]).reset_index(drop=True)
+        ls = lsh_topk(ds, [0, 5], k=7, n_planes=3, seed=11).to_pandas().sort_values(
+            ["query_id", "rnk"]).reset_index(drop=True)
+        outs[parts] = (bf, ls)
+    ref_bf, ref_ls = outs[1]
+    for parts in (3, 11):
+        bf, ls = outs[parts]
+        assert bf["neighbor_id"].tolist() == ref_bf["neighbor_id"].tolist()
+        assert np.allclose(bf["sim"], ref_bf["sim"], atol=1e-9)
+        assert ls["neighbor_id"].tolist() == ref_ls["neighbor_id"].tolist()
+        assert np.allclose(ls["sim"], ref_ls["sim"], atol=1e-9)
