@@ -40,6 +40,7 @@ ANN_QUERIES = 5
 ANN_K = 10
 ANN_LSH_PLANES = 4
 ANN_LSH_SEED = 11
+TOPK_TOKENS = 100
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -653,6 +654,15 @@ def _q_quality_score(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_top_tokens(sf_dir: str):
+    """Corpus top-100 tokens (text_analysis.top_tokens): per-block
+    vocabulary partials pre-aggregated inside map_batches, one
+    vocabulary-sized groupby-sum, (count desc, token asc) ranking."""
+    from ugfraud_ray.pipelines.text_analysis import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=TOPK_TOKENS)
+
+
 def _q_fingerprints(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import fingerprints
 
@@ -718,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality_score,
         "doc_fingerprints": _q_fingerprints,
+        "doc_top_tokens": _q_top_tokens,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,
         "media_features": _q_media_features,
@@ -1683,6 +1694,21 @@ def oracle_sql() -> dict[str, str]:
         # Python marker loop; ASCII-whitespace tokenizer class matches
         # str.split() on the ASCII corpora the driver tables contain
         "doc_lang_id": _lang_id_sql(),
+        # tokens = RE2 \s+ split of the lowercased text on BOTH sides
+        # (DuckDB's regex engine is RE2 too); empty tokens from leading/
+        # trailing/blank text filtered; top-100 by (count desc, token asc)
+        "doc_top_tokens": f"""
+            SELECT token, n, rnk FROM (
+                SELECT token, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+                FROM (
+                    SELECT token, COUNT(*) AS n FROM (
+                        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                        FROM documents
+                    ) WHERE token <> '' GROUP BY token
+                )
+            ) WHERE rnk <= {TOPK_TOKENS}
+        """,
         # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
         "doc_quality_score": r"""
             WITH f AS (

@@ -188,3 +188,30 @@ def test_pair_dedup_local_and_distributed_agree(ray_session):
     sl = set(zip(pl["id_a"], pl["id_b"]))
     sd = set(zip(pd_["id_a"], pd_["id_b"]))
     assert sl == sd and len(sl) > 0
+
+
+def test_top_tokens_matches_counter(ray_session):
+    """top_tokens must equal a collections.Counter replica, ties broken
+    token-ascending, and be partition-invariant."""
+    from collections import Counter
+
+    from ugfraud_ray.pipelines.text_analysis import top_tokens
+
+    texts = [
+        "The cat sat on the mat",
+        "the DOG sat  on\tthe log",
+        "",
+        "   ",
+        "cat dog cat",
+    ]
+    c = Counter()
+    for s in texts:
+        c.update(s.lower().split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = top_tokens(ds, k=5).to_pandas()
+        assert list(zip(got["token"], got["n"])) == want
+        assert got["rnk"].tolist() == list(range(1, len(want) + 1))

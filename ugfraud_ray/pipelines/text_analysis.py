@@ -203,3 +203,61 @@ def fingerprints(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def top_tokens(
+    docs: "ray.data.Dataset",
+    k: int = 100,
+    key: str = "text",
+) -> "ray.data.Dataset":
+    """(token, n, rnk): the corpus's k most frequent lowercased
+    whitespace-separated tokens, ties broken token-ascending.
+
+    The classic vocabulary shuffle, kept narrow by PRE-AGGREGATING
+    inside map_batches: each block tokenizes with Arrow kernels
+    (utf8_lower + RE2 split), collapses to per-block (token, count)
+    partials via np.unique, and only the block's distinct vocabulary —
+    not one row per token occurrence — enters the groupby. The
+    post-aggregate table is vocabulary-sized, so the final
+    sort-and-limit is cheap at any corpus scale.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(pc.utf8_trim_whitespace(t[key]))
+        toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        arr = toks.to_numpy(zero_copy_only=False)
+        arr = arr[arr != ""]
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def rank(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((toks, -n))[:k]
+        return pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "n": pa.array(n[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    # per-block top-k partials, then one driver-side merge of ≤ P·k rows
+    parts = agg.map_batches(rank, batch_format="pyarrow")
+    from ugfraud_ray.functions.collect import collect_table
+
+    merged = collect_table(parts.select_columns(["token", "n"]))
+    return ray.data.from_arrow(rank(merged))
