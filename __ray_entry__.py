@@ -41,6 +41,7 @@ ANN_K = 10
 ANN_LSH_PLANES = 4
 ANN_LSH_SEED = 11
 TOPK_TOKENS = 100
+QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -706,6 +707,25 @@ def _q_ann_lsh(sf_dir: str):
     )
 
 
+def _q_quantiles(sf_dir: str):
+    """Exact distributed quantiles (functions/quantiles.py): shared
+    histogram pass + one candidate-bin refine pass, never a full sort.
+    Scale generalization of the reference's driver-side median picks
+    (Utils/helper.py:74,105-107, SURVEY §2.5 A3)."""
+    from ugfraud_ray.functions.quantiles import exact_quantiles
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    res = exact_quantiles(li, "l_extendedprice", QUANTILE_QS)
+    return pa.table(
+        {
+            "q": pa.array([q for q, _ in res], pa.float64()),
+            "value": pa.array([v for _, v in res], pa.float64()),
+        }
+    )
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media synthesized at a
     size tied to sf (no media column exists in the testdata tables)."""
@@ -732,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,
         "media_features": _q_media_features,
+        "quantiles_extendedprice": _q_quantiles,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
         "seeded_sample": _q_seeded_sample,
@@ -1708,6 +1729,21 @@ def oracle_sql() -> dict[str, str]:
                     ) WHERE token <> '' GROUP BY token
                 )
             ) WHERE rnk <= {TOPK_TOKENS}
+        """,
+        # rank_q = floor((n-1)·q), 0-based ascending — the engine's
+        # definition (functions/quantiles.py docstring); q is multiplied
+        # as DOUBLE on both sides so the floor is IEEE-identical
+        "quantiles_extendedprice": f"""
+            WITH s AS (
+                SELECT CAST(l_extendedprice AS DOUBLE) AS value,
+                       ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS r
+                FROM lineitem
+            ),
+            n AS (SELECT COUNT(*) AS cnt FROM lineitem),
+            qs AS (SELECT CAST(unnest({QUANTILE_QS!r}) AS DOUBLE) AS q)
+            SELECT qs.q, s.value
+            FROM qs CROSS JOIN n
+            JOIN s ON s.r = CAST(floor((n.cnt - 1) * qs.q) AS BIGINT)
         """,
         # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
         "doc_quality_score": r"""
