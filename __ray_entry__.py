@@ -726,6 +726,16 @@ def _q_quantiles(sf_dir: str):
     )
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Multi-table join + grouped aggregate (pipelines/relational.py):
+    lineitem ⋈ orders (broadcast fast path / Dataset.join at scale)
+    ⋈ broadcast customer→nation lookup, in-map integer-cents combiner,
+    driver-side final sum over ≤25-row partials."""
+    from ugfraud_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media synthesized at a
     size tied to sf (no media column exists in the testdata tables)."""
@@ -753,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "media_features": _q_media_features,
         "quantiles_extendedprice": _q_quantiles,
+        "revenue_by_nation": _q_revenue_by_nation,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
         "seeded_sample": _q_seeded_sample,
@@ -1729,6 +1740,21 @@ def oracle_sql() -> dict[str, str]:
                     ) WHERE token <> '' GROUP BY token
                 )
             ) WHERE rnk <= {TOPK_TOKENS}
+        """,
+        # revenue summed as integer 1e-4-currency units via
+        # floor(x·10⁴ + 0.5) per row (IEEE-identical in numpy and SQL,
+        # unlike banker's/half-away ROUND), so the grouped sum is
+        # order-independent and bit-exact on both sides
+        "revenue_by_nation": """
+            SELECT n_name,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) / 10000.0 AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
         """,
         # rank_q = floor((n-1)·q), 0-based ascending — the engine's
         # definition (functions/quantiles.py docstring); q is multiplied

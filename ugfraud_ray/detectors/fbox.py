@@ -24,6 +24,7 @@ from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count
 
+from ugfraud_ray.stages.graph_build import join_partitions
 from ugfraud_ray.detectors.spectral import (
     col_recon_norms,
     gram_matrix,
@@ -154,7 +155,7 @@ def fbox(
     # users: rec out-degree + original out-degree
     rec_u = row_recon_norms(e, Vk)
     deg_u = e.groupby("src").aggregate(Count(alias_name="degree")).rename_columns({"src": "vid"})
-    du = rec_u.join(deg_u, join_type="inner", num_partitions=8, on=("vid",)).materialize()
+    du = rec_u.join(deg_u, join_type="inner", num_partitions=join_partitions(), on=("vid",)).materialize()
     thr_u = _percentile_thresholds(du, tau)
     tu = pa.concat_tables([b for b in ray.get(thr_u.to_arrow_refs()) if b.num_rows])
     thr_map = np.zeros(int(tu["degree"].to_numpy(zero_copy_only=False).max()) + 1)

@@ -28,6 +28,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
+from ugfraud_ray.stages.graph_build import join_partitions
 from ray.data.aggregate import Sum
 
 
@@ -101,7 +102,7 @@ def gram_matrix(
     right = edges.select_columns(left_cols).rename_columns(
         {col_id: "gj", **({value: "vj"} if value else {})}
     )
-    joined = left.join(right, join_type="inner", num_partitions=16, on=(row_id,))
+    joined = left.join(right, join_type="inner", num_partitions=join_partitions(), on=(row_id,))
 
     @ray.remote
     def dense_partial(block: pa.Table) -> np.ndarray:

@@ -1,0 +1,140 @@
+"""Multi-table join + grouped aggregate pipelines (TPC-H-q5 shape).
+
+The reference does joins only as driver-side dict lookups (SURVEY §2.4,
+`Utils/helper.py:261-268`); this is the engine's general relational
+surface: a big⋈big fact join, broadcast dimension lookups, and an
+in-map combiner so the final groupby is dimension-sized, never
+fact-sized.
+
+Scale design (100 TB):
+- lineitem ⋈ orders is the one unavoidable all-to-all; below
+  ``_BCAST_ORDERS`` rows the order→customer map ships once via
+  ``ray.put`` as a dense int64 array instead (Ray's hash join carries a
+  multi-second shuffle-pool spin-up that dwarfs small build sides).
+- customer→nation is a dense int8 lookup array (25 nations): ~1 byte
+  per customer id, broadcast once, probed per batch.
+- revenue is accumulated per batch into integer 10⁻⁴-currency units
+  (``floor(x·10⁴ + 0.5)`` — IEEE-identical in numpy and SQL), so the
+  per-nation sum is order-independent and bit-exact regardless of block
+  arrival order; each block emits one ≤25-row partial and the driver
+  sums the tiny partials (no fact-sized shuffle reaches the groupby).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ugfraud_ray.functions.collect import collect_table
+
+_BCAST_ORDERS = 10_000_000
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _rev_units(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
+    """Revenue in integer 1e-4 currency units; floor(x+0.5) (not
+    banker's round) so numpy and SQL agree bit-for-bit."""
+    return np.floor(price * (1.0 - discount) * 10_000.0 + 0.5).astype(np.int64)
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """(n_name, revenue, n_lineitems) — lineitem revenue grouped by the
+    ordering customer's nation."""
+    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nation = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    n_nat = int(nation["n_nationkey"].to_numpy(zero_copy_only=False).max()) + 1
+    c2n = np.full(int(ck.max()) + 1 if len(ck) else 1, -1, dtype=np.int8)
+    c2n[ck] = cn.astype(np.int8)
+    c2n_ref = ray.put(c2n)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    n_ord = orders.count()  # parquet metadata — free
+
+    if n_ord <= _BCAST_ORDERS:
+        ot = collect_table(orders)
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o2c = np.full(int(ok.max()) + 1 if len(ok) else 1, -1, dtype=np.int64)
+        o2c[ok] = oc
+        o2c_ref = ray.put(o2c)
+
+        def partial(t: pa.Table) -> pa.Table:
+            o2c_m, c2n_m = ray.get(o2c_ref), ray.get(c2n_ref)
+            lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cu = np.where(lo < len(o2c_m), o2c_m[np.minimum(lo, len(o2c_m) - 1)], -1)
+            nk = np.where(
+                (cu >= 0) & (cu < len(c2n_m)),
+                c2n_m[np.clip(cu, 0, len(c2n_m) - 1)],
+                -1,
+            ).astype(np.int64)
+            keep = nk >= 0
+            rev = _rev_units(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+                t["l_discount"].to_numpy(zero_copy_only=False)[keep],
+            )
+            acc = np.zeros(n_nat, dtype=np.int64)
+            np.add.at(acc, nk[keep], rev)
+            cnt = np.bincount(nk[keep], minlength=n_nat).astype(np.int64)
+            return pa.table(
+                {"nk": pa.array(np.arange(n_nat)), "rev": pa.array(acc), "cnt": pa.array(cnt)}
+            )
+
+        partials = lineitem.map_batches(partial, batch_format="pyarrow")
+    else:
+        from ugfraud_ray.stages.graph_build import join_partitions
+
+        joined = lineitem.join(
+            orders.rename_columns({"o_orderkey": "l_orderkey"}),
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",),
+        )
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            c2n_m = ray.get(c2n_ref)
+            cu = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = np.where(cu < len(c2n_m), c2n_m[np.minimum(cu, len(c2n_m) - 1)], -1).astype(
+                np.int64
+            )
+            keep = nk >= 0
+            rev = _rev_units(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+                t["l_discount"].to_numpy(zero_copy_only=False)[keep],
+            )
+            acc = np.zeros(n_nat, dtype=np.int64)
+            np.add.at(acc, nk[keep], rev)
+            cnt = np.bincount(nk[keep], minlength=n_nat).astype(np.int64)
+            return pa.table(
+                {"nk": pa.array(np.arange(n_nat)), "rev": pa.array(acc), "cnt": pa.array(cnt)}
+            )
+
+        partials = joined.map_batches(partial_joined, batch_format="pyarrow")
+
+    # partials are (n_blocks × n_nat) rows — driver sum, no shuffle
+    pt = collect_table(partials)
+    rev = np.zeros(n_nat, dtype=np.int64)
+    cnt = np.zeros(n_nat, dtype=np.int64)
+    np.add.at(rev, pt["nk"].to_numpy(zero_copy_only=False), pt["rev"].to_numpy(zero_copy_only=False))
+    np.add.at(cnt, pt["nk"].to_numpy(zero_copy_only=False), pt["cnt"].to_numpy(zero_copy_only=False))
+
+    nat_k = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = nation["n_name"].to_pylist()
+    keep = cnt[nat_k] > 0
+    return pa.table(
+        {
+            "n_name": pa.array([n for n, k in zip(names, keep) if k], pa.string()),
+            "revenue": pa.array(rev[nat_k][keep] / 10_000.0, pa.float64()),
+            "n_lineitems": pa.array(cnt[nat_k][keep]),
+        }
+    )

@@ -40,7 +40,7 @@ from ugfraud_ray.functions.collect import collect_table
 import ray.data
 from ray.data.aggregate import Count, Max, Min
 
-from ugfraud_ray.stages.graph_build import with_row_index
+from ugfraud_ray.stages.graph_build import join_partitions, with_row_index
 
 PART_OFFSET = 1_000_000
 
@@ -95,7 +95,7 @@ def review_edges(sf_dir: str) -> "ray.data.Dataset":
         joined = lineitem.join(
             orders.rename_columns({"o_orderkey": "l_orderkey"}),
             join_type="inner",
-            num_partitions=16,
+            num_partitions=join_partitions(),
             on=("l_orderkey",),
         )
 
@@ -231,11 +231,11 @@ def number_int_vertices(
 
     e = edges.join(
         vmap.rename_columns({"id": "src"}),
-        join_type="inner", num_partitions=32, on=("src",),
+        join_type="inner", num_partitions=join_partitions(), on=("src",),
     ).drop_columns(["src"]).rename_columns({"vid": "src"})
     e = e.join(
         vmap.rename_columns({"id": "dst"}),
-        join_type="inner", num_partitions=32, on=("dst",),
+        join_type="inner", num_partitions=join_partitions(), on=("dst",),
     ).drop_columns(["dst"]).rename_columns({"vid": "dst"})
     return e, vmap, n
 

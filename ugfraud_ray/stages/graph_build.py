@@ -31,6 +31,20 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 
+def join_partitions(floor_: int = 8, cap: int = 4096) -> int:
+    """Hash-join/shuffle partition count sized to the cluster.
+
+    Ray's hash-shuffle aggregator actors reserve 0.125 CPU each and the
+    join HANGS (not degrades) when the pool can't fully schedule — a
+    fixed num_partitions=64 needs 8 whole CPUs regardless of data size,
+    so the count must NEVER be derived from data size alone (e.g.
+    num_blocks of a big input on a small cluster). 2× the cluster CPU
+    count keeps aggregators at ~1/4 of the cluster while giving skew
+    headroom at any cluster size."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(floor_, min(cap, ncpu * 2))
+
+
 @ray.remote
 def _nrows(t: pa.Table) -> int:
     return t.num_rows
@@ -362,13 +376,13 @@ def map_edges_to_vids(
     e = edge_urls.join(
         v.rename_columns({"url": "src_url", "vid": "src"}),
         join_type="inner",
-        num_partitions=max(32, edge_urls.num_blocks()),
+        num_partitions=join_partitions(),
         on=("src_url",),
     )
     e = e.join(
         v.rename_columns({"url": "dst_url", "vid": "dst"}),
         join_type="inner",
-        num_partitions=max(32, edge_urls.num_blocks()),
+        num_partitions=join_partitions(),
         on=("dst_url",),
     )
     return e
