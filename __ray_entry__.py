@@ -42,6 +42,7 @@ ANN_LSH_PLANES = 4
 ANN_LSH_SEED = 11
 TOPK_TOKENS = 100
 QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+GROUP_QUANTILE_QS = [0.5, 0.95]
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -726,6 +727,18 @@ def _q_quantiles(sf_dir: str):
     )
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-group exact quantiles (functions/quantiles.py:
+    grouped_exact_quantiles): scale form of fBox's per-degree
+    percentile thresholds (Detector/fBox.py:72-76, SURVEY §2.5 A4)."""
+    from ugfraud_ray.functions.quantiles import grouped_exact_quantiles
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_exact_quantiles(ev, "event_type", "value", GROUP_QUANTILE_QS)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     """Multi-table join + grouped aggregate (pipelines/relational.py):
     lineitem ⋈ orders (broadcast fast path / Dataset.join at scale)
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "quantiles_extendedprice": _q_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
+        "grouped_quantiles_events": _q_grouped_quantiles,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
         "seeded_sample": _q_seeded_sample,
@@ -1755,6 +1769,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             JOIN nation ON n_nationkey = c_nationkey
             GROUP BY n_name
+        """,
+        # per-group rank = floor((n_g-1)·q), 0-based ascending within the
+        # group — same definition as the engine; ROW_NUMBER is unique per
+        # partition so exactly one row survives per (group, q)
+        "grouped_quantiles_events": f"""
+            WITH s AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS r,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ),
+            qs AS (SELECT CAST(unnest({GROUP_QUANTILE_QS!r}) AS DOUBLE) AS q)
+            SELECT s.event_type, qs.q, s.value
+            FROM qs CROSS JOIN s
+            WHERE s.r = CAST(floor((s.n - 1) * qs.q) AS BIGINT)
         """,
         # rank_q = floor((n-1)·q), 0-based ascending — the engine's
         # definition (functions/quantiles.py docstring); q is multiplied

@@ -50,6 +50,52 @@ def test_exact_quantiles_all_equal_and_empty(ray_session):
     assert len(got) == 1 and np.isnan(got[0][1])
 
 
+def _grouped_oracle(keys, vals, qs):
+    out = set()
+    for k in np.unique(keys):
+        seg = np.sort(vals[keys == k].astype(np.float64))
+        for q in qs:
+            out.add((str(k), q, float(seg[int(np.floor((seg.size - 1) * q))])))
+    return out
+
+
+def _grouped_rows(t):
+    return set(zip((str(k) for k in t.column(0).to_pylist()),
+                   t["q"].to_pylist(), t["value"].to_pylist()))
+
+
+def test_grouped_exact_quantiles(ray_session):
+    from ugfraud_ray.functions.quantiles import grouped_exact_quantiles
+
+    rng = np.random.default_rng(41)
+    keys = rng.choice(np.array(["a", "b", "c", "d"]), 12_000)
+    vals = np.round(rng.gamma(2.0, 50.0, 12_000), 2)  # ties
+    qs = [0.0, 0.5, 0.9, 1.0]
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "x": pa.array(vals)})
+    ).repartition(9)
+    got = grouped_exact_quantiles(ds, "k", "x", qs)
+    assert _grouped_rows(got) == _grouped_oracle(keys, vals, qs)
+    # local fast path agrees
+    local = grouped_exact_quantiles(ds, "k", "x", qs, approx_rows=12_000)
+    assert _grouped_rows(local) == _grouped_oracle(keys, vals, qs)
+
+
+def test_grouped_exact_quantiles_heavy_cell(ray_session, monkeypatch):
+    from ugfraud_ray.functions.quantiles import grouped_exact_quantiles
+
+    monkeypatch.setattr(qmod, "_REFINE_CAP", 300)
+    rng = np.random.default_rng(43)
+    keys = np.array(["hot"] * 8_000 + ["cold"] * 2_000)
+    vals = np.concatenate([np.full(7_000, 5.5), rng.uniform(0, 10, 3_000)])
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "x": pa.array(vals)})
+    ).repartition(5)
+    qs = [0.25, 0.75]
+    got = grouped_exact_quantiles(ds, "k", "x", qs)
+    assert _grouped_rows(got) == _grouped_oracle(keys, vals, qs)
+
+
 def test_exact_quantiles_local_fast_path_agrees(ray_session):
     rng = np.random.default_rng(31)
     vals = np.round(rng.normal(0, 10, 5_000), 1)  # ties across bins

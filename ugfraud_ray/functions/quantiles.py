@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -103,6 +104,161 @@ def _refine_heavy(ds: "ray.data.Dataset", col: str, lo: float, hi: float,
     vals = collect_table(sub.select_columns([col]))
     arr = np.sort(vals[col].to_numpy(zero_copy_only=False).astype(np.float64))
     return _pick_from_sorted(arr, rank - below)
+
+
+def _grp_bins(v: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Per-row bin id via floor-division against each row's group range
+    (lo/hi already gathered per row); clip handles v == hi and any
+    float-rounding overshoot. Used identically in the histogram and
+    refine passes so bin membership is consistent."""
+    width = np.maximum(hi - lo, 1e-300)
+    return np.clip(
+        np.floor((v - lo) / width * _N_BINS).astype(np.int64), 0, _N_BINS - 1
+    )
+
+
+def grouped_exact_quantiles(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    qs: list[float],
+    approx_rows: int | None = None,
+) -> pa.Table:
+    """(key, q, value) — exact floor((n_g−1)·q)-th ascending order
+    statistic of ``col`` within every group of ``key``.
+
+    Scale generalization of fBox's per-degree percentile thresholds
+    (SURVEY §2.5 A4, /root/reference Detector/fBox.py:72-76): the same
+    shared-histogram selection as :func:`exact_quantiles`, keyed by
+    group — one per-group min/max/count aggregate (group count is
+    assumed dimension-sized, ≤ ~100k), one histogram pass emitting
+    (group, bin) partials, one refine pass collecting the union of
+    candidate (group, bin) cells. Per-cell overflow past _REFINE_CAP
+    recurses into the cell with a tightened range.
+    """
+    if approx_rows is not None and approx_rows <= _LOCAL_ROWS:
+        t = collect_table(ds.select_columns([key, col]))
+        return _grouped_local(t, key, col, qs)
+
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = collect_table(
+        ds.groupby(key).aggregate(
+            Min(col, alias_name="lo"), Max(col, alias_name="hi"), Count(alias_name="n")
+        )
+    )
+    keys = stats[key]
+    glo = stats["lo"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ghi = stats["hi"].to_numpy(zero_copy_only=False).astype(np.float64)
+    gn = stats["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_grp = len(gn)
+    kmap_ref = ray.put((keys.combine_chunks(), glo, ghi))
+
+    def gather(t: pa.Table):
+        ks, lo_a, hi_a = ray.get(kmap_ref)
+        gi = pc.index_in(t[key], value_set=ks).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return gi, v, _grp_bins(v, lo_a[gi], hi_a[gi])
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        gi, _, b = gather(t)
+        cell = gi * _N_BINS + b
+        acc = np.bincount(cell, minlength=n_grp * _N_BINS).astype(np.int64)
+        nz = np.flatnonzero(acc)
+        return pa.table({"cell": pa.array(nz), "n": pa.array(acc[nz])})
+
+    parts = collect_table(ds.map_batches(hist_part, batch_format="pyarrow"))
+    hist = np.zeros(n_grp * _N_BINS, dtype=np.int64)
+    np.add.at(hist, parts["cell"].to_numpy(zero_copy_only=False),
+              parts["n"].to_numpy(zero_copy_only=False))
+    hist = hist.reshape(n_grp, _N_BINS)
+    cum = np.cumsum(hist, axis=1)
+
+    # locate the candidate cell for every (group, q)
+    targets: list[tuple[int, float, int, int, int]] = []  # (g, q, rank, bin, below)
+    for g in range(n_grp):
+        for q in qs:
+            r = int(np.floor((gn[g] - 1) * q))
+            b = int(np.searchsorted(cum[g], r, side="right"))
+            below = int(cum[g, b - 1]) if b > 0 else 0
+            targets.append((g, q, r, b, below))
+    light = {(g, b) for g, _, _, b, _ in targets if hist[g, b] <= _REFINE_CAP}
+
+    by_cell: dict[tuple[int, int], np.ndarray] = {}
+    if light:
+        cells = np.array(sorted(g * _N_BINS + b for g, b in light), dtype=np.int64)
+        cells_ref = ray.put(cells)
+
+        def keep(t: pa.Table) -> pa.Table:
+            gi, _, b = gather(t)
+            return t.filter(pa.array(np.isin(gi * _N_BINS + b, ray.get(cells_ref))))
+
+        sub = collect_table(ds.map_batches(keep, batch_format="pyarrow"))
+        gi, v, b = gather(sub)
+        cell = gi * _N_BINS + b
+        order = np.lexsort((v, cell))
+        v, cell = v[order], cell[order]
+        starts = np.searchsorted(cell, cells, side="left")
+        ends = np.searchsorted(cell, cells, side="right")
+        for c, s, e in zip(cells, starts, ends):
+            by_cell[(int(c) // _N_BINS, int(c) % _N_BINS)] = v[s:e]
+
+    out_k, out_q, out_v = [], [], []
+    for g, q, r, b, below in targets:
+        if glo[g] == ghi[g]:
+            val = glo[g]
+        elif (g, b) in by_cell:
+            val = _pick_from_sorted(by_cell[(g, b)], r - below)
+        else:
+            # heavy cell: filter to this one group's cell and recurse
+            # with the ungrouped machinery on the tightened range
+            w = (ghi[g] - glo[g]) / _N_BINS
+            b_lo, b_hi = glo[g] + b * w, glo[g] + (b + 1) * w
+            sub = _grp_bin_filter(
+                ds, key, keys[g], col, glo[g], ghi[g], b
+            ).materialize()
+            val = _refine_heavy(sub, col, float(b_lo), float(b_hi), r - below)
+        out_k.append(keys[g].as_py())
+        out_q.append(q)
+        out_v.append(val)
+    return pa.table(
+        {key: pa.array(out_k), "q": pa.array(out_q, pa.float64()),
+         "value": pa.array(out_v, pa.float64())}
+    )
+
+
+def _grp_bin_filter(ds, key: str, key_value, col: str, lo: float, hi: float, b: int):
+    kv = key_value.as_py()
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bb = _grp_bins(v, np.float64(lo), np.float64(hi))
+        in_key = pc.equal(t[key], kv).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((bb == b) & in_key))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _grouped_local(t: pa.Table, key: str, col: str, qs: list[float]) -> pa.Table:
+    v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    ki = pc.index_in(t[key], value_set=pc.unique(t[key].combine_chunks()))
+    gi = ki.to_numpy(zero_copy_only=False).astype(np.int64)
+    uk = pc.unique(t[key].combine_chunks())
+    order = np.lexsort((v, gi))
+    v, gi = v[order], gi[order]
+    starts = np.searchsorted(gi, np.arange(len(uk)), side="left")
+    ends = np.searchsorted(gi, np.arange(len(uk)), side="right")
+    out_k, out_q, out_v = [], [], []
+    for g in range(len(uk)):
+        seg = v[starts[g]:ends[g]]
+        for q in qs:
+            out_k.append(uk[g].as_py())
+            out_q.append(q)
+            out_v.append(float(seg[int(np.floor((seg.size - 1) * q))]))
+    return pa.table(
+        {key: pa.array(out_k), "q": pa.array(out_q, pa.float64()),
+         "value": pa.array(out_v, pa.float64())}
+    )
 
 
 def exact_quantiles(
