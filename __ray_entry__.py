@@ -665,6 +665,14 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=TOPK_TOKENS)
 
 
+def _q_bpe_token_count(sf_dir: str):
+    """BPE-ish pretokenizer count (text_analysis.bpe_token_counts):
+    the whitespace counterpart is doc_token_count."""
+    from ugfraud_ray.pipelines.text_analysis import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
 def _q_fingerprints(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import fingerprints
 
@@ -771,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_lang_id,
         "doc_quality_score": _q_quality_score,
         "doc_fingerprints": _q_fingerprints,
+        "doc_bpe_token_count": _q_bpe_token_count,
         "doc_top_tokens": _q_top_tokens,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,
@@ -811,6 +820,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
     }
+
+
+def _bpe_count_sql() -> str:
+    # the SAME RE2 pattern string the engine compiles (imported, not
+    # copied); DuckDB single-quoted strings keep backslashes raw so RE2
+    # sees identical bytes on both sides
+    from ugfraud_ray.pipelines.text_analysis import _BPE_RE
+
+    pat = _BPE_RE.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
 
 
 def _lang_id_sql() -> str:
@@ -1740,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         # Python marker loop; ASCII-whitespace tokenizer class matches
         # str.split() on the ASCII corpora the driver tables contain
         "doc_lang_id": _lang_id_sql(),
+        "doc_bpe_token_count": _bpe_count_sql(),
         # tokens = RE2 \s+ split of the lowercased text on BOTH sides
         # (DuckDB's regex engine is RE2 too); empty tokens from leading/
         # trailing/blank text filtered; top-100 by (count desc, token asc)

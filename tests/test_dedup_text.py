@@ -215,3 +215,27 @@ def test_top_tokens_matches_counter(ray_session):
         got = top_tokens(ds, k=5).to_pandas()
         assert list(zip(got["token"], got["n"])) == want
         assert got["rnk"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_bpe_token_counts_match_re_oracle(ray_session):
+    import re
+
+    from ugfraud_ray.pipelines.text_analysis import _BPE_RE, bpe_token_counts
+
+    texts = [
+        "Hello world!  it's 2026...",
+        "don't stop, we've   got 99 problems",
+        "",
+        "   ",
+        "a1b2 c-3 'll'd",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(ds).take_all()
+    }
+    pat = re.compile(_BPE_RE)
+    want = {i: len(pat.findall(s)) for i, s in enumerate(texts)}
+    assert got == want

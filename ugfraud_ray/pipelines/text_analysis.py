@@ -38,6 +38,28 @@ def token_counts(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer, RE2-safe (no lookahead: the original's
+# `\s+(?!\S)` trailing-space rule is dropped; instead `\s+` runs merge,
+# which only changes counts on multi-space runs). Alternation order
+# matters and RE2 uses leftmost-first here, same as DuckDB's RE2.
+_BPE_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\t\n\x0b\x0c\r ]+|[\t\n\x0b\x0c\r ]+"
+
+
+def bpe_token_counts(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(doc_id, n_bpe_tokens): non-overlapping matches of a BPE-ish
+    pretokenizer regex — the byte-pair-encoding *pretoken* count, the
+    usual proxy for LLM token budget at corpus scale. One vectorized
+    RE2 kernel per batch; no Python loop."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[key], _BPE_RE), pa.int64())
+        return pa.table({id_col: t[id_col], "n_bpe_tokens": n})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
 def quality_features(
     docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
