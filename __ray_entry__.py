@@ -222,7 +222,7 @@ def _q_doc_exact_dedup(sf_dir: str):
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return exact_dedup(docs, key="text", id_col="doc_id")
+    return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
 
 
 def _q_doc_token_count(sf_dir: str):

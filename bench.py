@@ -137,7 +137,7 @@ def bench_pipelines(sf_dir: str) -> dict:
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id", "text"]).materialize()
     t0 = time.perf_counter()
-    exact_dedup(docs).count()
+    exact_dedup(docs, approx_rows=docs.count()).count()
     q["doc_exact_dedup"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     minhash_lsh_dedup(docs).count()

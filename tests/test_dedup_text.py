@@ -90,6 +90,12 @@ def test_exact_dedup_identical_copies(ray_session):
     assert len(out) == 3
     trip = out[out.n_copies == 3]
     assert len(trip) == 1 and trip.iloc[0]["doc_id"] == 0  # min-id survivor
+    # driver-local fast path (approx_rows hint) agrees with distributed
+    loc = exact_dedup(ray.data.from_arrow(t), approx_rows=5).to_pandas()
+    key = ["text_hash", "doc_id", "n_copies"]
+    assert sorted(map(tuple, loc[key].values.tolist())) == sorted(
+        map(tuple, out[key].values.tolist())
+    )
 
 
 def test_embedding_cosine_dedup_planted(ray_session):

@@ -32,6 +32,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from ugfraud_ray.functions.collect import collect_table
+
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -40,12 +42,20 @@ def _md5_hex(texts: list[str]) -> list[str]:
 
 
 def exact_dedup(
-    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    approx_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """(text_hash, doc_id=min id, n_copies) — hash-partition + per-group first.
 
     D1 semantics (`if k not in u_id2idx`, fBox.py:33-41): the survivor is
     the smallest id, which equals first-occurrence for ordered ids.
+
+    Hashing is always distributed (map_batches over the full text); only
+    the tiny (hash, id) grouping drops to the driver when the caller's
+    ``approx_rows`` hint says the shuffle-pool spin-up (~2-7 s fixed)
+    would dominate.
     """
 
     def add_hash(t: pa.Table) -> pa.Table:
@@ -53,6 +63,18 @@ def exact_dedup(
         return pa.table({"text_hash": pa.array(h, pa.string()), id_col: t[id_col]})
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+    if approx_rows is not None and approx_rows <= 2_000_000:
+        t = collect_table(hashed)
+        g = t.group_by("text_hash").aggregate([(id_col, "min"), ("text_hash", "count")])
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "text_hash": g["text_hash"],
+                    id_col: g[f"{id_col}_min"],
+                    "n_copies": g["text_hash_count"],
+                }
+            )
+        )
     return hashed.groupby("text_hash").aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
     )
