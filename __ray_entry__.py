@@ -43,6 +43,8 @@ ANN_LSH_SEED = 11
 TOPK_TOKENS = 100
 QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
 GROUP_QUANTILE_QS = [0.5, 0.95]
+DISTINCT_K = 3
+DISTINCT_DF_PCT = 10
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -665,6 +667,18 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=TOPK_TOKENS)
 
 
+def _q_distinctive_terms(sf_dir: str):
+    """Per-doc top-3 distinctive terms (text_analysis.distinctive_terms):
+    TF-IDF-shaped — corpus DF pass, broadcast common-token set, per-doc
+    integer (tf desc, token asc) ranking."""
+    from ugfraud_ray.pipelines.text_analysis import distinctive_terms
+
+    docs = _docs(sf_dir)
+    return distinctive_terms(
+        docs, k=DISTINCT_K, common_df_pct=DISTINCT_DF_PCT, approx_docs=docs.count()
+    )
+
+
 def _q_bpe_token_count(sf_dir: str):
     """BPE-ish pretokenizer count (text_analysis.bpe_token_counts):
     the whitespace counterpart is doc_token_count."""
@@ -780,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_score": _q_quality_score,
         "doc_fingerprints": _q_fingerprints,
         "doc_bpe_token_count": _q_bpe_token_count,
+        "doc_distinctive_terms": _q_distinctive_terms,
         "doc_top_tokens": _q_top_tokens,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1764,6 +1779,33 @@ def oracle_sql() -> dict[str, str]:
         # str.split() on the ASCII corpora the driver tables contain
         "doc_lang_id": _lang_id_sql(),
         "doc_bpe_token_count": _bpe_count_sql(),
+        # same tokenizer as doc_top_tokens; "common" = df·100 > pct·N
+        # (integer compare, no float idf) excluded from ranking; ties in
+        # tf break token-ascending (binary collation == numpy '<U' on
+        # the ASCII corpora), so ROW_NUMBER is fully deterministic
+        "doc_distinctive_terms": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM tok WHERE token <> '' GROUP BY 1, 2
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            df AS (SELECT token, COUNT(*) AS df FROM t GROUP BY token),
+            ranked AS (
+                SELECT t.doc_id, t.token, t.tf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.doc_id ORDER BY t.tf DESC, t.token ASC
+                       ) AS rnk
+                FROM t JOIN df USING (token), nn
+                WHERE df.df * 100 <= {DISTINCT_DF_PCT} * nn.n
+            )
+            SELECT doc_id, token, tf, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= {DISTINCT_K}
+        """,
         # tokens = RE2 \s+ split of the lowercased text on BOTH sides
         # (DuckDB's regex engine is RE2 too); empty tokens from leading/
         # trailing/blank text filtered; top-100 by (count desc, token asc)

@@ -245,3 +245,43 @@ def test_bpe_token_counts_match_re_oracle(ray_session):
     pat = re.compile(_BPE_RE)
     want = {i: len(pat.findall(s)) for i, s in enumerate(texts)}
     assert got == want
+
+
+def test_distinctive_terms_matches_python_oracle(ray_session):
+    from collections import Counter
+
+    from ugfraud_ray.pipelines.text_analysis import distinctive_terms
+
+    rng = np.random.default_rng(47)
+    vocab = np.array([f"w{i:02d}" for i in range(40)])
+    texts = []
+    for i in range(60):
+        # every doc gets the common filler words plus a skewed sample
+        toks = ["the", "and"] * 3 + list(rng.choice(vocab, rng.integers(5, 30)))
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+    n = len(texts)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n)), "text": pa.array(texts)})
+    ).repartition(4)
+
+    k, pct = 3, 10
+    # python oracle
+    df = Counter()
+    for s in texts:
+        df.update(set(s.split()))
+    common = {t for t, d in df.items() if d * 100 > pct * n}
+    want = set()
+    for i, s in enumerate(texts):
+        tf = Counter(t for t in s.split() if t not in common)
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (tok, c) in enumerate(ranked, 1):
+            want.add((i, tok, c, r))
+
+    got = distinctive_terms(ds, k=k, common_df_pct=pct, approx_docs=n)
+    rows = {(r["doc_id"], r["token"], r["tf"], r["rnk"]) for r in got.take_all()}
+    assert rows == want
+    # distributed DF branch agrees
+    got2 = distinctive_terms(ds, k=k, common_df_pct=pct)
+    rows2 = {(r["doc_id"], r["token"], r["tf"], r["rnk"]) for r in got2.take_all()}
+    assert rows2 == want

@@ -227,6 +227,119 @@ def fingerprints(
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+def _explode_tokens(t: pa.Table, key: str):
+    """(flat_tokens, row_idx) for the lowercased RE2-\\s+ tokenization
+    (same tokenizer as top_tokens / the SQL oracles), empties dropped."""
+    col = pc.utf8_lower(pc.utf8_trim_whitespace(t[key]))
+    lists = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(len(lens)), lens)
+    keep = flat != ""
+    return flat[keep], rows[keep]
+
+
+def distinctive_terms(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    common_df_pct: int = 10,
+    key: str = "text",
+    id_col: str = "doc_id",
+    approx_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """(doc_id, token, tf, rnk): each document's k most frequent tokens
+    EXCLUDING corpus-common tokens (document frequency · 100 >
+    common_df_pct · N, integer comparison) — the TF-IDF shape with a
+    bit-exact integer ranking (tf desc, token asc), no float idf.
+
+    Two passes, both scale-true:
+    1. document frequency — per-block (token, partial_df) partials
+       (each doc's tokens uniqued first), then a vocabulary-sized
+       groupby-sum (driver-local below the ``approx_docs`` hint). Only
+       the COMMON-token set is collected and broadcast: it is heavy
+       hitters by construction, ≤ ~100/common_df_pct × the average
+       per-doc distinct-token count, regardless of corpus size.
+    2. per-doc term frequencies via one run-length encoding over the
+       (row, token)-sorted token stream, commons dropped with a single
+       vectorized ``pc.index_in`` probe, per-doc top-k by stable
+       segment ranking. No Python loop over rows or tokens.
+    """
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        order = np.lexsort((rows, flat))
+        f, r = flat[order], rows[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = (f[1:] != f[:-1]) | (r[1:] != r[:-1])
+        uniq, counts = np.unique(f[first], return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq, pa.string()), "df": pa.array(counts.astype(np.int64))}
+        )
+
+    partials = docs.map_batches(df_partial, batch_format="pyarrow")
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+    if approx_docs is not None and approx_docs <= 2_000_000:
+        from ugfraud_ray.functions.collect import collect_table
+
+        pt = collect_table(partials)
+        toks = pt["token"].to_numpy(zero_copy_only=False)
+        dfs = pt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, dfs)
+        common = uniq[tot * 100 > common_df_pct * n_docs]
+        common_arr = pa.array(common, pa.string())
+    else:
+        df_tab = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+        def only_common(t: pa.Table) -> pa.Table:
+            m = pc.greater(pc.multiply(t["df"], 100), common_df_pct * n_docs)
+            return t.filter(m).select(["token"])
+
+        from ugfraud_ray.functions.collect import collect_table
+
+        common_arr = collect_table(
+            df_tab.map_batches(only_common, batch_format="pyarrow")
+        )["token"].combine_chunks()
+    common_ref = ray.put(common_arr)
+
+    def tf_topk(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        commons = ray.get(common_ref)
+        if len(commons):
+            hit = pc.index_in(pa.array(flat), value_set=commons).to_numpy(
+                zero_copy_only=False
+            )
+            keep = np.isnan(hit.astype(np.float64))
+            flat, rows = flat[keep], rows[keep]
+        order = np.lexsort((flat, rows))
+        f, r = flat[order], rows[order]
+        new = np.ones(len(f), dtype=bool)
+        new[1:] = (f[1:] != f[:-1]) | (r[1:] != r[:-1])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(f)))
+        tok_u, row_u = f[starts], r[starts]
+        o2 = np.lexsort((tok_u, -tf, row_u))
+        row_s, tok_s, tf_s = row_u[o2], tok_u[o2], tf[o2]
+        grp = np.ones(len(row_s), dtype=bool)
+        grp[1:] = row_s[1:] != row_s[:-1]
+        pos = np.arange(len(row_s))
+        rnk = pos - np.maximum.accumulate(np.where(grp, pos, 0)) + 1
+        sel = rnk <= k
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[row_s[sel]]),
+                "token": pa.array(tok_s[sel], pa.string()),
+                "tf": pa.array(tf_s[sel].astype(np.int64)),
+                "rnk": pa.array(rnk[sel].astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(tf_topk, batch_format="pyarrow")
+
+
 def top_tokens(
     docs: "ray.data.Dataset",
     k: int = 100,
