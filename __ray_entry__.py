@@ -523,6 +523,17 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_count(_events(sf_dir), window_minutes=60)
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): in-map distinct-pair partials,
+    pair-domain groupby, key-sized final sum (events.py)."""
+    from ugfraud_ray.pipelines.events import distinct_users_per_type
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return distinct_users_per_type(ev, approx_rows=ev.count())
+
+
 def _q_seeded_sample(sf_dir: str):
     """O5/J4 deterministic hash-based sampling (reference versions are
     unseeded random.sample — the engine's is partition-parallel and
@@ -811,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_error": _q_events_asof,
         "events_topk_per_user": _q_events_topk,
         "events_sliding_count": _q_events_sliding,
+        "events_distinct_users": _q_events_distinct_users,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
@@ -1763,6 +1775,10 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS n_in_window
             FROM events
+        """,
+        "events_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_topk_per_user": """
             SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM (

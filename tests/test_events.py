@@ -190,3 +190,26 @@ def test_events_ops_empty_input(ray_session):
     assert topk_per_user(ds).count() == 0
     assert sliding_window_count(ds).count() == 0
     assert extract_props(ds).count() == 0
+
+
+def test_distinct_users_per_type_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import distinct_users_per_type
+
+    rng = np.random.default_rng(53)
+    n = 6_000
+    t = pa.table(
+        {
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+            "user_id": pa.array(rng.integers(0, 400, n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    want = {k: len(np.unique(uid[et == k])) for k in ["a", "b", "c"]}
+    for hint in (n, None):
+        got = {
+            r["event_type"]: r["n_users"]
+            for r in distinct_users_per_type(ds, approx_rows=hint).take_all()
+        }
+        assert got == want, hint

@@ -423,3 +423,66 @@ def extract_props(
         return pa.table({"event_id": t["event_id"], field: val})
 
     return events.map_batches(f, batch_format="pyarrow")
+
+
+def distinct_users_per_type(
+    events: "ray.data.Dataset",
+    key: str = "event_type",
+    user_col: str = "user_id",
+    approx_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """(event_type, n_users) — exact grouped COUNT(DISTINCT user).
+
+    Scale shape: each block collapses to its distinct (key, user) pairs
+    FIRST (in-map combiner — the partial stream is bounded by true
+    distinct pairs, not event count), then one groupby over the
+    (key, user) pair domain marks global distincts, and a second
+    key-sized in-map partial count reduces to one row per key. No
+    row-per-event ever enters a shuffle. Exact (no sketch), so DuckDB's
+    COUNT(DISTINCT ...) replays it bit-for-bit.
+    """
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        u = t[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((u, k))
+        ks, us = k[order], u[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (us[1:] != us[:-1])
+        return pa.table(
+            {key: pa.array(ks[first]), user_col: pa.array(us[first])}
+        )
+
+    pairs = events.map_batches(pair_partial, batch_format="pyarrow")
+    if approx_rows is not None and approx_rows <= 2_000_000:
+        # gate the two shuffle spin-ups off for small inputs (same
+        # convention as exact_dedup / dedup_pairs); partials stream in
+        t = collect_table(pairs)
+        k = t[key].to_numpy(zero_copy_only=False)
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, k))
+        ks, us = k[order], u[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (us[1:] != us[:-1])
+        uniq, counts = np.unique(ks[first], return_counts=True)
+        return ray.data.from_arrow(
+            pa.table({key: pa.array(uniq), "n_users": pa.array(counts.astype(np.int64))})
+        )
+    # global distinct over the pair domain, then count per key: the
+    # groupby is pair-domain-sized; Count per (key) via second partial
+    from ray.data.aggregate import Count, Sum
+
+    dedup = pairs.groupby([key, user_col]).aggregate(Count(alias_name="_c"))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(k, return_counts=True)
+        return pa.table(
+            {key: pa.array(uniq), "n_users": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        dedup.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
