@@ -45,6 +45,8 @@ QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
 GROUP_QUANTILE_QS = [0.5, 0.95]
 DISTINCT_K = 3
 DISTINCT_DF_PCT = 10
+KCORE_K = 14  # non-empty core with a multi-round peel cascade at the gate scales
+KCORE_MAX_ITERS = 30
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -171,6 +173,24 @@ def _q_components(sf_dir: str):
     out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
     out = unmap_vids(out, vmap, vid_col="component", out_col="component")
     return out.select_columns(["id", "component"])
+
+
+def _q_kcore(sf_dir: str):
+    """k-core membership over the general graph (pipelines/kcore.py):
+    Jacobi low-degree peeling, per-round alive-filtered dense-bincount
+    degrees; stop = first count-stable round (post-hoc replayed in the
+    SQL oracle, GANG-style)."""
+    from ugfraud_ray.pipelines.kcore import kcore_members
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    alive = kcore_members(
+        e, n, k=KCORE_K, max_iters=KCORE_MAX_ITERS, approx_edges=ge.count()
+    )
+    # vids are contiguous 0..n-1 in ascending original-id order
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    return pa.table({"id": pa.array(ids[alive], pa.int64())})
 
 
 def _q_pagerank(sf_dir: str):
@@ -840,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prior_median": _q_prior_median,
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
+        "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "auc_rating_label": _q_auc,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -1553,6 +1574,48 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
             )
             SELECT vid AS id, MIN(comp) AS component FROM walk GROUP BY vid
+        """,
+        # k-core peel replayed GANG-style: every round is materialized
+        # up to the horizon and the engine's stop rule (first
+        # count-stable round; alive shrinks monotonically so equal
+        # counts == equal sets) is applied post-hoc via kstar
+        "kcore_members": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            e2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g),
+            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
+            kc AS (
+                SELECT vid, TRUE AS alive, 0 AS iter FROM v
+                UNION ALL
+                SELECT w.vid,
+                       cur.alive AND COALESCE(m.d, 0) >= {KCORE_K},
+                       p0.iter + 1
+                FROM v w
+                CROSS JOIN (SELECT DISTINCT iter FROM kc) p0
+                JOIN kc cur ON cur.vid = w.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, COUNT(*) AS d
+                    FROM kc p JOIN sym e ON e.src = p.vid
+                    WHERE p.alive GROUP BY e.dst
+                ) m ON m.vid = w.vid
+                WHERE p0.iter < {KCORE_MAX_ITERS}
+            ),
+            counts AS (
+                SELECT iter, SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS c
+                FROM kc GROUP BY iter
+            ),
+            kstar AS (
+                SELECT MIN(cur.iter) AS ks
+                FROM counts cur JOIN counts prev ON prev.iter = cur.iter - 1
+                WHERE cur.c = prev.c
+            )
+            SELECT kc.vid AS id
+            FROM kc, kstar
+            WHERE kc.iter = COALESCE(kstar.ks, {KCORE_MAX_ITERS}) AND kc.alive
         """,
         "pagerank": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),

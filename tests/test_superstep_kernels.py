@@ -182,3 +182,37 @@ def test_layout_local_and_distributed_paths_agree(tmp_path, ray_session):
     ca = c1.to_pandas().sort_values("vid")["component"].to_numpy()
     cb = c2.to_pandas().sort_values("vid")["component"].to_numpy()
     assert (ca == cb).all()
+
+
+def test_kcore_both_paths_match_naive_peel(ray_session):
+    from ugfraud_ray.pipelines.kcore import kcore_members
+
+    rng = np.random.default_rng(59)
+    n, m, k = 300, 2400, 8
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(6)
+
+    # naive oracle: repeatedly delete any vertex with undirected simple
+    # degree < k (order-free fixpoint)
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.unique(a * np.int64(10**6) + b)
+    a, b = pairs // 10**6, pairs % 10**6
+    alive = np.ones(n, dtype=bool)
+    while True:
+        keep = alive[a] & alive[b]
+        deg = np.bincount(a[keep], minlength=n) + np.bincount(b[keep], minlength=n)
+        new = alive & (deg >= k)
+        if new.sum() == alive.sum():
+            break
+        alive = new
+
+    got_local = kcore_members(ds, n, k=k, approx_edges=len(src))
+    got_dist = kcore_members(ds, n, k=k, approx_edges=None)
+    assert (got_local == alive).all()
+    assert (got_dist == alive).all()
+    assert 0 < alive.sum() < n  # the fixture actually peels something
