@@ -543,6 +543,15 @@ def _q_events_sliding(sf_dir: str):
     return sliding_window_count(_events(sf_dir), window_minutes=60)
 
 
+def _q_events_incident_join(sf_dir: str):
+    """Range (point-in-interval) join: every event inside an "incident"
+    hour (>= 2 error events). Tumbling aggregate -> tiny interval table
+    -> broadcast searchsorted probe (events.py:interval_join)."""
+    from ugfraud_ray.pipelines.events import events_in_incident_windows
+
+    return events_in_incident_windows(_events(sf_dir), min_count=2)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): in-map distinct-pair partials,
     pair-domain groupby, key-sized final sum (events.py)."""
@@ -843,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_user": _q_events_topk,
         "events_sliding_count": _q_events_sliding,
         "events_distinct_users": _q_events_distinct_users,
+        "events_incident_join": _q_events_incident_join,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
@@ -1842,6 +1852,16 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # range join: native BETWEEN-style interval predicate on the
+        # same hour windows the engine derives then probes by broadcast
+        "events_incident_join": """
+            WITH w AS (
+                SELECT date_trunc('hour', ts) AS h FROM events
+                WHERE event_type = 'error' GROUP BY 1 HAVING COUNT(*) >= 2
+            )
+            SELECT e.event_id, epoch_us(w.h) AS window_start_us
+            FROM events e JOIN w ON e.ts >= w.h AND e.ts < w.h + INTERVAL 1 HOUR
         """,
         "events_topk_per_user": """
             SELECT user_id, event_id, value, CAST(rnk AS BIGINT) AS rnk FROM (

@@ -213,3 +213,43 @@ def test_distinct_users_per_type_both_paths(ray_session):
             for r in distinct_users_per_type(ds, approx_rows=hint).take_all()
         }
         assert got == want, hint
+
+
+def test_interval_join_matches_numpy(ray_session):
+    import pytest
+
+    from ugfraud_ray.pipelines.events import interval_join
+
+    rng = np.random.default_rng(61)
+    n = 3_000
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 72 * 3600, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    hour = 3_600_000_000
+    starts = (np.array([2, 10, 40]) * hour + base.astype(np.int64)).astype(np.int64)
+    ends = starts + hour
+
+    got = {
+        (r["event_id"], r["window_start_us"])
+        for r in interval_join(ds, starts, ends).take_all()
+    }
+    tus = ts.astype(np.int64)
+    want = set()
+    for s, e in zip(starts, ends):
+        for i in np.flatnonzero((tus >= s) & (tus < e)):
+            want.add((int(i), int(s)))
+    assert got == want and len(want) > 0
+
+    with pytest.raises(ValueError):
+        interval_join(ds, np.array([0, hour // 2]), np.array([hour, 2 * hour]))
+
+    empty = interval_join(ds, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert empty.count() == 0

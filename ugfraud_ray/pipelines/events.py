@@ -486,3 +486,69 @@ def distinct_users_per_type(
         .groupby(key)
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def interval_join(
+    events: "ray.data.Dataset",
+    starts_us: np.ndarray,
+    ends_us: np.ndarray,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> "ray.data.Dataset":
+    """Broadcast range (point-in-interval) join: (event_id,
+    window_start_us) for every event whose timestamp falls in one of
+    the SORTED, NON-OVERLAPPING [start, end) intervals.
+
+    The interval table ships once via ray.put and each batch pays one
+    vectorized searchsorted — the right shape whenever intervals come
+    from an aggregate (small by construction). Overlapping interval
+    sets would need the shuffle path (interval-bucketed flat_map);
+    callers with that shape should sessionize/merge intervals first.
+    """
+    order = np.argsort(starts_us, kind="stable")
+    s, e = starts_us[order].astype(np.int64), ends_us[order].astype(np.int64)
+    if (s[1:] < e[:-1]).any():
+        raise ValueError("interval_join requires non-overlapping intervals")
+    ref = ray.put((s, e))
+
+    def probe(t: pa.Table) -> pa.Table:
+        ss, ee = ray.get(ref)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        if len(ss) == 0:
+            ok = np.zeros(len(ts), dtype=bool)
+            i = np.zeros(len(ts), dtype=np.int64)
+            return pa.table(
+                {
+                    id_col: t[id_col].filter(pa.array(ok)),
+                    "window_start_us": pa.array(np.zeros(0, dtype=np.int64)),
+                }
+            )
+        i = np.searchsorted(ss, ts, side="right") - 1
+        ok = (i >= 0) & (ts < ee[np.clip(i, 0, len(ee) - 1)])
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(ok)),
+                "window_start_us": pa.array(ss[i[ok]]),
+            }
+        )
+
+    return events.map_batches(probe, batch_format="pyarrow")
+
+
+def events_in_incident_windows(
+    events: "ray.data.Dataset",
+    incident_type: str = "error",
+    min_count: int = 2,
+) -> "ray.data.Dataset":
+    """(event_id, window_start_us): every event (any type) inside an
+    "incident" hour — an hour window holding >= min_count events of
+    ``incident_type``. Composition: tumbling-window aggregate (in-map
+    partial combine) -> tiny interval table -> broadcast range join."""
+    wc = collect_table(windowed_counts(events))
+    k = wc["event_type"].to_numpy(zero_copy_only=False)
+    n = wc["n_events"].to_numpy(zero_copy_only=False)
+    ws = wc["window_start_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = (k == incident_type) & (n >= min_count)
+    starts = ws[sel]
+    hour_us = np.int64(3_600_000_000)
+    return interval_join(events, starts, starts + hour_us)
