@@ -563,6 +563,20 @@ def _q_events_distinct_users(sf_dir: str):
     return distinct_users_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_hll_users(sf_dir: str):
+    """Approximate grouped COUNT(DISTINCT) via a mergeable 4096-register
+    HyperLogLog (pipelines/sketches.py) — the sketch path whose partials
+    are bounded by |groups|·4096 rows per block at any scale. The oracle
+    replays the ENTIRE sketch (md5 hash, registers, integer sum, float
+    estimate) bit-exactly in SQL."""
+    from ugfraud_ray.pipelines.sketches import hll_distinct_per_group
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return hll_distinct_per_group(ev, "event_type", "user_id")
+
+
 def _q_seeded_sample(sf_dir: str):
     """O5/J4 deterministic hash-based sampling (reference versions are
     unseeded random.sample — the engine's is partition-parallel and
@@ -852,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_user": _q_events_topk,
         "events_sliding_count": _q_events_sliding,
         "events_distinct_users": _q_events_distinct_users,
+        "events_hll_users": _q_events_hll_users,
         "events_incident_join": _q_events_incident_join,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
@@ -891,6 +906,52 @@ def _bpe_count_sql() -> str:
         SELECT doc_id,
                CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
         FROM documents
+    """
+
+
+def _hll_sql() -> str:
+    """Bit-exact SQL replay of the grouped HyperLogLog sketch AND its
+    estimator. Parity notes (each measured in tools/ before use):
+    ``md5_number_upper(CAST(v AS VARCHAR))`` == the engine's md5-low64;
+    ``length(bin(w))`` == int.bit_length(w); the register sum stays
+    integer (HUGEINT); int→double goes through VARCHAR because DuckDB's
+    direct HUGEINT→DOUBLE cast is not round-to-nearest while strtod and
+    Python's float(int) are; float constants ship as quoted repr() so
+    they parse as DOUBLE, not DECIMAL."""
+    from ugfraud_ray.pipelines.sketches import HLL_ALPHA_NUM
+
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+            FROM events
+        ), r AS (
+            SELECT event_type,
+                   CAST(hv & 4095 AS BIGINT) AS j,
+                   CAST(CASE WHEN (hv >> 12) = 0 THEN 53
+                        ELSE 53 - length(bin(hv >> 12)) END AS BIGINT) AS rho
+            FROM h
+        ), regs AS (
+            SELECT event_type, j, MAX(rho) AS rr FROM r GROUP BY event_type, j
+        ), agg AS (
+            SELECT event_type, COUNT(*) AS nz,
+                   SUM(CAST(CAST(1 AS BIGINT) << (53 - rr) AS HUGEINT))
+                     + CAST(4096 - COUNT(*) AS HUGEINT) * 9007199254740992 AS s
+            FROM regs GROUP BY event_type
+        ), raw AS (
+            SELECT event_type, nz,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s_dbl,
+                   CAST('{HLL_ALPHA_NUM!r}' AS DOUBLE)
+                     / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS raw
+            FROM agg
+        )
+        SELECT event_type,
+               CAST(nz AS BIGINT) AS n_registers,
+               s_dbl AS s_hll,
+               floor((CASE WHEN (4096 - nz) > 0 AND raw <= 10240.0
+                      THEN 4096.0 * ln(4096.0 / CAST(4096 - nz AS DOUBLE))
+                      ELSE raw END) * 100.0 + 0.5) / 100.0 AS approx
+        FROM raw
     """
 
 
@@ -1853,6 +1914,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
+        # the sketch replayed whole in SQL — registers, exact integer
+        # register sum, and the float estimator (see _hll_sql docstring
+        # for the three parity tricks this rests on)
+        "events_hll_users": _hll_sql(),
         # range join: native BETWEEN-style interval predicate on the
         # same hour windows the engine derives then probes by broadcast
         "events_incident_join": """
