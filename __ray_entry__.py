@@ -815,6 +815,27 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_exact_quantiles(ev, "event_type", "value", GROUP_QUANTILE_QS)
 
 
+def _q_customers_no_urgent(sf_dir: str):
+    """Anti-join: customers with no '1-URGENT' order. Right side reduces
+    to a broadcast sorted key set probed per batch (the left streams, no
+    shuffle); above the broadcast threshold the same call becomes Ray's
+    native hash left_anti join (relational.semi_anti_join). The priority
+    filter is pushed into the parquet scan."""
+    import pyarrow.compute as _pc
+    from ugfraud_ray.pipelines.relational import semi_anti_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    urgent = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=(_pc.field("o_orderpriority") == "1-URGENT"),
+    )
+    return semi_anti_join(cust, urgent, "c_custkey", "o_custkey", anti=True)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     """Multi-table join + grouped aggregate (pipelines/relational.py):
     lineitem ⋈ orders (broadcast fast path / Dataset.join at scale)
@@ -855,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "quantiles_extendedprice": _q_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
+        "customers_no_urgent_orders": _q_customers_no_urgent,
         "grouped_quantiles_events": _q_grouped_quantiles,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
@@ -1989,6 +2011,13 @@ def oracle_sql() -> dict[str, str]:
         # floor(x·10⁴ + 0.5) per row (IEEE-identical in numpy and SQL,
         # unlike banker's/half-away ROUND), so the grouped sum is
         # order-independent and bit-exact on both sides
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
         "revenue_by_nation": """
             SELECT n_name,
                    SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)

@@ -4,6 +4,11 @@ with each other and with a DuckDB oracle."""
 from __future__ import annotations
 
 import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
 
 from ugfraud_ray.pipelines import relational
 
@@ -44,3 +49,41 @@ def test_revenue_by_nation_distributed_join_path(ray_session, monkeypatch):
     monkeypatch.setattr(relational, "_BCAST_ORDERS", 0)
     got = _rows(relational.revenue_by_nation(SF))
     assert got == [tuple(r) for r in _duck(SF)]
+
+
+def _semi_anti_tables():
+    left = pa.table(
+        {
+            "k": pa.array(np.arange(200, dtype=np.int64)),
+            "payload": pa.array([f"row{i}" for i in range(200)]),
+        }
+    )
+    # right hits even keys < 100, with duplicates
+    right = pa.table({"rk": pa.array(np.repeat(np.arange(0, 100, 2, dtype=np.int64), 3))})
+    return left, right
+
+
+def test_semi_anti_join_partition_left(ray_session):
+    left, right = _semi_anti_tables()
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(3)
+    semi = relational.semi_anti_join(lds, rds, "k", "rk", anti=False).to_pandas()
+    anti = relational.semi_anti_join(lds, rds, "k", "rk", anti=True).to_pandas()
+    assert sorted(semi["k"]) == list(range(0, 100, 2))
+    assert len(semi) + len(anti) == 200
+    assert set(semi["k"]).isdisjoint(set(anti["k"]))
+
+
+def test_semi_anti_join_distributed_matches_broadcast(ray_session, monkeypatch):
+    left, right = _semi_anti_tables()
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(2)
+    want_semi = relational.semi_anti_join(lds, rds, "k", "rk", anti=False).to_pandas()
+    want_anti = relational.semi_anti_join(lds, rds, "k", "rk", anti=True).to_pandas()
+    monkeypatch.setattr(relational, "_BCAST_KEY_ROWS", 0)
+    got_semi = relational.semi_anti_join(lds, rds, "k", "rk", anti=False).to_pandas()
+    got_anti = relational.semi_anti_join(lds, rds, "k", "rk", anti=True).to_pandas()
+    for got, want in [(got_semi, want_semi), (got_anti, want_anti)]:
+        g = got.sort_values("k").reset_index(drop=True)
+        w = want.sort_values("k").reset_index(drop=True)
+        assert g[["k", "payload"]].equals(w[["k", "payload"]])

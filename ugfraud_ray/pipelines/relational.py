@@ -45,6 +45,71 @@ def _rev_units(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
     return np.floor(price * (1.0 - discount) * 10_000.0 + 0.5).astype(np.int64)
 
 
+_BCAST_KEY_ROWS = 10_000_000
+
+
+def semi_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_col: str,
+    right_key_col: str | None = None,
+    anti: bool = False,
+    approx_right_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Existence (semi) / non-existence (anti) filter of ``left`` by the
+    key set of ``right`` — the reference's membership checks are
+    driver-side ``dict``/``set`` probes (/root/reference
+    UGFraud/Utils/helper.py:261-268); this is the distributed general form.
+
+    Scale design: below ``_BCAST_KEY_ROWS`` the right side reduces to a
+    sorted distinct-key array (per-block ``np.unique`` partials, driver
+    merge — the keys, not the rows, move) broadcast once via ``ray.put``
+    and probed per batch with ``searchsorted``; the left side STREAMS —
+    no shuffle touches it. Above the threshold it falls through to
+    Ray's native hash semi/anti join, partitioned by
+    ``join_partitions()`` (cluster-sized, never data-derived — an
+    unschedulable aggregator pool hangs, see graph_build.py).
+    """
+    right_key_col = right_key_col or key_col
+    n = approx_right_rows if approx_right_rows is not None else right.count()
+
+    if n <= _BCAST_KEY_ROWS:
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"k": pa.array(np.unique(t[right_key_col].to_numpy(zero_copy_only=False)))}
+            )
+
+        kt = collect_table(right.map_batches(uniq, batch_format="pyarrow"))
+        keys = (
+            np.unique(kt["k"].to_numpy(zero_copy_only=False))
+            if kt.num_rows
+            else np.array([], dtype=np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def filt(t: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            v = t[key_col].to_numpy(zero_copy_only=False)
+            if len(k) == 0:
+                hit = np.zeros(len(v), dtype=bool)
+            else:
+                idx = np.searchsorted(k, v)
+                hit = (idx < len(k)) & (k[np.minimum(idx, len(k) - 1)] == v)
+            return t.filter(pa.array(~hit if anti else hit))
+
+        return left.map_batches(filt, batch_format="pyarrow")
+
+    from ugfraud_ray.stages.graph_build import join_partitions
+
+    return left.join(
+        right.select_columns([right_key_col]),
+        join_type="left_anti" if anti else "left_semi",
+        num_partitions=join_partitions(),
+        on=(key_col,),
+        right_on=(right_key_col,),
+    )
+
+
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """(n_name, revenue, n_lineitems) — lineitem revenue grouped by the
     ordering customer's nation."""
