@@ -815,6 +815,15 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_exact_quantiles(ev, "event_type", "value", GROUP_QUANTILE_QS)
 
 
+def _q_revenue_rollup(sf_dir: str):
+    """ROLLUP(region, nation) in ONE fact pass: upper levels are exact
+    integer re-sums of the 25-slot per-nation partial
+    (relational.revenue_rollup) — never a second scan."""
+    from ugfraud_ray.pipelines.relational import revenue_rollup
+
+    return revenue_rollup(sf_dir)
+
+
 def _q_customers_no_urgent(sf_dir: str):
     """Anti-join: customers with no '1-URGENT' order. Right side reduces
     to a broadcast sorted key set probed per batch (the left streams, no
@@ -877,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_extendedprice": _q_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
         "customers_no_urgent_orders": _q_customers_no_urgent,
+        "revenue_rollup": _q_revenue_rollup,
         "grouped_quantiles_events": _q_grouped_quantiles,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
@@ -2011,6 +2021,21 @@ def oracle_sql() -> dict[str, str]:
         # floor(x·10⁴ + 0.5) per row (IEEE-identical in numpy and SQL,
         # unlike banker's/half-away ROUND), so the grouped sum is
         # order-independent and bit-exact on both sides
+        # same integer 1e-4-unit row quantization as revenue_by_nation;
+        # ROLLUP's NULL grouping slots are named 'ALL' on both sides
+        "revenue_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS r_name,
+                   COALESCE(n_name, 'ALL') AS n_name,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) / 10000.0 AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
         "customers_no_urgent_orders": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE NOT EXISTS (

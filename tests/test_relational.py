@@ -87,3 +87,16 @@ def test_semi_anti_join_distributed_matches_broadcast(ray_session, monkeypatch):
         g = got.sort_values("k").reset_index(drop=True)
         w = want.sort_values("k").reset_index(drop=True)
         assert g[["k", "payload"]].equals(w[["k", "payload"]])
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    t = relational.revenue_rollup(SF).to_pandas()
+    nat = t[(t.r_name != "ALL") & (t.n_name != "ALL")]
+    reg = t[(t.r_name != "ALL") & (t.n_name == "ALL")].set_index("r_name")
+    tot = t[(t.r_name == "ALL")]
+    assert len(tot) == 1
+    # subtotals are exact integer re-sums of their children
+    for rn, sub in nat.groupby("r_name"):
+        assert round(sub["revenue"].sum() - reg.loc[rn, "revenue"], 4) == 0
+        assert sub["n_lineitems"].sum() == reg.loc[rn, "n_lineitems"]
+    assert nat["n_lineitems"].sum() == tot["n_lineitems"].iloc[0]

@@ -110,13 +110,16 @@ def semi_anti_join(
     )
 
 
-def revenue_by_nation(sf_dir: str) -> pa.Table:
-    """(n_name, revenue, n_lineitems) — lineitem revenue grouped by the
-    ordering customer's nation."""
+def _nation_revenue_units(sf_dir: str):
+    """Per-nation (integer-unit revenue, lineitem count) vectors plus the
+    nation table — the single fact-table pass shared by
+    ``revenue_by_nation`` and ``revenue_rollup``."""
     cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
     ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nation = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nation = collect_table(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    )
     n_nat = int(nation["n_nationkey"].to_numpy(zero_copy_only=False).max()) + 1
     c2n = np.full(int(ck.max()) + 1 if len(ck) else 1, -1, dtype=np.int8)
     c2n[ck] = cn.astype(np.int8)
@@ -193,6 +196,13 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     np.add.at(rev, pt["nk"].to_numpy(zero_copy_only=False), pt["rev"].to_numpy(zero_copy_only=False))
     np.add.at(cnt, pt["nk"].to_numpy(zero_copy_only=False), pt["cnt"].to_numpy(zero_copy_only=False))
 
+    return rev, cnt, nation
+
+
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """(n_name, revenue, n_lineitems) — lineitem revenue grouped by the
+    ordering customer's nation."""
+    rev, cnt, nation = _nation_revenue_units(sf_dir)
     nat_k = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     names = nation["n_name"].to_pylist()
     keep = cnt[nat_k] > 0
@@ -201,5 +211,50 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             "n_name": pa.array([n for n, k in zip(names, keep) if k], pa.string()),
             "revenue": pa.array(rev[nat_k][keep] / 10_000.0, pa.float64()),
             "n_lineitems": pa.array(cnt[nat_k][keep]),
+        }
+    )
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(region, nation) revenue: (r_name, n_name, revenue,
+    n_lineitems) at nation level, region subtotals (n_name='ALL') and a
+    grand total (both 'ALL').
+
+    The rollup costs ONE fact-table pass at any scale: upper levels are
+    exact integer re-sums of the 25-slot per-nation partial, never a
+    second scan or shuffle — the reason revenue accumulates in integer
+    1e-4 units (order-independent, so subtotal == sum of its children
+    bit-for-bit, which the SQL ROLLUP oracle checks)."""
+    rev, cnt, nation = _nation_revenue_units(sf_dir)
+    region = collect_table(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    nat_k = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_r = nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_names = nation["n_name"].to_pylist()
+    r_by_key = dict(
+        zip(
+            region["r_regionkey"].to_numpy(zero_copy_only=False).tolist(),
+            region["r_name"].to_pylist(),
+        )
+    )
+    rows: list[tuple[str, str, int, int]] = []
+    reg_acc: dict[str, list[int]] = {}
+    for nk, rk, nm in zip(nat_k.tolist(), nat_r.tolist(), n_names):
+        if cnt[nk] == 0:
+            continue
+        rn = r_by_key[rk]
+        rows.append((rn, nm, int(rev[nk]), int(cnt[nk])))
+        a = reg_acc.setdefault(rn, [0, 0])
+        a[0] += int(rev[nk])
+        a[1] += int(cnt[nk])
+    for rn, (rv, c) in reg_acc.items():
+        rows.append((rn, "ALL", rv, c))
+    rows.append(("ALL", "ALL", int(rev.sum()), int(cnt.sum())))
+    rows.sort()
+    return pa.table(
+        {
+            "r_name": pa.array([r[0] for r in rows], pa.string()),
+            "n_name": pa.array([r[1] for r in rows], pa.string()),
+            "revenue": pa.array([r[2] / 10_000.0 for r in rows], pa.float64()),
+            "n_lineitems": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
