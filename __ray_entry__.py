@@ -824,6 +824,16 @@ def _q_revenue_rollup(sf_dir: str):
     return revenue_rollup(sf_dir)
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shape wide-scan report: ≤6-row integer partials per
+    block, Python-int driver merge (no overflow at any scale), float
+    readout mirrored op-for-op in the oracle
+    (relational.pricing_summary)."""
+    from ugfraud_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
 def _q_customers_no_urgent(sf_dir: str):
     """Anti-join: customers with no '1-URGENT' order. Right side reduces
     to a broadcast sorted key set probed per batch (the left streams, no
@@ -887,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "customers_no_urgent_orders": _q_customers_no_urgent,
         "revenue_rollup": _q_revenue_rollup,
+        "lineitem_pricing_summary": _q_pricing_summary,
         "grouped_quantiles_events": _q_grouped_quantiles,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
@@ -2021,6 +2032,43 @@ def oracle_sql() -> dict[str, str]:
         # floor(x·10⁴ + 0.5) per row (IEEE-identical in numpy and SQL,
         # unlike banker's/half-away ROUND), so the grouped sum is
         # order-independent and bit-exact on both sides
+        # quantity/price/discount/tax quantized to their decimal grids via
+        # floor(x·10^k + 0.5); all sums exact integers (HUGEINT here,
+        # Python ints in the engine); float readout mirrored op-for-op —
+        # int→double goes through VARCHAR (strtod is round-to-nearest,
+        # DuckDB's HUGEINT→DOUBLE cast is not)
+        "lineitem_pricing_summary": """
+            WITH q AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qq,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS bb,
+                     CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dd,
+                     CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS xx
+              FROM lineitem
+            ), a AS (
+              SELECT l_returnflag, l_linestatus,
+                     SUM(CAST(qq AS HUGEINT)) AS s_qty,
+                     SUM(CAST(bb AS HUGEINT)) AS s_base,
+                     SUM(CAST(bb * (100 - dd) AS HUGEINT)) AS s_dp,
+                     SUM(CAST(bb * (100 - dd) * (100 + xx) AS HUGEINT)) AS s_ch,
+                     SUM(CAST(dd AS HUGEINT)) AS s_d,
+                     COUNT(*) AS n
+              FROM q GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(CAST(s_qty AS VARCHAR) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(CAST(s_base AS VARCHAR) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(CAST(s_dp AS VARCHAR) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(CAST(s_ch AS VARCHAR) AS DOUBLE) / 1000000.0 AS sum_charge,
+                   CAST(CAST(s_qty AS VARCHAR) AS DOUBLE) / 100.0
+                     / CAST(n AS DOUBLE) AS avg_qty,
+                   CAST(CAST(s_base AS VARCHAR) AS DOUBLE) / 100.0
+                     / CAST(n AS DOUBLE) AS avg_price,
+                   CAST(CAST(s_d AS VARCHAR) AS DOUBLE) / 100.0
+                     / CAST(n AS DOUBLE) AS avg_disc,
+                   CAST(n AS BIGINT) AS count_order
+            FROM a
+        """,
         # same integer 1e-4-unit row quantization as revenue_by_nation;
         # ROLLUP's NULL grouping slots are named 'ALL' on both sides
         "revenue_rollup": """

@@ -100,3 +100,18 @@ def test_revenue_rollup_levels_consistent(ray_session):
         assert round(sub["revenue"].sum() - reg.loc[rn, "revenue"], 4) == 0
         assert sub["n_lineitems"].sum() == reg.loc[rn, "n_lineitems"]
     assert nat["n_lineitems"].sum() == tot["n_lineitems"].iloc[0]
+
+
+def test_pricing_summary_matches_duckdb_exact(ray_session):
+    import __ray_entry__ as entrymod
+
+    got = relational.pricing_summary(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    want = con.execute(entrymod.oracle_sql()["lineitem_pricing_summary"]).df()
+    key = ["l_returnflag", "l_linestatus"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)[g.columns]
+    # bit-exact, not allclose: the whole point of the integer partials
+    for c in g.columns:
+        assert (g[c].to_numpy() == w[c].to_numpy()).all(), c

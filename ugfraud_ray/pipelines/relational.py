@@ -215,6 +215,120 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     )
 
 
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-shape multi-aggregate: per (l_returnflag, l_linestatus),
+    sums of quantity / base price / discounted price / charge plus
+    averages and row count — the canonical wide-scan report.
+
+    One streaming pass, no shuffle at any scale: each block reduces to a
+    ≤|flag×status| (≈6-row) integer partial inside ``map_batches``;
+    quantity/price/discount/tax quantize to their natural decimal grids
+    via floor(x·10^k + 0.5) so every sum — including the degree-3
+    product charge = price·(1-disc)·(1+tax) — is an exact integer,
+    merged on the driver as Python ints (unbounded, no int64 overflow at
+    any corpus size). The float output columns are computed by the SAME
+    IEEE expression the SQL oracle uses, so they compare bit-exact."""
+    cols = [
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        b = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        d = np.floor(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        x = np.floor(t["l_tax"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        disc_price = b * (100 - d)          # 1e-4 units
+        charge = disc_price * (100 + x)     # 1e-6 units
+        df = pd.DataFrame(
+            {
+                "rf": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "ls": t["l_linestatus"].to_numpy(zero_copy_only=False),
+                "s_qty": q,
+                "s_base": b,
+                "s_disc_price": disc_price,
+                "s_charge": charge,
+                "s_disc": d,
+            }
+        )
+        g = df.groupby(["rf", "ls"], sort=False).agg(
+            s_qty=("s_qty", "sum"),
+            s_base=("s_base", "sum"),
+            s_disc_price=("s_disc_price", "sum"),
+            s_charge=("s_charge", "sum"),
+            s_disc=("s_disc", "sum"),
+            n=("s_qty", "size"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    parts = collect_table(
+        _read(sf_dir, "lineitem", cols).map_batches(partial, batch_format="pyarrow")
+    ).to_pandas()
+    acc: dict[tuple[str, str], list[int]] = {}
+    for row in parts.itertuples(index=False):
+        a = acc.setdefault((row.rf, row.ls), [0, 0, 0, 0, 0, 0])
+        a[0] += int(row.s_qty)
+        a[1] += int(row.s_base)
+        a[2] += int(row.s_disc_price)
+        a[3] += int(row.s_charge)
+        a[4] += int(row.s_disc)
+        a[5] += int(row.n)
+    keys = sorted(acc)
+    out = {
+        "l_returnflag": [],
+        "l_linestatus": [],
+        "sum_qty": [],
+        "sum_base_price": [],
+        "sum_disc_price": [],
+        "sum_charge": [],
+        "avg_qty": [],
+        "avg_price": [],
+        "avg_disc": [],
+        "count_order": [],
+    }
+    for k in keys:
+        s_qty, s_base, s_dp, s_ch, s_d, n = acc[k]
+        out["l_returnflag"].append(k[0])
+        out["l_linestatus"].append(k[1])
+        # each expression is mirrored op-for-op in the SQL oracle
+        out["sum_qty"].append(float(s_qty) / 100.0)
+        out["sum_base_price"].append(float(s_base) / 100.0)
+        out["sum_disc_price"].append(float(s_dp) / 10000.0)
+        out["sum_charge"].append(float(s_ch) / 1000000.0)
+        out["avg_qty"].append(float(s_qty) / 100.0 / float(n))
+        out["avg_price"].append(float(s_base) / 100.0 / float(n))
+        out["avg_disc"].append(float(s_d) / 100.0 / float(n))
+        out["count_order"].append(n)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_qty": pa.array(out["sum_qty"], pa.float64()),
+            "sum_base_price": pa.array(out["sum_base_price"], pa.float64()),
+            "sum_disc_price": pa.array(out["sum_disc_price"], pa.float64()),
+            "sum_charge": pa.array(out["sum_charge"], pa.float64()),
+            "avg_qty": pa.array(out["avg_qty"], pa.float64()),
+            "avg_price": pa.array(out["avg_price"], pa.float64()),
+            "avg_disc": pa.array(out["avg_disc"], pa.float64()),
+            "count_order": pa.array(out["count_order"], pa.int64()),
+        }
+    )
+
+
 def revenue_rollup(sf_dir: str) -> pa.Table:
     """ROLLUP(region, nation) revenue: (r_name, n_name, revenue,
     n_lineitems) at nation level, region subtotals (n_name='ALL') and a
