@@ -552,6 +552,15 @@ def _q_events_incident_join(sf_dir: str):
     return events_in_incident_windows(_events(sf_dir), min_count=2)
 
 
+def _q_events_running_total(sf_dir: str):
+    """Per-user cumulative window sum (SUM OVER PARTITION BY ... ORDER
+    BY): values quantized to integer 1e-4 units so the running sums are
+    exact; user-colocated bucketing at scale (events.running_total)."""
+    from ugfraud_ray.pipelines.events import running_total
+
+    return running_total(_events(sf_dir))
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): in-map distinct-pair partials,
     pair-domain groupby, key-sized final sum (events.py)."""
@@ -910,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_count": _q_events_sliding,
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users": _q_events_hll_users,
+        "events_running_total": _q_events_running_total,
         "events_incident_join": _q_events_incident_join,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
@@ -1956,6 +1966,16 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # per-row values quantized to 1e-4-unit BIGINTs, so the window
+        # sum is an exact integer and the readout division mirrors the
+        # engine's float(int)/1e4 bit-for-bit
+        "events_running_total": """
+            SELECT event_id,
+                   CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS DOUBLE) / 10000.0 AS running_value
+            FROM events
         """,
         # the sketch replayed whole in SQL — registers, exact integer
         # register sum, and the float estimator (see _hll_sql docstring

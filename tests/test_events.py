@@ -253,3 +253,41 @@ def test_interval_join_matches_numpy(ray_session):
 
     empty = interval_join(ds, np.array([], dtype=np.int64), np.array([], dtype=np.int64))
     assert empty.count() == 0
+
+
+def test_running_total_matches_pandas(ray_session):
+    from ugfraud_ray.pipelines.events import running_total
+
+    t = _synth_events(n=3000, n_users=29, seed=7)
+    got = (
+        running_total(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    units = np.floor(df["value"].to_numpy() * 10_000.0 + 0.5).astype(np.int64)
+    df["want"] = pd.Series(units, index=df.index).groupby(df["user_id"].to_numpy()).cumsum() / 10_000.0
+    want = df.sort_values("event_id")["want"].to_numpy()
+    assert np.array_equal(got["running_value"].to_numpy(), want)
+
+
+def test_running_total_bucketed_matches_local(ray_session):
+    from ugfraud_ray.pipelines import events as ev
+
+    t = _synth_events(n=2500, n_users=17, seed=3)
+    # negative values exercise the sign-safety of the segment bases
+    tt = t.set_column(
+        t.schema.get_field_index("value"),
+        "value",
+        pa.array(t["value"].to_numpy() - 25.0),
+    )
+    local = (
+        ev.running_total(ray.data.from_arrow(tt))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    dist = (
+        ev.running_total(ray.data.from_arrow(tt).repartition(7), local_threshold=0)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert np.array_equal(local["running_value"].to_numpy(), dist["running_value"].to_numpy())

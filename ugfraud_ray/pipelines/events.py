@@ -410,6 +410,75 @@ def sliding_window_count(
     )
 
 
+def _running_total_block(
+    user: np.ndarray, ts_us: np.ndarray, eid: np.ndarray, v_units: np.ndarray
+) -> pa.Table:
+    """Per event: cumulative sum of the user's quantized values up to and
+    including it, in (ts, event_id) order — one lexsort + one cumsum +
+    one per-segment offset subtraction, no per-user loop."""
+    order = np.lexsort((eid, ts_us, user))
+    user, eid, v = user[order], eid[order], v_units[order]
+    running = np.cumsum(v)
+    if len(user):
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(user) != 0]))
+        # subtract the global running value just before each segment
+        # (repeat per segment — sign-safe, unlike a max-accumulate trick)
+        seg_base = np.concatenate([[0], running[starts[1:] - 1]])
+        lengths = np.diff(np.append(starts, len(user)))
+        running = running - np.repeat(seg_base, lengths)
+    return pa.table(
+        {
+            "event_id": pa.array(eid),
+            "running_value": pa.array(running.astype(np.float64) / 10_000.0),
+        }
+    )
+
+
+def running_total(
+    events: "ray.data.Dataset", local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """(event_id, running_value): per-user cumulative value sum in
+    (ts, event_id) order — SQL's ``SUM(v) OVER (PARTITION BY user ORDER
+    BY ts, event_id)``. Values quantize to integer 1e-4 units per row so
+    the cumulative sums are exact integers (order-independent across the
+    merge, bit-exact vs the SQL window oracle); same user-colocation
+    bucketing as ``sessionize`` at scale.
+    """
+    ds = events.select_columns(["user_id", "ts", "event_id", "value"])
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["value"].to_numpy(zero_copy_only=False)
+        else:
+            u = t["user_id"].to_numpy().astype(np.int64)
+            ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            e = t["event_id"].to_numpy().astype(np.int64)
+            v = t["value"].to_numpy()
+        return u, ts, e, np.floor(v * 10_000.0 + 0.5).astype(np.int64)
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(_running_total_block(*extract(collect_table(ds))))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _running_total_block(*extract(g)), batch_format="pandas")
+    )
+
+
 def extract_props(
     events: "ray.data.Dataset", props_col: str = "props", field: str = "k"
 ) -> "ray.data.Dataset":
