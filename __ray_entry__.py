@@ -561,6 +561,16 @@ def _q_events_running_total(sf_dir: str):
     return running_total(_events(sf_dir))
 
 
+def _q_events_zscore(sf_dir: str):
+    """Two-pass per-group feature normalization: moment partials in-map,
+    tiny (mu, sd) table broadcast into a second streaming pass
+    (events.zscore_per_type). Moments merge as exact Python ints; z is
+    the same IEEE expression chain as the SQL side."""
+    from ugfraud_ray.pipelines.events import zscore_per_type
+
+    return zscore_per_type(_events(sf_dir))
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): in-map distinct-pair partials,
     pair-domain groupby, key-sized final sum (events.py)."""
@@ -920,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_hll_users": _q_events_hll_users,
         "events_running_total": _q_events_running_total,
+        "events_zscore": _q_events_zscore,
         "events_incident_join": _q_events_incident_join,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
@@ -1976,6 +1987,39 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                    ) AS DOUBLE) / 10000.0 AS running_value
             FROM events
+        """,
+        # moments on the 1e-4 integer grid, summed exactly (HUGEINT /
+        # Python ints), mu-sd-z mirrored op-for-op (sqrt is correctly
+        # rounded in both numpy and DuckDB); int→double via VARCHAR as in
+        # the HLL oracle; groups with n<2 or zero variance dropped both
+        # sides; z floor-rounded to 1e-6 identically
+        "events_zscore": """
+            WITH q AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qq
+              FROM events
+            ), s AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(CAST(qq AS HUGEINT)) AS sq,
+                     SUM(CAST(qq AS HUGEINT) * qq) AS sqq
+              FROM q GROUP BY event_type HAVING COUNT(*) >= 2
+            ), st AS (
+              SELECT event_type, n,
+                     CAST(CAST(sq AS VARCHAR) AS DOUBLE) / 10000.0 AS ssum,
+                     CAST(CAST(sqq AS VARCHAR) AS DOUBLE) / 100000000.0 AS ssq
+              FROM s
+            ), mv AS (
+              SELECT event_type, ssum / CAST(n AS DOUBLE) AS mu,
+                     sqrt((ssq - ssum * ssum / CAST(n AS DOUBLE))
+                          / CAST(n - 1 AS DOUBLE)) AS sd
+              FROM st
+              WHERE (ssq - ssum * ssum / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE) > 0.0
+            )
+            SELECT q.event_id,
+                   floor((CAST(q.qq AS DOUBLE) / 10000.0 - mv.mu) / mv.sd
+                         * 1000000.0 + 0.5) / 1000000.0 AS z
+            FROM q JOIN mv USING (event_type)
         """,
         # the sketch replayed whole in SQL — registers, exact integer
         # register sum, and the float estimator (see _hll_sql docstring

@@ -291,3 +291,32 @@ def test_running_total_bucketed_matches_local(ray_session):
         .to_pandas().sort_values("event_id").reset_index(drop=True)
     )
     assert np.array_equal(local["running_value"].to_numpy(), dist["running_value"].to_numpy())
+
+
+def test_zscore_matches_two_pass_numpy(ray_session):
+    from ugfraud_ray.pipelines.events import zscore_per_type
+
+    t = _synth_events(n=4000, n_users=31, seed=13)
+    got = (
+        zscore_per_type(ray.data.from_arrow(t).repartition(6))
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    q = np.floor(df["value"].to_numpy() * 10000.0 + 0.5).astype(np.int64)
+    want = {}
+    for ty, sub in df.assign(q=q).groupby("event_type"):
+        n = len(sub)
+        s, ss = int(sub["q"].sum()), int((sub["q"].astype(object) ** 2).sum())
+        ssum, ssq = float(s) / 10000.0, float(ss) / 100000000.0
+        mu = ssum / float(n)
+        sd = np.sqrt((ssq - ssum * ssum / float(n)) / float(n - 1))
+        z = np.floor((sub["q"].to_numpy().astype(np.float64) / 10000.0 - mu) / sd
+                     * 1000000.0 + 0.5) / 1000000.0
+        want.update(dict(zip(sub["event_id"], z)))
+    w = np.array([want[e] for e in got["event_id"]])
+    assert np.array_equal(got["z"].to_numpy(), w)
+    # z-scores standardize: mean ~0, std ~1 per group
+    j = got.merge(df[["event_id", "event_type"]], on="event_id")
+    for _, sub in j.groupby("event_type"):
+        assert abs(sub["z"].mean()) < 1e-6
+        assert abs(sub["z"].std() - 1.0) < 1e-3

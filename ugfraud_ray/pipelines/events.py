@@ -479,6 +479,96 @@ def running_total(
     )
 
 
+def zscore_per_type(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(event_id, z) — per-type z-score of ``value``: the two-pass
+    feature-normalization pattern (pass 1 reduces to per-group moment
+    partials inside ``map_batches``; the tiny (mu, sd) table broadcasts
+    into a second streaming pass — no shuffle touches the rows).
+
+    Exactness: values quantize to 1e-4-unit ints; sum and sum-of-squares
+    merge as Python ints on the driver (sum-of-squares ships as hi/lo
+    int64 halves split at 2^31 so block partials can't overflow), and
+    mu/sd/z are computed by the SAME IEEE expression chain as the SQL
+    oracle — sqrt is correctly rounded in both numpy and DuckDB, so z
+    matches bit-for-bit before its 1e-6 floor-rounding. Groups with
+    n < 2 are dropped on both sides (sd undefined)."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        q = np.floor(t["value"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5).astype(
+            np.int64
+        )
+        q2 = q * q
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "n": np.ones(len(q), dtype=np.int64),
+                "sq": q,
+                "hi": q2 >> 31,
+                "lo": q2 & ((1 << 31) - 1),
+            }
+        )
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = collect_table(
+        events.select_columns(["event_type", "value"]).map_batches(
+            moments, batch_format="pyarrow"
+        )
+    ).to_pandas()
+    acc: dict[str, list[int]] = {}
+    for row in parts.itertuples(index=False):
+        a = acc.setdefault(row.event_type, [0, 0, 0])
+        a[0] += int(row.n)
+        a[1] += int(row.sq)
+        a[2] += (int(row.hi) << 31) + int(row.lo)
+    types, mus, sds = [], [], []
+    import math
+
+    for ty in sorted(acc):
+        n, s, ss = acc[ty]
+        if n < 2:
+            continue
+        ssum = float(s) / 10000.0
+        ssq = float(ss) / 100000000.0
+        mu = ssum / float(n)
+        var = (ssq - ssum * ssum / float(n)) / float(n - 1)
+        if var <= 0.0:
+            continue
+        types.append(ty)
+        mus.append(mu)
+        sds.append(math.sqrt(var))
+    type_arr = pa.array(types, pa.string())
+    mu_arr = np.asarray(mus)
+    sd_arr = np.asarray(sds)
+    stats_ref = ray.put((type_arr, mu_arr, sd_arr))
+
+    def apply(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ta, mu_m, sd_m = ray.get(stats_ref)
+        idx = _pc.index_in(t["event_type"], value_set=ta).to_numpy(zero_copy_only=False)
+        ok = idx >= 0
+        i = np.where(ok, idx, 0).astype(np.int64)
+        q = np.floor(t["value"].to_numpy(zero_copy_only=False) * 10000.0 + 0.5).astype(
+            np.int64
+        )
+        z = np.floor(
+            (q.astype(np.float64) / 10000.0 - mu_m[i]) / sd_m[i] * 1000000.0 + 0.5
+        ) / 1000000.0
+        return pa.table(
+            {
+                "event_id": t["event_id"].filter(pa.array(ok)),
+                "z": pa.array(z[ok], pa.float64()),
+            }
+        )
+
+    return events.select_columns(["event_id", "event_type", "value"]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
 def extract_props(
     events: "ray.data.Dataset", props_col: str = "props", field: str = "k"
 ) -> "ray.data.Dataset":
