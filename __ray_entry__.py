@@ -571,6 +571,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_per_type(_events(sf_dir))
 
 
+def _q_events_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum reservoir: 50 events per type by
+    smallest md5-low64(event_id); per-block top-n partials, idempotent
+    top-n merge (events.stratified_sample)."""
+    from ugfraud_ray.pipelines.events import stratified_sample
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "event_id"]
+    )
+    return stratified_sample(ev, "event_type", "event_id", 50)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): in-map distinct-pair partials,
     pair-domain groupby, key-sized final sum (events.py)."""
@@ -931,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": _q_events_hll_users,
         "events_running_total": _q_events_running_total,
         "events_zscore": _q_events_zscore,
+        "events_stratified_sample": _q_events_stratified_sample,
         "events_incident_join": _q_events_incident_join,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
@@ -1987,6 +2000,19 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                    ) AS DOUBLE) / 10000.0 AS running_value
             FROM events
+        """,
+        # md5_number_upper == the engine's md5-low64 (hash-parity
+        # convention); event_id tiebreak makes ROW_NUMBER deterministic
+        "events_stratified_sample": """
+            SELECT event_type, event_id, CAST(rnk AS BIGINT) AS rnk FROM (
+                SELECT event_type, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)),
+                                    event_id
+                       ) AS rnk
+                FROM events
+            ) WHERE rnk <= 50
         """,
         # moments on the 1e-4 integer grid, summed exactly (HUGEINT /
         # Python ints), mu-sd-z mirrored op-for-op (sqrt is correctly

@@ -59,3 +59,17 @@ def test_hll_estimator_mirrors_registers():
 
     one = math.floor(HLL_M * math.log(HLL_M / float(HLL_M - 1)) * 100.0 + 0.5) / 100.0
     assert hll_estimate(1, 1 << 52) == one
+
+
+def test_stratified_sample_partition_invariant(ray_session):
+    from ugfraud_ray.pipelines.events import stratified_sample
+
+    t = _synth(n=6_000, seed=2)
+    t = t.append_column("event_id", pa.array(np.arange(6_000, dtype=np.int64)))
+    a = stratified_sample(ray.data.from_arrow(t).repartition(1), "event_type", "event_id", 20)
+    b = stratified_sample(ray.data.from_arrow(t).repartition(11), "event_type", "event_id", 20)
+    assert a.equals(b)
+    df = a.to_pandas()
+    # exactly 20 per group, ranks 1..20
+    for _, sub in df.groupby("event_type"):
+        assert sorted(sub["rnk"]) == list(range(1, 21))

@@ -569,6 +569,68 @@ def zscore_per_type(events: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    n_per_group: int = 50,
+) -> pa.Table:
+    """(group, id, rnk) — n rows per group, picked as the n smallest
+    md5-low64 hashes of the id (event_id tiebreak): a deterministic,
+    partition-parallel per-stratum reservoir. Each block reduces to its
+    own per-group top-n partial (≤ |groups|·n rows whatever the block
+    size) and the driver re-runs the same kernel on the concatenated
+    partials — top-n is an idempotent, order-independent merge, the
+    same property the HLL registers rely on. The hash is the md5-parity
+    convention (== DuckDB ``md5_number_upper(CAST(id AS VARCHAR))``) so
+    the sample replays exactly in SQL via ROW_NUMBER."""
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    def topn(grp: np.ndarray, eid: np.ndarray, hv: np.ndarray):
+        import pandas as pd
+
+        df = pd.DataFrame({"g": grp, "e": eid, "h": hv}).sort_values(["g", "h", "e"])
+        keep = df.groupby("g", sort=False).cumcount() < n_per_group
+        return df[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t[id_col].to_numpy(zero_copy_only=False)
+        hv = _md5_low64(eid.tolist())
+        out = topn(t[group_col].to_numpy(zero_copy_only=False), eid, hv)
+        return pa.table(
+            {
+                "g": pa.array(out["g"].to_numpy()),
+                "e": pa.array(out["e"].to_numpy()),
+                "h": pa.array(out["h"].to_numpy()),
+            }
+        )
+
+    parts = collect_table(
+        ds.select_columns([group_col, id_col]).map_batches(partial, batch_format="pyarrow")
+    )
+    if parts.num_rows == 0:
+        return pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+    final = topn(
+        parts["g"].to_numpy(zero_copy_only=False),
+        parts["e"].to_numpy(zero_copy_only=False),
+        parts["h"].to_numpy(zero_copy_only=False),
+    )
+    rnk = final.groupby("g", sort=False).cumcount().to_numpy() + 1
+    return pa.table(
+        {
+            group_col: pa.array(final["g"].to_numpy()),
+            id_col: pa.array(final["e"].to_numpy()),
+            "rnk": pa.array(rnk, pa.int64()),
+        }
+    )
+
+
 def extract_props(
     events: "ray.data.Dataset", props_col: str = "props", field: str = "k"
 ) -> "ray.data.Dataset":
