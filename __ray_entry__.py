@@ -583,6 +583,18 @@ def _q_events_stratified_sample(sf_dir: str):
     return stratified_sample(ev, "event_type", "event_id", 50)
 
 
+def _q_events_top_type_per_user(sf_dir: str):
+    """Grouped MODE (argmax of counts) per user, type-ascending
+    tiebreak; pair-domain in-map partials, user-bucketed argmax at
+    scale (events.top_type_per_user)."""
+    from ugfraud_ray.pipelines.events import top_type_per_user
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return top_type_per_user(ev, approx_rows=ev.count())
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact grouped COUNT(DISTINCT): in-map distinct-pair partials,
     pair-domain groupby, key-sized final sum (events.py)."""
@@ -944,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_zscore": _q_events_zscore,
         "events_stratified_sample": _q_events_stratified_sample,
+        "events_top_type_per_user": _q_events_top_type_per_user,
         "events_incident_join": _q_events_incident_join,
         "fbox_suspicious_users": _q_fbox_users,
         "fraudar_blocks": _q_fraudar_blocks,
@@ -2000,6 +2013,16 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                    ) AS DOUBLE) / 10000.0 AS running_value
             FROM events
+        """,
+        "events_top_type_per_user": """
+            SELECT user_id, event_type AS top_type, n FROM (
+                SELECT user_id, event_type, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type ASC
+                       ) AS rnk
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rnk = 1
         """,
         # md5_number_upper == the engine's md5-low64 (hash-parity
         # convention); event_id tiebreak makes ROW_NUMBER deterministic

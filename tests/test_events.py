@@ -320,3 +320,23 @@ def test_zscore_matches_two_pass_numpy(ray_session):
     for _, sub in j.groupby("event_type"):
         assert abs(sub["z"].mean()) < 1e-6
         assert abs(sub["z"].std() - 1.0) < 1e-3
+
+
+def test_top_type_per_user_matches_pandas(ray_session):
+    from ugfraud_ray.pipelines.events import top_type_per_user
+
+    t = _synth_events(n=5000, n_users=41, seed=19)
+    ds = ray.data.from_arrow(t).repartition(6)
+    local = top_type_per_user(ds, approx_rows=5000).to_pandas()
+    bucketed = top_type_per_user(ds, approx_rows=None).to_pandas()
+    df = t.to_pandas()
+    counts = df.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    counts = counts.sort_values(
+        ["user_id", "n", "event_type"], ascending=[True, False, True]
+    )
+    want = counts.groupby("user_id").head(1).reset_index(drop=True)
+    for got in (local, bucketed):
+        g = got.sort_values("user_id").reset_index(drop=True)
+        assert list(g["user_id"]) == list(want["user_id"])
+        assert list(g["top_type"]) == list(want["event_type"])
+        assert list(g["n"]) == list(want["n"])

@@ -709,6 +709,111 @@ def distinct_users_per_type(
     )
 
 
+def _top_type_kernel(u: np.ndarray, k: np.ndarray, n: np.ndarray) -> pa.Table:
+    """Merge (user, type, count) partials and take the per-user mode:
+    segment-sum duplicate pairs (reduceat), then first row per user in
+    (count desc, type asc) order — fully vectorized, no per-user loop."""
+    order = np.lexsort((k, u))
+    u, k, n = u[order], k[order], n[order]
+    first = np.ones(len(u), dtype=bool)
+    if len(u):
+        first[1:] = (u[1:] != u[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(first)
+    if len(starts) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "top_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    tot = np.add.reduceat(n, starts)
+    uu, kk = u[starts], k[starts]
+    pick = np.lexsort((kk, -tot, uu))
+    uu, kk, tot = uu[pick], kk[pick], tot[pick]
+    lead = np.ones(len(uu), dtype=bool)
+    lead[1:] = uu[1:] != uu[:-1]
+    return pa.table(
+        {
+            "user_id": pa.array(uu[lead]),
+            "top_type": pa.array(kk[lead]),
+            "n": pa.array(tot[lead]),
+        }
+    )
+
+
+def top_type_per_user(
+    events: "ray.data.Dataset",
+    approx_rows: int | None = None,
+    key: str = "event_type",
+    user_col: str = "user_id",
+) -> "ray.data.Dataset":
+    """(user_id, top_type, n) — grouped MODE: each user's most frequent
+    event type, count ties broken type-ascending (deterministic, replays
+    in SQL as ROW_NUMBER over COUNT DESC).
+
+    Scale shape mirrors ``distinct_users_per_type``: blocks collapse to
+    (user, type, count) partials in-map first, so the stream entering
+    any merge is pair-domain-sized, never event-sized; small inputs
+    merge driver-local, large inputs hash-bucket USERS (64 coarse
+    buckets, ONE shuffle — the same user-colocation assumption as
+    sessionize) and run the identical argmax kernel per bucket."""
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "u": t[user_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                    "k": t[key].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["u", "k"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy()),
+                "k": pa.array(g["k"].to_numpy()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    parts = events.select_columns([user_col, key]).map_batches(
+        count_partial, batch_format="pyarrow"
+    )
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            return (
+                t["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["k"].to_numpy(zero_copy_only=False),
+                t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+        return (
+            t["u"].to_numpy().astype(np.int64),
+            t["k"].to_numpy(),
+            t["n"].to_numpy().astype(np.int64),
+        )
+
+    if approx_rows is not None and approx_rows <= 2_000_000:
+        return ray.data.from_arrow(_top_type_kernel(*extract(collect_table(parts))))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        parts.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _top_type_kernel(*extract(g)), batch_format="pandas")
+    )
+
+
 def interval_join(
     events: "ray.data.Dataset",
     starts_us: np.ndarray,
