@@ -47,6 +47,7 @@ DISTINCT_K = 3
 DISTINCT_DF_PCT = 10
 KCORE_K = 14  # non-empty core with a multi-round peel cascade at the gate scales
 KCORE_MAX_ITERS = 30
+HITS_ITERS = 8
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -212,6 +213,37 @@ def _q_pagerank(sf_dir: str):
         return pa.table({"id": t["id"], "rank": pa.array(r)})
 
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
+
+
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities over the general graph (pipelines/hits.py):
+    synchronous supersteps with delayed global-l2 normalization on the
+    engine's stats channel; readout is the standard unit-l2 vector."""
+    from ugfraud_ray.pipelines.hits import hits
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    scores, _ = hits(e, n, _scratch("hits"), P=4, max_iters=HITS_ITERS)
+    out = unmap_vids(scores, vmap, vid_col="vid", out_col="id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "authority": pa.array(
+                    np.round(t["authority"].to_numpy(zero_copy_only=False), 9)
+                ),
+                "hub": pa.array(np.round(t["hub"].to_numpy(zero_copy_only=False), 9)),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["id", "authority", "hub"]
+    )
 
 
 def _q_auc(sf_dir: str):
@@ -977,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_components,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
+        "hits_scores": _q_hits,
         "auc_rating_label": _q_auc,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -1809,6 +1842,42 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p0.iter < {PR_ITERS}
             )
             SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
+        "hits_scores": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            hits AS (
+                SELECT vid, CAST(1.0 AS DOUBLE) AS a, CAST(1.0 AS DOUBLE) AS h,
+                       0 AS iter
+                FROM v
+                UNION ALL
+                SELECT v.vid,
+                       COALESCE(ain.s, 0)
+                         / (SELECT SQRT(SUM(p2.h * p2.h)) FROM hits p2),
+                       COALESCE(hout.s, 0)
+                         / (SELECT SQRT(SUM(p3.a * p3.a)) FROM hits p3),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM hits) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.h) AS s
+                    FROM hits p JOIN g e ON e.src = p.vid GROUP BY e.dst
+                ) ain ON ain.vid = v.vid
+                LEFT JOIN (
+                    SELECT e.src AS vid, SUM(p.a) AS s
+                    FROM hits p JOIN g e ON e.dst = p.vid GROUP BY e.src
+                ) hout ON hout.vid = v.vid
+                WHERE p0.iter < {HITS_ITERS}
+            ),
+            fin AS (SELECT vid, a, h FROM hits WHERE iter = {HITS_ITERS})
+            SELECT vid AS id,
+                   ROUND(a / (SELECT SQRT(SUM(a * a)) FROM fin), 9) AS authority,
+                   ROUND(h / (SELECT SQRT(SUM(h * h)) FROM fin), 9) AS hub
+            FROM fin
         """,
         "auc_rating_label": f"""
             WITH e AS ({_SQL_REVIEW_EDGES}),

@@ -216,3 +216,47 @@ def test_kcore_both_paths_match_naive_peel(ray_session):
     assert (got_local == alive).all()
     assert (got_dist == alive).all()
     assert 0 < alive.sum() < n  # the fixture actually peels something
+
+
+def _hits_oracle(src, dst, n, iters):
+    """Dense synchronous HITS with delayed normalization + final unit-l2."""
+    a = np.ones(n)
+    h = np.ones(n)
+    for _ in range(iters):
+        na = np.sqrt((a * a).sum())
+        nh = np.sqrt((h * h).sum())
+        a_new = np.bincount(dst, weights=h[src], minlength=n) / nh
+        h_new = np.bincount(src, weights=a[dst], minlength=n) / na
+        a, h = a_new, h_new
+    a /= np.sqrt((a * a).sum()) or 1.0
+    h /= np.sqrt((h * h).sum()) or 1.0
+    return a, h
+
+
+def test_hits_matches_dense_oracle(tmp_path):
+    from ugfraud_ray.pipelines.hits import hits
+
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=7)
+    src, dst, n = _graph(spec)
+    got, metrics = hits(_edges_ds(src, dst), n, str(tmp_path / "hits"), P=2, max_iters=12)
+    gp = got.to_pandas().sort_values("vid")
+    wa, wh = _hits_oracle(src, dst, n, iters=12)
+    np.testing.assert_allclose(gp["authority"].to_numpy(), wa, atol=1e-10)
+    np.testing.assert_allclose(gp["hub"].to_numpy(), wh, atol=1e-10)
+    assert abs(np.square(gp["authority"]).sum() - 1.0) < 1e-9
+    assert len(metrics) == 12
+
+
+def test_hits_partition_invariant_and_hub_split(tmp_path):
+    from ugfraud_ray.pipelines.hits import hits
+
+    spec = PagesSpec(n_users=60, n_prods=6, n_edges=220, seed=3, zipf_a=2.0)
+    src, dst, n = _graph(spec)
+    a1, _ = hits(_edges_ds(src, dst), n, str(tmp_path / "h1"), P=1, max_iters=8)
+    a4, _ = hits(
+        _edges_ds(src, dst), n, str(tmp_path / "h4"), P=4, max_iters=8, hub_threshold=30
+    )
+    p1 = a1.to_pandas().sort_values("vid").reset_index(drop=True)
+    p4 = a4.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(p1["authority"], p4["authority"], atol=1e-12)
+    np.testing.assert_allclose(p1["hub"], p4["hub"], atol=1e-12)
