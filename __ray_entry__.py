@@ -48,6 +48,8 @@ DISTINCT_DF_PCT = 10
 KCORE_K = 14  # non-empty core with a multi-round peel cascade at the gate scales
 KCORE_MAX_ITERS = 30
 HITS_ITERS = 8
+LINKPRED_TOPN = 100
+LINKPRED_MAX_DEG = 10_000
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -243,6 +245,30 @@ def _q_hits(sf_dir: str):
 
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(
         ["id", "authority", "hub"]
+    )
+
+
+def _q_linkpred(sf_dir: str):
+    """Common-neighbor / Adamic-Adar link prediction (pipelines/linkpred.py):
+    degree-capped wedge expansion, coarse-bucket pair aggregation,
+    lossless per-bucket top-N prune; (cn DESC, u, v) deterministic cut."""
+    from ugfraud_ray.pipelines.linkpred import link_prediction_scores
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    t = link_prediction_scores(
+        e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG, approx_rows=ge.count()
+    )
+    # vids are contiguous in ascending original-id order
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    return pa.table(
+        {
+            "u": pa.array(ids[t["u"].to_numpy()], pa.int64()),
+            "v": pa.array(ids[t["v"].to_numpy()], pa.int64()),
+            "cn": t["cn"],
+            "aa": pa.array(np.round(t["aa"].to_numpy(), 9)),
+        }
     )
 
 
@@ -1010,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
+        "linkpred_scores": _q_linkpred,
         "auc_rating_label": _q_auc,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -1878,6 +1905,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a / (SELECT SQRT(SUM(a * a)) FROM fin), 9) AS authority,
                    ROUND(h / (SELECT SQRT(SUM(h * h)) FROM fin), 9) AS hub
             FROM fin
+        """,
+        "linkpred_scores": f"""
+            WITH g0 AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g0 WHERE src <> dst GROUP BY 1, 2
+            ),
+            adj AS (
+                SELECT a AS w, b AS nbr FROM e
+                UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+            elig AS (
+                SELECT adj.w, adj.nbr, deg.d
+                FROM adj JOIN deg USING (w)
+                WHERE deg.d BETWEEN 2 AND {LINKPRED_MAX_DEG}
+            ),
+            pairs AS (
+                SELECT x.nbr AS u, y.nbr AS v, x.d
+                FROM elig x JOIN elig y ON x.w = y.w AND x.nbr < y.nbr
+            ),
+            scored AS (
+                SELECT u, v, COUNT(*) AS cn, SUM(1.0 / LN(d)) AS aa
+                FROM pairs GROUP BY u, v
+            ),
+            nonedge AS (
+                SELECT s.u, s.v, s.cn, s.aa
+                FROM scored s LEFT JOIN e ON e.a = s.u AND e.b = s.v
+                WHERE e.a IS NULL
+            )
+            SELECT u, v, cn, ROUND(aa, 9) AS aa
+            FROM nonedge ORDER BY cn DESC, u, v LIMIT {LINKPRED_TOPN}
         """,
         "auc_rating_label": f"""
             WITH e AS ({_SQL_REVIEW_EDGES}),
