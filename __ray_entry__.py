@@ -50,6 +50,8 @@ KCORE_MAX_ITERS = 30
 HITS_ITERS = 8
 LINKPRED_TOPN = 100
 LINKPRED_MAX_DEG = 10_000
+REDACT_TERM_PATTERN = r"\b(spark|batch)\b"  # matches real corpus content
+REDACT_TERM_REPL = "<TERM>"
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -70,6 +72,20 @@ _SQL_GENERAL_EDGES = """
     FROM orders
     WHERE o_custkey <> o_orderkey % (SELECT MAX(o_custkey) + 1 FROM orders)
 """
+
+
+def _redact_sql(patterns: list[tuple[str, str]]) -> str:
+    """Nested regexp_replace chain mirroring pipelines/redact.py exactly:
+    each pattern's count is taken on the previous pattern's output."""
+    expr = "text"
+    counts = []
+    for pat, repl in patterns:
+        counts.append(f"LEN(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {expr} AS text, "
+        f"CAST({' + '.join(counts)} AS BIGINT) AS n_redacted FROM documents"
+    )
 
 
 def _scratch(name: str) -> str:
@@ -303,6 +319,30 @@ def _q_doc_exact_dedup(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
+
+
+def _q_doc_pii_redact(sf_dir: str):
+    """PII scrub (pipelines/redact.py): email -> IPv4 -> phone RE2 chain,
+    vectorized pc.replace_substring_regex per batch; patterns shared
+    verbatim with the SQL oracle (DuckDB is RE2 too)."""
+    from ugfraud_ray.pipelines.redact import pii_redact
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pii_redact(docs)
+
+
+def _q_doc_term_redact(sf_dir: str):
+    """Term scrub over the corpus with a pattern that actually matches
+    (the PII patterns are value-verified on crafted strings in
+    tests/test_redact.py; this exercises nonzero replacements at scale)."""
+    from ugfraud_ray.pipelines.redact import regex_redact
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return regex_redact(docs, [(REDACT_TERM_PATTERN, REDACT_TERM_REPL)])
 
 
 def _q_doc_token_count(sf_dir: str):
@@ -1039,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_scores": _q_linkpred,
         "auc_rating_label": _q_auc,
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_pii_redact": _q_doc_pii_redact,
+        "doc_term_redact": _q_doc_term_redact,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -1956,6 +1998,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ROUND((pos_rank_sum - np * (np + 1) / 2.0) / (np * nn), 9) AS auc FROM agg
         """,
+        "doc_pii_redact": _redact_sql(
+            __import__(
+                "ugfraud_ray.pipelines.redact", fromlist=["PII_PATTERNS"]
+            ).PII_PATTERNS
+        ),
+        "doc_term_redact": _redact_sql([(REDACT_TERM_PATTERN, REDACT_TERM_REPL)]),
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS doc_id,
