@@ -52,6 +52,8 @@ LINKPRED_TOPN = 100
 LINKPRED_MAX_DEG = 10_000
 REDACT_TERM_PATTERN = r"\b(spark|batch)\b"  # matches real corpus content
 REDACT_TERM_REPL = "<TERM>"
+CONTAM_BENCH_DOCS = 20  # docs with doc_id < this form the "benchmark suite"
+CONTAM_PCT = 10
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -343,6 +345,20 @@ def _q_doc_term_redact(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return regex_redact(docs, [(REDACT_TERM_PATTERN, REDACT_TERM_REPL)])
+
+
+def _q_doc_contamination(sf_dir: str):
+    """Benchmark decontamination (pipelines/contamination.py): the first
+    CONTAM_BENCH_DOCS docs play the eval suite; their distinct 3-gram
+    shingle hashes broadcast once, corpus streams through an actor pool
+    with a searchsorted probe per batch."""
+    from ugfraud_ray.pipelines.contamination import contamination_check
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    bench = docs.filter(expr=f"doc_id < {CONTAM_BENCH_DOCS}")
+    corpus = docs.filter(expr=f"doc_id >= {CONTAM_BENCH_DOCS}")
+    return contamination_check(corpus, bench, pct=CONTAM_PCT)
 
 
 def _q_doc_token_count(sf_dir: str):
@@ -1081,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_term_redact": _q_doc_term_redact,
+        "doc_contamination": _q_doc_contamination,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -1189,13 +1206,66 @@ def _lang_id_sql() -> str:
     return sql
 
 
+def _shingle_ctes(ngram: int = 3) -> str:
+    """CTE chain reproducing ``pipelines.dedup._shingle_hashes`` bit-exactly
+    in DuckDB, ending at ``sh(doc_id, sh)``: md5-low64 token hashes
+    (== ``md5_number_upper``), FNV-rolled word n-gram shingles, splitmix64
+    finalization; docs shorter than the n-gram fall back to mixed single
+    token hashes exactly like the engine. Shared by the minhash-LSH chain
+    and the contamination oracle."""
+    M64 = 1 << 64
+    FNV = 1099511628211
+    F2 = FNV * FNV % M64
+
+    def mulc(x: str, c: int) -> str:
+        c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+        e = f"CAST(({x}) AS HUGEINT) * {c_lo}"
+        if c_hi:
+            e += f" + ((CAST(({x}) AS HUGEINT) % 4294967296) * {c_hi} % 4294967296) * 4294967296"
+        return f"CAST(({e}) % {M64} AS UBIGINT)"
+
+    def mix64(x: str) -> str:
+        s1 = f"xor({x}, ({x}) >> 30)"
+        s2 = mulc(s1, 0xBF58476D1CE4E5B9)
+        s3 = f"xor({s2}, ({s2}) >> 27)"
+        s4 = mulc(s3, 0x94D049BB133111EB)
+        return f"xor({s4}, ({s4}) >> 31)"
+
+    shingle3 = mix64(
+        f"CAST((CAST({mulc('t0.th', F2)} AS HUGEINT) + {mulc('t1.th', FNV)} + t2.th) % {M64} AS UBIGINT)"
+    )
+    return rf"""
+        toklist AS (
+          SELECT doc_id,
+                 string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ts
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ),
+        tok AS (
+          SELECT doc_id,
+                 unnest(range(1, len(ts) + 1)) AS i,
+                 unnest(list_transform(ts, t -> md5_number_upper(t))) AS th,
+                 len(ts) AS nt
+          FROM toklist
+        ),
+        sh AS (
+          SELECT t0.doc_id, {shingle3} AS sh
+          FROM tok t0
+          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+          JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
+          WHERE t0.nt >= {ngram}
+          UNION ALL
+          SELECT doc_id, {mix64('th')} FROM tok WHERE nt < {ngram}
+        )
+    """
+
+
 def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 7) -> str:
     """Shared CTE chain reproducing ``minhash_lsh_candidates`` bit-exactly
     in DuckDB, ending at ``cand(id_a, id_b)`` (plus ``sh(doc_id, sh)``).
 
     Every hashing stage of the engine's LSH path is reproduced in SQL:
-    md5-low64 token hashes (== ``md5_number_upper``), FNV-rolled word
-    n-gram shingles, splitmix64 finalization, the (a*x+b) mod 2**64
+    the shared shingle chain (``_shingle_ctes``), the (a*x+b) mod 2**64
     universal-hash minhash with the engine's seeded constants injected as
     literals, FNV-rolled band buckets, and candidate pairs. All mod-2**64
     arithmetic is HUGEINT-staged so no 128-bit overflow occurs.
@@ -1236,9 +1306,6 @@ def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed
     a_lit = "[" + ", ".join(str(int(v)) for v in a) + "]"
     b_lit = "[" + ", ".join(str(int(v)) for v in b) + "]"
 
-    shingle3 = mix64(
-        f"CAST((CAST({mulc('t0.th', F2)} AS HUGEINT) + {mulc('t1.th', FNV)} + t2.th) % {M64} AS UBIGINT)"
-    )
     axb = mix64(f"CAST((CAST({mul_vv('p.a', 's.sh')} AS HUGEINT) + p.b) % {M64} AS UBIGINT)")
     bucket = mix64(
         f"CAST((CAST({mulc('m0', F3)} AS HUGEINT) + {mulc('m1', F2)} + {mulc('m2', FNV)} + m3)"
@@ -1246,28 +1313,7 @@ def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed
     )
 
     return rf"""
-        toklist AS (
-          SELECT doc_id,
-                 string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ts
-          FROM documents
-          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
-        ),
-        tok AS (
-          SELECT doc_id,
-                 unnest(range(1, len(ts) + 1)) AS i,
-                 unnest(list_transform(ts, t -> md5_number_upper(t))) AS th,
-                 len(ts) AS nt
-          FROM toklist
-        ),
-        sh AS (
-          SELECT t0.doc_id, {shingle3} AS sh
-          FROM tok t0
-          JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
-          JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.i = t0.i + 2
-          WHERE t0.nt >= {ngram}
-          UNION ALL
-          SELECT doc_id, {mix64('th')} FROM tok WHERE nt < {ngram}
-        ),
+        {_shingle_ctes(ngram)},
         perms AS (
           SELECT unnest(range({num_perm})) AS p,
                  unnest(CAST({a_lit} AS UBIGINT[])) AS a,
@@ -2004,6 +2050,30 @@ def oracle_sql() -> dict[str, str]:
             ).PII_PATTERNS
         ),
         "doc_term_redact": _redact_sql([(REDACT_TERM_PATTERN, REDACT_TERM_REPL)]),
+        "doc_contamination": f"""
+            WITH {_shingle_ctes()},
+            dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+            bench AS (
+                SELECT DISTINCT sh FROM dsh WHERE doc_id < {CONTAM_BENCH_DOCS}
+            ),
+            agg AS (
+                SELECT d.doc_id,
+                       COUNT(*) AS n_shingles,
+                       SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+                FROM dsh d LEFT JOIN bench b ON b.sh = d.sh
+                WHERE d.doc_id >= {CONTAM_BENCH_DOCS}
+                GROUP BY d.doc_id
+            )
+            SELECT doc.doc_id,
+                   CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                             AND COALESCE(a.n_overlap, 0) * 100
+                                 >= {CONTAM_PCT} * a.n_shingles
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+            WHERE doc.doc_id >= {CONTAM_BENCH_DOCS}
+        """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,
                    CAST(MIN(doc_id) AS BIGINT) AS doc_id,
