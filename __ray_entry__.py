@@ -54,6 +54,8 @@ REDACT_TERM_PATTERN = r"\b(spark|batch)\b"  # matches real corpus content
 REDACT_TERM_REPL = "<TERM>"
 CONTAM_BENCH_DOCS = 20  # docs with doc_id < this form the "benchmark suite"
 CONTAM_PCT = 10
+SPLIT_BUCKETS = {"test": 100, "valid": 100}  # of SPLIT_MOD; rest = train
+SPLIT_MOD = 1000
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -359,6 +361,28 @@ def _q_doc_contamination(sf_dir: str):
     bench = docs.filter(expr=f"doc_id < {CONTAM_BENCH_DOCS}")
     corpus = docs.filter(expr=f"doc_id >= {CONTAM_BENCH_DOCS}")
     return contamination_check(corpus, bench, pct=CONTAM_PCT)
+
+
+def _q_doc_splits(sf_dir: str):
+    """Deterministic train/valid/test assignment (pipelines/splits.py):
+    md5-low64(id) % mod bucket ranges — stable across runs and cluster
+    sizes, pure per-row, no shuffle."""
+    from ugfraud_ray.pipelines.splits import assign_splits
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return assign_splits(docs, buckets=SPLIT_BUCKETS, mod=SPLIT_MOD)
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Within-doc n-gram repetition counts (text_analysis.repetition_stats)."""
+    from ugfraud_ray.pipelines.text_analysis import repetition_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return repetition_stats(docs)
 
 
 def _q_doc_token_count(sf_dir: str):
@@ -1098,6 +1122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_term_redact": _q_doc_term_redact,
         "doc_contamination": _q_doc_contamination,
+        "doc_splits": _q_doc_splits,
+        "doc_repetition": _q_doc_repetition,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -2073,6 +2099,32 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
             WHERE doc.doc_id >= {CONTAM_BENCH_DOCS}
+        """,
+        "doc_splits": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                            % {SPLIT_MOD} AS BIGINT) AS bucket
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < {SPLIT_BUCKETS["test"]} THEN 'test'
+                        WHEN bucket < {SPLIT_BUCKETS["test"] + SPLIT_BUCKETS["valid"]}
+                            THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM b
+        """,
+        "doc_repetition": f"""
+            WITH {_shingle_ctes()},
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_ngrams,
+                       COUNT(DISTINCT sh) AS n_distinct
+                FROM sh GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -396,3 +396,38 @@ def top_tokens(
 
     merged = collect_table(parts.select_columns(["token", "n"]))
     return ray.data.from_arrow(rank(merged))
+
+
+def repetition_stats(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+) -> "ray.data.Dataset":
+    """Within-document repetition (Gopher-style quality signal).
+
+    (id, n_ngrams, n_distinct) over word n-gram shingles — a document
+    whose distinct/total shingle ratio is low is boilerplate or a
+    degenerate repeat. Uses the engine's shared 64-bit shingle chain
+    (`pipelines.dedup._shingle_hashes`), so the SQL oracle reuses the
+    same bit-exact CTEs; counts are integers — no float gate. Pure
+    per-batch map: no shuffle, no state.
+    """
+    from ugfraud_ray.pipelines.dedup import _shingle_hashes
+
+    def stats(t: pa.Table) -> pa.Table:
+        n_tot = np.empty(t.num_rows, dtype=np.int64)
+        n_dis = np.empty(t.num_rows, dtype=np.int64)
+        for i, text in enumerate(t[key].to_pylist()):
+            sh = _shingle_hashes(text, ngram)
+            n_tot[i] = len(sh)
+            n_dis[i] = len(np.unique(sh))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_ngrams": pa.array(n_tot),
+                "n_distinct": pa.array(n_dis),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
