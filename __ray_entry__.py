@@ -56,6 +56,8 @@ CONTAM_BENCH_DOCS = 20  # docs with doc_id < this form the "benchmark suite"
 CONTAM_PCT = 10
 SPLIT_BUCKETS = {"test": 100, "valid": 100}  # of SPLIT_MOD; rest = train
 SPLIT_MOD = 1000
+PPR_SEED_MOD = 97  # seeds = vertices whose original id % this == 0
+PPR_ITERS = 10
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -290,6 +292,36 @@ def _q_linkpred(sf_dir: str):
             "aa": pa.array(np.round(t["aa"].to_numpy(), 9)),
         }
     )
+
+
+def _q_ppr(sf_dir: str):
+    """Personalized PageRank from a deterministic seed set (original
+    id % PPR_SEED_MOD == 0); teleport + dangling mass return to seeds."""
+    from ugfraud_ray.pipelines.pagerank import personalized_pagerank
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    vt = vmap.to_pandas()
+    seeds = vt.loc[vt["id"] % PPR_SEED_MOD == 0, "vid"].to_numpy()
+    ranks, _ = personalized_pagerank(
+        e, n, seeds, _scratch("ppr"), P=4, damping=PR_DAMPING,
+        max_iters=PPR_ITERS, tol=None,
+    )
+    # vids are contiguous ascending-original-id; reuse the collected map
+    ids = vt.sort_values("vid")["id"].to_numpy()
+    ids_ref = ray.put(ids)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        m = ray.get(ids_ref)
+        r = np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
+        return pa.table(
+            {
+                "id": pa.array(m[t["vid"].to_numpy(zero_copy_only=False)]),
+                "rank": pa.array(r),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
 
 
 def _q_auc(sf_dir: str):
@@ -1117,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
         "linkpred_scores": _q_linkpred,
+        "personalized_pagerank": _q_ppr,
         "auc_rating_label": _q_auc,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_pii_redact": _q_doc_pii_redact,
@@ -2019,6 +2052,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a / (SELECT SQRT(SUM(a * a)) FROM fin), 9) AS authority,
                    ROUND(h / (SELECT SQRT(SUM(h * h)) FROM fin), 9) AS hub
             FROM fin
+        """,
+        "personalized_pagerank": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            seeds AS (SELECT vid FROM v WHERE vid % {PPR_SEED_MOD} = 0),
+            ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+            outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM g GROUP BY src),
+            pr AS (
+                SELECT v.vid,
+                       CASE WHEN s.vid IS NOT NULL
+                            THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank,
+                       0 AS iter
+                FROM v LEFT JOIN seeds s ON s.vid = v.vid
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING})
+                           * (CASE WHEN s.vid IS NOT NULL
+                                   THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr p2
+                           LEFT JOIN outdeg o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) * (CASE WHEN s.vid IS NOT NULL
+                                 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END),
+                       p0.iter + 1
+                FROM v
+                LEFT JOIN seeds s ON s.vid = v.vid
+                CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank / o.d) AS s
+                    FROM pr p JOIN g e ON e.src = p.vid JOIN outdeg o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PPR_ITERS}
+            )
+            SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PPR_ITERS}
         """,
         "linkpred_scores": f"""
             WITH g0 AS ({_SQL_GENERAL_EDGES}),

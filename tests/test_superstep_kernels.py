@@ -260,3 +260,32 @@ def test_hits_partition_invariant_and_hub_split(tmp_path):
     p4 = a4.to_pandas().sort_values("vid").reset_index(drop=True)
     np.testing.assert_allclose(p1["authority"], p4["authority"], atol=1e-12)
     np.testing.assert_allclose(p1["hub"], p4["hub"], atol=1e-12)
+
+
+def _ppr_oracle(src, dst, n, seeds, d=0.85, iters=60):
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    e = np.zeros(n)
+    e[seeds] = 1.0 / len(seeds)
+    w = 1.0 / np.where(outdeg > 0, outdeg, 1.0)
+    x = e.copy()
+    for _ in range(iters):
+        agg = np.bincount(dst, weights=x[src] * w[src], minlength=n)
+        dang = x[outdeg == 0].sum()
+        x = (1 - d) * e + d * agg + d * dang * e
+    return x
+
+
+def test_personalized_pagerank_matches_dense_oracle(tmp_path):
+    from ugfraud_ray.pipelines.pagerank import personalized_pagerank
+
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=23)
+    src, dst, n = _graph(spec)
+    seeds = np.array([0, 3, 17])
+    got, _ = personalized_pagerank(
+        _edges_ds(src, dst), n, seeds, str(tmp_path / "ppr"), P=3, max_iters=60, tol=None
+    )
+    gp = got.to_pandas().sort_values("vid")
+    want = _ppr_oracle(src, dst, n, seeds, iters=60)
+    np.testing.assert_allclose(gp["rank"].to_numpy(), want, atol=1e-10)
+    # mass concentrates near seeds; non-seed-reachable stays ~0
+    assert gp["rank"].to_numpy()[seeds].sum() > 0.2

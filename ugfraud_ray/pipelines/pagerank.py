@@ -144,3 +144,68 @@ def pagerank_on_layout(
     out = out.materialize()
     eng.shutdown()
     return out, eng.metrics
+
+
+class PersonalizedPageRankProgram(PageRankProgram):
+    """Random walk with restart to a seed set (PPR).
+
+        x'_v = (1-d)·e_v + d · Σ_{u→v} x_u/outdeg(u) + d · dangling_sum · e_v
+
+    where e is uniform over the seeds (teleport AND dangling mass both
+    return to the seeds — the standard formulation). The seed set is
+    definitionally small (a query's personalization vector), so it ships
+    inside the program object to every shard; e is materialized once per
+    shard over its owned vids in `init_state`.
+    """
+
+    def __init__(self, seeds: np.ndarray, damping: float = 0.85):
+        super().__init__(damping)
+        self.seeds = np.asarray(seeds, dtype=np.int64)
+        if len(self.seeds) == 0:
+            raise ValueError("personalized pagerank needs a non-empty seed set")
+
+    def _e(self, vids: np.ndarray) -> np.ndarray:
+        e = np.zeros(len(vids), dtype=np.float64)
+        e[np.isin(vids, self.seeds)] = 1.0 / len(self.seeds)
+        return e
+
+    def init_state(self, vids, shard):
+        return self._e(vids)[:, None].copy()
+
+    def apply(self, vids, old, agg, have_msg, aux, shard):
+        dang = aux.get("dangling_sum", 0.0)
+        e = self._e(vids)
+        new = (1.0 - self.d) * e + self.d * agg[:, 0] + self.d * dang * e
+        dangling = shard.vertex_aux("outdeg", 0.0) == 0
+        return new, {
+            "delta": float(np.abs(new - old[:, 0]).sum()),
+            "dangling_sum": float(new[dangling].sum()),
+        }
+
+
+def personalized_pagerank(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    seeds: np.ndarray,
+    layout_dir: str,
+    P: int = 4,
+    damping: float = 0.85,
+    max_iters: int = 50,
+    tol: float | None = 1e-9,
+    hub_threshold: int | None = None,
+) -> tuple["ray.data.Dataset", list[dict]]:
+    """Run PPR from `seeds`; returns (Dataset(vid, rank), metrics)."""
+    weighted, outdeg_v = attach_edge_weights(edges, n_vertices)
+    import ray.data as _rd
+
+    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() <= 1_000_000:
+        weighted = weighted.materialize()
+    layout = build_layout(
+        weighted, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold,
+        edge_cols=["w"], vertex_aux=outdeg_v,
+    )
+    eng = SuperstepEngine(layout, PersonalizedPageRankProgram(seeds, damping))
+    eng.run(max_iters=max_iters, tol=tol)
+    out = eng.result_dataset().rename_columns({"s0": "rank"}).materialize()
+    eng.shutdown()
+    return out, eng.metrics
