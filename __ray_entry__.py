@@ -58,6 +58,8 @@ SPLIT_BUCKETS = {"test": 100, "valid": 100}  # of SPLIT_MOD; rest = train
 SPLIT_MOD = 1000
 PPR_SEED_MOD = 97  # seeds = vertices whose original id % this == 0
 PPR_ITERS = 10
+BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
+BFS_MAX_HOPS = 64
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -198,6 +200,25 @@ def _q_components(sf_dir: str):
     out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
     out = unmap_vids(out, vmap, vid_col="component", out_col="component")
     return out.select_columns(["id", "component"])
+
+
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance over the undirected general graph
+    (pipelines/bfs.py): seeds = original id % BFS_SEED_MOD == 0, min-plus
+    hash-min supersteps to fixpoint; output = reached vertices only."""
+    from ugfraud_ray.pipelines.bfs import bfs_hops
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    vt = vmap.to_pandas()
+    seeds = vt.loc[vt["id"] % BFS_SEED_MOD == 0, "vid"].to_numpy()
+    hops, _ = bfs_hops(e, n, seeds, _scratch("bfs"), P=4, max_iters=BFS_MAX_HOPS)
+    out = unmap_vids(hops, vmap, vid_col="vid", out_col="id")
+    return out.select_columns(["id", "hops"])
 
 
 def _q_kcore(sf_dir: str):
@@ -1145,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prior_median": _q_prior_median,
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
+        "bfs_hops": _q_bfs_hops,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
@@ -1942,6 +1964,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
             )
             SELECT vid AS id, MIN(comp) AS component FROM walk GROUP BY vid
+        """,
+        # BFS frontier replayed level-by-level: (vid, d) pairs dedup via
+        # UNION; MIN(d) over all expansions with d < cap == hop distance
+        # (the engine runs the same min-plus updates to fixpoint)
+        "bfs_hops": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            sym AS (
+                SELECT src, dst FROM g UNION SELECT dst, src FROM g
+            ),
+            v AS (SELECT DISTINCT src AS vid FROM sym),
+            walk(vid, d) AS (
+                SELECT vid, 0 FROM v WHERE vid % {BFS_SEED_MOD} = 0
+                UNION
+                SELECT s.dst, w.d + 1
+                FROM walk w JOIN sym s ON s.src = w.vid
+                WHERE w.d < {BFS_MAX_HOPS}
+            )
+            SELECT vid AS id, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY vid
         """,
         # k-core peel replayed GANG-style: every round is materialized
         # up to the horizon and the engine's stop rule (first

@@ -289,3 +289,43 @@ def test_personalized_pagerank_matches_dense_oracle(tmp_path):
     np.testing.assert_allclose(gp["rank"].to_numpy(), want, atol=1e-10)
     # mass concentrates near seeds; non-seed-reachable stays ~0
     assert gp["rank"].to_numpy()[seeds].sum() > 0.2
+
+
+def test_bfs_hops_matches_networkx(tmp_path):
+    from ugfraud_ray.pipelines.bfs import bfs_hops
+
+    spec = PagesSpec(n_users=40, n_prods=6, n_edges=110, seed=17, n_components=2)
+    src, dst, n = _graph(spec)
+    rng = np.random.default_rng(5)
+    seeds = rng.choice(n, size=3, replace=False).astype(np.int64)
+    got, metrics = bfs_hops(_edges_ds(src, dst), n, seeds, str(tmp_path / "bfs"), P=2)
+    gp = got.to_pandas().sort_values("vid")
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.multi_source_dijkstra_path_length(G, set(seeds.tolist()))
+    want_sorted = dict(sorted(want.items()))
+    assert gp["vid"].tolist() == list(want_sorted)
+    assert gp["hops"].tolist() == [int(v) for v in want_sorted.values()]
+    # unreached vertices are genuinely excluded (2 components, seeds random)
+    assert len(gp) <= n
+    assert len(metrics) >= 2
+
+
+def test_bfs_hops_directed_vs_undirected(tmp_path):
+    from ugfraud_ray.pipelines.bfs import bfs_hops
+
+    # path 0 -> 1 -> 2; directed BFS from {2} reaches only itself,
+    # undirected reaches all three
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    seeds = np.array([2], dtype=np.int64)
+    und, _ = bfs_hops(_edges_ds(src, dst), 3, seeds, str(tmp_path / "u"), P=2)
+    assert sorted(und.to_pandas()["hops"].tolist()) == [0, 1, 2]
+    dird, _ = bfs_hops(
+        _edges_ds(src, dst), 3, seeds, str(tmp_path / "d"), P=2, directed=True
+    )
+    assert dird.to_pandas()["hops"].tolist() == [0]
