@@ -202,6 +202,24 @@ def _q_components(sf_dir: str):
     return out.select_columns(["id", "component"])
 
 
+def _q_clustering(sf_dir: str):
+    """Per-vertex triangle count + local clustering coefficient over the
+    undirected general graph (pipelines/clustering.py): degree-oriented
+    wedges carrying their source corner; closes credit all three corners
+    via sparse per-bucket partials."""
+    from ugfraud_ray.pipelines.clustering import local_clustering
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    cc = local_clustering(e)
+    out = unmap_vids(cc, vmap, vid_col="vid", out_col="id")
+    return out.select_columns(["id", "triangles", "clustering"])
+
+
 def _q_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distance over the undirected general graph
     (pipelines/bfs.py): seeds = original id % BFS_SEED_MOD == 0, min-plus
@@ -1167,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
+        "clustering_coefficient": _q_clustering,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
@@ -1982,6 +2001,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.d < {BFS_MAX_HOPS}
             )
             SELECT vid AS id, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY vid
+        """,
+        # triangles-through-v = wedges at v whose far pair is an edge;
+        # sym join with s1.dst < s2.dst enumerates each neighbor pair
+        # once; clustering mirrors the engine's (2.0*T)/(d*(d-1.0))
+        "clustering_coefficient": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e2 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g WHERE src <> dst
+            ),
+            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
+            deg AS (SELECT src AS vid, COUNT(*) AS d FROM sym GROUP BY src),
+            tri AS (
+                SELECT s1.src AS vid, COUNT(*) AS t
+                FROM sym s1
+                JOIN sym s2 ON s2.src = s1.src AND s1.dst < s2.dst
+                JOIN e2 ON e2.a = s1.dst AND e2.b = s2.dst
+                GROUP BY s1.src
+            )
+            SELECT deg.vid AS id,
+                   CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+                   ROUND(CASE WHEN deg.d >= 2
+                              THEN (2.0 * COALESCE(tri.t, 0)) / (deg.d * (deg.d - 1.0))
+                              ELSE 0.0 END, 9) AS clustering
+            FROM deg LEFT JOIN tri ON tri.vid = deg.vid
         """,
         # k-core peel replayed GANG-style: every round is materialized
         # up to the horizon and the engine's stop rule (first

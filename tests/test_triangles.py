@@ -35,3 +35,38 @@ def test_triangle_count_known_small():
                   "dst": pa.array([b for _, b in edges], pa.int64())})
     )
     assert triangle_count(ds) == 4
+
+
+def test_local_clustering_matches_networkx():
+    from ugfraud_ray.pipelines.clustering import local_clustering
+
+    src, dst = _random_graph(n=50, m=260, seed=7)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = local_clustering(ds).to_pandas().sort_values("vid").reset_index(drop=True)
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    tri = nx.triangles(G)
+    cc = nx.clustering(G)
+    want_vids = sorted(G.nodes())
+    assert got["vid"].tolist() == want_vids
+    assert got["triangles"].tolist() == [tri[v] for v in want_vids]
+    np.testing.assert_allclose(
+        got["clustering"].to_numpy(), [cc[v] for v in want_vids], atol=1e-9
+    )
+    assert got["triangles"].sum() > 0
+
+
+def test_local_clustering_local_vs_distributed_agree():
+    from ugfraud_ray.pipelines.clustering import local_clustering
+
+    src, dst = _random_graph(n=80, m=500, seed=23)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    a = local_clustering(ds, local_threshold=1_000_000).to_pandas().sort_values("vid")
+    b = local_clustering(ds, local_threshold=0).to_pandas().sort_values("vid")
+    assert a["vid"].tolist() == b["vid"].tolist()
+    assert a["triangles"].tolist() == b["triangles"].tolist()
+    np.testing.assert_array_equal(a["clustering"].to_numpy(), b["clustering"].to_numpy())
