@@ -60,6 +60,7 @@ PPR_SEED_MOD = 97  # seeds = vertices whose original id % this == 0
 PPR_ITERS = 10
 BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
 BFS_MAX_HOPS = 64
+FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -721,6 +722,15 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel view->click->purchase (events.funnel):
+    deepest step reached per user, each step matched at the earliest
+    event strictly after the previous step's match."""
+    from ugfraud_ray.pipelines.events import funnel
+
+    return funnel(_events(sf_dir), steps=FUNNEL_STEPS)
+
+
 def _q_events_props(sf_dir: str):
     """Vectorized JSON int-field extraction via the Arrow RE2 kernel."""
     from ugfraud_ray.pipelines.events import extract_props
@@ -1156,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_sample": _q_seeded_sample,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_funnel": _q_events_funnel,
         "events_props": _q_events_props,
         "events_asof_last_error": _q_events_asof,
         "events_topk_per_user": _q_events_topk,
@@ -2437,6 +2448,34 @@ def oracle_sql() -> dict[str, str]:
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        # each step = MIN(ts) strictly after the previous step's match —
+        # the engine's per-user-run reduceat kernel, replayed as chained
+        # grouped-min joins
+        "events_funnel": f"""
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS funnel_step
+            FROM s1
+            LEFT JOIN s2 ON s2.user_id = s1.user_id
+            LEFT JOIN s3 ON s3.user_id = s1.user_id
         """,
         # native ASOF JOIN; COALESCE to -1 keeps the columns integer
         # (NULL-free) so the value compare is exact

@@ -340,3 +340,48 @@ def test_top_type_per_user_matches_pandas(ray_session):
         assert list(g["user_id"]) == list(want["user_id"])
         assert list(g["top_type"]) == list(want["event_type"])
         assert list(g["n"]) == list(want["n"])
+
+
+def test_funnel_matches_pandas_oracle(ray_session):
+    from ugfraud_ray.pipelines.events import funnel
+
+    t = _synth_events(n=260, n_users=90, seed=31)
+    steps = ["view", "click", "error"]
+    got = (
+        funnel(ray.data.from_arrow(t), steps=steps)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    df = t.to_pandas()
+    want = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev = None
+        step = 0
+        for s in steps:
+            cand = g[(g["event_type"] == s)]
+            if prev is not None:
+                cand = cand[cand["ts"] > prev]
+            if len(cand) == 0:
+                break
+            prev = cand["ts"].min()
+            step += 1
+        if step >= 1:
+            want[int(uid)] = step
+    assert got["user_id"].tolist() == sorted(want)
+    assert got["funnel_step"].tolist() == [want[u] for u in sorted(want)]
+    assert set(got["funnel_step"]) == {1, 2, 3}  # non-degenerate fixture
+
+
+def test_funnel_local_and_bucketed_agree(ray_session):
+    from ugfraud_ray.pipelines.events import funnel
+
+    t = _synth_events(n=2500, n_users=41, seed=8)
+    ds = ray.data.from_arrow(t)
+    steps = ["view", "click", "error"]
+    a = funnel(ds, steps=steps, local_threshold=1_000_000).to_pandas().sort_values("user_id")
+    b = funnel(ds, steps=steps, local_threshold=0).to_pandas().sort_values("user_id")
+    assert a["user_id"].tolist() == b["user_id"].tolist()
+    assert a["funnel_step"].tolist() == b["funnel_step"].tolist()

@@ -878,3 +878,95 @@ def events_in_incident_windows(
     starts = ws[sel]
     hour_us = np.int64(3_600_000_000)
     return interval_join(events, starts, starts + hour_us)
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def _funnel_block(
+    user: np.ndarray, ts_us: np.ndarray, type_idx: np.ndarray, n_steps: int
+) -> pa.Table:
+    """Per-user ordered funnel matching, vectorized across users.
+
+    Step s matches at the user's MIN timestamp of step-s events STRICTLY
+    after the step s-1 match (step 0: any). O(n_steps * n) with
+    per-user-run reduceat mins — no Python per-user loop.
+    """
+    order = np.lexsort((ts_us, user))
+    user, ts_us, type_idx = user[order], ts_us[order], type_idx[order]
+    n = len(user)
+    if n == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "funnel_step": pa.array([], pa.int64())}
+        )
+    starts = np.flatnonzero(np.concatenate([[True], np.diff(user) != 0]))
+    uids = user[starts]
+    run_of_row = np.cumsum(np.concatenate([[0], (np.diff(user) != 0).astype(np.int64)]))
+    INF = np.iinfo(np.int64).max
+    prev = np.full(len(uids), -INF, dtype=np.int64)  # step-(s-1) match per user
+    reached = np.zeros(len(uids), dtype=np.int64)
+    for s in range(n_steps):
+        cand = np.full(n, INF, dtype=np.int64)
+        m = (type_idx == s) & (prev[run_of_row] < ts_us) & (prev[run_of_row] != INF)
+        cand[m] = ts_us[m]
+        cur = np.minimum.reduceat(cand, starts)
+        hit = cur != INF
+        reached[hit] = s + 1
+        prev = np.where(hit, cur, INF)
+    keep = reached >= 1
+    return pa.table(
+        {"user_id": pa.array(uids[keep]), "funnel_step": pa.array(reached[keep])}
+    )
+
+
+def funnel(
+    events: "ray.data.Dataset",
+    steps: list[str],
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Ordered conversion funnel: (user_id, funnel_step) — the deepest
+    step 1..len(steps) the user reached, matching each step at the
+    earliest event strictly after the previous step's match. Users who
+    never performed steps[0] are excluded.
+
+    Same user-colocation contract as ``sessionize``: small inputs run
+    driver-local, large inputs hash-bucket user_id into 64 coarse
+    buckets (ONE shuffle) and run the identical kernel per bucket.
+    """
+    step_of = {s: i for i, s in enumerate(steps)}
+    ds = events.select_columns(["user_id", "ts", "event_type"])
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            et = t["event_type"].to_pylist()
+        else:
+            u = t["user_id"].to_numpy().astype(np.int64)
+            ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            et = t["event_type"].tolist()
+        tix = np.array([step_of.get(x, -1) for x in et], dtype=np.int64)
+        return u, ts, tix
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        return ray.data.from_arrow(_funnel_block(*extract(t), len(steps)))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _funnel_block(*extract(g), len(steps)), batch_format="pandas")
+    )
