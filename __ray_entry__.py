@@ -61,6 +61,8 @@ PPR_ITERS = 10
 BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
 BFS_MAX_HOPS = 64
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
+BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
+BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
@@ -455,6 +457,18 @@ def _q_doc_repetition(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return repetition_stats(docs)
+
+
+def _q_doc_boilerplate(sf_dir: str):
+    """Cross-doc boilerplate: shingle document-frequency pass (one
+    coarse-bucket shuffle) -> per-doc boilerplate-shingle share; flag is
+    integer math (text_analysis.boilerplate_stats)."""
+    from ugfraud_ray.pipelines.text_analysis import boilerplate_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return boilerplate_stats(docs, min_docs=BOILER_MIN_DOCS, pct=BOILER_PCT)
 
 
 def _q_doc_token_count(sf_dir: str):
@@ -1209,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_doc_contamination,
         "doc_splits": _q_doc_splits,
         "doc_repetition": _q_doc_repetition,
+        "doc_boilerplate": _q_doc_boilerplate,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -2294,6 +2309,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
                    CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        # corpus-as-its-own-suite DF pass over the shared shingle chain;
+        # flag mirrors the engine's integer rule nb*100 >= pct*ns
+        "doc_boilerplate": f"""
+            WITH {_shingle_ctes()},
+            d AS (SELECT DISTINCT doc_id, sh FROM sh),
+            df AS (SELECT sh, COUNT(*) AS nd FROM d GROUP BY sh),
+            per AS (
+                SELECT d.doc_id, COUNT(*) AS ns,
+                       SUM(CASE WHEN df.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS nb
+                FROM d JOIN df ON df.sh = d.sh GROUP BY d.doc_id
+            )
+            SELECT doc_id,
+                   CAST(ns AS BIGINT) AS n_shingles,
+                   CAST(nb AS BIGINT) AS n_boiler,
+                   CAST(CASE WHEN nb * 100 >= {BOILER_PCT} * ns AND ns > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_boilerplate
+            FROM per
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS text_hash,

@@ -285,3 +285,53 @@ def test_distinctive_terms_matches_python_oracle(ray_session):
     got2 = distinctive_terms(ds, k=k, common_df_pct=pct)
     rows2 = {(r["doc_id"], r["token"], r["tf"], r["rnk"]) for r in got2.take_all()}
     assert rows2 == want
+
+
+def test_boilerplate_stats_matches_python_oracle(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import boilerplate_stats
+    from ugfraud_ray.pipelines.dedup import _shingle_hashes
+
+    header = "site nav home about contact terms"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red green blue yellow purple orange cyan",
+        "cat dog bird fish horse cow sheep goat",
+    ]
+    texts = [f"{header} {b}" for b in bodies] + [header, "unique solitary words only here"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    got = (
+        boilerplate_stats(ds, min_docs=3, pct=50)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # python oracle
+    sh_per_doc = {i: set(np.unique(_shingle_hashes(x, 3)).tolist()) for i, x in enumerate(texts)}
+    from collections import Counter
+    df = Counter(s for shs in sh_per_doc.values() for s in shs)
+    for i, shs in sh_per_doc.items():
+        row = got[got["doc_id"] == i].iloc[0]
+        nb = sum(1 for s in shs if df[s] >= 3)
+        assert row["n_shingles"] == len(shs)
+        assert row["n_boiler"] == nb
+        assert row["is_boilerplate"] == int(nb * 100 >= 50 * len(shs) and len(shs) > 0)
+    # the pure-header doc is flagged; the unique doc is not
+    assert got.loc[got["doc_id"] == 4, "is_boilerplate"].iloc[0] == 1
+    assert got.loc[got["doc_id"] == 5, "is_boilerplate"].iloc[0] == 0
+
+
+def test_boilerplate_local_vs_distributed_agree(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import boilerplate_stats
+
+    rng = np.random.default_rng(3)
+    vocab = np.array(["a", "b", "c", "d", "e", "f", "g", "h"])
+    texts = [" ".join(vocab[rng.integers(0, 8, size=rng.integers(4, 30))]) for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    a = boilerplate_stats(ds, local_threshold=1_000_000).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = boilerplate_stats(ds, local_threshold=0).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_shingles", "n_boiler", "is_boilerplate"):
+        assert a[c].tolist() == b[c].tolist(), c

@@ -431,3 +431,124 @@ def repetition_stats(
         )
 
     return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def boilerplate_stats(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_docs: int = 3,
+    pct: int = 50,
+    local_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Cross-document boilerplate detection: a shingle is *boilerplate*
+    when it appears in >= min_docs distinct documents; a document is
+    flagged when boilerplate shingles make up >= pct% of its distinct
+    shingles. The web-corpus companion to `repetition_stats` (within-doc)
+    and `contamination_check` (vs a fixed suite): here the "suite" is the
+    corpus itself, so the document-frequency pass is a real shuffle.
+
+    Output: (doc_id, n_shingles, n_boiler, is_boilerplate) — integer-only
+    (the flag uses n_boiler*100 >= pct*n_shingles), so the SQL replay is
+    bit-exact. Docs whose text yields zero shingles are absent (as in the
+    grouped SQL).
+
+    Scale shape: distinct (doc_id, shingle) pairs are hash-bucketed by
+    shingle into 64 coarse buckets (ONE shuffle); each bucket computes
+    run-length document frequencies and per-doc partial counts, and a
+    doc_id groupby sums the ≤64 partials per doc. Small corpora run the
+    identical kernel driver-local.
+    """
+    from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.pipelines.dedup import _shingle_hashes
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for i, text in zip(t[id_col].to_pylist(), t[key].to_pylist()):
+            u = np.unique(_shingle_hashes(text, ngram))
+            if len(u):
+                ids.append(np.full(len(u), i, dtype=np.int64))
+                shs.append(u)
+        if not ids:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(ids)),
+                "sh": pa.array(np.concatenate(shs), pa.uint64()),
+            }
+        )
+
+    pairs = docs.select_columns([id_col, key]).map_batches(
+        emit_pairs, batch_format="pyarrow"
+    )
+
+    def bucket_kernel(ids: np.ndarray, sh: np.ndarray) -> pa.Table:
+        """Per-doc (n_shingles_partial, n_boiler_partial) for one shingle
+        bucket; df per shingle = run length (pairs are doc-distinct)."""
+        order = np.argsort(sh, kind="stable")
+        ids, sh = ids[order], sh[order]
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(sh.astype(np.int64)) != 0])) if len(sh) else np.zeros(0, np.int64)
+        df = np.diff(np.append(starts, len(sh)))
+        boiler_row = np.repeat(df >= min_docs, df)
+        uids, inv = np.unique(ids, return_inverse=True)
+        ns = np.bincount(inv)
+        nb = np.bincount(inv, weights=boiler_row.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(uids),
+                "ns": pa.array(ns.astype(np.int64)),
+                "nb": pa.array(nb),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ns = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_boiler"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flag = ((nb * 100 >= pct * ns) & (ns > 0)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_shingles": pa.array(ns),
+                "n_boiler": pa.array(nb),
+                "is_boilerplate": pa.array(flag),
+            }
+        )
+
+    try:
+        n_docs = docs.count()
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs <= local_threshold:
+        t = collect_table(pairs)
+        part = bucket_kernel(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+        out = part.rename_columns([id_col, "n_shingles", "n_boiler"])
+        return ray.data.from_arrow(finalize(out))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_sb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def per_bucket(g) -> pa.Table:
+        return bucket_kernel(
+            g[id_col].to_numpy().astype(np.int64),
+            g["sh"].to_numpy().astype(np.uint64),
+        )
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        pairs.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Sum("ns", alias_name="n_shingles"), Sum("nb", alias_name="n_boiler"))
+    )
+    return summed.map_batches(finalize, batch_format="pyarrow")
