@@ -223,6 +223,26 @@ def _q_clustering(sf_dir: str):
     return out.select_columns(["id", "triangles", "clustering"])
 
 
+def _q_degree_histogram(sf_dir: str):
+    """Total-degree histogram of the general graph (graphstats.py):
+    dense bincount partials -> one driver bincount; the power-law
+    readout and fBox's per-degree grouping size (SURVEY A4)."""
+    from ugfraud_ray.pipelines.graphstats import degree_histogram
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    e, _, n = number_int_vertices(general_edges(sf_dir))
+    return degree_histogram(e, n, kind="total")
+
+
+def _q_link_reciprocity(sf_dir: str):
+    """Reciprocity of the directed general graph (graphstats.py):
+    canonical-pair coarse-bucket count of both-orientation pairs."""
+    from ugfraud_ray.pipelines.graphstats import reciprocity
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    return reciprocity(general_edges(sf_dir))
+
+
 def _q_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distance over the undirected general graph
     (pipelines/bfs.py): seeds = original id % BFS_SEED_MOD == 0, min-plus
@@ -1211,6 +1231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
         "clustering_coefficient": _q_clustering,
+        "degree_histogram": _q_degree_histogram,
+        "link_reciprocity": _q_link_reciprocity,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
@@ -2052,6 +2074,27 @@ def oracle_sql() -> dict[str, str]:
                               THEN (2.0 * COALESCE(tri.t, 0)) / (deg.d * (deg.d - 1.0))
                               ELSE 0.0 END, 9) AS clustering
             FROM deg LEFT JOIN tri ON tri.vid = deg.vid
+        """,
+        "degree_histogram": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            deg AS (
+                SELECT vid, COUNT(*) AS d
+                FROM (SELECT src AS vid FROM g UNION ALL SELECT dst FROM g)
+                GROUP BY vid
+            )
+            SELECT CAST(d AS BIGINT) AS degree, COUNT(*) AS n_vertices
+            FROM deg GROUP BY d
+        """,
+        "link_reciprocity": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            m AS (
+                SELECT COUNT(*) AS nr FROM g g1
+                JOIN g g2 ON g2.src = g1.dst AND g2.dst = g1.src
+            )
+            SELECT (SELECT COUNT(*) FROM g) AS n_edges,
+                   CAST(nr AS BIGINT) AS n_reciprocal,
+                   CAST(nr / 2 AS BIGINT) AS n_mutual_pairs
+            FROM m
         """,
         # k-core peel replayed GANG-style: every round is materialized
         # up to the horizon and the engine's stop rule (first

@@ -70,3 +70,38 @@ def test_local_clustering_local_vs_distributed_agree():
     assert a["vid"].tolist() == b["vid"].tolist()
     assert a["triangles"].tolist() == b["triangles"].tolist()
     np.testing.assert_array_equal(a["clustering"].to_numpy(), b["clustering"].to_numpy())
+
+
+def test_degree_histogram_and_reciprocity():
+    from ugfraud_ray.pipelines.graphstats import degree_histogram, reciprocity
+
+    # directed graph: 0->1, 1->0 (mutual), 1->2, 2->3, 3->2 (mutual), 0->2
+    src = np.array([0, 1, 1, 2, 3, 0], dtype=np.int64)
+    dst = np.array([1, 0, 2, 3, 2, 2], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+
+    h = degree_histogram(ds, 4, kind="total").to_pandas().sort_values("degree")
+    # total degrees: v0=3, v1=3, v2=4, v3=2
+    assert dict(zip(h["degree"], h["n_vertices"])) == {2: 1, 3: 2, 4: 1}
+    hi = degree_histogram(ds, 4, kind="in").to_pandas()
+    # in-degrees: v0=1, v1=1, v2=3, v3=1
+    assert dict(zip(hi["degree"], hi["n_vertices"])) == {1: 3, 3: 1}
+
+    r = reciprocity(ds).to_pandas().iloc[0]
+    assert r["n_edges"] == 6
+    assert r["n_mutual_pairs"] == 2
+    assert r["n_reciprocal"] == 4
+
+
+def test_reciprocity_local_vs_distributed_agree():
+    from ugfraud_ray.pipelines.graphstats import reciprocity
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, size=400).astype(np.int64)
+    dst = rng.integers(0, 30, size=400).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    a = reciprocity(ds, local_threshold=1_000_000).to_pandas().iloc[0]
+    b = reciprocity(ds, local_threshold=0).to_pandas().iloc[0]
+    assert a["n_edges"] == b["n_edges"]
+    assert a["n_mutual_pairs"] == b["n_mutual_pairs"]
+    assert a["n_mutual_pairs"] > 0

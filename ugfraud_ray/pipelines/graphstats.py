@@ -1,0 +1,138 @@
+"""Whole-graph structural statistics: degree histogram and reciprocity.
+
+Reference analog: fBox groups users BY DEGREE for its per-degree
+percentile thresholds (/root/reference Detector/fBox.py:72-98, SURVEY
+A4) — the degree histogram is that grouping's size readout, and the
+standard power-law check for a web crawl. Reciprocity (fraction of
+directed edges whose reverse also exists) is the classic link-spam
+signal for link farms; no reference analog (the review graph is
+bipartite-undirected).
+
+Both are one-pass shapes: degrees come from dense bincount partials
+(`stages.graph_build.dense_degrees`, the engine's A1 path), the
+histogram is a second bincount over the degree vector; reciprocity
+hash-buckets canonical (lo, hi) pairs into 64 coarse buckets (ONE
+shuffle) and counts pairs present in both orientations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ugfraud_ray.functions.collect import collect_table
+
+
+def degree_histogram(
+    edges: "ray.data.Dataset", n_vertices: int, kind: str = "total"
+) -> "ray.data.Dataset":
+    """Dataset(degree:int64, n_vertices:int64) over the DIRECTED edge
+    table (multi-edges count). kind: 'in' | 'out' | 'total'. Degree-0
+    vertices are excluded (matches the SQL grouped readout)."""
+    from ugfraud_ray.stages.graph_build import dense_degrees
+
+    e = edges.select_columns(["src", "dst"]).materialize()
+    deg = np.zeros(n_vertices, dtype=np.int64)
+    if kind in ("out", "total"):
+        deg += dense_degrees(e, "src", n_vertices)
+    if kind in ("in", "total"):
+        deg += dense_degrees(e, "dst", n_vertices)
+    hist = np.bincount(deg[deg > 0])
+    d = np.flatnonzero(hist)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "degree": pa.array(d.astype(np.int64)),
+                "n_vertices": pa.array(hist[d].astype(np.int64)),
+            }
+        )
+    )
+
+
+def reciprocity(
+    edges: "ray.data.Dataset", local_threshold: int = 2_000_000
+) -> "ray.data.Dataset":
+    """One row: (n_edges, n_reciprocal, n_mutual_pairs) on the directed
+    simple graph (self-loops dropped, duplicate directed edges
+    collapsed). n_reciprocal counts directed edges whose reverse exists;
+    n_mutual_pairs = n_reciprocal / 2."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d)),
+                "b": pa.array(np.maximum(s, d)),
+                "fwd": pa.array((s < d).astype(np.int8)),
+            }
+        )
+
+    def kernel(a: np.ndarray, b: np.ndarray, fwd: np.ndarray) -> tuple[int, int]:
+        """(n_directed_edges, n_mutual_pairs) for one bucket; duplicate
+        directed edges collapse first."""
+        order = np.lexsort((fwd, b, a))
+        a, b, fwd = a[order], b[order], fwd[order]
+        if len(a) == 0:
+            return 0, 0
+        uniq = np.concatenate(
+            [[True], (np.diff(a) != 0) | (np.diff(b) != 0) | (np.diff(fwd) != 0)]
+        )
+        a, b, fwd = a[uniq], b[uniq], fwd[uniq]
+        n_edges = len(a)
+        pair_new = np.concatenate([[True], (np.diff(a) != 0) | (np.diff(b) != 0)])
+        starts = np.flatnonzero(pair_new)
+        runs = np.diff(np.append(starts, len(a)))
+        return n_edges, int((runs == 2).sum())
+
+    ds = edges.select_columns(["src", "dst"]).map_batches(canon, batch_format="pyarrow")
+    try:
+        n = edges.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        ne, nm = kernel(
+            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["fwd"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    else:
+        def bucketize(t: pa.Table) -> pa.Table:
+            x = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            y = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = x * np.uint64(0x9E3779B97F4A7C15) ^ y * np.uint64(0xC2B2AE3D27D4EB4F)
+            h ^= h >> np.uint64(29)
+            return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+        def per_bucket(g) -> pa.Table:
+            ne, nm = kernel(
+                g["a"].to_numpy().astype(np.int64),
+                g["b"].to_numpy().astype(np.int64),
+                g["fwd"].to_numpy().astype(np.int64),
+            )
+            return pa.table({"ne": pa.array([ne], pa.int64()), "nm": pa.array([nm], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(per_bucket, batch_format="pandas")
+            .aggregate(Sum("ne", alias_name="ne"), Sum("nm", alias_name="nm"))
+        )
+        ne, nm = int(agg["ne"]), int(agg["nm"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([ne], pa.int64()),
+                "n_reciprocal": pa.array([2 * nm], pa.int64()),
+                "n_mutual_pairs": pa.array([nm], pa.int64()),
+            }
+        )
+    )
