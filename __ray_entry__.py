@@ -765,6 +765,15 @@ def _q_events_funnel(sf_dir: str):
     return funnel(_events(sf_dir), steps=FUNNEL_STEPS)
 
 
+def _q_events_retention(sf_dir: str):
+    """Weekly cohort retention (events.retention_cohorts): integer
+    epoch-us week buckets; distinct users per (cohort, offset) summed
+    from user-bucketed exact partials."""
+    from ugfraud_ray.pipelines.events import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir))
+
+
 def _q_events_props(sf_dir: str):
     """Vectorized JSON int-field extraction via the Arrow RE2 kernel."""
     from ugfraud_ray.pipelines.events import extract_props
@@ -1201,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_props": _q_events_props,
         "events_asof_last_error": _q_events_asof,
         "events_topk_per_user": _q_events_topk,
@@ -2524,6 +2534,23 @@ def oracle_sql() -> dict[str, str]:
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        # integer week index = epoch_us // week; offset relative to the
+        # user's first-event week; COUNT(DISTINCT) mirrors the engine's
+        # user-bucketed exact partials
+        "events_retention": """
+            WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+            w AS (
+                SELECT e.user_id,
+                       epoch_us(f.t0) // 604800000000 AS cohort,
+                       epoch_us(e.ts) // 604800000000
+                       - epoch_us(f.t0) // 604800000000 AS off
+                FROM events e JOIN f ON f.user_id = e.user_id
+            )
+            SELECT CAST(cohort AS BIGINT) AS cohort_week,
+                   CAST(off AS BIGINT) AS week_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM w GROUP BY cohort, off
         """,
         # each step = MIN(ts) strictly after the previous step's match —
         # the engine's per-user-run reduceat kernel, replayed as chained

@@ -385,3 +385,41 @@ def test_funnel_local_and_bucketed_agree(ray_session):
     b = funnel(ds, steps=steps, local_threshold=0).to_pandas().sort_values("user_id")
     assert a["user_id"].tolist() == b["user_id"].tolist()
     assert a["funnel_step"].tolist() == b["funnel_step"].tolist()
+
+
+def test_retention_matches_pandas_oracle(ray_session):
+    from ugfraud_ray.pipelines.events import retention_cohorts
+
+    t = _synth_events(n=2200, n_users=48, seed=44)
+    got = (
+        retention_cohorts(ray.data.from_arrow(t))
+        .to_pandas().sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    wk = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // (7 * 86400 * 1_000_000)
+    df = df.assign(week=wk)
+    first = df.groupby("user_id")["week"].min().rename("cohort")
+    j = df.join(first, on="user_id")
+    j["off"] = j["week"] - j["cohort"]
+    want = (
+        j.drop_duplicates(["user_id", "off"])
+        .groupby(["cohort", "off"]).size().reset_index(name="n")
+        .sort_values(["cohort", "off"]).reset_index(drop=True)
+    )
+    assert got["cohort_week"].tolist() == want["cohort"].tolist()
+    assert got["week_offset"].tolist() == want["off"].tolist()
+    assert got["n_users"].tolist() == want["n"].tolist()
+    assert len(got) >= 3
+
+
+def test_retention_local_and_bucketed_agree(ray_session):
+    from ugfraud_ray.pipelines.events import retention_cohorts
+
+    t = _synth_events(n=1800, n_users=33, seed=2)
+    ds = ray.data.from_arrow(t)
+    a = retention_cohorts(ds, local_threshold=1_000_000).to_pandas().sort_values(
+        ["cohort_week", "week_offset"]).reset_index(drop=True)
+    b = retention_cohorts(ds, local_threshold=0).to_pandas().sort_values(
+        ["cohort_week", "week_offset"]).reset_index(drop=True)
+    for c in ("cohort_week", "week_offset", "n_users"):
+        assert a[c].tolist() == b[c].tolist(), c

@@ -970,3 +970,97 @@ def funnel(
         .groupby("_cb")
         .map_groups(lambda g: _funnel_block(*extract(g), len(steps)), batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def _retention_block(user: np.ndarray, ts_us: np.ndarray) -> pa.Table:
+    """Distinct-user counts per (cohort_week, week_offset) for one
+    user-complete block (a user's events all in this block, so first-ts
+    and the distinct-user count are exact here and partials just sum)."""
+    order = np.lexsort((ts_us, user))
+    user, ts_us = user[order], ts_us[order]
+    if len(user) == 0:
+        return pa.table(
+            {"cohort_week": pa.array([], pa.int64()),
+             "week_offset": pa.array([], pa.int64()),
+             "nu": pa.array([], pa.int64())}
+        )
+    starts = np.flatnonzero(np.concatenate([[True], np.diff(user) != 0]))
+    run_of_row = np.cumsum(np.concatenate([[0], (np.diff(user) != 0).astype(np.int64)]))
+    week = ts_us // _WEEK_US
+    cohort = week[starts][run_of_row]  # first event's week per user (ts-sorted)
+    off = week - cohort
+    # distinct (user, off) pairs -> count users per (cohort, off);
+    # cohort is a function of user so it needs no extra key component
+    uniq = np.concatenate([[True], (np.diff(user) != 0) | (np.diff(off) != 0)])
+    # rows are sorted by (user, ts) and off is nondecreasing per user run
+    c_u, o_u = cohort[uniq], off[uniq]
+    order2 = np.lexsort((o_u, c_u))
+    c_u, o_u = c_u[order2], o_u[order2]
+    g = np.flatnonzero(np.concatenate([[True], (np.diff(c_u) != 0) | (np.diff(o_u) != 0)]))
+    n = np.diff(np.append(g, len(c_u)))
+    return pa.table(
+        {
+            "cohort_week": pa.array(c_u[g].astype(np.int64)),
+            "week_offset": pa.array(o_u[g].astype(np.int64)),
+            "nu": pa.array(n.astype(np.int64)),
+        }
+    )
+
+
+def retention_cohorts(
+    events: "ray.data.Dataset", local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Weekly cohort retention: (cohort_week, week_offset, n_users) where
+    cohort_week = epoch_us // week of the user's FIRST event,
+    week_offset = event week - cohort week, n_users = distinct active
+    users. Integer week arithmetic — bit-exact vs the SQL replay.
+
+    Same user-colocation contract as ``sessionize``; per-bucket partial
+    distinct counts sum exactly because each user lives in one bucket.
+    """
+    ds = events.select_columns(["user_id", "ts"])
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            return (
+                t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+            )
+        return (
+            t["user_id"].to_numpy().astype(np.int64),
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        out = _retention_block(*extract(t))
+        return ray.data.from_arrow(
+            out.drop_columns(["nu"]).append_column("n_users", out["nu"])
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _retention_block(*extract(g)), batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("nu", alias_name="n_users"))
+    )
