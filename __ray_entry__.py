@@ -223,6 +223,23 @@ def _q_clustering(sf_dir: str):
     return out.select_columns(["id", "triangles", "clustering"])
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED general graph
+    (pipelines/scc.py, FW-BW coloring rounds); scc id = min member id."""
+    from ugfraud_ray.pipelines.scc import strongly_connected_components
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    comp = strongly_connected_components(e, n, _scratch("scc"), P=4)
+    out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
+    out = unmap_vids(out, vmap, vid_col="scc", out_col="scc")
+    return out.select_columns(["id", "scc"])
+
+
 def _q_degree_histogram(sf_dir: str):
     """Total-degree histogram of the general graph (graphstats.py):
     dense bincount partials -> one driver bincount; the power-law
@@ -1241,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
         "clustering_coefficient": _q_clustering,
+        "strongly_connected_components": _q_scc,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
         "kcore_members": _q_kcore,
@@ -2084,6 +2102,24 @@ def oracle_sql() -> dict[str, str]:
                               THEN (2.0 * COALESCE(tri.t, 0)) / (deg.d * (deg.d - 1.0))
                               ELSE 0.0 END, 9) AS clustering
             FROM deg LEFT JOIN tri ON tri.vid = deg.vid
+        """,
+        # mutual reachability over the directed transitive closure:
+        # scc(v) = MIN(u : v->*u AND u->*v), self-pairs seed the closure
+        "strongly_connected_components": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            walk(a, b) AS (
+                SELECT vid, vid FROM v
+                UNION
+                SELECT w.a, g.dst FROM walk w JOIN g ON g.src = w.b
+            )
+            SELECT w1.a AS id, MIN(w1.b) AS scc
+            FROM walk w1 JOIN walk w2 ON w2.a = w1.b AND w2.b = w1.a
+            GROUP BY w1.a
         """,
         "degree_histogram": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),

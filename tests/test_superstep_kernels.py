@@ -329,3 +329,64 @@ def test_bfs_hops_directed_vs_undirected(tmp_path):
         _edges_ds(src, dst), 3, seeds, str(tmp_path / "d"), P=2, directed=True
     )
     assert dird.to_pandas()["hops"].tolist() == [0]
+
+
+def _nx_scc_labels(src, dst, n):
+    import networkx as nx
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = np.empty(n, dtype=np.int64)
+    for comp in nx.strongly_connected_components(G):
+        rep = min(comp)
+        for v in comp:
+            want[v] = rep
+    return want
+
+
+def test_scc_local_matches_networkx():
+    from ugfraud_ray.pipelines.scc import strongly_connected_components
+
+    rng = np.random.default_rng(19)
+    n, m = 60, 150
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    got = (
+        strongly_connected_components(_edges_ds(src, dst), n, "/tmp/unused-scc-l")
+        .to_pandas().sort_values("vid")
+    )
+    want = _nx_scc_labels(src, dst, n)
+    np.testing.assert_array_equal(got["scc"].to_numpy(), want)
+    # non-trivial: at least one SCC bigger than a singleton
+    assert (np.bincount(want) > 1).any()
+
+
+def test_scc_distributed_matches_networkx(tmp_path):
+    from ugfraud_ray.pipelines.scc import strongly_connected_components
+
+    rng = np.random.default_rng(29)
+    n, m = 40, 120
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    got = (
+        strongly_connected_components(
+            _edges_ds(src, dst), n, str(tmp_path / "scc"), P=2, local_threshold=0
+        )
+        .to_pandas().sort_values("vid")
+    )
+    want = _nx_scc_labels(src, dst, n)
+    np.testing.assert_array_equal(got["scc"].to_numpy(), want)
+
+
+def test_scc_hand_case():
+    from ugfraud_ray.pipelines.scc import strongly_connected_components
+
+    # cycle 0->1->2->0, chain 2->3, mutual 3<->4, isolated-ish 5->0
+    src = np.array([0, 1, 2, 2, 3, 4, 5], dtype=np.int64)
+    dst = np.array([1, 2, 0, 3, 4, 3, 0], dtype=np.int64)
+    got = (
+        strongly_connected_components(_edges_ds(src, dst), 6, "/tmp/unused-scc-h")
+        .to_pandas().sort_values("vid")
+    )
+    assert got["scc"].tolist() == [0, 0, 0, 3, 3, 5]
