@@ -61,6 +61,7 @@ PPR_ITERS = 10
 BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
 BFS_MAX_HOPS = 64
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
+SSSP_DIST_CAP = 120  # oracle CTE bound; measured max distance is ~9
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -221,6 +222,44 @@ def _q_clustering(sf_dir: str):
     cc = local_clustering(e)
     out = unmap_vids(cc, vmap, vid_col="vid", out_col="id")
     return out.select_columns(["id", "triangles", "clustering"])
+
+
+def _q_sssp(sf_dir: str):
+    """Weighted multi-source shortest paths (pipelines/sssp.py,
+    Bellman-Ford min-plus supersteps through the engine's edge_cols
+    channel). Weight = (src*31 + dst) % 9 + 1 on ORIGINAL ids, so the
+    SQL replay is exact integer math; seeds as in bfs_hops."""
+    from ugfraud_ray.pipelines.sssp import shortest_paths
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    ge = general_edges(sf_dir)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return t.append_column("w", pa.array(((s * 31 + d) % 9 + 1).astype(np.float64)))
+
+    e, vmap, n = number_int_vertices(ge.map_batches(add_w, batch_format="pyarrow"))
+    vt = vmap.to_pandas()
+    seeds = vt.loc[vt["id"] % BFS_SEED_MOD == 0, "vid"].to_numpy()
+    dist, _ = shortest_paths(e.materialize(), n, seeds, _scratch("sssp"), P=4)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": t["vid"],
+                "dist": pa.array(
+                    t["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    out = unmap_vids(dist.map_batches(to_int, batch_format="pyarrow"), vmap)
+    return out.select_columns(["id", "dist"])
 
 
 def _q_scc(sf_dir: str):
@@ -1259,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "clustering_coefficient": _q_clustering,
         "strongly_connected_components": _q_scc,
+        "sssp_dist": _q_sssp,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
         "kcore_members": _q_kcore,
@@ -2102,6 +2142,25 @@ def oracle_sql() -> dict[str, str]:
                               THEN (2.0 * COALESCE(tri.t, 0)) / (deg.d * (deg.d - 1.0))
                               ELSE 0.0 END, 9) AS clustering
             FROM deg LEFT JOIN tri ON tri.vid = deg.vid
+        """,
+        # Bellman-Ford replayed as a distance-bounded recursive frontier;
+        # weights are integer functions of the ORIGINAL ids so both sides
+        # are exact; the cap only bounds the CTE (measured max dist ~9)
+        "sssp_dist": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            gw AS (SELECT src, dst, (src * 31 + dst) % 9 + 1 AS w FROM g),
+            sym AS (
+                SELECT src, dst, w FROM gw UNION ALL SELECT dst, src, w FROM gw
+            ),
+            v AS (SELECT DISTINCT src AS vid FROM sym),
+            walk(vid, d) AS (
+                SELECT vid, CAST(0 AS BIGINT) FROM v WHERE vid % {BFS_SEED_MOD} = 0
+                UNION
+                SELECT s.dst, w.d + s.w
+                FROM walk w JOIN sym s ON s.src = w.vid
+                WHERE w.d + s.w < {SSSP_DIST_CAP}
+            )
+            SELECT vid AS id, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY vid
         """,
         # mutual reachability over the directed transitive closure:
         # scc(v) = MIN(u : v->*u AND u->*v), self-pairs seed the closure

@@ -390,3 +390,55 @@ def test_scc_hand_case():
         .to_pandas().sort_values("vid")
     )
     assert got["scc"].tolist() == [0, 0, 0, 3, 3, 5]
+
+
+def test_sssp_matches_networkx(tmp_path):
+    from ugfraud_ray.pipelines.sssp import shortest_paths
+
+    rng = np.random.default_rng(41)
+    n, m = 45, 140
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    w = ((src * 31 + dst) % 9 + 1).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "w": pa.array(w)})
+    )
+    seeds = np.array([3, 17], dtype=np.int64)
+    got, _ = shortest_paths(ds, n, seeds, str(tmp_path / "sp"), P=2)
+    gp = got.to_pandas().sort_values("vid")
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    for s, d, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        # undirected: keep the SMALLER weight on parallel/reverse edges
+        # (symmetrize emits both directed rows; min-plus takes the min)
+        if G.has_edge(s, d):
+            G[s][d]["weight"] = min(G[s][d]["weight"], ww)
+        else:
+            G.add_edge(s, d, weight=ww)
+    want = nx.multi_source_dijkstra_path_length(G, set(seeds.tolist()))
+    want = dict(sorted(want.items()))
+    assert gp["vid"].tolist() == list(want)
+    np.testing.assert_allclose(gp["dist"].to_numpy(), np.array(list(want.values())), atol=0)
+    assert (gp["dist"].to_numpy() > 0).sum() > 10
+
+
+def test_sssp_directed_hand_case(tmp_path):
+    from ugfraud_ray.pipelines.sssp import shortest_paths
+
+    # 0 -(5)-> 1 -(1)-> 2 ; 0 -(2)-> 2 ; directed
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 0], pa.int64()),
+                "dst": pa.array([1, 2, 2], pa.int64()),
+                "w": pa.array([5.0, 1.0, 2.0]),
+            }
+        )
+    )
+    got, _ = shortest_paths(ds, 3, np.array([0]), str(tmp_path / "d"), P=2, directed=True)
+    gp = got.to_pandas().sort_values("vid")
+    assert gp["vid"].tolist() == [0, 1, 2]
+    assert gp["dist"].tolist() == [0.0, 5.0, 2.0]
