@@ -279,6 +279,31 @@ def _q_scc(sf_dir: str):
     return out.select_columns(["id", "scc"])
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (similarity.label_centroids): half-up
+    1e-4 quantization -> int64 partial sums -> (label, dim) groupby;
+    bit-exact vs SQL regardless of block order."""
+    from ugfraud_ray.pipelines.similarity import label_centroids
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+    out = label_centroids(emb)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pa.array(
+                    t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "dim": t["dim"],
+                "centroid": t["centroid"],
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
+
+
 def _q_degree_histogram(sf_dir: str):
     """Total-degree histogram of the general graph (graphstats.py):
     dense bincount partials -> one driver bincount; the power-law
@@ -1299,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": _q_clustering,
         "strongly_connected_components": _q_scc,
         "sssp_dist": _q_sssp,
+        "embedding_centroids": _q_embedding_centroids,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
         "kcore_members": _q_kcore,
@@ -2142,6 +2168,21 @@ def oracle_sql() -> dict[str, str]:
                               THEN (2.0 * COALESCE(tri.t, 0)) / (deg.d * (deg.d - 1.0))
                               ELSE 0.0 END, 9) AS clustering
             FROM deg LEFT JOIN tri ON tri.vid = deg.vid
+        """,
+        # half-up 1e-4 quantization makes the vector-mean exact: integer
+        # qsum, then (qsum/grid)/n mirrored op-for-op
+        "embedding_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   ROUND((SUM(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)) / 10000)
+                         / COUNT(*), 9) AS centroid
+            FROM ex GROUP BY label, dim
         """,
         # Bellman-Ford replayed as a distance-bounded recursive frontier;
         # weights are integer functions of the ORIGINAL ids so both sides

@@ -165,3 +165,31 @@ def test_topk_partition_invariance(ray_session):
         assert np.allclose(bf["sim"], ref_bf["sim"], atol=1e-9)
         assert ls["neighbor_id"].tolist() == ref_ls["neighbor_id"].tolist()
         assert np.allclose(ls["sim"], ref_ls["sim"], atol=1e-9)
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    from ugfraud_ray.pipelines.similarity import label_centroids
+
+    rng = np.random.default_rng(6)
+    n, d = 300, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, size=n).astype(np.int64)
+    t = pa.table(
+        {
+            "label": pa.array(labels),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    got = (
+        label_centroids(ray.data.from_arrow(t))
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+    q = np.floor(vecs.astype(np.float64) * 10_000 + 0.5)
+    for lab in range(4):
+        m = labels == lab
+        want = np.round((q[m].sum(axis=0) / 10_000) / m.sum(), 9)
+        sub = got[got["label"] == lab]
+        assert sub["dim"].tolist() == list(range(d))
+        np.testing.assert_array_equal(sub["centroid"].to_numpy(), want)

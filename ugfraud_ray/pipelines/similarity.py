@@ -331,3 +331,58 @@ def lsh_topk(
         )
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def label_centroids(
+    embeddings: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    grid: int = 10_000,
+) -> "ray.data.Dataset":
+    """Per-label mean embedding: (label, dim, centroid) — the grouped
+    VECTOR aggregate (class prototypes / IVF seeding / label-centroid
+    classification). Values are quantized half-up onto a 1/grid grid
+    first, so partial sums are int64 and the result is bit-exact vs the
+    SQL replay regardless of block order (the same integer-units trick
+    as revenue_by_nation); centroid = (qsum/grid)/n rounded to 9.
+
+    One pass: per-block dense (labels x dims) int64 partials emitted as
+    rows, then a (label, dim)-keyed sum — the group domain is
+    labels*dims (tiny), never the row count.
+    """
+    def partials(t: pa.Table) -> pa.Table:
+        v = _vecs_from_column(t[vec_col], t.num_rows).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(v * grid + 0.5).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), v.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "qsum": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt.astype(np.int64), d)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        embeddings.select_columns([label_col, vec_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        qs = t["qsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.round((qs / grid) / n, 9)
+        return pa.table(
+            {"label": t["label"], "dim": t["dim"], "centroid": pa.array(c)}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
