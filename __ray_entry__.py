@@ -62,6 +62,7 @@ BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
 BFS_MAX_HOPS = 64
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
 SSSP_DIST_CAP = 120  # oracle CTE bound; measured max distance is ~9
+WALK_LEN = 6  # deterministic random-walk length (steps after the seed)
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -277,6 +278,31 @@ def _q_scc(sf_dir: str):
     out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
     out = unmap_vids(out, vmap, vid_col="scc", out_col="scc")
     return out.select_columns(["id", "scc"])
+
+
+def _q_random_walks(sf_dir: str):
+    """DeepWalk-style deterministic walks over the directed general
+    graph (pipelines/walks.py): next hop = out-neighbor minimizing
+    md5-low64(f"{{wid}}:{{step}}:{{cur}}:{{dst}}"), ties to smaller dst.
+    Runs on the ORIGINAL id domain so the SQL hash strings match."""
+    from ugfraud_ray.pipelines.walks import random_walks
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    ge = general_edges(sf_dir).materialize()
+    gt = collect_table(ge)
+    ids = np.unique(
+        np.concatenate(
+            [
+                gt["src"].to_numpy(zero_copy_only=False),
+                gt["dst"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    seeds = ids[ids % BFS_SEED_MOD == 0].astype(np.int64)
+    n = int(ids.max()) + 1
+    return random_walks(ge, n, seeds, walk_len=WALK_LEN)
 
 
 def _q_embedding_centroids(sf_dir: str):
@@ -1325,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components": _q_scc,
         "sssp_dist": _q_sssp,
         "embedding_centroids": _q_embedding_centroids,
+        "random_walks": _q_random_walks,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
         "kcore_members": _q_kcore,
@@ -1344,6 +1371,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
     }
+
+
+def _walks_sql() -> str:
+    """Step-unrolled replay of pipelines/walks.py: each step picks the
+    out-neighbor with the minimum md5-low64 of the identical
+    '{wid}:{step}:{cur}:{dst}' string (md5_number_upper == the engine's
+    _md5_low64 convention), ties to the smaller dst."""
+    ctes = [
+        f"s0 AS (SELECT vid AS wid, vid AS cur FROM v WHERE vid % {BFS_SEED_MOD} = 0)"
+    ]
+    selects = ["SELECT wid, CAST(0 AS BIGINT) AS step, cur AS vertex FROM s0"]
+    for k in range(1, WALK_LEN + 1):
+        prev = f"s{k-1}"
+        h = (
+            f"md5_number_upper(CONCAT({prev}.wid, ':', {k}, ':', "
+            f"{prev}.cur, ':', e.dst))"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT {prev}.wid, e.dst AS cur FROM {prev} "
+            f"JOIN g e ON e.src = {prev}.cur "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {prev}.wid "
+            f"ORDER BY {h}, e.dst) = 1)"
+        )
+        selects.append(f"SELECT wid, CAST({k} AS BIGINT), cur FROM s{k}")
+    return f"""
+        WITH g AS ({_SQL_GENERAL_EDGES}),
+        v AS (
+            SELECT DISTINCT vid FROM (
+                SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+            )
+        ),
+        {', '.join(ctes)}
+        {' UNION ALL '.join(selects)}
+    """
 
 
 def _bpe_count_sql() -> str:
@@ -2169,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 9) AS clustering
             FROM deg LEFT JOIN tri ON tri.vid = deg.vid
         """,
+        "random_walks": _walks_sql(),
         # half-up 1e-4 quantization makes the vector-mean exact: integer
         # qsum, then (qsum/grid)/n mirrored op-for-op
         "embedding_centroids": """

@@ -442,3 +442,50 @@ def test_sssp_directed_hand_case(tmp_path):
     gp = got.to_pandas().sort_values("vid")
     assert gp["vid"].tolist() == [0, 1, 2]
     assert gp["dist"].tolist() == [0.0, 5.0, 2.0]
+
+
+def test_random_walks_deterministic_and_correct():
+    from ugfraud_ray.pipelines.walks import random_walks
+    import hashlib
+
+    rng = np.random.default_rng(77)
+    n, m = 25, 80
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _edges_ds(src, dst)
+    seeds = np.array([0, 7, 13], dtype=np.int64)
+    got = (
+        random_walks(ds, n, seeds, walk_len=5)
+        .to_pandas().sort_values(["wid", "step"]).reset_index(drop=True)
+    )
+
+    # independent python oracle
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, set()).add(d)
+
+    def h(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+    rows = []
+    for w in seeds.tolist():
+        cur = w
+        rows.append((w, 0, cur))
+        for step in range(1, 6):
+            cand = sorted(adj.get(cur, ()))
+            if not cand:
+                break
+            cur = min(cand, key=lambda d: (h(f"{w}:{step}:{cur}:{d}"), d))
+            rows.append((w, step, cur))
+    want = sorted(rows)
+    assert list(map(tuple, got[["wid", "step", "vertex"]].to_numpy())) == want
+    # rerun: identical (pure function of the graph)
+    again = (
+        random_walks(ds, n, seeds, walk_len=5)
+        .to_pandas().sort_values(["wid", "step"]).reset_index(drop=True)
+    )
+    assert (got == again).all().all()
+    # walks actually move
+    assert (got["step"] > 0).sum() >= 10
