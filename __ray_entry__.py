@@ -207,6 +207,30 @@ def _q_components(sf_dir: str):
     return out.select_columns(["id", "component"])
 
 
+def _q_component_sizes(sf_dir: str):
+    """Per-component vertex/edge counts (components.component_sizes):
+    CC labels broadcast once, canonical simple edges counted per label."""
+    from ugfraud_ray.pipelines.components import component_sizes
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    out = component_sizes(e, n, _scratch("csz"), P=4)
+    out = unmap_vids(out, vmap, vid_col="component", out_col="component")
+    return out.select_columns(["component", "n_vertices", "n_edges"])
+
+
+def _q_events_paths(sf_dir: str):
+    """Per-user ordered event-type path string (events.event_paths):
+    grouped ordered STRING_AGG, (ts, event_id) order."""
+    from ugfraud_ray.pipelines.events import event_paths
+
+    return event_paths(_events(sf_dir))
+
+
 def _q_clustering(sf_dir: str):
     """Per-vertex triangle count + local clustering coefficient over the
     undirected general graph (pipelines/clustering.py): degree-oriented
@@ -1318,6 +1342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_paths": _q_events_paths,
+        "component_sizes": _q_component_sizes,
         "events_props": _q_events_props,
         "events_asof_last_error": _q_events_asof,
         "events_topk_per_user": _q_events_topk,
@@ -2186,6 +2212,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
             )
             SELECT vid AS id, MIN(comp) AS component FROM walk GROUP BY vid
+        """,
+        "component_sizes": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            sym AS (
+                SELECT src, dst FROM g UNION SELECT dst, src FROM g
+            ),
+            v AS (SELECT DISTINCT src AS vid FROM sym),
+            walk(vid, comp) AS (
+                SELECT vid, vid FROM v
+                UNION
+                SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+            ),
+            lab AS (SELECT vid, MIN(comp) AS component FROM walk GROUP BY vid),
+            e2 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g WHERE src <> dst
+            ),
+            vs AS (SELECT component, COUNT(*) AS n_vertices FROM lab GROUP BY component),
+            es AS (
+                SELECT l.component, COUNT(*) AS n_edges
+                FROM e2 JOIN lab l ON l.vid = e2.a GROUP BY l.component
+            )
+            SELECT vs.component, vs.n_vertices,
+                   CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges
+            FROM vs LEFT JOIN es ON es.component = vs.component
+        """,
+        "events_paths": """
+            SELECT user_id,
+                   STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         # BFS frontier replayed level-by-level: (vid, d) pairs dedup via
         # UNION; MIN(d) over all expansions with d < cap == hop distance

@@ -423,3 +423,25 @@ def test_retention_local_and_bucketed_agree(ray_session):
         ["cohort_week", "week_offset"]).reset_index(drop=True)
     for c in ("cohort_week", "week_offset", "n_users"):
         assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_event_paths_matches_pandas(ray_session):
+    from ugfraud_ray.pipelines.events import event_paths
+
+    t = _synth_events(n=700, n_users=23, seed=13)
+    got = event_paths(ray.data.from_arrow(t)).to_pandas().sort_values("user_id").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = df.groupby("user_id")["event_type"].agg(">".join)
+    assert got["user_id"].tolist() == list(want.index)
+    assert got["path"].tolist() == list(want.values)
+    assert got["n_events"].tolist() == df.groupby("user_id").size().tolist()
+
+
+def test_event_paths_local_and_bucketed_agree(ray_session):
+    from ugfraud_ray.pipelines.events import event_paths
+
+    t = _synth_events(n=900, n_users=31, seed=77)
+    ds = ray.data.from_arrow(t)
+    a = event_paths(ds).to_pandas().sort_values("user_id").reset_index(drop=True)
+    b = event_paths(ds, local_threshold=0).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert (a == b).all().all()

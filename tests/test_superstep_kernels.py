@@ -489,3 +489,27 @@ def test_random_walks_deterministic_and_correct():
     assert (got == again).all().all()
     # walks actually move
     assert (got["step"] > 0).sum() >= 10
+
+
+def test_component_sizes_matches_networkx(tmp_path):
+    from ugfraud_ray.pipelines.components import component_sizes
+
+    spec = PagesSpec(n_users=30, n_prods=5, n_edges=60, seed=9, n_components=3)
+    src, dst, n = _graph(spec)
+    got = (
+        component_sizes(_edges_ds(src, dst), n, str(tmp_path / "csz"), P=2)
+        .to_pandas().sort_values("component").reset_index(drop=True)
+    )
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = sorted(
+        (min(c), len(c), G.subgraph(c).number_of_edges())
+        for c in nx.connected_components(G)
+    )
+    assert list(map(tuple, got.to_numpy())) == want
+    assert len(got) >= 3

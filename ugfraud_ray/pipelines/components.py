@@ -68,3 +68,70 @@ def connected_components(
     out = eng.result_dataset().map_batches(to_int, batch_format="pyarrow").materialize()
     eng.shutdown()
     return out, eng.metrics
+
+
+def component_sizes(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    P: int = 4,
+) -> "ray.data.Dataset":
+    """(component, n_vertices, n_edges) per connected component: the CC
+    labels joined back onto the UNDIRECTED SIMPLE edge set (self-loops
+    dropped, (lo,hi)-deduped — both endpoints share a label so either
+    endpoint keys the count). Labels are broadcast once (ray.put) and
+    probed per batch — the per-vertex label table is the small side of
+    this join by construction."""
+    import pyarrow as pa
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    comp_ds, _ = connected_components(edges, n_vertices, layout_dir, P=P)
+    ct = collect_table(comp_ds)
+    labels = np.zeros(n_vertices, dtype=np.int64)
+    labels[ct["vid"].to_numpy(zero_copy_only=False)] = ct["component"].to_numpy(
+        zero_copy_only=False
+    )
+    lab_ref = ray.put(labels)
+
+    from ugfraud_ray.pipelines.triangles import _canonical_edges
+
+    try:
+        hint = edges.count()
+    except Exception:
+        hint = None
+    e = _canonical_edges(edges.select_columns(["src", "dst"]), approx_rows=hint)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        c = lab[t["a"].to_numpy(zero_copy_only=False)]
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"component": pa.array(u), "ne": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    ecounts = (
+        e.map_batches(partial, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Sum("ne", alias_name="n_edges"))
+    )
+    et = collect_table(ecounts)
+    ne_of = dict(
+        zip(
+            et["component"].to_numpy(zero_copy_only=False).tolist(),
+            et["n_edges"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    comps = np.unique(labels)
+    nv = np.bincount(labels)[comps]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "component": pa.array(comps.astype(np.int64)),
+                "n_vertices": pa.array(nv.astype(np.int64)),
+                "n_edges": pa.array(
+                    np.array([ne_of.get(int(c), 0) for c in comps], dtype=np.int64)
+                ),
+            }
+        )
+    )

@@ -1064,3 +1064,75 @@ def retention_cohorts(
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("nu", alias_name="n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# per-user event-path strings (grouped ordered string_agg)
+# ---------------------------------------------------------------------------
+
+
+def _paths_block(user: np.ndarray, ts_us: np.ndarray, eid: np.ndarray, et: list) -> pa.Table:
+    order = np.lexsort((eid, ts_us, user))
+    user = user[order]
+    ets = np.asarray(et, dtype=object)[order]
+    if len(user) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "path": pa.array([], pa.string()),
+             "n_events": pa.array([], pa.int64())}
+        )
+    starts = np.flatnonzero(np.concatenate([[True], np.diff(user) != 0]))
+    ends = np.append(starts[1:], len(user))
+    uids = user[starts]
+    paths = [">".join(ets[s:e2]) for s, e2 in zip(starts, ends)]
+    return pa.table(
+        {
+            "user_id": pa.array(uids),
+            "path": pa.array(paths, pa.string()),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+        }
+    )
+
+
+def event_paths(
+    events: "ray.data.Dataset", local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Per-user ordered event-type sequence as a '>'-joined string
+    (grouped ordered STRING_AGG — the classic clickstream-path readout).
+    Order is (ts, event_id): fully deterministic. Same user-colocation
+    contract as ``sessionize``."""
+    ds = events.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+    def extract(t) -> tuple:
+        if isinstance(t, pa.Table):
+            return (
+                t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+                t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["event_type"].to_pylist(),
+            )
+        return (
+            t["user_id"].to_numpy().astype(np.int64),
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            t["event_id"].to_numpy().astype(np.int64),
+            t["event_type"].tolist(),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        return ray.data.from_arrow(_paths_block(*extract(t)))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _paths_block(*extract(g)), batch_format="pandas")
+    )
