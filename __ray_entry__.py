@@ -622,6 +622,17 @@ def _q_doc_boilerplate(sf_dir: str):
     return boilerplate_stats(docs, min_docs=BOILER_MIN_DOCS, pct=BOILER_PCT)
 
 
+def _q_doc_source_rollup(sf_dir: str):
+    """Per-source corpus quality rollup (text_analysis.source_quality_rollup):
+    integer per-block partials, tiny grouped sum."""
+    from ugfraud_ray.pipelines.text_analysis import source_quality_rollup
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return source_quality_rollup(docs)
+
+
 def _q_doc_token_count(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import token_counts
 
@@ -1393,6 +1404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_splits": _q_doc_splits,
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
+        "doc_source_rollup": _q_doc_source_rollup,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -2617,6 +2629,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
                    CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "doc_source_rollup": r"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END)
+                        AS BIGINT) AS total_tokens,
+                   ROUND(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END)
+                         * 1.0 / COUNT(*), 9) AS avg_tokens
+            FROM documents GROUP BY source
         """,
         # corpus-as-its-own-suite DF pass over the shared shingle chain;
         # flag mirrors the engine's integer rule nb*100 >= pct*ns

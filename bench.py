@@ -204,6 +204,21 @@ def bench_pages_pipeline(n_users: int = 90_000, n_prods: int = 10_000) -> dict:
             os.path.join(d, "pr"), P=min(8, NUM_CPUS), max_iters=10, tol=None,
         )
         out["queries"]["pages_pagerank"] = time.perf_counter() - t0
+
+        from ugfraud_ray.pipelines.scc import strongly_connected_components
+
+        t0 = time.perf_counter()
+        strongly_connected_components(
+            edges.select_columns(["src", "dst"]), g["n_vertices"],
+            os.path.join(d, "scc"), P=min(8, NUM_CPUS),
+        )
+        out["queries"]["pages_scc"] = time.perf_counter() - t0
+
+        from ugfraud_ray.pipelines.clustering import local_clustering
+
+        t0 = time.perf_counter()
+        local_clustering(edges.select_columns(["src", "dst"]))
+        out["queries"]["pages_clustering"] = time.perf_counter() - t0
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)

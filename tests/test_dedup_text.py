@@ -335,3 +335,24 @@ def test_boilerplate_local_vs_distributed_agree(ray_session):
     b = boilerplate_stats(ds, local_threshold=0).to_pandas().sort_values("doc_id").reset_index(drop=True)
     for c in ("doc_id", "n_shingles", "n_boiler", "is_boilerplate"):
         assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_source_quality_rollup(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import source_quality_rollup
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "b", "b"], pa.string()),
+            "text": pa.array(
+                ["one two three", "four five", "x", "", "y z"], pa.string()
+            ),
+        }
+    )
+    got = (
+        source_quality_rollup(ray.data.from_arrow(t))
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    assert got["n_docs"].tolist() == [2, 3]
+    assert got["total_chars"].tolist() == [22, 4]
+    assert got["total_tokens"].tolist() == [5, 3]
+    assert got["avg_tokens"].tolist() == [2.5, 1.0]

@@ -552,3 +552,53 @@ def boilerplate_stats(
         .aggregate(Sum("ns", alias_name="n_shingles"), Sum("nb", alias_name="n_boiler"))
     )
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def source_quality_rollup(
+    docs: "ray.data.Dataset", key: str = "text", source_col: str = "source"
+) -> "ray.data.Dataset":
+    """Per-source corpus curation readout: (source, n_docs, total_chars,
+    total_tokens, avg_tokens). Integer partial sums per block (the
+    source domain is tiny) -> one grouped sum; avg_tokens mirrors the
+    SQL op-for-op (int sum * 1.0 / count, round 9). The per-source
+    quality dashboard every crawl-curation pipeline keeps."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n_chars = pc.utf8_length(t[key]).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.array([len(s.split()) for s in t[key].to_pylist()], dtype=np.int64)
+        df = pd.DataFrame(
+            {"source": t[source_col].to_pylist(), "c": n_chars, "k": n_tok}
+        )
+        g = df.groupby("source", sort=False).agg(
+            n=("c", "size"), c=("c", "sum"), k=("k", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "c": pa.array(g["c"].to_numpy().astype(np.int64)),
+                "k": pa.array(g["k"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.select_columns([source_col, key])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Sum("c", alias_name="total_chars"),
+            Sum("k", alias_name="total_tokens"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["total_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("avg_tokens", pa.array(np.round(k * 1.0 / n, 9)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
