@@ -63,6 +63,8 @@ BFS_MAX_HOPS = 64
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
 SSSP_DIST_CAP = 120  # oracle CTE bound; measured max distance is ~9
 WALK_LEN = 6  # deterministic random-walk length (steps after the seed)
+TRUSS_K = 3  # k-truss: every edge in >= k-2 triangles (2 rounds measured)
+TRUSS_MAX_ITERS = 8  # SQL replay horizon; engine stops count-stable
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -352,6 +354,18 @@ def _q_embedding_centroids(sf_dir: str):
         )
 
     return out.map_batches(cast, batch_format="pyarrow")
+
+
+def _q_ktruss(sf_dir: str):
+    """k-truss of the general graph (pipelines/truss.py): iterative
+    exact per-edge triangle-support peel, first count-stable round
+    (replayed post-hoc in SQL kcore-style). Output = surviving
+    canonical edges on ORIGINAL ids (no numbering needed: the kernel
+    is id-dense only in nv, and original ids are bounded here)."""
+    from ugfraud_ray.pipelines.truss import ktruss
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    return ktruss(general_edges(sf_dir).materialize(), k=TRUSS_K)
 
 
 def _q_degree_histogram(sf_dir: str):
@@ -1391,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
+        "ktruss_edges": _q_ktruss,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
@@ -2351,6 +2366,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1.a AS id, MIN(w1.b) AS scc
             FROM walk w1 JOIN walk w2 ON w2.a = w1.b AND w2.b = w1.a
             GROUP BY w1.a
+        """,
+        # k-truss peel replayed kcore-style: every level recomputes
+        # per-edge triangle support over the previous level's alive set
+        # (u<x<y enumerates each triangle once; the 3-way unnest credits
+        # its three edges), horizon + post-hoc first-count-stable stop
+        "ktruss_edges": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            e2 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g WHERE src <> dst
+            ),
+            tr AS (
+                SELECT a, b, TRUE AS alive, 0 AS iter FROM e2
+                UNION ALL
+                SELECT e.a, e.b,
+                       cur.alive AND COALESCE(s.sup, 0) >= {TRUSS_K - 2},
+                       p0.iter + 1
+                FROM e2 e
+                CROSS JOIN (SELECT DISTINCT iter FROM tr) p0
+                JOIN tr cur ON cur.a = e.a AND cur.b = e.b
+                LEFT JOIN (
+                    SELECT lo AS a, hi AS b, COUNT(*) AS sup FROM (
+                        SELECT CASE i.i WHEN 1 THEN t.u WHEN 2 THEN t.u ELSE t.x END AS lo,
+                               CASE i.i WHEN 1 THEN t.x WHEN 2 THEN t.y ELSE t.y END AS hi
+                        FROM (
+                            SELECT p1.a AS u, p1.b AS x, p2.b AS y
+                            FROM tr p1
+                            JOIN tr p2 ON p2.a = p1.a AND p2.b > p1.b
+                            JOIN tr p3 ON p3.a = p1.b AND p3.b = p2.b
+                            WHERE p1.alive AND p2.alive AND p3.alive
+                        ) t CROSS JOIN (SELECT unnest([1, 2, 3]) AS i) i
+                    ) GROUP BY lo, hi
+                ) s ON s.a = e.a AND s.b = e.b
+                WHERE p0.iter < {TRUSS_MAX_ITERS}
+            ),
+            counts AS (
+                SELECT iter, SUM(CASE WHEN alive THEN 1 ELSE 0 END) AS c
+                FROM tr GROUP BY iter
+            ),
+            kstar AS (
+                SELECT MIN(cur.iter) AS ks
+                FROM counts cur JOIN counts prev ON prev.iter = cur.iter - 1
+                WHERE cur.c = prev.c
+            )
+            SELECT tr.a, tr.b
+            FROM tr, kstar
+            WHERE tr.iter = COALESCE(kstar.ks, {TRUSS_MAX_ITERS}) AND tr.alive
         """,
         "degree_histogram": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),

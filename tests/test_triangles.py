@@ -105,3 +105,43 @@ def test_reciprocity_local_vs_distributed_agree():
     assert a["n_edges"] == b["n_edges"]
     assert a["n_mutual_pairs"] == b["n_mutual_pairs"]
     assert a["n_mutual_pairs"] > 0
+
+
+def _nx_ktruss_edges(src, dst, k):
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    T = nx.k_truss(G, k)
+    return sorted((min(u, v), max(u, v)) for u, v in T.edges())
+
+
+def test_ktruss_matches_networkx():
+    from ugfraud_ray.pipelines.truss import ktruss
+
+    rng = np.random.default_rng(33)
+    n, m = 40, 320
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    for k in (3, 4, 5):
+        got = ktruss(ds, k=k).to_pandas()
+        want = _nx_ktruss_edges(src, dst, k)
+        assert list(map(tuple, got.to_numpy())) == want, k
+    assert len(_nx_ktruss_edges(src, dst, 4)) > 0
+
+
+def test_ktruss_local_vs_distributed_agree():
+    from ugfraud_ray.pipelines.truss import ktruss
+
+    rng = np.random.default_rng(53)
+    n, m = 35, 260
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    a = ktruss(ds, k=4, local_threshold=1_000_000).to_pandas()
+    b = ktruss(ds, k=4, local_threshold=0).to_pandas()
+    assert a["a"].tolist() == b["a"].tolist()
+    assert a["b"].tolist() == b["b"].tolist()
+    assert len(a) > 0
