@@ -356,6 +356,31 @@ def _q_embedding_centroids(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+def _q_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound over the undirected general
+    graph (bfs.double_sweep_diameter): BFS from min id, then from the
+    farthest vertex (ties to min id)."""
+    from ugfraud_ray.pipelines.bfs import double_sweep_diameter
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    out = double_sweep_diameter(e, n, _scratch("diam"), P=4)
+    vt = vmap.to_pandas().sort_values("vid")
+    ids = vt["id"].to_numpy()
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v0": pa.array(ids[t["v0"].to_numpy(zero_copy_only=False)]),
+                "ecc0": t["ecc0"],
+                "v1": pa.array(ids[t["v1"].to_numpy(zero_copy_only=False)]),
+                "diameter_lb": t["diameter_lb"],
+            }
+        )
+
+    return out.map_batches(back, batch_format="pyarrow")
+
+
 def _q_ktruss(sf_dir: str):
     """k-truss of the general graph (pipelines/truss.py): iterative
     exact per-edge triangle-support peel, first count-stable round
@@ -1406,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
         "ktruss_edges": _q_ktruss,
+        "graph_diameter": _q_diameter,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
         "hits_scores": _q_hits,
@@ -2366,6 +2392,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1.a AS id, MIN(w1.b) AS scc
             FROM walk w1 JOIN walk w2 ON w2.a = w1.b AND w2.b = w1.a
             GROUP BY w1.a
+        """,
+        # two chained BFS frontiers; v1 = min id among the farthest
+        "graph_diameter": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            sym AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+            v AS (SELECT DISTINCT src AS vid FROM sym),
+            w0(vid, d) AS (
+                SELECT (SELECT MIN(vid) FROM v), 0
+                UNION
+                SELECT s.dst, w.d + 1 FROM w0 w JOIN sym s ON s.src = w.vid
+                WHERE w.d < {BFS_MAX_HOPS}
+            ),
+            d0 AS (SELECT vid, MIN(d) AS d FROM w0 GROUP BY vid),
+            p0 AS (SELECT MAX(d) AS ecc0 FROM d0),
+            pick1 AS (
+                SELECT MIN(vid) AS v FROM d0 WHERE d = (SELECT ecc0 FROM p0)
+            ),
+            w1(vid, d) AS (
+                SELECT (SELECT v FROM pick1), 0
+                UNION
+                SELECT s.dst, w.d + 1 FROM w1 w JOIN sym s ON s.src = w.vid
+                WHERE w.d < {BFS_MAX_HOPS}
+            ),
+            d1 AS (SELECT vid, MIN(d) AS d FROM w1 GROUP BY vid)
+            SELECT (SELECT MIN(vid) FROM v) AS v0,
+                   CAST((SELECT ecc0 FROM p0) AS BIGINT) AS ecc0,
+                   (SELECT v FROM pick1) AS v1,
+                   CAST((SELECT MAX(d) FROM d1) AS BIGINT) AS diameter_lb
         """,
         # k-truss peel replayed kcore-style: every level recomputes
         # per-edge triangle support over the previous level's alive set

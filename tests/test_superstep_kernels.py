@@ -513,3 +513,33 @@ def test_component_sizes_matches_networkx(tmp_path):
     )
     assert list(map(tuple, got.to_numpy())) == want
     assert len(got) >= 3
+
+
+def test_double_sweep_diameter(tmp_path):
+    from ugfraud_ray.pipelines.bfs import double_sweep_diameter
+
+    # path graph 0-1-2-3-4: true diameter 4, found from either sweep
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4], dtype=np.int64)
+    got = double_sweep_diameter(_edges_ds(src, dst), 5, str(tmp_path / "dm"), P=2).to_pandas()
+    assert got["v0"].tolist() == [0]
+    assert got["ecc0"].tolist() == [4]
+    assert got["v1"].tolist() == [4]
+    assert got["diameter_lb"].tolist() == [4]
+
+    spec = PagesSpec(n_users=40, n_prods=6, n_edges=110, seed=3)
+    src, dst, n = _graph(spec)
+    got = double_sweep_diameter(_edges_ds(src, dst), n, str(tmp_path / "dm2"), P=2).to_pandas()
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    comp = nx.node_connected_component(G, 0)
+    true_diam = max(
+        nx.eccentricity(G.subgraph(comp)).values()
+    )
+    lb = int(got["diameter_lb"].iloc[0])
+    assert int(got["ecc0"].iloc[0]) <= lb <= true_diam
+    assert lb >= 1

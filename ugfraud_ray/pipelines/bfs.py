@@ -86,3 +86,46 @@ def bfs_hops(
     out = eng.result_dataset().map_batches(readout, batch_format="pyarrow").materialize()
     eng.shutdown()
     return out, eng.metrics
+
+
+def double_sweep_diameter(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    P: int = 4,
+    max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """Double-sweep diameter lower bound (the standard practical
+    estimator): BFS from the min vid, then BFS from the farthest vertex
+    found (ties to min vid). One row: (v0, ecc0, v1, diameter_lb).
+    Deterministic, exactly replayable — both sweeps are the bfs_hops
+    kernel."""
+    import os
+
+    def farthest(hops_ds) -> tuple[int, int]:
+        t = hops_ds.to_pandas()
+        ecc = int(t["hops"].max())
+        v = int(t.loc[t["hops"] == ecc, "vid"].min())
+        return v, ecc
+
+    v0 = 0  # min vid: numbering is contiguous from 0
+    h0, _ = bfs_hops(
+        edges, n_vertices, np.array([v0], dtype=np.int64),
+        os.path.join(layout_dir, "s1"), P=P, max_iters=max_iters,
+    )
+    v1, ecc0 = farthest(h0)
+    h1, _ = bfs_hops(
+        edges, n_vertices, np.array([v1], dtype=np.int64),
+        os.path.join(layout_dir, "s2"), P=P, max_iters=max_iters,
+    )
+    _, diameter_lb = farthest(h1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v0": pa.array([v0], pa.int64()),
+                "ecc0": pa.array([ecc0], pa.int64()),
+                "v1": pa.array([v1], pa.int64()),
+                "diameter_lb": pa.array([diameter_lb], pa.int64()),
+            }
+        )
+    )
