@@ -65,6 +65,7 @@ SSSP_DIST_CAP = 120  # oracle CTE bound; measured max distance is ~9
 WALK_LEN = 6  # deterministic random-walk length (steps after the seed)
 TRUSS_K = 3  # k-truss: every edge in >= k-2 triangles (2 rounds measured)
 TRUSS_MAX_ITERS = 8  # SQL replay horizon; engine stops count-stable
+OOV_VOCAB_K = 20  # top-k vocabulary for the OOV-rate filter (corpus has ~31 tokens)
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -659,6 +660,18 @@ def _q_doc_boilerplate(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return boilerplate_stats(docs, min_docs=BOILER_MIN_DOCS, pct=BOILER_PCT)
+
+
+def _q_doc_oov(sf_dir: str):
+    """Vocabulary-coverage filter (text_analysis.oov_stats): tokens
+    outside the corpus top-100 vocabulary; vocab broadcast once,
+    streaming searchsorted probe."""
+    from ugfraud_ray.pipelines.text_analysis import oov_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return oov_stats(docs, vocab_k=OOV_VOCAB_K)
 
 
 def _q_doc_source_rollup(sf_dir: str):
@@ -1446,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_source_rollup": _q_doc_source_rollup,
+        "doc_oov_rate": _q_doc_oov,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -2745,6 +2759,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
                    CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        # vocab = the doc_top_tokens CTE; OOV = LEFT-JOIN miss count
+        "doc_oov_rate": f"""
+            WITH vocab AS (
+                SELECT token FROM (
+                    SELECT token,
+                           ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+                    FROM (
+                        SELECT token, COUNT(*) AS n FROM (
+                            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                            FROM documents
+                        ) WHERE token <> '' GROUP BY token
+                    )
+                ) WHERE rnk <= {OOV_VOCAB_K}
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                FROM documents
+            ),
+            per AS (
+                SELECT t.doc_id, COUNT(*) AS n_tokens,
+                       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM (SELECT * FROM tok WHERE token <> '') t
+                LEFT JOIN vocab v ON v.token = t.token
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         """,
         "doc_source_rollup": r"""
             SELECT source,

@@ -356,3 +356,18 @@ def test_source_quality_rollup(ray_session):
     assert got["total_chars"].tolist() == [22, 4]
     assert got["total_tokens"].tolist() == [5, 3]
     assert got["avg_tokens"].tolist() == [2.5, 1.0]
+
+
+def test_oov_stats(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import oov_stats
+
+    # top-2 vocab = {"a" (x4), "b" (x3)}; "c","d" are OOV
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a b c", "A b d", "a b"], pa.string()),
+        }
+    )
+    got = oov_stats(ray.data.from_arrow(t), vocab_k=2).to_pandas().sort_values("doc_id")
+    assert got["n_tokens"].tolist() == [4, 3, 2]
+    assert got["n_oov"].tolist() == [1, 1, 0]

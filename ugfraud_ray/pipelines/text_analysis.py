@@ -602,3 +602,45 @@ def source_quality_rollup(
         return t.append_column("avg_tokens", pa.array(np.round(k * 1.0 / n, 9)))
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def oov_stats(
+    docs: "ray.data.Dataset",
+    vocab_k: int = 100,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Vocabulary-coverage quality filter: (doc_id, n_tokens, n_oov) —
+    tokens outside the corpus's own top-`vocab_k` vocabulary
+    (`top_tokens`, deterministic count-desc/token-asc tie-break). The
+    classic cheap LM-free proxy for perplexity filtering, integer-only
+    so the SQL replay is exact.
+
+    Two passes: the vocabulary shuffle (pre-aggregated, vocab-sized),
+    then the vocabulary broadcast once via ray.put and a streaming
+    per-batch membership probe (sorted-array searchsorted — never a
+    join against the corpus side)."""
+    from ugfraud_ray.functions.collect import collect_table
+
+    vocab_tbl = collect_table(top_tokens(docs, k=vocab_k, key=key))
+    vocab = np.sort(vocab_tbl["token"].to_numpy(zero_copy_only=False))
+    vocab_ref = ray.put(vocab)
+
+    def f(t: pa.Table) -> pa.Table:
+        vb = ray.get(vocab_ref)
+        n_tok = np.empty(t.num_rows, dtype=np.int64)
+        n_oov = np.empty(t.num_rows, dtype=np.int64)
+        for i, s in enumerate(t[key].to_pylist()):
+            toks = np.array(s.lower().split(), dtype=object)
+            n_tok[i] = len(toks)
+            if len(toks):
+                pos = np.searchsorted(vb, toks)
+                pos = np.clip(pos, 0, len(vb) - 1)
+                n_oov[i] = int((vb[pos] != toks).sum())
+            else:
+                n_oov[i] = 0
+        return pa.table(
+            {id_col: t[id_col], "n_tokens": pa.array(n_tok), "n_oov": pa.array(n_oov)}
+        )
+
+    return docs.select_columns([id_col, key]).map_batches(f, batch_format="pyarrow")
