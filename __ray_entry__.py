@@ -66,6 +66,9 @@ WALK_LEN = 6  # deterministic random-walk length (steps after the seed)
 TRUSS_K = 3  # k-truss: every edge in >= k-2 triangles (2 rounds measured)
 TRUSS_MAX_ITERS = 8  # SQL replay horizon; engine stops count-stable
 OOV_VOCAB_K = 20  # top-k vocabulary for the OOV-rate filter (corpus has ~31 tokens)
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"  # orders before / shipments after this date
+Q3_TOPN = 10
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -1354,6 +1357,16 @@ def _q_customers_no_urgent(sf_dir: str):
     return semi_anti_join(cust, urgent, "c_custkey", "o_custkey", anti=True)
 
 
+def _q_top_unshipped(sf_dir: str):
+    """TPC-H-Q3-shape composition (relational.top_unshipped_orders):
+    segment+date filters broadcast, fact table streams sparse per-order
+    integer-revenue partials, top-n by (revenue DESC, orderkey ASC)."""
+    from ugfraud_ray.pipelines.relational import top_unshipped_orders
+
+    cutoff_us = int(np.datetime64(Q3_CUTOFF, "us").astype(np.int64))
+    return top_unshipped_orders(sf_dir, segment=Q3_SEGMENT, cutoff_us=cutoff_us, n=Q3_TOPN)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     """Multi-table join + grouped aggregate (pipelines/relational.py):
     lineitem ⋈ orders (broadcast fast path / Dataset.join at scale)
@@ -1394,6 +1407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "quantiles_extendedprice": _q_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
+        "top_unshipped_orders": _q_top_unshipped,
         "customers_no_urgent_orders": _q_customers_no_urgent,
         "revenue_rollup": _q_revenue_rollup,
         "lineitem_pricing_summary": _q_pricing_summary,
@@ -3241,6 +3255,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders
                 WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
             )
+        """,
+        "top_unshipped_orders": f"""
+            SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = '{Q3_SEGMENT}'
+              AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+              AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                     AS BIGINT)) DESC, o_orderkey ASC
+            LIMIT {Q3_TOPN}
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -115,3 +115,24 @@ def test_pricing_summary_matches_duckdb_exact(ray_session):
     # bit-exact, not allclose: the whole point of the integer partials
     for c in g.columns:
         assert (g[c].to_numpy() == w[c].to_numpy()).all(), c
+
+
+def test_top_unshipped_orders_paths_agree(ray_session):
+    import numpy as np
+
+    from ugfraud_ray.pipelines.relational import top_unshipped_orders
+
+    sf = "/root/testdata/sf0.001"
+    cutoff = int(np.datetime64("1998-06-01", "us").astype(np.int64))
+    a = top_unshipped_orders(sf, cutoff_us=cutoff, n=10)
+    b = top_unshipped_orders(sf, cutoff_us=cutoff, n=10, bcast_orders=0)  # join path
+    assert a.to_pandas().equals(b.to_pandas())
+    df = a.to_pandas()
+    assert len(df) == 10
+    # strictly ordered by revenue desc then orderkey asc
+    rev = df["revenue"].to_numpy()
+    assert all(
+        (rev[i] > rev[i + 1])
+        or (rev[i] == rev[i + 1] and df["o_orderkey"].iloc[i] < df["o_orderkey"].iloc[i + 1])
+        for i in range(9)
+    )

@@ -372,3 +372,135 @@ def revenue_rollup(sf_dir: str) -> pa.Table:
             "n_lineitems": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def top_unshipped_orders(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff_us: int = 0,
+    n: int = 10,
+    bcast_orders: int | None = None,
+) -> pa.Table:
+    """TPC-H-Q3-shape composition: customer(segment) ⋈ orders(placed
+    before cutoff) ⋈ lineitem(shipped after cutoff) -> per-order integer
+    revenue -> top-n by (revenue DESC, orderkey ASC). Deterministic and
+    bit-exact vs SQL (revenue in 1e-4 units).
+
+    Scale shape: the qualifying customer-key set and the qualifying
+    order->date map are broadcast (dimension side, small by the segment
+    + date filters); the fact table streams, emitting SPARSE per-block
+    (orderkey, units) partials; one orderkey groupby sums them and the
+    top-n is a sort-limit over qualifying orders only. Above
+    ``bcast_orders`` the order map switches to the cluster-sized hash
+    join exactly like revenue_by_nation."""
+    bcast = _BCAST_ORDERS if bcast_orders is None else bcast_orders
+    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    seg = cust["c_mktsegment"].to_numpy(zero_copy_only=False)
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)[seg == segment]
+    ck_max = int(ck.max()) + 1 if len(ck) else 1
+    in_seg = np.zeros(ck_max, dtype=bool)
+    in_seg[ck] = True
+    seg_ref = ray.put(in_seg)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    n_ord = orders.count()
+    if n_ord > bcast:
+        from ugfraud_ray.stages.graph_build import join_partitions
+
+        def ofilt(t: pa.Table) -> pa.Table:
+            sm = ray.get(seg_ref)
+            cu = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            keep = (od < cutoff_us) & (cu < len(sm)) & sm[np.minimum(cu, len(sm) - 1)]
+            return pa.table(
+                {
+                    "l_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                    "o_date_us": pa.array(od[keep]),
+                }
+            )
+
+        qual = orders.map_batches(ofilt, batch_format="pyarrow")
+
+        def lfilt(t: pa.Table) -> pa.Table:
+            sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            keep = sd > cutoff_us
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                    "units": pa.array(
+                        _rev_units(
+                            t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+                            t["l_discount"].to_numpy(zero_copy_only=False)[keep],
+                        )
+                    ),
+                }
+            )
+
+        joined = lineitem.map_batches(lfilt, batch_format="pyarrow").join(
+            qual, join_type="inner", num_partitions=join_partitions(), on=("l_orderkey",)
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u = t["units"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["o_date_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, inv = np.unique(ok, return_inverse=True)
+            acc = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(acc, inv, u)
+            dd = np.zeros(len(uk), dtype=np.int64)
+            dd[inv] = d
+            return pa.table(
+                {"o": pa.array(uk), "u": pa.array(acc), "d": pa.array(dd)}
+            )
+
+        parts = joined.map_batches(partial, batch_format="pyarrow")
+    else:
+        ot = collect_table(orders)
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = ot["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        q = (od < cutoff_us) & (oc < ck_max) & in_seg[np.minimum(oc, ck_max - 1)]
+        o2d = np.full(int(ok.max()) + 1 if len(ok) else 1, -1, dtype=np.int64)
+        o2d[ok[q]] = od[q]
+        o2d_ref = ray.put(o2d)
+
+        def partial_b(t: pa.Table) -> pa.Table:
+            m = ray.get(o2d_ref)
+            lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            keep = (sd > cutoff_us) & (lo < len(m)) & (m[np.minimum(lo, len(m) - 1)] >= 0)
+            lo = lo[keep]
+            u = _rev_units(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
+                t["l_discount"].to_numpy(zero_copy_only=False)[keep],
+            )
+            uk, inv = np.unique(lo, return_inverse=True)
+            acc = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(acc, inv, u)
+            return pa.table(
+                {"o": pa.array(uk), "u": pa.array(acc), "d": pa.array(m[uk])}
+            )
+
+        parts = lineitem.map_batches(partial_b, batch_format="pyarrow")
+
+    # qualifying-order domain is small after the filters: driver merge
+    pt = collect_table(parts)
+    o = pt["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = pt["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = pt["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uk, inv = np.unique(o, return_inverse=True)
+    acc = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(acc, inv, u)
+    dd = np.zeros(len(uk), dtype=np.int64)
+    dd[inv] = d
+    order = np.lexsort((uk, -acc))[:n]
+    return pa.table(
+        {
+            "o_orderkey": pa.array(uk[order]),
+            "o_date_us": pa.array(dd[order]),
+            "revenue": pa.array(np.array([float(x) / 1e4 for x in acc[order]])),
+        }
+    )
