@@ -198,9 +198,12 @@ def bench_pages_pipeline(n_users: int = 90_000, n_prods: int = 10_000) -> dict:
         out["n_pages"] = n_pages
         out["n_link_edges"] = edges.count()
 
+        # materialized + column-pruned: lets pagerank/build_layout take
+        # the driver-local small-graph write path (metadata-free count)
+        se = edges.select_columns(["src", "dst"]).materialize()
         t0 = time.perf_counter()
         pagerank(
-            edges.select_columns(["src", "dst"]), g["n_vertices"],
+            se, g["n_vertices"],
             os.path.join(d, "pr"), P=min(8, NUM_CPUS), max_iters=10, tol=None,
         )
         out["queries"]["pages_pagerank"] = time.perf_counter() - t0
@@ -209,15 +212,14 @@ def bench_pages_pipeline(n_users: int = 90_000, n_prods: int = 10_000) -> dict:
 
         t0 = time.perf_counter()
         strongly_connected_components(
-            edges.select_columns(["src", "dst"]), g["n_vertices"],
-            os.path.join(d, "scc"), P=min(8, NUM_CPUS),
+            se, g["n_vertices"], os.path.join(d, "scc"), P=min(8, NUM_CPUS),
         )
         out["queries"]["pages_scc"] = time.perf_counter() - t0
 
         from ugfraud_ray.pipelines.clustering import local_clustering
 
         t0 = time.perf_counter()
-        local_clustering(edges.select_columns(["src", "dst"]))
+        local_clustering(se)
         out["queries"]["pages_clustering"] = time.perf_counter() - t0
         return out
     finally:
