@@ -310,6 +310,17 @@ def _q_scc(sf_dir: str):
     return out.select_columns(["id", "scc"])
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization (similarity.quantize_embeddings):
+    zero-shuffle per-row math; compact exact scalar readout."""
+    from ugfraud_ray.pipelines.similarity import quantize_embeddings
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(emb)
+
+
 def _q_random_walks(sf_dir: str):
     """DeepWalk-style deterministic walks over the directed general
     graph (pipelines/walks.py): next hop = out-neighbor minimizing
@@ -971,6 +982,14 @@ def _q_events_retention(sf_dir: str):
     return retention_cohorts(_events(sf_dir))
 
 
+def _q_events_hourly_users(sf_dir: str):
+    """Distinct active users per tumbling hour (events.windowed_unique_users):
+    distinct-pair in-map partials, exact coarse-bucket distinct count."""
+    from ugfraud_ray.pipelines.events import windowed_unique_users
+
+    return windowed_unique_users(_events(sf_dir))
+
+
 def _q_events_props(sf_dir: str):
     """Vectorized JSON int-field extraction via the Arrow RE2 kernel."""
     from ugfraud_ray.pipelines.events import extract_props
@@ -1420,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_paths": _q_events_paths,
+        "events_hourly_users": _q_events_hourly_users,
         "component_sizes": _q_component_sizes,
         "events_props": _q_events_props,
         "events_asof_last_error": _q_events_asof,
@@ -1454,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components": _q_scc,
         "sssp_dist": _q_sssp,
         "embedding_centroids": _q_embedding_centroids,
+        "embedding_quantize": _q_embedding_quantize,
         "random_walks": _q_random_walks,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
@@ -2319,6 +2340,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(es.n_edges, 0) AS BIGINT) AS n_edges
             FROM vs LEFT JOIN es ON es.component = vs.component
         """,
+        "events_hourly_users": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY date_trunc('hour', ts)
+        """,
         "events_paths": """
             SELECT user_id,
                    STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
@@ -2369,6 +2395,31 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN tri ON tri.vid = deg.vid
         """,
         "random_walks": _walks_sql(),
+        # scale = max|x| (exact float32->double), q = floor(x/s*127+0.5)
+        # op-for-op; scalar readout avoids list-column hashing
+        "embedding_quantize": """
+            WITH ex AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+                           AS scale0,
+                       len(embedding) AS nd
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, scale0, nd,
+                       FLOOR(CAST(x AS DOUBLE)
+                             / (CASE WHEN scale0 > 0 THEN scale0 ELSE 1.0 END)
+                             * 127.0 + 0.5) AS qv
+                FROM ex
+            )
+            SELECT vec_id,
+                   ROUND(ANY_VALUE(scale0), 9) AS scale,
+                   CAST(ANY_VALUE(nd) AS BIGINT) AS n_dims,
+                   CAST(SUM(qv) AS BIGINT) AS q_sum,
+                   CAST(MIN(qv) AS BIGINT) AS q_min,
+                   CAST(MAX(qv) AS BIGINT) AS q_max
+            FROM q GROUP BY vec_id
+        """,
         # half-up 1e-4 quantization makes the vector-mean exact: integer
         # qsum, then (qsum/grid)/n mirrored op-for-op
         "embedding_centroids": """

@@ -445,3 +445,21 @@ def test_event_paths_local_and_bucketed_agree(ray_session):
     a = event_paths(ds).to_pandas().sort_values("user_id").reset_index(drop=True)
     b = event_paths(ds, local_threshold=0).to_pandas().sort_values("user_id").reset_index(drop=True)
     assert (a == b).all().all()
+
+
+def test_windowed_unique_users(ray_session):
+    from ugfraud_ray.pipelines.events import windowed_unique_users
+
+    t = _synth_events(n=1500, n_users=29, seed=91)
+    got = (
+        windowed_unique_users(ray.data.from_arrow(t))
+        .to_pandas().sort_values("window_start_us").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    ws = df["ts"].to_numpy().astype("datetime64[h]").astype("datetime64[us]").astype(np.int64)
+    want = (
+        df.assign(ws=ws).groupby("ws")["user_id"].nunique().reset_index()
+        .sort_values("ws").reset_index(drop=True)
+    )
+    assert got["window_start_us"].tolist() == want["ws"].tolist()
+    assert got["n_users"].tolist() == want["user_id"].tolist()

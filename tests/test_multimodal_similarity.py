@@ -193,3 +193,33 @@ def test_label_centroids_matches_numpy(ray_session):
         sub = got[got["label"] == lab]
         assert sub["dim"].tolist() == list(range(d))
         np.testing.assert_array_equal(sub["centroid"].to_numpy(), want)
+
+
+def test_quantize_embeddings(ray_session):
+    from ugfraud_ray.pipelines.similarity import quantize_embeddings
+
+    vecs = np.array(
+        [[0.5, -1.0, 0.25, 0.0], [0.0, 0.0, 0.0, 0.0], [2.0, 2.0, -2.0, 1.0]],
+        dtype=np.float32,
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), 4
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    got = (
+        quantize_embeddings(ray.data.from_arrow(t))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # row 0: scale 1.0 -> q = [64, -127, 32, 0] (floor(x*127+0.5))
+    assert got.loc[0, "scale"] == 1.0
+    assert got.loc[0, "q_sum"] == 64 - 127 + 32 + 0
+    assert got.loc[0, "q_min"] == -127 and got.loc[0, "q_max"] == 64
+    # zero vector: scale 0, all q 0
+    assert got.loc[1, "scale"] == 0.0 and got.loc[1, "q_sum"] == 0
+    # row 2: scale 2 -> q = [127, 127, -127, 64]
+    assert got.loc[2, "q_sum"] == 127 + 127 - 127 + 64
+    assert (got["n_dims"] == 4).all()

@@ -1136,3 +1136,58 @@ def event_paths(
         .groupby("_cb")
         .map_groups(lambda g: _paths_block(*extract(g)), batch_format="pandas")
     )
+
+
+def windowed_unique_users(
+    events: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """(window_start_us, n_users) — distinct active users per tumbling
+    hour. Per-block distinct (window, user) partials first (bounded by
+    windows x users-per-block, the distinct-pair pre-aggregate of
+    `distinct_users_per_type`), then an exact distinct count per window
+    via a coarse-bucket groupby on (window, user)."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ws = ts.astype("datetime64[h]").astype("datetime64[us]").astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.stack([ws, u], axis=1)
+        uniq = np.unique(key, axis=0)
+        return pa.table(
+            {"w": pa.array(uniq[:, 0]), "u": pa.array(uniq[:, 1])}
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = w * np.uint64(0x9E3779B97F4A7C15) ^ u * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def count_bucket(g) -> pa.Table:
+        w = g["w"].to_numpy().astype(np.int64)
+        u = g["u"].to_numpy().astype(np.int64)
+        order = np.lexsort((u, w))
+        w, u = w[order], u[order]
+        if len(w) == 0:
+            return pa.table({"window_start_us": pa.array([], pa.int64()),
+                             "nu": pa.array([], pa.int64())})
+        uniq = np.concatenate([[True], (np.diff(w) != 0) | (np.diff(u) != 0)])
+        w = w[uniq]
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(w) != 0]))
+        n = np.diff(np.append(starts, len(w)))
+        return pa.table(
+            {"window_start_us": pa.array(w[starts]), "nu": pa.array(n.astype(np.int64))}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.select_columns(["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(count_bucket, batch_format="pandas")
+        .groupby("window_start_us")
+        .aggregate(Sum("nu", alias_name="n_users"))
+    )

@@ -386,3 +386,37 @@ def label_centroids(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def quantize_embeddings(
+    embeddings: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-vector symmetric int8 quantization (the standard 4x storage
+    shrink for ANN indexes): q = floor(x / scale * 127 + 0.5) with
+    scale = max|x|. Pure per-row math — embarrassing parallel, zero
+    shuffle. Output keeps the compact EXACT readout (scale, q_sum,
+    q_min, q_max, n_dims) rather than the int8 list itself so the SQL
+    replay compares scalars; every op (float32->double, /, *127,
+    floor+0.5) is mirrored op-for-op in DuckDB."""
+
+    def f(t: pa.Table) -> pa.Table:
+        v = _vecs_from_column(t[vec_col], t.num_rows).astype(np.float64)
+        scale = np.abs(v).max(axis=1)
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.floor(v / safe[:, None] * 127.0 + 0.5)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "scale": pa.array(np.round(scale, 9)),
+                "n_dims": pa.array(np.full(t.num_rows, v.shape[1], dtype=np.int64)),
+                "q_sum": pa.array(q.sum(axis=1).astype(np.int64)),
+                "q_min": pa.array(q.min(axis=1).astype(np.int64)),
+                "q_max": pa.array(q.max(axis=1).astype(np.int64)),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        f, batch_format="pyarrow"
+    )
