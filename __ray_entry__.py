@@ -69,6 +69,7 @@ OOV_VOCAB_K = 20  # top-k vocabulary for the OOV-rate filter (corpus has ~31 tok
 Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-01"  # orders before / shipments after this date
 Q3_TOPN = 10
+PACK_BUDGET = 512  # LM sequence-packing token budget
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -686,6 +687,17 @@ def _q_doc_oov(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return oov_stats(docs, vocab_k=OOV_VOCAB_K)
+
+
+def _q_doc_packing(sf_dir: str):
+    """LM sequence packing (packing.pack_sequences): distributed
+    two-level ordered prefix scan over doc_id order, 512-token budget."""
+    from ugfraud_ray.pipelines.packing import pack_sequences
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return pack_sequences(docs, budget=PACK_BUDGET)
 
 
 def _q_doc_source_rollup(sf_dir: str):
@@ -1495,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_source_rollup": _q_doc_source_rollup,
         "doc_oov_rate": _q_doc_oov,
+        "doc_packing": _q_doc_packing,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "ann_topk": _q_ann_topk,
@@ -2824,6 +2837,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
                    CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        # cum_before = ordered prefix sum (SUM OVER doc_id) minus self;
+        # seq assignment is integer division on the exact token counts
+        "doc_packing": rf"""
+            WITH n AS (
+                SELECT doc_id,
+                       CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END
+                           AS n_tokens
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+                FROM n
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+                   CAST(before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+            FROM s
         """,
         # vocab = the doc_top_tokens CTE; OOV = LEFT-JOIN miss count
         "doc_oov_rate": f"""

@@ -371,3 +371,33 @@ def test_oov_stats(ray_session):
     got = oov_stats(ray.data.from_arrow(t), vocab_k=2).to_pandas().sort_values("doc_id")
     assert got["n_tokens"].tolist() == [4, 3, 2]
     assert got["n_oov"].tolist() == [1, 1, 0]
+
+
+def test_pack_sequences(ray_session):
+    from ugfraud_ray.pipelines.packing import pack_sequences
+
+    texts = ["a b c", "d e", "f g h i", "j", "k l m n o p", "q r"]  # 3,2,4,1,6,2
+    t = pa.table({"doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    got = (
+        pack_sequences(ray.data.from_arrow(t), budget=5, range_size=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    n = np.array([3, 2, 4, 1, 6, 2])
+    before = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert got["n_tokens"].tolist() == n.tolist()
+    assert got["seq_id"].tolist() == (before // 5).tolist()
+    assert got["seq_offset"].tolist() == (before % 5).tolist()
+
+
+def test_pack_sequences_range_invariance(ray_session):
+    from ugfraud_ray.pipelines.packing import pack_sequences
+
+    rng = np.random.default_rng(4)
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, size=200)]
+    t = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+    a = pack_sequences(ds, budget=128, range_size=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(ds, budget=128, range_size=64).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a == b).all().all()
