@@ -487,6 +487,91 @@ def _q_pagerank(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
 
 
+def _contracted_inputs(sf_dir: str):
+    """Review graph contracted to (customer nation, part brand) groups —
+    the testdata instantiation of the url->host host-graph contraction
+    (pipelines/contraction.py). Returns (contracted weighted edges on
+    group ids, sorted brand array, nation gid base)."""
+    from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.pipelines.contraction import contract_graph
+    from ugfraud_ray.pipelines.testdata_graph import PART_OFFSET, review_edges
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    ct = collect_table(cust)
+    ptb = collect_table(part)
+    ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = ptb["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pb = ptb["p_brand"].to_numpy(zero_copy_only=False).astype(str)
+    brands = np.unique(pb)
+    base = int(cn.max()) + 1
+    pgid = base + np.searchsorted(brands, pb)
+    gm = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.concatenate([ck, pk + PART_OFFSET])),
+                "gid": pa.array(np.concatenate([cn, pgid.astype(np.int64)])),
+            }
+        )
+    )
+    n_li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    ).count()
+    cg = contract_graph(review_edges(sf_dir), gm, approx_rows=n_li, map_rows=len(ck) + len(pk))
+    return cg, brands, base
+
+
+def _q_contracted_graph(sf_dir: str):
+    """Quotient (host-style) graph: nation->brand with multi-edge counts."""
+    cg, brands, base = _contracted_inputs(sf_dir)
+    brands_ref = ray.put(brands)
+
+    def readout(t: pa.Table) -> pa.Table:
+        b = ray.get(brands_ref)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src_nation": t["src"],
+                "dst_brand": pa.array(b[dst - base], pa.string()),
+                "weight": t["weight"],
+            }
+        )
+
+    return cg.map_batches(readout, batch_format="pyarrow")
+
+
+def _q_contracted_pagerank(sf_dir: str):
+    """Weighted PageRank over the contracted graph (host-level PageRank
+    pattern): edge mass proportional to inter-group multiplicity."""
+    from ugfraud_ray.pipelines.contraction import weighted_pagerank
+    from ugfraud_ray.pipelines.testdata_graph import number_int_vertices, unmap_vids
+
+    cg, brands, base = _contracted_inputs(sf_dir)
+    e, vmap, n = number_int_vertices(cg)
+    ranks, _ = weighted_pagerank(
+        e, n, _scratch("cpr"), P=4, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None
+    )
+    out = unmap_vids(ranks, vmap, vid_col="vid", out_col="gid")
+    brands_ref = ray.put(brands)
+
+    def readout(t: pa.Table) -> pa.Table:
+        b = ray.get(brands_ref)
+        gid = t["gid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bidx = np.clip(gid - base, 0, max(len(b) - 1, 0))
+        names = np.where(
+            gid < base, np.char.add("N", gid.astype(str)), np.char.add("B", b[bidx])
+        )
+        r = np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
+        return pa.table({"node": pa.array(names, pa.string()), "rank": pa.array(r)})
+
+    return out.map_batches(readout, batch_format="pyarrow").select_columns(["node", "rank"])
+
+
 def _q_hits(sf_dir: str):
     """HITS hubs & authorities over the general graph (pipelines/hits.py):
     synchronous supersteps with delayed global-l2 normalization on the
@@ -1254,6 +1339,21 @@ def _q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=TOPK_TOKENS)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted index (text_analysis.inverted_index): token -> (df,
+    ','-joined ascending posting list). Per-block DISTINCT (token, doc)
+    pair partials, ONE coarse token-hash bucket shuffle; driver-local
+    below the pair bound (sum(n_chars)/2 — tokens can't outnumber
+    half the characters plus one per doc)."""
+    from ugfraud_ray.pipelines.text_analysis import inverted_index
+
+    meta = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+    approx_pairs = int(meta.sum("n_chars")) // 2 + int(meta.count())
+    return inverted_index(_docs(sf_dir), approx_pairs=approx_pairs)
+
+
 def _q_distinctive_terms(sf_dir: str):
     """Per-doc top-3 distinctive terms (text_analysis.distinctive_terms):
     TF-IDF-shaped — corpus DF pass, broadcast common-token set, per-doc
@@ -1433,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_token_count": _q_bpe_token_count,
         "doc_distinctive_terms": _q_distinctive_terms,
         "doc_top_tokens": _q_top_tokens,
+        "doc_inverted_index": _q_inverted_index,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_topk": _q_ann_lsh,
         "media_features": _q_media_features,
@@ -1494,6 +1595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": _q_diameter,
         "kcore_members": _q_kcore,
         "pagerank": _q_pagerank,
+        "contracted_graph": _q_contracted_graph,
+        "contracted_pagerank": _q_contracted_pagerank,
         "hits_scores": _q_hits,
         "linkpred_scores": _q_linkpred,
         "personalized_pagerank": _q_ppr,
@@ -2655,6 +2758,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
         """,
+        "contracted_graph": f"""
+            WITH re AS ({_SQL_REVIEW_EDGES})
+            SELECT CAST(c.c_nationkey AS BIGINT) AS src_nation,
+                   p.p_brand AS dst_brand,
+                   CAST(COUNT(*) AS BIGINT) AS weight
+            FROM re
+            JOIN customer c ON c.c_custkey = re.src
+            JOIN part p ON p.p_partkey = re.dst - 1000000
+            GROUP BY 1, 2
+        """,
+        "contracted_pagerank": f"""
+            WITH RECURSIVE cg AS (
+                SELECT 'N' || CAST(c.c_nationkey AS VARCHAR) AS src,
+                       'B' || p.p_brand AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS weight
+                FROM ({_SQL_REVIEW_EDGES}) re
+                JOIN customer c ON c.c_custkey = re.src
+                JOIN part p ON p.p_partkey = re.dst - 1000000
+                GROUP BY 1, 2
+            ),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM cg UNION ALL SELECT dst FROM cg
+                )
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+            outw AS (SELECT src, SUM(weight) AS d FROM cg GROUP BY src),
+            pr AS (
+                SELECT vid, 1.0 / (SELECT n FROM nn) AS rank, 0 AS iter FROM v
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr p2
+                           LEFT JOIN outw o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) / (SELECT n FROM nn),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank * e.weight / o.d) AS s
+                    FROM pr p JOIN cg e ON e.src = p.vid JOIN outw o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PR_ITERS}
+            )
+            SELECT vid AS node, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
         "hits_scores": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
             v AS (
@@ -3266,6 +3419,18 @@ def oracle_sql() -> dict[str, str]:
         # tokens = RE2 \s+ split of the lowercased text on BOTH sides
         # (DuckDB's regex engine is RE2 too); empty tokens from leading/
         # trailing/blank text filtered; top-100 by (count desc, token asc)
+        "doc_inverted_index": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                    FROM documents
+                ) WHERE token <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM toks GROUP BY token
+        """,
         "doc_top_tokens": f"""
             SELECT token, n, rnk FROM (
                 SELECT token, n,

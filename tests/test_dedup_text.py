@@ -401,3 +401,39 @@ def test_pack_sequences_range_invariance(ray_session):
     a = pack_sequences(ds, budget=128, range_size=7).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = pack_sequences(ds, budget=128, range_size=64).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (a == b).all().all()
+
+
+def test_inverted_index_matches_python_oracle(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import inverted_index
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+        for _ in range(120)
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t)
+
+    want: dict[str, list[int]] = {}
+    for i, s in enumerate(texts):
+        for tok in sorted(set(s.lower().split())):
+            want.setdefault(tok, []).append(i)
+
+    got = (
+        inverted_index(ds, approx_pairs=10_000)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        ids = want[row["token"]]
+        assert row["df"] == len(ids)
+        assert row["postings"] == ",".join(str(x) for x in ids)
+
+    # distributed (bucket-shuffle) path agrees with the local path
+    dist = (
+        inverted_index(ds)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    assert dist.equals(got)

@@ -543,3 +543,75 @@ def test_double_sweep_diameter(tmp_path):
     lb = int(got["diameter_lb"].iloc[0])
     assert int(got["ecc0"].iloc[0]) <= lb <= true_diam
     assert lb >= 1
+
+
+def test_contract_graph_matches_dict_oracle():
+    from ugfraud_ray.pipelines.contraction import contract_graph
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 500).astype(np.int64)
+    dst = rng.integers(0, 40, 500).astype(np.int64)
+    gid = rng.integers(0, 6, 40).astype(np.int64)
+    gm = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(40, dtype=np.int64)), "gid": pa.array(gid)})
+    )
+    got = (
+        contract_graph(_edges_ds(src, dst), gm, approx_rows=500)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    want: dict[tuple[int, int], int] = {}
+    for s, t in zip(gid[src], gid[dst]):
+        if s != t:
+            want[(int(s), int(t))] = want.get((int(s), int(t)), 0) + 1
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[(row["src"], row["dst"])] == row["weight"]
+
+
+def test_contract_graph_join_path_agrees():
+    from ugfraud_ray.pipelines.contraction import contract_graph
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 60, 800).astype(np.int64)
+    dst = rng.integers(0, 60, 800).astype(np.int64)
+    gid = rng.integers(0, 9, 60).astype(np.int64)
+    gm = ray.data.from_arrow(
+        pa.table({"id": pa.array(np.arange(60, dtype=np.int64)), "gid": pa.array(gid)})
+    )
+    a = (
+        contract_graph(_edges_ds(src, dst), gm, approx_rows=800)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    b = (
+        contract_graph(_edges_ds(src, dst), gm, approx_rows=800, broadcast_threshold=0)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_weighted_pagerank_matches_dense_oracle(tmp_path):
+    from ugfraud_ray.pipelines.contraction import weighted_pagerank
+
+    rng = np.random.default_rng(23)
+    m, n = 300, 35
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 9, len(src)).astype(np.int64)
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "weight": pa.array(w)})
+    )
+    got, _ = weighted_pagerank(e, n, str(tmp_path / "wpr"), P=2, max_iters=60, tol=None)
+    gt = got.to_pandas().sort_values("vid")
+    wout = np.bincount(src, weights=w.astype(np.float64), minlength=n)
+    x = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(60):
+        msg = x[src] * (w / np.where(wout[src] > 0, wout[src], 1.0))
+        agg = np.bincount(dst, weights=msg, minlength=n)
+        dang = x[wout == 0].sum()
+        x = (1 - d) / n + d * agg + d * dang / n
+    assert np.allclose(gt["rank"].to_numpy(), x, atol=1e-9)

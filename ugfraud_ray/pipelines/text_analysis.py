@@ -644,3 +644,107 @@ def oov_stats(
         )
 
     return docs.select_columns([id_col, key]).map_batches(f, batch_format="pyarrow")
+
+
+def _postings_block(tokens: np.ndarray, doc_ids: np.ndarray, min_df: int) -> pa.Table:
+    """(token, df, postings) from distinct (token, doc_id) pairs.
+
+    lexsort by (token, doc_id) -> run boundaries -> df via run lengths;
+    postings = ','-joined ascending doc ids per run."""
+    if len(tokens) == 0:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.string()),
+            }
+        )
+    order = np.lexsort((doc_ids, tokens))
+    tok, ids = tokens[order], doc_ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], tok[1:] != tok[:-1]]))
+    ends = np.concatenate([starts[1:], [len(tok)]])
+    df = ends - starts
+    keep = df >= min_df
+    ids_str = ids.astype(str)
+    postings = [",".join(ids_str[s:e]) for s, e in zip(starts[keep], ends[keep])]
+    return pa.table(
+        {
+            "token": pa.array(tok[starts[keep]], pa.string()),
+            "df": pa.array(df[keep].astype(np.int64)),
+            "postings": pa.array(postings, pa.string()),
+        }
+    )
+
+
+def inverted_index(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    local_threshold: int = 2_000_000,
+    approx_pairs: int | None = None,
+) -> "ray.data.Dataset":
+    """(token, df, postings): the IR inverted-index build over the corpus.
+
+    df = number of distinct documents containing the token; postings =
+    ','-joined ascending doc ids (the posting list; deterministic).
+    Reference analog: `get_edge_attributes_index` inverts attr -> [ids]
+    (/root/reference Utils/helper.py:296-312) — this is that inversion
+    over the token domain at corpus scale.
+
+    Scale shape: each block emits DISTINCT (token, doc_id) pairs (one
+    row per document-term, never per occurrence — each doc lives in
+    exactly one block so per-block distinct is globally distinct), then
+    ONE coarse 64-bucket token-hash shuffle; per bucket the posting
+    lists assemble vectorized (lexsort + run boundaries). A per-token
+    hash aggregate (vocabulary-sized groups) is the measured slow path.
+    Tokenizer shared with top_tokens (lower + RE2 \\s+ split).
+    """
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        # distinct (token, doc) within the block: lexsort + run mask
+        if len(flat):
+            order = np.lexsort((ids, flat))
+            ftok, fid = flat[order], ids[order]
+            first = np.concatenate([[True], (ftok[1:] != ftok[:-1]) | (fid[1:] != fid[:-1])])
+            ftok, fid = ftok[first], fid[first]
+        else:
+            ftok, fid = flat, ids
+        return pa.table(
+            {"token": pa.array(ftok, pa.string()), "doc_id": pa.array(fid)}
+        )
+
+    pair_ds = docs.select_columns([id_col, key]).map_batches(pairs, batch_format="pyarrow")
+
+    if approx_pairs is not None and approx_pairs <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(pair_ds)
+        return ray.data.from_arrow(
+            _postings_block(
+                t["token"].to_numpy(zero_copy_only=False),
+                t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                min_df,
+            )
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(t["token"].to_numpy(zero_copy_only=False).astype(object))
+        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def per_bucket(g) -> pa.Table:
+        return _postings_block(
+            g["token"].to_numpy().astype(object),
+            g["doc_id"].to_numpy().astype(np.int64),
+            min_df,
+        )
+
+    return (
+        pair_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

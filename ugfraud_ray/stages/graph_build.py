@@ -126,6 +126,18 @@ def validate_pages_schema(ds: "ray.data.Dataset") -> None:
         raise ValueError("pages schema invalid: " + "; ".join(errs))
 
 
+def _reduce_runs(v: np.ndarray, starts: np.ndarray, how: str) -> np.ndarray:
+    if len(starts) == 0:
+        return v[:0]
+    if how == "min":
+        return np.minimum.reduceat(v, starts)
+    if how == "max":
+        return np.maximum.reduceat(v, starts)
+    if how == "sum":
+        return np.add.reduceat(v, starts)
+    raise ValueError(f"unknown combine {how!r}")
+
+
 def dedup_pairs(
     ds: "ray.data.Dataset",
     a: str = "src",
@@ -141,7 +153,9 @@ def dedup_pairs(
     millions of groups, the measured Ray slow path. Instead the pair key
     is hashed into ``n_buckets`` coarse buckets (ONE shuffle over a few
     dozen groups) and each bucket deduplicates vectorized (lexsort +
-    run-boundary reduceat). extra maps column -> 'min' | 'max'.
+    run-boundary reduceat). extra maps column -> 'min' | 'max' | 'sum'
+    ('sum' is exact for integer columns; pre-aggregation inside the
+    coarse buckets keeps the combine associative across block orders).
 
     approx_rows: caller-known upper bound on the input row count. When
     it is ≤ local_threshold the dedup runs driver-local on the collected
@@ -167,7 +181,7 @@ def dedup_pairs(
         out = {a: pa.array(av[starts]), b: pa.array(bv[starts])}
         for col, how in extra.items():
             v = t[col].to_numpy(zero_copy_only=False)[order]
-            red = np.minimum.reduceat(v, starts) if how == "min" else np.maximum.reduceat(v, starts)
+            red = _reduce_runs(v, starts, how)
             out[col] = pa.array(red)
         return ray.data.from_arrow(pa.table(out))
 
@@ -192,7 +206,7 @@ def dedup_pairs(
         out = {a: pa.array(av[starts]), b: pa.array(bv[starts])}
         for col, how in extra.items():
             v = g[col].to_numpy()[order]
-            red = np.minimum.reduceat(v, starts) if how == "min" else np.maximum.reduceat(v, starts)
+            red = _reduce_runs(v, starts, how)
             out[col] = pa.array(red)
         return pa.table(out)
 
