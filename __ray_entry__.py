@@ -47,6 +47,7 @@ DISTINCT_K = 3
 DISTINCT_DF_PCT = 10
 KCORE_K = 14  # non-empty core with a multi-round peel cascade at the gate scales
 KCORE_MAX_ITERS = 30
+MIS_MAX_ITERS = 30
 HITS_ITERS = 8
 LINKPRED_TOPN = 100
 LINKPRED_MAX_DEG = 10_000
@@ -464,6 +465,26 @@ def _q_kcore(sf_dir: str):
     # vids are contiguous 0..n-1 in ascending original-id order
     ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
     return pa.table({"id": pa.array(ids[alive], pa.int64())})
+
+
+def _q_mis(sf_dir: str):
+    """Maximal independent set over the general graph (pipelines/mis.py):
+    deterministic Luby rounds — all local md5-priority minima join each
+    round, their neighbors drop out the same round. Priorities are
+    md5-low64 of the ORIGINAL id (== DuckDB md5_number_upper), so the
+    SQL replay needs no renumbering."""
+    from ugfraud_ray.pipelines.mis import mis_members
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    prio = _md5_low64(ids.tolist())
+    mask = mis_members(
+        e, n, max_iters=MIS_MAX_ITERS, approx_edges=ge.count(), priorities=prio
+    )
+    return pa.table({"id": pa.array(ids[mask], pa.int64())})
 
 
 def _q_pagerank(sf_dir: str):
@@ -1594,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss_edges": _q_ktruss,
         "graph_diameter": _q_diameter,
         "kcore_members": _q_kcore,
+        "mis_members": _q_mis,
         "pagerank": _q_pagerank,
         "contracted_graph": _q_contracted_graph,
         "contracted_pagerank": _q_contracted_pagerank,
@@ -2725,6 +2747,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT kc.vid AS id
             FROM kc, kstar
             WHERE kc.iter = COALESCE(kstar.ks, {KCORE_MAX_ITERS}) AND kc.alive
+        """,
+        # deterministic Luby MIS replay: statuses are monotone (undecided ->
+        # mis/excluded), so running the full MIS_MAX_ITERS rounds reaches the
+        # same fixpoint as the engine's early stop — no stop-rule CTE needed
+        "mis_members": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            e2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g),
+            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
+            mis AS (
+                SELECT vid, 0 AS st,
+                       md5_number_upper(CAST(vid AS VARCHAR)) AS prio,
+                       0 AS iter
+                FROM v
+                UNION ALL
+                SELECT w.vid,
+                       CASE
+                           WHEN cur.st <> 0 THEN cur.st
+                           WHEN nm.mn IS NULL OR cur.prio < nm.mn THEN 1
+                           WHEN xn.vid IS NOT NULL THEN 2
+                           ELSE 0
+                       END,
+                       cur.prio,
+                       p0.iter + 1
+                FROM v w
+                CROSS JOIN (SELECT DISTINCT iter FROM mis) p0
+                JOIN mis cur ON cur.vid = w.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, MIN(p.prio) AS mn
+                    FROM mis p JOIN sym e ON e.src = p.vid
+                    WHERE p.st = 0 GROUP BY e.dst
+                ) nm ON nm.vid = w.vid
+                LEFT JOIN (
+                    SELECT DISTINCT e.dst AS vid
+                    FROM (
+                        SELECT p.vid
+                        FROM mis p
+                        LEFT JOIN (
+                            SELECT e2x.dst AS vid, MIN(q.prio) AS mn
+                            FROM mis q JOIN sym e2x ON e2x.src = q.vid
+                            WHERE q.st = 0 GROUP BY e2x.dst
+                        ) pm ON pm.vid = p.vid
+                        WHERE p.st = 0 AND (pm.mn IS NULL OR p.prio < pm.mn)
+                    ) j JOIN sym e ON e.src = j.vid
+                ) xn ON xn.vid = w.vid
+                WHERE p0.iter < {MIS_MAX_ITERS}
+            )
+            SELECT vid AS id FROM mis WHERE iter = {MIS_MAX_ITERS} AND st = 1
         """,
         "pagerank": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),

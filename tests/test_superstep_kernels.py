@@ -615,3 +615,36 @@ def test_weighted_pagerank_matches_dense_oracle(tmp_path):
         dang = x[wout == 0].sum()
         x = (1 - d) / n + d * agg + d * dang / n
     assert np.allclose(gt["rank"].to_numpy(), x, atol=1e-9)
+
+
+def test_mis_independent_and_maximal():
+    from ugfraud_ray.pipelines.mis import mis_members
+
+    rng = np.random.default_rng(31)
+    n, m = 200, 600
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    mask = mis_members(_edges_ds(src, dst), n, approx_edges=len(src))
+    # independence: no edge with both endpoints in the MIS
+    assert not (mask[src] & mask[dst]).any()
+    # maximality: every vertex outside has a neighbor inside
+    nbr_in = np.zeros(n, dtype=bool)
+    nbr_in[dst[mask[src]]] = True
+    nbr_in[src[mask[dst]]] = True
+    assert (mask | nbr_in).all()
+
+
+def test_mis_local_vs_distributed_agree():
+    from ugfraud_ray.pipelines.mis import mis_members
+
+    rng = np.random.default_rng(37)
+    n, m = 120, 300
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = mis_members(_edges_ds(src, dst), n, approx_edges=len(src))
+    b = mis_members(_edges_ds(src, dst), n, approx_edges=None)
+    assert (a == b).all()
