@@ -48,6 +48,7 @@ DISTINCT_DF_PCT = 10
 KCORE_K = 14  # non-empty core with a multi-round peel cascade at the gate scales
 KCORE_MAX_ITERS = 30
 MIS_MAX_ITERS = 30
+COLOR_MAX_ITERS = 60
 HITS_ITERS = 8
 LINKPRED_TOPN = 100
 LINKPRED_MAX_DEG = 10_000
@@ -485,6 +486,89 @@ def _q_mis(sf_dir: str):
         e, n, max_iters=MIS_MAX_ITERS, approx_edges=ge.count(), priorities=prio
     )
     return pa.table({"id": pa.array(ids[mask], pa.int64())})
+
+
+BUTTERFLY_CAP = 1000
+
+
+def _q_butterflies(sf_dir: str):
+    """Global butterfly (bipartite 4-cycle) census over the review graph
+    (pipelines/butterflies.py): user-pivot wedges with the spec'd degree
+    cap, per-pair counts, Σ C(c,2) — exact integers."""
+    from ugfraud_ray.pipelines.butterflies import butterfly_count
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    e = review_edges(sf_dir)
+    n_li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    ).count()
+    w, p, b = butterfly_count(e, degree_cap=BUTTERFLY_CAP, approx_edges=n_li)
+    return pa.table(
+        {
+            "n_wedges": pa.array([w], pa.int64()),
+            "n_pairs": pa.array([p], pa.int64()),
+            "n_butterflies": pa.array([b], pa.int64()),
+        }
+    )
+
+
+def _q_msf(sf_dir: str):
+    """Minimum spanning forest via Borůvka rounds (pipelines/msf.py),
+    deterministic unique pair-hash weights. Genuinely non-SQL (each
+    round contracts components — nested recursion), so rows-only;
+    guarded by an exact Kruskal oracle test instead."""
+    from ugfraud_ray.pipelines.msf import minimum_spanning_forest
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    forest = minimum_spanning_forest(e, n, approx_edges=ge.count())
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    a = ids[forest["src"].to_numpy(zero_copy_only=False)]
+    b = ids[forest["dst"].to_numpy(zero_copy_only=False)]
+    return pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())})
+
+
+def _q_assortativity(sf_dir: str):
+    """Degree assortativity (graphstats.assortativity): exact integer
+    stub moments (Python-int merge, overflow-immune), one float division
+    at readout mirrored op-for-op in SQL (int→double via VARCHAR)."""
+    from ugfraud_ray.pipelines.graphstats import assortativity
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, nv = number_int_vertices(ge)
+    n, sx, sxx, sxy = assortativity(e, nv)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = 0.0 if den == 0 else float(num) / float(den)
+    return pa.table(
+        {
+            "n_stubs": pa.array([n], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "assortativity": pa.array([round(r, 12)], pa.float64()),
+        }
+    )
+
+
+def _q_coloring(sf_dir: str):
+    """Greedy graph coloring by MIS layering (pipelines/mis.py:coloring):
+    round r colors the residual graph's md5-priority local minima with
+    color r. Priorities are md5-low64 of the ORIGINAL id."""
+    from ugfraud_ray.pipelines.mis import coloring
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    prio = _md5_low64(ids.tolist())
+    color = coloring(
+        e, n, max_iters=COLOR_MAX_ITERS, approx_edges=ge.count(), priorities=prio
+    )
+    return pa.table({"id": pa.array(ids, pa.int64()), "color": pa.array(color)})
 
 
 def _q_pagerank(sf_dir: str):
@@ -1616,6 +1700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": _q_diameter,
         "kcore_members": _q_kcore,
         "mis_members": _q_mis,
+        "graph_coloring": _q_coloring,
+        "graph_assortativity": _q_assortativity,
+        "msf_edges": _q_msf,
+        "review_butterflies": _q_butterflies,
         "pagerank": _q_pagerank,
         "contracted_graph": _q_contracted_graph,
         "contracted_pagerank": _q_contracted_pagerank,
@@ -2799,6 +2887,96 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p0.iter < {MIS_MAX_ITERS}
             )
             SELECT vid AS id FROM mis WHERE iter = {MIS_MAX_ITERS} AND st = 1
+        """,
+        "review_butterflies": f"""
+            WITH re AS ({_SQL_REVIEW_EDGES}),
+            deg AS (SELECT src, COUNT(*) AS d FROM re GROUP BY src),
+            ok AS (
+                SELECT re.src, re.dst FROM re
+                JOIN deg ON deg.src = re.src
+                WHERE deg.d <= {BUTTERFLY_CAP}
+            ),
+            wedges AS (
+                SELECT a.src, a.dst AS p1, b.dst AS p2
+                FROM ok a JOIN ok b ON a.src = b.src AND a.dst < b.dst
+            ),
+            pc AS (SELECT p1, p2, COUNT(*) AS c FROM wedges GROUP BY p1, p2)
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_wedges,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_butterflies
+            FROM pc
+        """,
+        # degree assortativity: exact HUGEINT stub moments over the
+        # canonical undirected graph (each edge as two stubs); the one
+        # float division mirrors the engine (int→double via VARCHAR —
+        # DuckDB's HUGEINT→DOUBLE cast is not round-to-nearest)
+        "graph_assortativity": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g),
+            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
+            deg AS (SELECT src AS vid, COUNT(*) AS d FROM sym GROUP BY src),
+            stubs AS (
+                SELECT d1.d AS dx, d2.d AS dy
+                FROM sym e
+                JOIN deg d1 ON d1.vid = e.src
+                JOIN deg d2 ON d2.vid = e.dst
+            ),
+            m AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(dx) AS HUGEINT) AS sx,
+                       CAST(SUM(dx * dx) AS HUGEINT) AS sxx,
+                       CAST(SUM(dx * dy) AS HUGEINT) AS sxy
+                FROM stubs
+            )
+            SELECT CAST(n AS BIGINT) AS n_stubs,
+                   CAST(sx AS BIGINT) AS sx,
+                   CAST(sxx AS BIGINT) AS sxx,
+                   CAST(sxy AS BIGINT) AS sxy,
+                   ROUND(
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE CAST(CAST(n * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+                               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                       END, 12) AS assortativity
+            FROM m
+        """,
+        # MIS-layering coloring: round r colors the residual graph's
+        # priority local minima with color r; colors assign once
+        # (monotone), so a fixed round count replays the fixpoint
+        "graph_coloring": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            e2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g),
+            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
+            col AS (
+                SELECT vid, CAST(-1 AS BIGINT) AS color,
+                       md5_number_upper(CAST(vid AS VARCHAR)) AS prio,
+                       0 AS iter
+                FROM v
+                UNION ALL
+                SELECT w.vid,
+                       CASE
+                           WHEN cur.color >= 0 THEN cur.color
+                           WHEN nm.mn IS NULL OR cur.prio < nm.mn
+                               THEN CAST(p0.iter AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT)
+                       END,
+                       cur.prio,
+                       p0.iter + 1
+                FROM v w
+                CROSS JOIN (SELECT DISTINCT iter FROM col) p0
+                JOIN col cur ON cur.vid = w.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, MIN(p.prio) AS mn
+                    FROM col p JOIN sym e ON e.src = p.vid
+                    WHERE p.color = -1 GROUP BY e.dst
+                ) nm ON nm.vid = w.vid
+                WHERE p0.iter < {COLOR_MAX_ITERS}
+            )
+            SELECT vid AS id, color FROM col WHERE iter = {COLOR_MAX_ITERS}
         """,
         "pagerank": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),

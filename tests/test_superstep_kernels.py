@@ -648,3 +648,64 @@ def test_mis_local_vs_distributed_agree():
     a = mis_members(_edges_ds(src, dst), n, approx_edges=len(src))
     b = mis_members(_edges_ds(src, dst), n, approx_edges=None)
     assert (a == b).all()
+
+
+def test_coloring_proper_and_converged():
+    from ugfraud_ray.pipelines.mis import coloring
+
+    rng = np.random.default_rng(41)
+    n, m = 150, 500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    color = coloring(_edges_ds(src, dst), n, approx_edges=len(src))
+    assert (color >= 0).all()
+    # proper: no monochromatic edge
+    assert not (color[src] == color[dst]).any()
+    # colors used are contiguous from 0
+    used = np.unique(color)
+    assert (used == np.arange(len(used))).all()
+    # distributed path agrees
+    d = coloring(_edges_ds(src, dst), n, approx_edges=None)
+    assert (color == d).all()
+
+
+def test_msf_matches_kruskal_oracle():
+    from ugfraud_ray.pipelines.msf import minimum_spanning_forest, pair_weights
+
+    rng = np.random.default_rng(47)
+    n, m = 120, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    got = minimum_spanning_forest(_edges_ds(src, dst), n, approx_edges=len(src)).to_pandas()
+
+    # Kruskal on the canonical simple graph with the same weights
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = pairs[:, 0], pairs[:, 1]
+    w = pair_weights(a, b)
+    order = np.argsort(w)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for i in order:
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            want.add((int(a[i]), int(b[i])))
+
+    got_set = set(zip(got["src"].tolist(), got["dst"].tolist()))
+    assert got_set == want
+
+    # distributed path agrees
+    dist = minimum_spanning_forest(_edges_ds(src, dst), n, approx_edges=None).to_pandas()
+    assert set(zip(dist["src"].tolist(), dist["dst"].tolist())) == want

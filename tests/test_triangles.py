@@ -145,3 +145,59 @@ def test_ktruss_local_vs_distributed_agree():
     assert a["a"].tolist() == b["a"].tolist()
     assert a["b"].tolist() == b["b"].tolist()
     assert len(a) > 0
+
+
+def test_assortativity_matches_networkx(ray_session):
+    import networkx as nx
+
+    from ugfraud_ray.pipelines.graphstats import assortativity
+
+    rng = np.random.default_rng(43)
+    n, m = 80, 250
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    e = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    ns, sx, sxx, sxy = assortativity(e, n)
+    r = float(ns * sxy - sx * sx) / float(ns * sxx - sx * sx)
+
+    G = nx.Graph()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.degree_assortativity_coefficient(G)
+    assert abs(r - want) < 1e-9
+
+
+def test_butterfly_count_matches_bruteforce(ray_session):
+    from ugfraud_ray.pipelines.butterflies import butterfly_count
+
+    rng = np.random.default_rng(53)
+    n_u, n_p, m = 40, 15, 200
+    src = rng.integers(0, n_u, m).astype(np.int64)
+    dst = (rng.integers(0, n_p, m) + 1000).astype(np.int64)
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    e = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+
+    # brute force: per product-pair common-user counts
+    from collections import defaultdict
+
+    prods = defaultdict(set)
+    for u, p in zip(src.tolist(), dst.tolist()):
+        prods[p].add(u)
+    ps = sorted(prods)
+    want_b = want_w = want_p = 0
+    for i in range(len(ps)):
+        for j in range(i + 1, len(ps)):
+            c = len(prods[ps[i]] & prods[ps[j]])
+            if c:
+                want_w += c
+                want_p += 1
+                want_b += c * (c - 1) // 2
+
+    got = butterfly_count(e, degree_cap=1000, approx_edges=len(src))
+    assert got == (want_w, want_p, want_b)
+    # distributed path agrees
+    assert butterfly_count(e, degree_cap=1000, approx_edges=None) == got
+    # degree cap actually filters: with cap 1 no user emits wedges
+    assert butterfly_count(e, degree_cap=1, approx_edges=len(src)) == (0, 0, 0)

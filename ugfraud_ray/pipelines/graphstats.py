@@ -136,3 +136,60 @@ def reciprocity(
             }
         )
     )
+
+
+def assortativity(
+    edges: "ray.data.Dataset", n_vertices: int
+) -> tuple[int, int, int, int]:
+    """Exact integer moments for the degree assortativity coefficient
+    over the canonical undirected simple graph, each edge counted in
+    BOTH directions (the networkx convention):
+
+        r = (n·Sxy − Sx²) / (n·Sxx − Sx²)
+
+    with n = 2·|E|, Sx = Σ deg(u), Sxx = Σ deg(u)², Sxy = Σ deg(u)·deg(v)
+    over directed stubs. Returns (n, Sx, Sxx, Sxy) as PYTHON ints —
+    per-block int64 partials merge driver-side in arbitrary precision
+    (deg²·E overflows int64 at web scale), the lineitem_pricing_summary
+    pattern. Degrees come from dense bincount partials over the
+    canonical pair table; the pair table is scanned once more for the
+    cross moment with the degree array broadcast via ray.put.
+    """
+    from ugfraud_ray.pipelines.kcore import _canonical_undirected
+    from ugfraud_ray.stages.graph_build import dense_degrees
+
+    und = _canonical_undirected(edges, None).materialize()
+    deg = dense_degrees(und, "src", n_vertices) + dense_degrees(und, "dst", n_vertices)
+    deg_ref = ray.put(deg)
+
+    @ray.remote
+    def moments_block(t) -> tuple[int, int, int, int]:
+        if isinstance(t, pa.Table):
+            if t.num_rows == 0:
+                return (0, 0, 0, 0)
+            a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            if len(t) == 0 or "src" not in getattr(t, "columns", []):
+                return (0, 0, 0, 0)
+            a = np.asarray(t["src"]).astype(np.int64)
+            b = np.asarray(t["dst"]).astype(np.int64)
+        d = ray.get(deg_ref)
+        dx, dy = d[a], d[b]
+        # both stub directions: Sx accumulates dx+dy, Sxx dx²+dy², Sxy 2·dx·dy.
+        # chunked int64 partials -> Python-int accumulation so hub-degree
+        # squares can't overflow inside a large block
+        sx = sxx = sxy = 0
+        for i in range(0, len(dx), 1 << 16):
+            cx, cy = dx[i : i + (1 << 16)], dy[i : i + (1 << 16)]
+            sx += int(cx.sum() + cy.sum())
+            sxx += int((cx * cx).sum() + (cy * cy).sum())
+            sxy += int(2 * (cx * cy).sum())
+        return (2 * len(a), sx, sxx, sxy)
+
+    parts = ray.get([moments_block.remote(bk) for bk in und.to_arrow_refs()])
+    n = sum(p[0] for p in parts)
+    sx = sum(p[1] for p in parts)
+    sxx = sum(p[2] for p in parts)
+    sxy = sum(p[3] for p in parts)
+    return n, sx, sxx, sxy

@@ -186,3 +186,63 @@ def mis_members(
         mis |= joins
         und &= ~(joins | excl)
     return mis
+
+
+def coloring(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    max_iters: int = 60,
+    approx_edges: int | None = None,
+    priorities: np.ndarray | None = None,
+) -> np.ndarray:
+    """Greedy distributed graph coloring by MIS layering: round r colors
+    every uncolored vertex whose md5 priority is a strict local minimum
+    among UNCOLORED neighbors with color r (Jones–Plassmann with
+    round-index colors). Within a round the colored set is independent,
+    and colored vertices leave the residual graph, so the result is a
+    proper coloring; expected round count is O(log n) for hash
+    priorities. Returns int64 (n_vertices,) colors (0-based; -1 only if
+    ``max_iters`` was hit before the residual emptied — callers treat
+    that as non-convergence).
+
+    Same monotone-status shape as ``mis_members`` (colors assign once),
+    so the SQL oracle replays a fixed round count with no stop CTE; the
+    same two dense tree-reduced edge passes per round, minus the
+    exclusion pass (only joins leave the residual).
+    """
+    und_edges = _canonical_undirected(edges, approx_edges)
+    prio = vid_priorities(n_vertices) if priorities is None else priorities
+    color = np.full(n_vertices, -1, dtype=np.int64)
+    und = np.ones(n_vertices, dtype=bool)
+
+    if approx_edges is not None and approx_edges <= 5_000_000:
+        t = collect_table(und_edges)
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for r in range(max_iters):
+            if not und.any():
+                break
+            both = und[a] & und[b]
+            mn = np.full(n_vertices, _U64MAX, dtype=np.uint64)
+            np.minimum.at(mn, a[both], prio[b[both]])
+            np.minimum.at(mn, b[both], prio[a[both]])
+            joins = und & (prio < mn)
+            color[joins] = r
+            und &= ~joins
+        return color
+
+    blocks = und_edges.materialize().to_arrow_refs()
+    prio_ref = ray.put(prio)
+    for r in range(max_iters):
+        if not und.any():
+            break
+        und_ref = ray.put(und)
+        refs = _tree(
+            [_nbrmin_block.remote(bk, und_ref, prio_ref, n_vertices) for bk in blocks],
+            _min_blocks,
+        )
+        mn = ray.get(refs[0]) if refs else np.full(n_vertices, _U64MAX, dtype=np.uint64)
+        joins = und & (prio < mn)
+        color[joins] = r
+        und &= ~joins
+    return color
