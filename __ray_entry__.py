@@ -62,6 +62,7 @@ PPR_SEED_MOD = 97  # seeds = vertices whose original id % this == 0
 PPR_ITERS = 10
 BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
 BFS_MAX_HOPS = 64
+HYPERBALL_RADIUS = 3  # out-ball radius for the HyperBall neighborhood function
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
 SSSP_DIST_CAP = 120  # oracle CTE bound; measured max distance is ~9
 WALK_LEN = 6  # deterministic random-walk length (steps after the seed)
@@ -448,6 +449,24 @@ def _q_bfs_hops(sf_dir: str):
     hops, _ = bfs_hops(e, n, seeds, _scratch("bfs"), P=4, max_iters=BFS_MAX_HOPS)
     out = unmap_vids(hops, vmap, vid_col="vid", out_col="id")
     return out.select_columns(["id", "hops"])
+
+
+def _q_hyperball(sf_dir: str):
+    """HyperBall neighborhood function over the DIRECTED general graph
+    (pipelines/hyperball.py): per-vertex 128-register HLL out-ball
+    sketches, one max-union superstep per radius; registers, exact
+    integer register sums, and the float estimator are all replayed
+    bit-exactly by the SQL oracle (radius-bounded recursive reach CTE +
+    the events_hll_users estimator chain on m=128/p=7)."""
+    from ugfraud_ray.pipelines.hyperball import neighborhood_function
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    return neighborhood_function(
+        e, ids, radius=HYPERBALL_RADIUS, approx_edges=ge.count()
+    )
 
 
 def _q_kcore(sf_dir: str):
@@ -1688,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangles,
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
+        "hyperball_nf": _q_hyperball,
         "clustering_coefficient": _q_clustering,
         "strongly_connected_components": _q_scc,
         "sssp_dist": _q_sssp,
@@ -1816,6 +1836,68 @@ def _hll_sql() -> str:
                s_dbl AS s_hll,
                floor((CASE WHEN (4096 - nz) > 0 AND raw <= 10240.0
                       THEN 4096.0 * ln(4096.0 / CAST(4096 - nz AS DOUBLE))
+                      ELSE raw END) * 100.0 + 0.5) / 100.0 AS approx
+        FROM raw
+    """
+
+
+def _hyperball_sql() -> str:
+    """Bit-exact SQL replay of the HyperBall neighborhood function:
+    radius-bounded DIRECTED reachability (recursive CTE, MIN-distance
+    per (source, target), ball at r = targets with dist <= r) feeding
+    the same HLL register/estimator chain as events_hll_users but at
+    m=128 / p=7 / RHO_MAX=58 (2^58 = 288230376151711744). Every vertex
+    is its own radius-0 ball, so the seed row carries d=0."""
+    from ugfraud_ray.pipelines.hyperball import HB_ALPHA_NUM
+
+    return f"""
+        WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+        v AS (
+            SELECT DISTINCT src AS id FROM g
+            UNION SELECT DISTINCT dst FROM g
+        ),
+        reach(s, u, d) AS (
+            SELECT id, id, 0 FROM v
+            UNION
+            SELECT r.s, e.dst, r.d + 1
+            FROM reach r JOIN g e ON e.src = r.u
+            WHERE r.d < {HYPERBALL_RADIUS}
+        ),
+        mind AS (SELECT s, u, MIN(d) AS d FROM reach GROUP BY s, u),
+        radii AS (
+            SELECT UNNEST(generate_series(0, {HYPERBALL_RADIUS})) AS r
+        ),
+        memb AS (
+            SELECT m.s, rr.r, md5_number_upper(CAST(m.u AS VARCHAR)) AS hv
+            FROM mind m JOIN radii rr ON m.d <= rr.r
+        ),
+        regz AS (
+            SELECT s, r, CAST(hv & 127 AS BIGINT) AS j,
+                   CAST(CASE WHEN (hv >> 7) = 0 THEN 58
+                        ELSE 58 - length(bin(hv >> 7)) END AS BIGINT) AS rho
+            FROM memb
+        ),
+        regs AS (
+            SELECT s, r, j, MAX(rho) AS rr FROM regz GROUP BY s, r, j
+        ),
+        agg AS (
+            SELECT s, r, COUNT(*) AS nz,
+                   SUM(CAST(CAST(1 AS BIGINT) << (58 - rr) AS HUGEINT))
+                     + CAST(128 - COUNT(*) AS HUGEINT) * 288230376151711744 AS sm
+            FROM regs GROUP BY s, r
+        ),
+        raw AS (
+            SELECT s, r, nz,
+                   CAST(CAST(sm AS VARCHAR) AS DOUBLE) AS s_dbl,
+                   CAST('{HB_ALPHA_NUM!r}' AS DOUBLE)
+                     / CAST(CAST(sm AS VARCHAR) AS DOUBLE) AS raw
+            FROM agg
+        )
+        SELECT s AS id, CAST(r AS BIGINT) AS r,
+               CAST(nz AS BIGINT) AS n_registers,
+               s_dbl AS s_hll,
+               floor((CASE WHEN (128 - nz) > 0 AND raw <= 320.0
+                      THEN 128.0 * ln(128.0 / CAST(128 - nz AS DOUBLE))
                       ELSE raw END) * 100.0 + 0.5) / 100.0 AS approx
         FROM raw
     """
@@ -2580,6 +2662,9 @@ def oracle_sql() -> dict[str, str]:
         # BFS frontier replayed level-by-level: (vid, d) pairs dedup via
         # UNION; MIN(d) over all expansions with d < cap == hop distance
         # (the engine runs the same min-plus updates to fixpoint)
+        # HyperBall: directed radius-bounded reach + full HLL sketch
+        # replay (registers, HUGEINT sums, estimator) at m=128
+        "hyperball_nf": _hyperball_sql(),
         "bfs_hops": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
             sym AS (

@@ -1,0 +1,184 @@
+"""HyperBall: the neighborhood function N(v, r) via per-vertex HLL balls.
+
+The canonical web-graph distance analysis (Boldi–Vigna HyperBall): each
+vertex keeps a small HyperLogLog of the set of vertices reachable from
+it within r hops; one superstep unions every vertex's sketch with its
+successors' sketches, so after r rounds register state describes the
+radius-r out-ball. Ball-size estimates give the neighborhood function,
+average-distance and effective-diameter readouts that are otherwise
+O(n·E) BFS work. Reference analog: SpEagle's `local_schedule` explores
+exactly these bounded balls one source at a time
+(/root/reference Detector/SpEagle.py:339-379); HyperBall is the
+all-sources-at-once sketch version.
+
+Determinism contract (same as pipelines/sketches.py, so the DuckDB
+oracle replays registers AND estimates bit-exactly): item hash =
+md5-low64 of the vertex's ORIGINAL id string (== DuckDB
+``md5_number_upper``); rho from EXACT integer bit length (the suffix
+has 57 bits here — too wide for the float-frexp shortcut, so a 6-step
+vectorized shift cascade computes bit length exactly); register sums
+are exact integers; int→double through the decimal string.
+
+Scale shape: registers are a dense (n, 128) uint8 matrix; one superstep
+is per-block ``np.maximum.at`` partials over the edge blocks + an
+8-way elementwise-max tree reduce — the same dense-partial pattern as
+kcore/MIS, moving 128 B/vertex. Beyond driver-array scale the matrix
+shards by vid range (the register union is embarrassingly mergeable).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+HB_P = 7
+HB_M = 1 << HB_P                 # 128 registers -> rel std err ~1.04/sqrt(128) = 9.2%
+_W_BITS = 64 - HB_P
+_RHO_MAX = _W_BITS + 1           # 58
+HB_ALPHA_NUM = (
+    0.7213 / (1 + 1.079 / float(HB_M)) * float(HB_M) * float(HB_M) * float(1 << _RHO_MAX)
+)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact integer bit length of uint64 values (vectorized shift
+    cascade — float frexp is wrong past 2^53)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        x[m] >>= np.uint64(s)
+    bl[x > 0] += 1
+    return bl
+
+
+def init_registers(ids: np.ndarray) -> np.ndarray:
+    """(n, HB_M) uint8: each vertex's sketch of {itself}, hashed by
+    ORIGINAL id (decimal string)."""
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    hv = _md5_low64(ids.tolist())
+    j = (hv & np.uint64(HB_M - 1)).astype(np.int64)
+    w = hv >> np.uint64(HB_P)
+    rho = np.where(w > 0, _RHO_MAX - _bit_length_u64(w), _RHO_MAX).astype(np.uint8)
+    regs = np.zeros((len(ids), HB_M), dtype=np.uint8)
+    regs[np.arange(len(ids)), j] = rho
+    return regs
+
+
+@ray.remote
+def _union_block(t, regs: np.ndarray, n: int):
+    if isinstance(t, pa.Table) and t.num_rows > 0:
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    elif not isinstance(t, pa.Table) and len(t) > 0 and "src" in getattr(t, "columns", []):
+        a = np.asarray(t["src"]).astype(np.int64)
+        b = np.asarray(t["dst"]).astype(np.int64)
+    else:
+        return np.zeros((n, regs.shape[1]), dtype=np.uint8)
+    out = np.zeros((n, regs.shape[1]), dtype=np.uint8)
+    np.maximum.at(out, a, regs[b])
+    return out
+
+
+@ray.remote
+def _max_blocks(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.maximum(out, p, out=out)
+    return out
+
+
+def _estimates(regs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-vertex (nz, float(S_total), estimate). S_total = Σ_j 2^(RHO_MAX
+    - rho_j) (rho=0 for an empty register contributes 2^RHO_MAX) can reach
+    128·2^58 = 2^65 — past int64 — so each row sums EXACT int64 hi/lo
+    halves (term>>32 / term&0xffffffff, both ≤ 2^39·128) and only the
+    final per-row (hi<<32)+lo runs through an exact Python int → float64
+    conversion (correctly rounded, matching SQL's VARCHAR→DOUBLE route).
+    Estimator op-for-op as sketches.hll_estimate."""
+    n = regs.shape[0]
+    nz = (regs > 0).sum(axis=1).astype(np.int64)
+    shift = (np.int64(_RHO_MAX) - regs.astype(np.int64)).astype(np.uint64)
+    term = np.left_shift(np.uint64(1), shift).astype(np.uint64)
+    hi = (term >> np.uint64(32)).astype(np.int64).sum(axis=1)
+    lo = (term & np.uint64(0xFFFFFFFF)).astype(np.int64).sum(axis=1)
+    s_f = np.fromiter(
+        (float((int(h) << 32) + int(l)) for h, l in zip(hi.tolist(), lo.tolist())),
+        dtype=np.float64,
+        count=n,
+    )
+    raw = HB_ALPHA_NUM / s_f
+    zeros = (HB_M - nz).astype(np.float64)
+    e = raw.copy()
+    # math.log (not np.log) for bit-parity with the verified
+    # sketches.hll_estimate / DuckDB ln() path; loop is mask-only
+    for i in np.flatnonzero((zeros > 0) & (raw <= 2.5 * float(HB_M))).tolist():
+        e[i] = float(HB_M) * math.log(float(HB_M) / zeros[i])
+    est = np.floor(e * 100.0 + 0.5) / 100.0
+    return nz, s_f, est
+
+
+def neighborhood_function(
+    edges: "ray.data.Dataset",
+    ids: np.ndarray,
+    radius: int = 4,
+    local_threshold: int = 5_000_000,
+    approx_edges: int | None = None,
+) -> pa.Table:
+    """(id, r, n_registers, s_hll, approx) for r = 0..radius: the
+    estimated out-ball size |{u : dist(v→u) <= r}| per vertex. ``ids``
+    maps contiguous vids to original ids (hash identity); ``edges`` are
+    directed on the vid domain; multi-edges are harmless (max-union is
+    idempotent)."""
+    n = len(ids)
+    regs = init_registers(ids)
+    out_id, out_r, out_nz, out_s, out_e = [], [], [], [], []
+
+    def emit(r: int, regs: np.ndarray) -> None:
+        nz, s_f, est = _estimates(regs)
+        out_id.append(ids.astype(np.int64))
+        out_r.append(np.full(n, r, dtype=np.int64))
+        out_nz.append(nz)
+        out_s.append(s_f)
+        out_e.append(est)
+
+    emit(0, regs)
+    local = approx_edges is not None and approx_edges <= local_threshold
+    if local:
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(edges.select_columns(["src", "dst"]))
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for r in range(1, radius + 1):
+            upd = np.zeros_like(regs)
+            np.maximum.at(upd, a, regs[b])
+            regs = np.maximum(regs, upd)
+            emit(r, regs)
+    else:
+        blocks = edges.select_columns(["src", "dst"]).materialize().to_arrow_refs()
+        for r in range(1, radius + 1):
+            regs_ref = ray.put(regs)
+            refs = [_union_block.remote(bk, regs_ref, n) for bk in blocks]
+            while len(refs) > 1:
+                refs = [_max_blocks.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
+            upd = ray.get(refs[0]) if refs else np.zeros_like(regs)
+            regs = np.maximum(regs, upd)
+            emit(r, regs)
+
+    return pa.table(
+        {
+            "id": pa.array(np.concatenate(out_id)),
+            "r": pa.array(np.concatenate(out_r)),
+            "n_registers": pa.array(np.concatenate(out_nz)),
+            "s_hll": pa.array(np.concatenate(out_s)),
+            "approx": pa.array(np.concatenate(out_e)),
+        }
+    )
