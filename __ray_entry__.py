@@ -469,6 +469,42 @@ def _q_hyperball(sf_dir: str):
     )
 
 
+def _q_harmonic(sf_dir: str):
+    """HyperBall approximate harmonic centrality (hyperball.py):
+    h(v) = Σ_r (|B(r)|−|B(r−1)|)/r over the sketch ball estimates,
+    summed in fixed ascending-r order so the SQL pivot replays the
+    float expression bit-exactly."""
+    from ugfraud_ray.pipelines.hyperball import harmonic_centrality
+
+    return harmonic_centrality(_q_hyperball(sf_dir))
+
+
+def _q_closeness(sf_dir: str):
+    """HyperBall approximate closeness centrality (hyperball.py):
+    (|B(R)|−1) / Σ_r r·(|B(r)|−|B(r−1)|), ascending-r summation, 0 for
+    sinks; SQL pivot replays the float expression bit-exactly."""
+    from ugfraud_ray.pipelines.hyperball import closeness_centrality
+
+    return closeness_centrality(_q_hyperball(sf_dir))
+
+
+def _q_distance_distribution(sf_dir: str):
+    """Global neighborhood function N(r) = Σ_v |B(v,r)| (hyperball.py):
+    exact integer sums on the estimator's 0.01 grid, one row per radius."""
+    from ugfraud_ray.pipelines.hyperball import distance_distribution
+
+    return distance_distribution(_q_hyperball(sf_dir))
+
+
+def _q_effective_diameter(sf_dir: str):
+    """Interpolated 90%-effective diameter from the HyperBall distance
+    distribution (hyperball.py): first radius where N(r) reaches
+    0.9·N(R), linearly interpolated; single-row readout."""
+    from ugfraud_ray.pipelines.hyperball import effective_diameter
+
+    return effective_diameter(_q_hyperball(sf_dir), alpha=0.9)
+
+
 def _q_kcore(sf_dir: str):
     """k-core membership over the general graph (pipelines/kcore.py):
     Jacobi low-degree peeling, per-round alive-filtered dense-bincount
@@ -1708,6 +1744,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
         "hyperball_nf": _q_hyperball,
+        "harmonic_centrality": _q_harmonic,
+        "closeness_centrality": _q_closeness,
+        "graph_distance_distribution": _q_distance_distribution,
+        "graph_effective_diameter": _q_effective_diameter,
         "clustering_coefficient": _q_clustering,
         "strongly_connected_components": _q_scc,
         "sssp_dist": _q_sssp,
@@ -1900,6 +1940,85 @@ def _hyperball_sql() -> str:
                       THEN 128.0 * ln(128.0 / CAST(128 - nz AS DOUBLE))
                       ELSE raw END) * 100.0 + 0.5) / 100.0 AS approx
         FROM raw
+    """
+
+
+def _harmonic_sql() -> str:
+    """Harmonic centrality pivoted from the hyperball_nf replay: terms
+    (a_r − a_{r−1})/r summed as one LEFT-TO-RIGHT float expression in
+    ascending r — identical association order to the numpy loop, so the
+    float result matches bit-exactly."""
+    piv = ", ".join(
+        f"MAX(CASE WHEN r = {r} THEN approx END) AS a{r}"
+        for r in range(HYPERBALL_RADIUS + 1)
+    )
+    expr = " + ".join(
+        f"((a{r} - a{r - 1}) / {float(r)!r})" for r in range(1, HYPERBALL_RADIUS + 1)
+    )
+    return f"""
+        WITH nf AS ({_hyperball_sql()}),
+        piv AS (SELECT id, {piv} FROM nf GROUP BY id)
+        SELECT id, {expr} AS harmonic FROM piv
+    """
+
+
+def _closeness_sql() -> str:
+    """Closeness pivoted from the hyperball_nf replay: S = Σ r·(a_r −
+    a_{r−1}) summed left-to-right in ascending r (same association as
+    the numpy loop), readout (a_R − 1)/S with CASE-guarded S = 0."""
+    R = HYPERBALL_RADIUS
+    piv = ", ".join(
+        f"MAX(CASE WHEN r = {r} THEN approx END) AS a{r}" for r in range(R + 1)
+    )
+    s_expr = " + ".join(
+        f"((a{r} - a{r - 1}) * {float(r)!r})" for r in range(1, R + 1)
+    )
+    return f"""
+        WITH nf AS ({_hyperball_sql()}),
+        piv AS (SELECT id, {piv} FROM nf GROUP BY id),
+        sums AS (SELECT id, a{R}, {s_expr} AS s FROM piv)
+        SELECT id,
+               CASE WHEN s > 0.0 THEN (a{R} - 1.0) / s ELSE 0.0 END AS closeness
+        FROM sums
+    """
+
+
+def _distance_distribution_sql() -> str:
+    """Global N(r) totals from the hyperball_nf replay: approx sits on
+    an exact 0.01 grid, so SUM of round-half-up(approx·100) BIGINTs is
+    order-independent-exact; every total is < 2^53 at test scale so the
+    final DOUBLE cast and /100.0 are exact single ops on both sides."""
+    return f"""
+        WITH nf AS ({_hyperball_sql()})
+        SELECT r,
+               CAST(SUM(CAST(FLOOR(approx * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS n_pairs
+        FROM nf GROUP BY r
+    """
+
+
+def _effective_diameter_sql(alpha: float = 0.9) -> str:
+    """Interpolated effective diameter: first-true CASE chain over the
+    pivoted N(r) totals — identical branch order and float expression
+    as the sequential scan in hyperball.effective_diameter."""
+    R = HYPERBALL_RADIUS
+    piv = ", ".join(
+        f"MAX(CASE WHEN r = {r} THEN n_pairs END) AS t{r}" for r in range(R + 1)
+    )
+    a = f"CAST({float(alpha)!r} AS DOUBLE)"
+    whens = "\n".join(
+        f"WHEN t{r} >= ({a} * t{R}) THEN "
+        f"{float(r - 1)!r} + (({a} * t{R}) - t{r - 1}) / (t{r} - t{r - 1})"
+        for r in range(1, R + 1)
+    )
+    return f"""
+        WITH dist AS ({_distance_distribution_sql()}),
+        piv AS (SELECT {piv} FROM dist)
+        SELECT {a} AS alpha,
+               CASE WHEN t0 >= ({a} * t{R}) THEN 0.0
+                    {whens}
+                    ELSE 0.0 END AS effective_diameter
+        FROM piv
     """
 
 
@@ -2665,6 +2784,10 @@ def oracle_sql() -> dict[str, str]:
         # HyperBall: directed radius-bounded reach + full HLL sketch
         # replay (registers, HUGEINT sums, estimator) at m=128
         "hyperball_nf": _hyperball_sql(),
+        "harmonic_centrality": _harmonic_sql(),
+        "closeness_centrality": _closeness_sql(),
+        "graph_distance_distribution": _distance_distribution_sql(),
+        "graph_effective_diameter": _effective_diameter_sql(alpha=0.9),
         "bfs_hops": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
             sym AS (

@@ -111,3 +111,77 @@ def test_hyperball_ball_growth_monotone(ray_session):
     assert (r0["n_registers"] == 1).all()
     # linear-counting regime at a single element: m*ln(m/(m-1)) ≈ 1.0
     assert (r0["approx"] == 1.0).all()
+
+
+def test_harmonic_centrality_readout(ray_session):
+    """harmonic_centrality == per-vertex Σ_r (approx_r − approx_{r−1})/r
+    computed independently from the nf table, with the summation replayed
+    in the same ascending-r order (bit-exact, not just allclose)."""
+    from ugfraud_ray.pipelines.hyperball import (
+        harmonic_centrality,
+        neighborhood_function,
+    )
+
+    src, dst, ids = _graph(seed=11, n=80, m=300)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    nf = neighborhood_function(edges, ids, radius=3, approx_edges=len(src))
+    got = harmonic_centrality(nf).to_pandas().set_index("id")["harmonic"]
+    piv = nf.to_pandas().pivot(index="id", columns="r", values="approx")
+    want = np.zeros(len(piv))
+    for r in range(1, 4):
+        want = want + (piv[r].to_numpy() - piv[r - 1].to_numpy()) / float(r)
+    assert list(got.index) == list(piv.index)
+    assert (got.to_numpy() == want).all()
+    # sanity: all non-negative, isolated-ish vertices can be 0
+    assert (got.to_numpy() >= -1e-12).all()
+
+
+def test_distance_readouts(ray_session):
+    """distance_distribution totals equal column sums of the pivoted
+    approx matrix on the 0.01 grid; effective diameter is the
+    interpolated 0.9-crossing of those totals; closeness matches an
+    independent per-vertex replay with the same association order."""
+    from ugfraud_ray.pipelines.hyperball import (
+        closeness_centrality,
+        distance_distribution,
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    src, dst, ids = _graph(seed=5, n=70, m=260)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    nf = neighborhood_function(edges, ids, radius=3, approx_edges=len(src))
+    piv = nf.to_pandas().pivot(index="id", columns="r", values="approx")
+
+    dist = distance_distribution(nf).to_pandas()
+    assert list(dist["r"]) == [0, 1, 2, 3]
+    want_tot = [
+        float(np.floor(piv[r].to_numpy() * 100.0 + 0.5).astype(np.int64).sum()) / 100.0
+        for r in range(4)
+    ]
+    assert list(dist["n_pairs"]) == want_tot
+    assert dist["n_pairs"].is_monotonic_increasing
+
+    ed = effective_diameter(nf, alpha=0.9).to_pandas()
+    t = dist["n_pairs"].to_numpy()
+    target = 0.9 * t[-1]
+    d = ed["effective_diameter"].iloc[0]
+    assert 0.0 <= d <= 3.0
+    if d > 0:
+        r = int(np.ceil(d)) if d != int(d) else int(d)
+        r = max(r, 1)
+        assert t[r - 1] < target <= t[r]
+        assert d == float(r - 1) + (target - t[r - 1]) / (t[r] - t[r - 1])
+
+    cl = closeness_centrality(nf).to_pandas().set_index("id")["closeness"]
+    s = np.zeros(len(piv))
+    for r in range(1, 4):
+        s = s + (piv[r].to_numpy() - piv[r - 1].to_numpy()) * float(r)
+    reach = piv[3].to_numpy() - 1.0
+    want = np.where(s > 0.0, reach / np.where(s > 0.0, s, 1.0), 0.0)
+    assert (cl.to_numpy() == want).all()
+    assert (cl.to_numpy() >= 0.0).all()

@@ -182,3 +182,96 @@ def neighborhood_function(
             "approx": pa.array(np.concatenate(out_e)),
         }
     )
+
+
+def harmonic_centrality(nf: pa.Table) -> pa.Table:
+    """Approximate harmonic centrality from the neighborhood function:
+    h(v) = Σ_{r=1..R} (|B(v,r)| − |B(v,r−1)|) / r — HyperBall's headline
+    readout (each shell's members sit at distance exactly r under the
+    sketch approximation). Terms are added in ASCENDING r order as one
+    fixed float expression; the SQL oracle pivots r explicitly and sums
+    the identical expression left-to-right, so the float result is
+    bit-exact. Input is the (id, r, …, approx) table from
+    ``neighborhood_function``; output (id, harmonic) sorted by id."""
+    ids = nf["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rs = nf["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ap = nf["approx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    radius = int(rs.max()) if len(rs) else 0
+    order = np.lexsort((rs, ids))
+    ids_s, ap_s = ids[order], ap[order]
+    n = len(ids_s) // (radius + 1)
+    mat = ap_s.reshape(n, radius + 1)
+    h = np.zeros(n, dtype=np.float64)
+    for r in range(1, radius + 1):  # fixed ascending-order summation
+        h = h + (mat[:, r] - mat[:, r - 1]) / float(r)
+    return pa.table({"id": pa.array(ids_s.reshape(n, radius + 1)[:, 0]), "harmonic": pa.array(h)})
+
+
+def closeness_centrality(nf: pa.Table) -> pa.Table:
+    """Approximate (Lin-style, out-)closeness from the neighborhood
+    function: c(v) = reach(v) / S(v) with reach = |B(v,R)| − 1 and
+    S(v) = Σ_{r=1..R} r·(|B(v,r)| − |B(v,r−1)|) — the estimated sum of
+    distances to everything reachable within the horizon. c = 0 when
+    S = 0 (sink vertices). Same fixed ascending-r float association as
+    ``harmonic_centrality`` so the SQL pivot replays bit-exactly.
+    Output (id, closeness) sorted by id."""
+    ids = nf["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rs = nf["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ap = nf["approx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    radius = int(rs.max()) if len(rs) else 0
+    order = np.lexsort((rs, ids))
+    ids_s, ap_s = ids[order], ap[order]
+    n = len(ids_s) // (radius + 1)
+    mat = ap_s.reshape(n, radius + 1)
+    s = np.zeros(n, dtype=np.float64)
+    for r in range(1, radius + 1):  # fixed ascending-order summation
+        s = s + (mat[:, r] - mat[:, r - 1]) * float(r)
+    reach = mat[:, radius] - 1.0
+    c = np.where(s > 0.0, reach / np.where(s > 0.0, s, 1.0), 0.0)
+    return pa.table(
+        {"id": pa.array(ids_s.reshape(n, radius + 1)[:, 0]), "closeness": pa.array(c)}
+    )
+
+
+def distance_distribution(nf: pa.Table) -> pa.Table:
+    """Global neighborhood function N(r) = Σ_v |B(v,r)| (estimated
+    reachable-pairs count within r hops) — HyperBall's whole-graph
+    distance-distribution readout. ``approx`` sits on an exact 0.01
+    grid (see ``_estimates``), so each total is an EXACT integer sum of
+    round-half-up(approx·100) int64 partials (order-independent ⇒
+    bit-exact vs SQL SUM) read out as float(total)/100. Output
+    (r, n_pairs) for r = 0..R, ascending."""
+    rs = nf["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ap = nf["approx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    radius = int(rs.max()) if len(rs) else 0
+    q = np.floor(ap * 100.0 + 0.5).astype(np.int64)
+    totals = np.zeros(radius + 1, dtype=np.int64)
+    np.add.at(totals, rs, q)
+    return pa.table(
+        {
+            "r": pa.array(np.arange(radius + 1, dtype=np.int64)),
+            "n_pairs": pa.array(totals.astype(np.float64) / 100.0),
+        }
+    )
+
+
+def effective_diameter(nf: pa.Table, alpha: float = 0.9) -> pa.Table:
+    """Interpolated effective diameter at fraction ``alpha``: the
+    smallest (linearly interpolated) r such that N(r) ≥ alpha·N(R),
+    computed from the exact-integer distance-distribution totals with
+    one fixed scalar float expression per branch (SQL replays the same
+    CASE chain). Single row (alpha, effective_diameter)."""
+    dist = distance_distribution(nf)
+    tot = dist["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    target = alpha * tot[-1]
+    # sequential first-match scan (NOT searchsorted): identical branch
+    # order to the SQL CASE chain even if totals were non-monotone
+    d = 0.0
+    if tot[0] < target:
+        for r in range(1, len(tot)):
+            if tot[r] >= target:
+                d = float(r - 1) + (target - tot[r - 1]) / (tot[r] - tot[r - 1])
+                break
+    return pa.table(
+        {"alpha": pa.array([float(alpha)]), "effective_diameter": pa.array([d])}
+    )
