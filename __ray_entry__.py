@@ -50,6 +50,7 @@ KCORE_MAX_ITERS = 30
 MIS_MAX_ITERS = 30
 COLOR_MAX_ITERS = 60
 HITS_ITERS = 8
+SALSA_ITERS = 5  # fixed SALSA walk steps (stochastic operator, no normalization)
 LINKPRED_TOPN = 100
 LINKPRED_MAX_DEG = 10_000
 REDACT_TERM_PATTERN = r"\b(spark|batch)\b"  # matches real corpus content
@@ -760,6 +761,40 @@ def _q_hits(sf_dir: str):
 
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(
         ["id", "authority", "hub"]
+    )
+
+
+def _q_salsa(sf_dir: str):
+    """SALSA hub/authority walk scores over the general graph
+    (pipelines/salsa.py): degree-normalized HITS — fixed-count
+    alternating-random-walk supersteps with per-edge 1/deg weights, no
+    normalization channel; values rounded to 9 decimals on both sides."""
+    from ugfraud_ray.pipelines.salsa import salsa
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    scores, _ = salsa(e, n, _scratch("salsa"), P=4, max_iters=SALSA_ITERS)
+    out = unmap_vids(scores, vmap, vid_col="vid", out_col="id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "salsa_authority": pa.array(
+                    np.round(t["salsa_authority"].to_numpy(zero_copy_only=False), 9)
+                ),
+                "salsa_hub": pa.array(
+                    np.round(t["salsa_hub"].to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["id", "salsa_authority", "salsa_hub"]
     )
 
 
@@ -1768,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contracted_graph": _q_contracted_graph,
         "contracted_pagerank": _q_contracted_pagerank,
         "hits_scores": _q_hits,
+        "salsa_scores": _q_salsa,
         "linkpred_scores": _q_linkpred,
         "personalized_pagerank": _q_ppr,
         "auc_rating_label": _q_auc,
@@ -3303,6 +3339,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(a / (SELECT SQRT(SUM(a * a)) FROM fin), 9) AS authority,
                    ROUND(h / (SELECT SQRT(SUM(h * h)) FROM fin), 9) AS hub
             FROM fin
+        """,
+        "salsa_scores": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM g GROUP BY src),
+            indeg AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d FROM g GROUP BY dst),
+            it AS (
+                SELECT vid, CAST(1.0 AS DOUBLE) AS a, CAST(1.0 AS DOUBLE) AS h,
+                       0 AS iter
+                FROM v
+                UNION ALL
+                SELECT v.vid,
+                       COALESCE(ma.s, 0),
+                       COALESCE(mh.s, 0),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM it) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.h / o.d) AS s
+                    FROM it p JOIN g e ON e.src = p.vid
+                    JOIN outdeg o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) ma ON ma.vid = v.vid
+                LEFT JOIN (
+                    SELECT e.src AS vid, SUM(p.a / i.d) AS s
+                    FROM it p JOIN g e ON e.dst = p.vid
+                    JOIN indeg i ON i.dst = p.vid
+                    GROUP BY e.src
+                ) mh ON mh.vid = v.vid
+                WHERE p0.iter < {SALSA_ITERS}
+            )
+            SELECT vid AS id, ROUND(a, 9) AS salsa_authority,
+                   ROUND(h, 9) AS salsa_hub
+            FROM it WHERE iter = {SALSA_ITERS}
         """,
         "personalized_pagerank": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),

@@ -709,3 +709,50 @@ def test_msf_matches_kruskal_oracle():
     # distributed path agrees
     dist = minimum_spanning_forest(_edges_ds(src, dst), n, approx_edges=None).to_pandas()
     assert set(zip(dist["src"].tolist(), dist["dst"].tolist())) == want
+
+
+def _salsa_oracle(src, dst, n, iters):
+    """Dense synchronous SALSA: alternating 1/deg-weighted walk steps,
+    no normalization (the operator is sub-stochastic)."""
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    indeg = np.bincount(dst, minlength=n).astype(np.float64)
+    ow = 1.0 / np.where(outdeg > 0, outdeg, 1.0)
+    iw = 1.0 / np.where(indeg > 0, indeg, 1.0)
+    a = np.ones(n)
+    h = np.ones(n)
+    for _ in range(iters):
+        a_new = np.bincount(dst, weights=h[src] * ow[src], minlength=n)
+        h_new = np.bincount(src, weights=a[dst] * iw[dst], minlength=n)
+        a, h = a_new, h_new
+    return a, h
+
+
+def test_salsa_matches_dense_oracle(tmp_path):
+    from ugfraud_ray.pipelines.salsa import salsa
+
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=13)
+    src, dst, n = _graph(spec)
+    got, metrics = salsa(_edges_ds(src, dst), n, str(tmp_path / "sl"), P=2, max_iters=6)
+    gp = got.to_pandas().sort_values("vid")
+    wa, wh = _salsa_oracle(src, dst, n, iters=6)
+    np.testing.assert_allclose(gp["salsa_authority"].to_numpy(), wa, atol=1e-12)
+    np.testing.assert_allclose(gp["salsa_hub"].to_numpy(), wh, atol=1e-12)
+    assert len(metrics) == 6
+    # stochastic operator: total authority mass == number of non-dangling
+    # sources after the first step stays bounded by n
+    assert gp["salsa_authority"].to_numpy().sum() <= n + 1e-9
+
+
+def test_salsa_partition_invariant_and_hub_split(tmp_path):
+    from ugfraud_ray.pipelines.salsa import salsa
+
+    spec = PagesSpec(n_users=60, n_prods=6, n_edges=220, seed=29, zipf_a=2.0)
+    src, dst, n = _graph(spec)
+    a1, _ = salsa(_edges_ds(src, dst), n, str(tmp_path / "s1"), P=1, max_iters=5)
+    a4, _ = salsa(
+        _edges_ds(src, dst), n, str(tmp_path / "s4"), P=4, max_iters=5, hub_threshold=30
+    )
+    p1 = a1.to_pandas().sort_values("vid").reset_index(drop=True)
+    p4 = a4.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(p1["salsa_authority"], p4["salsa_authority"], atol=1e-12)
+    np.testing.assert_allclose(p1["salsa_hub"], p4["salsa_hub"], atol=1e-12)
