@@ -506,6 +506,18 @@ def _q_effective_diameter(sf_dir: str):
     return effective_diameter(_q_hyperball(sf_dir), alpha=0.9)
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity terms of the label-propagation partition over
+    the general graph (pipelines/modularity.py): per-community exact
+    integer (n_vertices, in_edges, deg_sum) + one fixed float q_term
+    expression — one streaming edge pass with the labels broadcast."""
+    from ugfraud_ray.pipelines.modularity import partition_modularity
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    labels = _q_labelprop(sf_dir)
+    return partition_modularity(general_edges(sf_dir), labels)
+
+
 def _q_kcore(sf_dir: str):
     """k-core membership over the general graph (pipelines/kcore.py):
     Jacobi low-degree peeling, per-round alive-filtered dense-bincount
@@ -1741,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles_events": _q_grouped_quantiles,
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
+        "partition_modularity": _q_modularity,
         "seeded_sample": _q_seeded_sample,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -2541,6 +2554,56 @@ def _speagle_sql(max_iters: int = 30, tol: float = 1e-6) -> str:
     """
 
 
+def _labelprop_sql() -> str:
+    """Fixed-iteration recursive-CTE replay of pipelines/labelprop.py
+    (argmax label per vertex; shared by the modularity oracle)."""
+    return f"""
+            WITH RECURSIVE g0 AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid
+                FROM (SELECT DISTINCT id
+                      FROM (SELECT src AS id FROM g0 UNION ALL SELECT dst AS id FROM g0))
+            ),
+            g AS (
+                SELECT vs.vid AS src, vd.vid AS dst
+                FROM g0 JOIN v vs ON vs.id = g0.src JOIN v vd ON vd.id = g0.dst
+            ),
+            sym AS (SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g),
+            seeds AS (SELECT vid, vid % 3 AS lab FROM v WHERE vid % 10 = 0),
+            lp AS (
+                SELECT v.vid,
+                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 0 THEN 1.0 ELSE 0.0 END AS s0,
+                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 1 THEN 1.0 ELSE 0.0 END AS s1,
+                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 2 THEN 1.0 ELSE 0.0 END AS s2,
+                       0 AS iter
+                FROM v LEFT JOIN seeds sd ON sd.vid = v.vid
+                UNION ALL
+                SELECT v.vid,
+                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
+                            THEN cur.s0 ELSE m.a0 / (m.a0 + m.a1 + m.a2) END,
+                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
+                            THEN cur.s1 ELSE m.a1 / (m.a0 + m.a1 + m.a2) END,
+                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
+                            THEN cur.s2 ELSE m.a2 / (m.a0 + m.a1 + m.a2) END,
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM lp) p0
+                JOIN lp cur ON cur.vid = v.vid
+                LEFT JOIN seeds sd ON sd.vid = v.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.s0) AS a0, SUM(p.s1) AS a1, SUM(p.s2) AS a2
+                    FROM lp p JOIN sym e ON e.src = p.vid GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {LP_ITERS}
+            )
+            SELECT v.id,
+                   CAST(CASE WHEN l.s0 >= l.s1 AND l.s0 >= l.s2 THEN 0
+                             WHEN l.s1 >= l.s2 THEN 1 ELSE 2 END AS BIGINT) AS label
+            FROM lp l JOIN v ON v.vid = l.vid
+            WHERE l.iter = {LP_ITERS}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_minhash_dedup": _minhash_dedup_sql(),
@@ -2654,50 +2717,41 @@ def oracle_sql() -> dict[str, str]:
         # UNION-ALL-symmetrized graph, vertices with no in-edges keep
         # their state; only the integer argmax label (first-max ties,
         # numpy argmax order) is compared
-        "label_propagation": f"""
-            WITH RECURSIVE g0 AS ({_SQL_GENERAL_EDGES}),
-            v AS (
-                SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid
-                FROM (SELECT DISTINCT id
-                      FROM (SELECT src AS id FROM g0 UNION ALL SELECT dst AS id FROM g0))
+        "label_propagation": _labelprop_sql(),
+        "partition_modularity": f"""
+            WITH labels AS ({_labelprop_sql()}),
+            g AS ({_SQL_GENERAL_EDGES}),
+            mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM g),
+            le AS (
+                SELECT ls.label AS sl, ld.label AS dl
+                FROM g JOIN labels ls ON ls.id = g.src
+                       JOIN labels ld ON ld.id = g.dst
             ),
-            g AS (
-                SELECT vs.vid AS src, vd.vid AS dst
-                FROM g0 JOIN v vs ON vs.id = g0.src JOIN v vd ON vd.id = g0.dst
+            inn AS (
+                SELECT sl AS label, CAST(COUNT(*) AS BIGINT) AS in_edges
+                FROM le WHERE sl = dl GROUP BY sl
             ),
-            sym AS (SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g),
-            seeds AS (SELECT vid, vid % 3 AS lab FROM v WHERE vid % 10 = 0),
-            lp AS (
-                SELECT v.vid,
-                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 0 THEN 1.0 ELSE 0.0 END AS s0,
-                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 1 THEN 1.0 ELSE 0.0 END AS s1,
-                       CASE WHEN sd.lab IS NULL THEN 1.0/3 WHEN sd.lab = 2 THEN 1.0 ELSE 0.0 END AS s2,
-                       0 AS iter
-                FROM v LEFT JOIN seeds sd ON sd.vid = v.vid
-                UNION ALL
-                SELECT v.vid,
-                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
-                            THEN cur.s0 ELSE m.a0 / (m.a0 + m.a1 + m.a2) END,
-                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
-                            THEN cur.s1 ELSE m.a1 / (m.a0 + m.a1 + m.a2) END,
-                       CASE WHEN sd.vid IS NOT NULL OR m.a0 IS NULL OR m.a0 + m.a1 + m.a2 <= 0
-                            THEN cur.s2 ELSE m.a2 / (m.a0 + m.a1 + m.a2) END,
-                       p0.iter + 1
-                FROM v
-                CROSS JOIN (SELECT DISTINCT iter FROM lp) p0
-                JOIN lp cur ON cur.vid = v.vid
-                LEFT JOIN seeds sd ON sd.vid = v.vid
-                LEFT JOIN (
-                    SELECT e.dst AS vid, SUM(p.s0) AS a0, SUM(p.s1) AS a1, SUM(p.s2) AS a2
-                    FROM lp p JOIN sym e ON e.src = p.vid GROUP BY e.dst
-                ) m ON m.vid = v.vid
-                WHERE p0.iter < {LP_ITERS}
+            degs AS (
+                SELECT label, CAST(COUNT(*) AS BIGINT) AS deg_sum
+                FROM (SELECT sl AS label FROM le
+                      UNION ALL SELECT dl FROM le)
+                GROUP BY label
+            ),
+            nv AS (
+                SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vertices
+                FROM labels GROUP BY label
             )
-            SELECT v.id,
-                   CAST(CASE WHEN l.s0 >= l.s1 AND l.s0 >= l.s2 THEN 0
-                             WHEN l.s1 >= l.s2 THEN 1 ELSE 2 END AS BIGINT) AS label
-            FROM lp l JOIN v ON v.vid = l.vid
-            WHERE l.iter = {LP_ITERS}
+            SELECT nv.label, nv.n_vertices,
+                   CAST(COALESCE(inn.in_edges, 0) AS BIGINT) AS in_edges,
+                   CAST(COALESCE(degs.deg_sum, 0) AS BIGINT) AS deg_sum,
+                   (CAST(COALESCE(inn.in_edges, 0) AS DOUBLE) / (SELECT m FROM mm))
+                   - ((CAST(COALESCE(degs.deg_sum, 0) AS DOUBLE)
+                           / (2.0 * (SELECT m FROM mm)))
+                      * (CAST(COALESCE(degs.deg_sum, 0) AS DOUBLE)
+                           / (2.0 * (SELECT m FROM mm)))) AS q_term
+            FROM nv
+            LEFT JOIN inn ON inn.label = nv.label
+            LEFT JOIN degs ON degs.label = nv.label
         """,
         "user_priors": f"""
             WITH e AS ({_SQL_REVIEW_EDGES})

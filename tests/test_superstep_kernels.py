@@ -756,3 +756,47 @@ def test_salsa_partition_invariant_and_hub_split(tmp_path):
     p4 = a4.to_pandas().sort_values("vid").reset_index(drop=True)
     np.testing.assert_allclose(p1["salsa_authority"], p4["salsa_authority"], atol=1e-12)
     np.testing.assert_allclose(p1["salsa_hub"], p4["salsa_hub"], atol=1e-12)
+
+
+def test_partition_modularity_matches_networkx(tmp_path):
+    """Per-community q_terms sum to networkx's modularity of the same
+    partition on the same undirected multigraph convention."""
+    import ray.data as rd
+
+    from ugfraud_ray.pipelines.modularity import partition_modularity
+
+    rng = np.random.default_rng(31)
+    n, m = 40, 160
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    labels = (np.arange(n, dtype=np.int64) * 7919) % 4  # deterministic 4-way
+    lab_t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)), "label": pa.array(labels)})
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})).repartition(5)
+    got = partition_modularity(edges, lab_t).to_pandas()
+    # exact integer cross-check
+    in_c = np.zeros(4, dtype=np.int64)
+    deg_c = np.zeros(4, dtype=np.int64)
+    for a, b in zip(labels[src], labels[dst]):
+        if a == b:
+            in_c[a] += 1
+        deg_c[a] += 1
+        deg_c[b] += 1
+    assert list(got["in_edges"]) == list(in_c)
+    assert list(got["deg_sum"]) == list(deg_c)
+    assert list(got["n_vertices"]) == list(np.bincount(labels, minlength=4))
+    mm = float(len(src))
+    want_q = in_c / mm - (deg_c / (2 * mm)) ** 2
+    np.testing.assert_allclose(got["q_term"].to_numpy(), want_q, atol=1e-15)
+    # networkx agreement on the summed Q (undirected multigraph view)
+    try:
+        import networkx as nx
+    except ImportError:
+        return
+    G = nx.MultiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    comms = [set(np.flatnonzero(labels == c).tolist()) for c in range(4)]
+    want = nx.algorithms.community.modularity(G, comms)
+    assert abs(got["q_term"].sum() - want) < 1e-12
