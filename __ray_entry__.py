@@ -62,6 +62,8 @@ SPLIT_MOD = 1000
 PPR_SEED_MOD = 97  # seeds = vertices whose original id % this == 0
 PPR_ITERS = 10
 BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
+BETW_SEED_MOD = 25  # betweenness pivot set = original id % this == 0
+BETW_RADIUS = 4     # betweenness shortest-path horizon
 BFS_MAX_HOPS = 64
 HYPERBALL_RADIUS = 3  # out-ball radius for the HyperBall neighborhood function
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered conversion funnel
@@ -504,6 +506,45 @@ def _q_effective_diameter(sf_dir: str):
     from ugfraud_ray.pipelines.hyperball import effective_diameter
 
     return effective_diameter(_q_hyperball(sf_dir), alpha=0.9)
+
+
+def _q_betweenness(sf_dir: str):
+    """Subset betweenness centrality (pipelines/betweenness.py): exact
+    radius-bounded Brandes from hash-picked pivots (original id %
+    BETW_SEED_MOD == 0) on the directed general graph; per-edge
+    dependency terms associate identically to the SQL replay, readout
+    rounded to 9 decimals on both sides."""
+    from ugfraud_ray.pipelines.betweenness import betweenness_subset
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    vt = vmap.to_pandas().sort_values("vid")
+    sources = vt.loc[vt["id"] % BETW_SEED_MOD == 0, "vid"].to_numpy().astype(np.int64)
+    t = betweenness_subset(
+        e, n, sources, radius=BETW_RADIUS, approx_edges=ge.count()
+    )
+    out = unmap_vids(
+        ray.data.from_arrow(t), vmap, vid_col="vid", out_col="id"
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b["id"],
+                "betweenness": pa.array(
+                    np.round(b["betweenness"].to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(
+        ["id", "betweenness"]
+    )
 
 
 def _q_modularity(sf_dir: str):
@@ -1754,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_priors": _q_user_priors,
         "label_propagation": _q_labelprop,
         "partition_modularity": _q_modularity,
+        "betweenness_subset": _q_betweenness,
         "seeded_sample": _q_seeded_sample,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -2554,6 +2596,61 @@ def _speagle_sql(max_iters: int = 30, tol: float = 1e-6) -> str:
     """
 
 
+def _betweenness_sql() -> str:
+    """Level-unrolled Brandes replay: forward CTEs l0..lR build the
+    per-source shortest-path DAG ((s, vid, sigma) per level, anti-joined
+    against all earlier levels — exact integer path counts); backward
+    CTEs dR..d1 accumulate delta with the dependency term written as
+    sigma_u * ((1 + delta_v) / sigma_v) — the SAME association order as
+    the numpy kernel, so per-edge terms are bit-identical and only
+    benign sum-order ulps remain before the shared 9-decimal round."""
+    R = BETW_RADIUS
+    ctes = [
+        f"seeds AS (SELECT id FROM v WHERE id % {BETW_SEED_MOD} = 0)",
+        "l0 AS (SELECT id AS s, id AS vid, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+    ]
+    for k in range(1, R + 1):
+        prev = f"l{k - 1}"
+        anti = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM l{j} p{j} "
+            f"WHERE p{j}.s = {prev}.s AND p{j}.vid = e.dst)"
+            for j in range(k)
+        )
+        ctes.append(
+            f"l{k} AS (SELECT {prev}.s, e.dst AS vid, SUM({prev}.sigma) AS sigma "
+            f"FROM {prev} JOIN g e ON e.src = {prev}.vid "
+            f"WHERE {anti} GROUP BY {prev}.s, e.dst)"
+        )
+    ctes.append(
+        f"d{R} AS (SELECT s, vid, sigma, CAST(0.0 AS DOUBLE) AS delta FROM l{R})"
+    )
+    for k in range(R - 1, 0, -1):
+        nxt = f"d{k + 1}"
+        ctes.append(
+            f"d{k} AS (SELECT l{k}.s, l{k}.vid, l{k}.sigma, "
+            f"COALESCE((SELECT SUM(CAST(l{k}.sigma AS DOUBLE) "
+            f"* ((1.0 + w.delta) / CAST(w.sigma AS DOUBLE))) "
+            f"FROM g e JOIN {nxt} w ON w.s = l{k}.s AND w.vid = e.dst "
+            f"WHERE e.src = l{k}.vid), 0.0) AS delta FROM l{k})"
+        )
+    alld = " UNION ALL ".join(
+        f"SELECT s, vid, delta FROM d{k}" for k in range(1, R + 1)
+    )
+    return f"""
+        WITH g AS ({_SQL_GENERAL_EDGES}),
+        v AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM g UNION ALL SELECT dst AS id FROM g
+            )
+        ),
+        {', '.join(ctes)},
+        alld AS ({alld})
+        SELECT v.id, ROUND(COALESCE(SUM(a.delta), 0.0), 9) AS betweenness
+        FROM v LEFT JOIN alld a ON a.vid = v.id
+        GROUP BY v.id
+    """
+
+
 def _labelprop_sql() -> str:
     """Fixed-iteration recursive-CTE replay of pipelines/labelprop.py
     (argmax label per vertex; shared by the modularity oracle)."""
@@ -2718,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         # their state; only the integer argmax label (first-max ties,
         # numpy argmax order) is compared
         "label_propagation": _labelprop_sql(),
+        "betweenness_subset": _betweenness_sql(),
         "partition_modularity": f"""
             WITH labels AS ({_labelprop_sql()}),
             g AS ({_SQL_GENERAL_EDGES}),

@@ -800,3 +800,60 @@ def test_partition_modularity_matches_networkx(tmp_path):
     comms = [set(np.flatnonzero(labels == c).tolist()) for c in range(4)]
     want = nx.algorithms.community.modularity(G, comms)
     assert abs(got["q_term"].sum() - want) < 1e-12
+
+
+def test_betweenness_matches_networkx(tmp_path):
+    """All-sources, radius >= diameter ==> exact Brandes betweenness
+    (networkx, directed, unnormalized)."""
+    import ray.data as rd
+
+    from ugfraud_ray.pipelines.betweenness import betweenness_subset
+
+    rng = np.random.default_rng(41)
+    n = 30
+    src = rng.integers(0, n, size=90).astype(np.int64)
+    dst = rng.integers(0, n, size=90).astype(np.int64)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = e[:, 0], e[:, 1]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = betweenness_subset(
+        edges, n, np.arange(n, dtype=np.int64), radius=n, approx_edges=len(src)
+    ).to_pandas()
+    import networkx as nx
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.betweenness_centrality(G, normalized=False)
+    np.testing.assert_allclose(
+        got.sort_values("vid")["betweenness"].to_numpy(),
+        np.array([want[i] for i in range(n)]),
+        atol=1e-9,
+    )
+
+
+def test_betweenness_local_vs_distributed(tmp_path):
+    import ray.data as rd
+
+    from ugfraud_ray.pipelines.betweenness import betweenness_subset
+
+    rng = np.random.default_rng(43)
+    n = 50
+    src = rng.integers(0, n, size=200).astype(np.int64)
+    dst = rng.integers(0, n, size=200).astype(np.int64)
+    keep = src != dst
+    e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+    )
+    sources = np.arange(0, n, 5, dtype=np.int64)
+    loc = betweenness_subset(edges, n, sources, radius=3, approx_edges=len(e))
+    dist = betweenness_subset(
+        edges.repartition(7), n, sources, radius=3, approx_edges=None
+    )
+    lp = loc.to_pandas().sort_values("vid").reset_index(drop=True)
+    dp = dist.to_pandas().sort_values("vid").reset_index(drop=True)
+    # partials are integer (forward) and per-edge-identical floats
+    # (backward): block split only reorders sums
+    np.testing.assert_allclose(lp["betweenness"], dp["betweenness"], atol=1e-9)
