@@ -204,6 +204,16 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def _q_transitivity(sf_dir: str):
+    """Global clustering coefficient 3·triangles/wedges over the
+    undirected simple general graph (pipelines/triangles.py): exact
+    integer triangle and wedge counts, one fixed float readout."""
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+    from ugfraud_ray.pipelines.triangles import transitivity
+
+    return transitivity(general_edges(sf_dir))
+
+
 def _q_components(sf_dir: str):
     from ugfraud_ray.pipelines.components import connected_components
     from ugfraud_ray.pipelines.testdata_graph import (
@@ -1831,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "prior_median": _q_prior_median,
         "triangle_count": _q_triangles,
+        "graph_transitivity": _q_transitivity,
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
         "hyperball_nf": _q_hyperball,
@@ -2916,6 +2927,31 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "graph_transitivity": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g
+            ),
+            deg AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+                FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                GROUP BY id
+            ),
+            w AS (
+                SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+                FROM deg WHERE d > 1
+            ),
+            t AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT t.n_triangles, w.n_wedges,
+                   (3.0 * CAST(t.n_triangles AS DOUBLE))
+                       / CAST(w.n_wedges AS DOUBLE) AS transitivity
+            FROM t, w
         """,
         "connected_components": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),

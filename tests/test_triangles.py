@@ -201,3 +201,26 @@ def test_butterfly_count_matches_bruteforce(ray_session):
     assert butterfly_count(e, degree_cap=1000, approx_edges=None) == got
     # degree cap actually filters: with cap 1 no user emits wedges
     assert butterfly_count(e, degree_cap=1, approx_edges=len(src)) == (0, 0, 0)
+
+
+def test_transitivity_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from ugfraud_ray.pipelines.triangles import transitivity
+
+    rng = np.random.default_rng(17)
+    n = 40
+    src = rng.integers(0, n, size=150).astype(np.int64)
+    dst = rng.integers(0, n, size=150).astype(np.int64)
+    keep = src != dst
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    )
+    got = transitivity(edges).to_pandas().iloc[0]
+    G = nx.Graph()
+    G.add_edges_from(zip(src[keep].tolist(), dst[keep].tolist()))
+    assert got["n_triangles"] == sum(nx.triangles(G).values()) // 3
+    want_w = sum(d * (d - 1) // 2 for _, d in G.degree())
+    assert got["n_wedges"] == want_w
+    assert abs(got["transitivity"] - nx.transitivity(G)) < 1e-12

@@ -191,3 +191,59 @@ def triangle_count(
         .aggregate(Sum("t", alias_name="total"))
     )
     return int(total["total"])
+
+
+def transitivity(
+    edges: "ray.data.Dataset", local_threshold: int = 400_000
+) -> pa.Table:
+    """Global clustering coefficient (transitivity) of the undirected
+    simple graph: 3·triangles / wedges, wedges = Σ_v C(deg(v), 2).
+
+    Triangles reuse ``triangle_count`` (identical canonicalization);
+    wedge counts are EXACT integers — dense bincount degrees, per-chunk
+    int64 d·(d−1)/2 partials merged as Python ints (overflow-immune, the
+    `graphstats.assortativity` pattern) — and the float readout is the
+    single fixed expression (3.0·t)/w mirrored in SQL. Single row
+    (n_triangles, n_wedges, transitivity)."""
+    tri = triangle_count(edges)
+    try:
+        hint = edges.count()
+    except Exception:
+        hint = None
+    e = _canonical_edges(edges, approx_rows=hint).materialize()
+    ne = e.count()
+    if ne == 0:
+        return pa.table(
+            {
+                "n_triangles": pa.array([0], pa.int64()),
+                "n_wedges": pa.array([0], pa.int64()),
+                "transitivity": pa.array([0.0]),
+            }
+        )
+    if ne <= local_threshold:
+        t = collect_table(e)
+        ab = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        deg = np.bincount(ab)
+    else:
+        from ugfraud_ray.stages.graph_build import dense_degrees
+
+        n = int(
+            max(e.max("a"), e.max("b"))
+        ) + 1
+        deg = dense_degrees(e, "a", n) + dense_degrees(e, "b", n)
+    wedges = 0
+    for chunk in np.array_split(deg[deg > 1].astype(np.int64), max(1, len(deg) // 1_000_000 + 1)):
+        wedges += int((chunk * (chunk - 1) // 2).sum())
+    tv = (3.0 * float(tri)) / float(wedges) if wedges else 0.0
+    return pa.table(
+        {
+            "n_triangles": pa.array([tri], pa.int64()),
+            "n_wedges": pa.array([wedges], pa.int64()),
+            "transitivity": pa.array([tv]),
+        }
+    )
