@@ -63,6 +63,7 @@ PPR_SEED_MOD = 97  # seeds = vertices whose original id % this == 0
 PPR_ITERS = 10
 BFS_SEED_MOD = 211  # BFS seed set = vertices whose original id % this == 0
 BETW_SEED_MOD = 25  # betweenness pivot set = original id % this == 0
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)  # rich-club degree thresholds
 BETW_RADIUS = 4     # betweenness shortest-path horizon
 BFS_MAX_HOPS = 64
 HYPERBALL_RADIUS = 3  # out-ball radius for the HyperBall neighborhood function
@@ -212,6 +213,16 @@ def _q_transitivity(sf_dir: str):
     from ugfraud_ray.pipelines.triangles import transitivity
 
     return transitivity(general_edges(sf_dir))
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficients over the undirected simple general graph
+    (pipelines/graphstats.py): exact integer (n_rich, n_rich_edges) per
+    degree threshold k, one fixed float phi expression."""
+    from ugfraud_ray.pipelines.graphstats import rich_club
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    return rich_club(general_edges(sf_dir), ks=RICH_CLUB_KS)
 
 
 def _q_components(sf_dir: str):
@@ -1842,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prior_median": _q_prior_median,
         "triangle_count": _q_triangles,
         "graph_transitivity": _q_transitivity,
+        "rich_club": _q_rich_club,
         "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
         "hyperball_nf": _q_hyperball,
@@ -2927,6 +2939,36 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "rich_club": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g
+            ),
+            deg AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+                FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                GROUP BY id
+            ),
+            ks AS (SELECT UNNEST({list(RICH_CLUB_KS)}) AS k)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > ks.k)
+                       AS n_rich,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+                    WHERE da.d > ks.k AND db.d > ks.k) AS n_rich_edges,
+                   CASE WHEN (SELECT COUNT(*) FROM deg WHERE d > ks.k) > 1
+                        THEN (2.0 * CAST((SELECT COUNT(*)
+                                          FROM e JOIN deg da ON da.id = e.a
+                                                 JOIN deg db ON db.id = e.b
+                                          WHERE da.d > ks.k AND db.d > ks.k)
+                                         AS DOUBLE))
+                             / (CAST((SELECT COUNT(*) FROM deg WHERE d > ks.k)
+                                     AS DOUBLE)
+                                * (CAST((SELECT COUNT(*) FROM deg WHERE d > ks.k)
+                                        AS DOUBLE) - 1.0))
+                        ELSE 0.0 END AS phi
+            FROM ks
         """,
         "graph_transitivity": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),

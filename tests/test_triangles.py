@@ -224,3 +224,32 @@ def test_transitivity_matches_networkx(ray_session):
     want_w = sum(d * (d - 1) // 2 for _, d in G.degree())
     assert got["n_wedges"] == want_w
     assert abs(got["transitivity"] - nx.transitivity(G)) < 1e-12
+
+
+def test_rich_club_matches_networkx(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from ugfraud_ray.pipelines.graphstats import rich_club
+
+    rng = np.random.default_rng(23)
+    n = 50
+    src = rng.integers(0, n, size=300).astype(np.int64)
+    dst = rng.integers(0, n, size=300).astype(np.int64)
+    keep = src != dst
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    )
+    got = rich_club(edges, ks=(1, 2, 4, 8)).to_pandas().set_index("k")
+    G = nx.Graph()
+    G.add_edges_from(zip(src[keep].tolist(), dst[keep].tolist()))
+    want = nx.rich_club_coefficient(G, normalized=False)
+    for k in (1, 2, 4, 8):
+        if k in want:
+            assert abs(got.loc[k, "phi"] - want[k]) < 1e-12
+        # exact integer cross-check
+        rich = {v for v, d in G.degree() if d > k}
+        assert got.loc[k, "n_rich"] == len(rich)
+        assert got.loc[k, "n_rich_edges"] == sum(
+            1 for u, v in G.edges() if u in rich and v in rich
+        )

@@ -193,3 +193,44 @@ def assortativity(
     sxx = sum(p[2] for p in parts)
     sxy = sum(p[3] for p in parts)
     return n, sx, sxx, sxy
+
+
+def rich_club(
+    edges: "ray.data.Dataset", ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+) -> pa.Table:
+    """Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) over the
+    undirected SIMPLE graph: N_k = vertices with degree > k, E_k =
+    edges with BOTH endpoints of degree > k — the hub-interconnection
+    readout (Zhou & Mondragón 2004; link farms show up as φ(k) ≈ 1 at
+    high k). Counts are exact integers (degree array broadcast once,
+    one vectorized min-degree pass over the canonical edges; at scale
+    the pass is per-block bincount-by-threshold partials), φ is one
+    fixed float expression mirrored in SQL. Output (k, n_rich,
+    n_rich_edges, phi) ascending k; φ = 0 when N_k < 2."""
+    from ugfraud_ray.pipelines.triangles import _canonical_edges
+
+    try:
+        hint = edges.count()
+    except Exception:
+        hint = None
+    e = _canonical_edges(edges, approx_rows=hint).materialize()
+    t = collect_table(e)
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(max(a.max(), b.max())) + 1 if len(a) else 0
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    edge_min = np.minimum(deg[a], deg[b]) if len(a) else np.zeros(0, np.int64)
+    karr = np.asarray(ks, dtype=np.int64)
+    n_rich = np.array([(deg > k).sum() for k in karr], dtype=np.int64)
+    n_edges = np.array([(edge_min > k).sum() for k in karr], dtype=np.int64)
+    nr = n_rich.astype(np.float64)
+    denom = np.where(n_rich > 1, nr * (nr - 1.0), 1.0)
+    phi = np.where(n_rich > 1, (2.0 * n_edges.astype(np.float64)) / denom, 0.0)
+    return pa.table(
+        {
+            "k": pa.array(karr),
+            "n_rich": pa.array(n_rich),
+            "n_rich_edges": pa.array(n_edges),
+            "phi": pa.array(phi),
+        }
+    )
