@@ -86,11 +86,15 @@ def butterfly_count(
         c = np.diff(np.append(starts, len(p1)))
         return _counts_to_stats(c)
 
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nb = np.uint64(n_coarse_buckets(approx_edges))
+
     def bucket_user(t: pa.Table) -> pa.Table:
         u = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_ub", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_ub", pa.array((h % nb).astype(np.int64)))
 
     def emit(g) -> pa.Table:
         p1, p2 = _wedges_from_runs(
@@ -111,7 +115,7 @@ def butterfly_count(
         b = t["p2"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = a * np.uint64(0x9E3779B97F4A7C15) ^ b * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= h >> np.uint64(29)
-        return t.append_column("_pb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_pb", pa.array((h % nb).astype(np.int64)))
 
     def stats_bucket(g) -> pa.Table:
         p1 = g["p1"].to_numpy().astype(np.int64)

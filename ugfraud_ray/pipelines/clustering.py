@@ -138,11 +138,15 @@ def local_clustering(
 
     # wedge emit keyed by oriented source u, CARRYING u (the dedup
     # pair-emitter drops the key, so triangles get their own emitter)
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nb = np.uint64(n_coarse_buckets(ne))
+
     def bucket_u(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     def emit_wedges(g) -> pa.Table:
         u = g["u"].to_numpy().astype(np.int64)
@@ -194,7 +198,7 @@ def local_clustering(
         y = t["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = x * np.uint64(0x9E3779B97F4A7C15) ^ y * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb2", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb2", pa.array((h % nb).astype(np.int64)))
 
     def close_bucket(g) -> pa.Table:
         """Per-bucket SPARSE (vid, cnt) partial of per-vertex triangle

@@ -33,6 +33,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ugfraud_ray.functions.collect import collect_table
+from ugfraud_ray.functions.bucketing import n_coarse_buckets
 
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -291,13 +292,14 @@ def minhash_lsh_dedup(
 
 
 def _bucketed_pair_emit(
-    ds: "ray.data.Dataset", key_cols: list[str], id_col: str, n_buckets: int = 64,
+    ds: "ray.data.Dataset", key_cols: list[str], id_col: str, n_buckets: int | None = None,
     carry: list[str] | None = None,
     approx_rows: int | None = None, local_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Emit all unordered id pairs sharing the exact key tuple.
 
-    Shuffle = one groupby over n_buckets coarse hash buckets; inside a
+    Shuffle = one groupby over cluster/data-proportional coarse hash
+    buckets (``n_coarse_buckets``, never a fixed ceiling); inside a
     bucket, lexsort by the key tuple and expand each run's triangle.
     Optional `carry` columns are taken from the first row of each run's
     id_a side... (not needed yet; reserved).
@@ -307,13 +309,15 @@ def _bucketed_pair_emit(
     fixed spin-up, the dominant cost for small inputs).
     """
 
+    nb = np.uint64(n_buckets if n_buckets is not None else n_coarse_buckets(approx_rows))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for c in key_cols:
             v = t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
             h = (h * np.uint64(0x100000001B3)) ^ (v * np.uint64(0x9E3779B97F4A7C15))
         h ^= h >> np.uint64(31)
-        return t.append_column("_cb", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     def emit(g) -> pa.Table:
         keys = [g[c].to_numpy() for c in key_cols]
@@ -454,14 +458,15 @@ def simhash_dedup(
             }
         )
 
+    n_banded = docs.count() * 4
+    nb = np.uint64(n_coarse_buckets(n_banded))
+
     def bucketize(t: pa.Table) -> pa.Table:
         c = t["chunk"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = t["val"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (c * np.uint64(0x100000001B3)) ^ (v * np.uint64(0x9E3779B97F4A7C15))
         h ^= h >> np.uint64(31)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
-
-    n_banded = docs.count() * 4
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
     if n_banded <= 1_000_000:
         from ugfraud_ray.functions.collect import collect_table
 

@@ -32,6 +32,7 @@ import ray
 import ray.data
 
 from ugfraud_ray.functions.collect import collect_table
+from ugfraud_ray.functions.bucketing import n_coarse_buckets
 
 
 def windowed_counts(
@@ -177,11 +178,13 @@ def sessionize(
         t = collect_table(ds)
         return ray.data.from_arrow(_sessionize_block(*extract(t), gap_us))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     def per_bucket(g) -> pa.Table:
         return _sessionize_block(*extract(g), gap_us)
@@ -260,11 +263,13 @@ def asof_last_event(
     if n is not None and n <= local_threshold:
         return ray.data.from_arrow(_asof_block(*extract(collect_table(ds))))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -330,11 +335,13 @@ def topk_per_user(
             )
         return ray.data.from_arrow(block_topk(partial))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         ds.map_batches(block_topk, batch_format="pyarrow")
@@ -397,11 +404,13 @@ def sliding_window_count(
     if n is not None and n <= local_threshold:
         return ray.data.from_arrow(_sliding_count_block(*extract(collect_table(ds)), win_us))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -466,11 +475,13 @@ def running_total(
     if n is not None and n <= local_threshold:
         return ray.data.from_arrow(_running_total_block(*extract(collect_table(ds))))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -801,11 +812,13 @@ def top_type_per_user(
     if approx_rows is not None and approx_rows <= 2_000_000:
         return ray.data.from_arrow(_top_type_kernel(*extract(collect_table(parts))))
 
+    nb = np.uint64(n_coarse_buckets(approx_rows))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = h * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         parts.map_batches(bucketize, batch_format="pyarrow")
@@ -959,11 +972,13 @@ def funnel(
         t = collect_table(ds)
         return ray.data.from_arrow(_funnel_block(*extract(t), len(steps)))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -1049,11 +1064,13 @@ def retention_cohorts(
             out.drop_columns(["nu"]).append_column("n_users", out["nu"])
         )
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     from ray.data.aggregate import Sum
 
@@ -1125,11 +1142,13 @@ def event_paths(
         t = collect_table(ds)
         return ray.data.from_arrow(_paths_block(*extract(t)))
 
+    nb = np.uint64(n_coarse_buckets(n))
+
     def bucketize(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = u * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -1157,12 +1176,14 @@ def windowed_unique_users(
             {"w": pa.array(uniq[:, 0]), "u": pa.array(uniq[:, 1])}
         )
 
+    nb = np.uint64(n_coarse_buckets())
+
     def bucketize(t: pa.Table) -> pa.Table:
         w = t["w"].to_numpy(zero_copy_only=False).astype(np.uint64)
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = w * np.uint64(0x9E3779B97F4A7C15) ^ u * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     def count_bucket(g) -> pa.Table:
         w = g["w"].to_numpy().astype(np.int64)

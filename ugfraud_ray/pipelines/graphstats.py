@@ -103,12 +103,16 @@ def reciprocity(
             t["fwd"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
     else:
+        from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+        nb = np.uint64(n_coarse_buckets(n))
+
         def bucketize(t: pa.Table) -> pa.Table:
             x = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
             y = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
             h = x * np.uint64(0x9E3779B97F4A7C15) ^ y * np.uint64(0xC2B2AE3D27D4EB4F)
             h ^= h >> np.uint64(29)
-            return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+            return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
         def per_bucket(g) -> pa.Table:
             ne, nm = kernel(

@@ -69,13 +69,18 @@ def link_prediction_scores(
     max_degree: int = 10_000,
     approx_rows: int | None = None,
     local_threshold: int = 400_000,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> pa.Table:
     """Top-N (u, v, cn, aa) non-adjacent pairs of the undirected graph."""
     from ugfraud_ray.stages.graph_build import dense_degrees
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
 
     e = _canonical_edges(edges, approx_rows=approx_rows).materialize()
     ne = e.count()
+    if n_buckets is None:
+        # cap at 4096: the global merge collects n_buckets × top_n rows
+        # onto the driver, so the bucket count must stay merge-small
+        n_buckets = min(n_coarse_buckets(ne), 4096)
     if ne == 0:
         return pa.table(
             {

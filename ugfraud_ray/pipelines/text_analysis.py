@@ -530,11 +530,17 @@ def boilerplate_stats(
         out = part.rename_columns([id_col, "n_shingles", "n_boiler"])
         return ray.data.from_arrow(finalize(out))
 
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    # shingle rows ≈ tokens per doc × docs; 128 is the same expansion
+    # convention as exact_shingle_jaccard's n_exp hint
+    nb = np.uint64(n_coarse_buckets(n_docs * 128 if n_docs is not None else None))
+
     def bucketize(t: pa.Table) -> pa.Table:
         h = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = h * np.uint64(0x9E3779B97F4A7C15)
         h ^= h >> np.uint64(29)
-        return t.append_column("_sb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_sb", pa.array((h % nb).astype(np.int64)))
 
     def per_bucket(g) -> pa.Table:
         return bucket_kernel(
@@ -730,11 +736,15 @@ def inverted_index(
             )
         )
 
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nb = np.uint64(n_coarse_buckets(approx_pairs))
+
     def bucketize(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         h = pd.util.hash_array(t["token"].to_numpy(zero_copy_only=False).astype(object))
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     def per_bucket(g) -> pa.Table:
         return _postings_block(

@@ -134,8 +134,10 @@ def triangle_count(
     # shared coarse-bucket pair emitter (one small-group shuffle +
     # vectorized run loops) instead of one Python group per vertex
     from ugfraud_ray.pipelines.dedup import _bucketed_pair_emit
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
 
-    wedge_ds = _bucketed_pair_emit(oriented, ["u"], "w").map_batches(
+    nb_w = n_coarse_buckets(ne)
+    wedge_ds = _bucketed_pair_emit(oriented, ["u"], "w", n_buckets=nb_w).map_batches(
         lambda t: pa.table(
             {
                 "x": t["id_a"],
@@ -156,16 +158,19 @@ def triangle_count(
 
     # per (x,y): triangles = Σ wedge rows whose pair also appears as an
     # edge row. A per-pair hash aggregate would build millions of
-    # groups; instead hash (x,y) into 64 coarse buckets (one shuffle)
-    # and count per bucket with lexsort runs + reduceat — vectorized.
+    # groups; instead hash (x,y) into cluster/data-proportional coarse
+    # buckets (one shuffle) and count per bucket with lexsort runs +
+    # reduceat — vectorized.
     from ray.data.aggregate import Sum
+
+    nb_c = np.uint64(nb_w)
 
     def bucketize(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False).astype(np.uint64)
         y = t["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = x * np.uint64(0x9E3779B97F4A7C15) ^ y * np.uint64(0xC2B2AE3D27D4EB4F)
         h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+        return t.append_column("_cb", pa.array((h % nb_c).astype(np.int64)))
 
     def count_bucket(g) -> pa.Table:
         x = g["x"].to_numpy().astype(np.int64)

@@ -127,9 +127,12 @@ def ktruss(
 
     alive = e
     n_alive = ne
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
     for _ in range(max_rounds):
         deg = dense_degrees(alive, "a", nv) + dense_degrees(alive, "b", nv)
         deg_ref = ray.put(deg)
+        nb = np.uint64(n_coarse_buckets(n_alive))
 
         def orient(t: pa.Table, _dr=deg_ref) -> pa.Table:
             dg = ray.get(_dr)
@@ -147,7 +150,7 @@ def ktruss(
             h = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
             h = h * np.uint64(0x9E3779B97F4A7C15)
             h ^= h >> np.uint64(29)
-            return t.append_column("_cb", pa.array((h % np.uint64(64)).astype(np.int64)))
+            return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
         def emit_wedges(g) -> pa.Table:
             u = g["u"].to_numpy().astype(np.int64)
@@ -196,7 +199,7 @@ def ktruss(
             y = t["y"].to_numpy(zero_copy_only=False).astype(np.uint64)
             h = x * np.uint64(0x9E3779B97F4A7C15) ^ y * np.uint64(0xC2B2AE3D27D4EB4F)
             h ^= h >> np.uint64(29)
-            return t.append_column("_cb2", pa.array((h % np.uint64(64)).astype(np.int64)))
+            return t.append_column("_cb2", pa.array((h % nb).astype(np.int64)))
 
         def close_credits(g) -> pa.Table:
             """Sparse canonical-edge credits from closed wedges."""
@@ -259,7 +262,7 @@ def ktruss(
             y = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
             h = x * np.uint64(0xC2B2AE3D27D4EB4F) ^ y * np.uint64(0x9E3779B97F4A7C15)
             h ^= h >> np.uint64(31)
-            return t.append_column("_cb3", pa.array((h % np.uint64(64)).astype(np.int64)))
+            return t.append_column("_cb3", pa.array((h % nb).astype(np.int64)))
 
         thr = k - 2
 

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import ray
 
 from ugfraud_ray.functions.collect import collect_table
+from ugfraud_ray.functions.bucketing import n_coarse_buckets, pair_hash_bucket
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -143,7 +144,7 @@ def dedup_pairs(
     a: str = "src",
     b: str = "dst",
     extra: dict | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     approx_rows: int | None = None,
     local_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
@@ -151,8 +152,9 @@ def dedup_pairs(
 
     A per-pair hash aggregate creates one group per distinct pair —
     millions of groups, the measured Ray slow path. Instead the pair key
-    is hashed into ``n_buckets`` coarse buckets (ONE shuffle over a few
-    dozen groups) and each bucket deduplicates vectorized (lexsort +
+    is hashed into coarse buckets (ONE shuffle; bucket count sized to the
+    cluster AND the data by ``n_coarse_buckets`` — never a fixed 64-task
+    ceiling) and each bucket deduplicates vectorized (lexsort +
     run-boundary reduceat). extra maps column -> 'min' | 'max' | 'sum'
     ('sum' is exact for integer columns; pre-aggregation inside the
     coarse buckets keeps the combine associative across block orders).
@@ -185,12 +187,12 @@ def dedup_pairs(
             out[col] = pa.array(red)
         return ray.data.from_arrow(pa.table(out))
 
+    nb = n_buckets if n_buckets is not None else n_coarse_buckets(approx_rows)
+
     def bucketize(t: pa.Table) -> pa.Table:
-        av = t[a].to_numpy(zero_copy_only=False).astype(np.uint64)
-        bv = t[b].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = av * np.uint64(0x9E3779B97F4A7C15) ^ bv * np.uint64(0xC2B2AE3D27D4EB4F)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+        av = t[a].to_numpy(zero_copy_only=False)
+        bv = t[b].to_numpy(zero_copy_only=False)
+        return t.append_column("_bucket", pa.array(pair_hash_bucket(av, bv, nb)))
 
     def dedup_bucket(g) -> pa.Table:
         av = g[a].to_numpy().astype(np.int64)
@@ -217,13 +219,17 @@ def dedup_pairs(
     )
 
 
-def dedup_edges(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
+def dedup_edges(
+    edge_urls: "ray.data.Dataset", approx_rows: int | None = None
+) -> "ray.data.Dataset":
     """Exact (src_url, dst_url) dedup keeping the min ts (deterministic).
 
     D5: `Fraudar.py:18-20` (`M > 0 -> 1`). Hash-bucketed like
     dedup_pairs (string keys: pandas vectorized hash + per-bucket
     groupby) — a per-pair hash aggregate is the many-groups slow path.
+    Bucket count is cluster/data-proportional (``n_coarse_buckets``).
     """
+    nb = np.uint64(n_coarse_buckets(approx_rows))
 
     def bucketize(df):
         import pandas as pd
@@ -231,7 +237,7 @@ def dedup_edges(edge_urls: "ray.data.Dataset") -> "ray.data.Dataset":
         h = pd.util.hash_array(df["src_url"].to_numpy(dtype=object)) ^ pd.util.hash_array(
             df["dst_url"].to_numpy(dtype=object)
         ) * np.uint64(0x9E3779B97F4A7C15)
-        df["_cb"] = (h % 64).astype("int64")
+        df["_cb"] = (h % nb).astype("int64")
         return df
 
     def per_bucket(g) -> pa.Table:
@@ -265,9 +271,9 @@ def number_vertices(
     + driver-merge fast path — the bucketed shuffle + distributed sort +
     row-index chain costs ~9 s of fixed overhead for a 100k-url result
     (measured). Large tables use the hash-bucketed shuffle (one shuffle
-    over 64 coarse groups, per-bucket vectorized pandas dedup) — a
-    per-url hash aggregate builds one group per page, the measured
-    slow path.
+    over cluster/data-proportional coarse groups, per-bucket vectorized
+    pandas dedup) — a per-url hash aggregate builds one group per page,
+    the measured slow path.
     """
     try:
         n_rows = edge_urls.count()
@@ -320,12 +326,14 @@ def number_vertices(
     )
     tagged = is_dst.union(is_src)
 
+    nb = np.uint64(n_coarse_buckets(2 * n_rows if n_rows is not None else None))
+
     def bucketize(df):
         import pandas as pd
 
         # vectorized string hashing (deterministic default key);
         # correctness doesn't depend on the bucket fn — only spreading
-        df["_cb"] = (pd.util.hash_array(df["url"].to_numpy(dtype=object)) % 64).astype("int64")
+        df["_cb"] = (pd.util.hash_array(df["url"].to_numpy(dtype=object)) % nb).astype("int64")
         return df
 
     def per_bucket(g) -> pa.Table:
