@@ -146,3 +146,26 @@ def test_speagle_hub_splitting_invariant(tmp_path, ray_session):
     av = a.to_pandas().sort_values("vid")["score"].to_numpy()
     bv = b.to_pandas().sort_values("vid")["score"].to_numpy()
     assert np.allclose(av, bv, atol=1e-9)
+
+
+def test_evaluate_collected_matches_dict(ray_session):
+    from ugfraud_ray.stages.evaluate import evaluate_collected, evaluate_dict
+
+    rng = np.random.default_rng(7)
+    keys = np.arange(500, dtype=np.int64)
+    s = np.round(rng.uniform(0, 1, 500), 3)
+    scores = ray.data.from_arrow(
+        pa.table({"vid": pa.array(keys), "score": pa.array(s)})
+    ).repartition(5)
+    lab_keys = keys[::2]  # semi-join keeps only labeled keys
+    y = (rng.uniform(0, 1, len(lab_keys)) < 0.4).astype(np.int64)
+    labels = ray.data.from_arrow(
+        pa.table({"vid": pa.array(lab_keys), "label": pa.array(y)})
+    )
+    auc, ap = evaluate_collected(scores, labels)
+    want_auc, want_ap = evaluate_dict(
+        dict(zip(lab_keys.tolist(), y.tolist())),
+        dict(zip(keys.tolist(), s.tolist())),
+    )
+    assert abs(auc - want_auc) < 1e-12
+    assert abs(ap - want_ap) < 1e-12

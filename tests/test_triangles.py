@@ -253,3 +253,12 @@ def test_rich_club_matches_networkx(ray_session):
         assert got.loc[k, "n_rich_edges"] == sum(
             1 for u, v in G.edges() if u in rich and v in rich
         )
+    # distributed path (threshold=0) agrees exactly with the local path
+    dist = (
+        rich_club(edges, ks=(1, 2, 4, 8), local_threshold=0)
+        .to_pandas()
+        .set_index("k")
+    )
+    for k in (1, 2, 4, 8):
+        for col in ("n_rich", "n_rich_edges", "phi"):
+            assert dist.loc[k, col] == got.loc[k, col]

@@ -103,9 +103,22 @@ def double_sweep_diameter(
     import os
 
     def farthest(hops_ds) -> tuple[int, int]:
-        t = hops_ds.to_pandas()
-        ecc = int(t["hops"].max())
-        v = int(t.loc[t["hops"] == ecc, "vid"].min())
+        # per-block (max hops, min vid at max) partials merged on the
+        # driver — O(blocks) driver state, the per-vertex hop table
+        # never materializes on the driver
+        @ray.remote
+        def block_argmax(t: pa.Table) -> tuple[int, int]:
+            if t.num_rows == 0:
+                return -1, -1
+            h = t["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = int(h.max())
+            return int(v[h == m].min()), m
+
+        parts = ray.get([block_argmax.remote(b) for b in hops_ds.to_arrow_refs()])
+        parts = [p for p in parts if p[1] >= 0]
+        ecc = max(p[1] for p in parts)
+        v = min(p[0] for p in parts if p[1] == ecc)
         return v, ecc
 
     v0 = 0  # min vid: numbering is contiguous from 0

@@ -200,17 +200,24 @@ def assortativity(
 
 
 def rich_club(
-    edges: "ray.data.Dataset", ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32)
+    edges: "ray.data.Dataset",
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    local_threshold: int = 2_000_000,
 ) -> pa.Table:
     """Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) over the
     undirected SIMPLE graph: N_k = vertices with degree > k, E_k =
     edges with BOTH endpoints of degree > k — the hub-interconnection
     readout (Zhou & Mondragón 2004; link farms show up as φ(k) ≈ 1 at
-    high k). Counts are exact integers (degree array broadcast once,
-    one vectorized min-degree pass over the canonical edges; at scale
-    the pass is per-block bincount-by-threshold partials), φ is one
-    fixed float expression mirrored in SQL. Output (k, n_rich,
-    n_rich_edges, phi) ascending k; φ = 0 when N_k < 2."""
+    high k). Counts are exact integers, φ is one fixed float expression
+    mirrored in SQL. Output (k, n_rich, n_rich_edges, phi) ascending k;
+    φ = 0 when N_k < 2.
+
+    ≤ local_threshold canonical edges: one driver-local pass (the usual
+    shuffle-spin-up gate). Above it: dense bincount degree partials
+    tree-reduced (stages.graph_build.dense_degrees, the A1 path), the
+    (n,) degree array broadcast ONCE via ray.put, and per-block
+    min-degree>k counts summed — the edges never land on the driver
+    (mirrors assortativity/degree_histogram)."""
     from ugfraud_ray.pipelines.triangles import _canonical_edges
 
     try:
@@ -218,15 +225,49 @@ def rich_club(
     except Exception:
         hint = None
     e = _canonical_edges(edges, approx_rows=hint).materialize()
-    t = collect_table(e)
-    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(max(a.max(), b.max())) + 1 if len(a) else 0
-    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
-    edge_min = np.minimum(deg[a], deg[b]) if len(a) else np.zeros(0, np.int64)
     karr = np.asarray(ks, dtype=np.int64)
+    n_canon = e.count()
+    if n_canon <= local_threshold:
+        t = collect_table(e)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(max(a.max(), b.max())) + 1 if len(a) else 0
+        deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+        edge_min = np.minimum(deg[a], deg[b]) if len(a) else np.zeros(0, np.int64)
+        n_rich = np.array([(deg > k).sum() for k in karr], dtype=np.int64)
+        n_edges = np.array([(edge_min > k).sum() for k in karr], dtype=np.int64)
+        return _rich_club_table(karr, n_rich, n_edges)
+
+    from ray.data.aggregate import Max
+
+    from ugfraud_ray.stages.graph_build import dense_degrees
+
+    mx = e.aggregate(Max("a", alias_name="ma"), Max("b", alias_name="mb"))
+    n = int(max(mx["ma"], mx["mb"])) + 1
+    deg = dense_degrees(e, "a", n) + dense_degrees(e, "b", n)
+    deg_ref = ray.put(deg)
+    ks_ref = ray.put(karr)
+
+    @ray.remote
+    def edge_counts_block(t: pa.Table) -> np.ndarray:
+        d = ray.get(deg_ref)
+        kk = ray.get(ks_ref)
+        if t.num_rows == 0:
+            return np.zeros(len(kk), dtype=np.int64)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        em = np.minimum(d[a], d[b])
+        return np.array([(em > k).sum() for k in kk], dtype=np.int64)
+
+    parts = ray.get([edge_counts_block.remote(bk) for bk in e.to_arrow_refs()])
+    n_edges = np.sum(parts, axis=0).astype(np.int64) if parts else np.zeros(len(karr), np.int64)
     n_rich = np.array([(deg > k).sum() for k in karr], dtype=np.int64)
-    n_edges = np.array([(edge_min > k).sum() for k in karr], dtype=np.int64)
+    return _rich_club_table(karr, n_rich, n_edges)
+
+
+def _rich_club_table(
+    karr: np.ndarray, n_rich: np.ndarray, n_edges: np.ndarray
+) -> pa.Table:
     nr = n_rich.astype(np.float64)
     denom = np.where(n_rich > 1, nr * (nr - 1.0), 1.0)
     phi = np.where(n_rich > 1, (2.0 * n_edges.astype(np.float64)) / denom, 0.0)

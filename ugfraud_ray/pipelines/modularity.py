@@ -63,8 +63,20 @@ def partition_modularity(
         larr = ray.get(lab_ref)
         src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ls = larr[np.searchsorted(iarr, src)]
-        ld = larr[np.searchsorted(iarr, dst)]
+        ps = np.clip(np.searchsorted(iarr, src), 0, max(len(iarr) - 1, 0))
+        pd_ = np.clip(np.searchsorted(iarr, dst), 0, max(len(iarr) - 1, 0))
+        if len(iarr) == 0 or (iarr[ps] != src).any() or (iarr[pd_] != dst).any():
+            missing = np.unique(
+                np.concatenate([src[iarr[ps] != src], dst[iarr[pd_] != dst]])
+                if len(iarr)
+                else np.concatenate([src, dst])
+            )
+            raise ValueError(
+                "partition_modularity: edge endpoints missing from labels "
+                f"(same-id-domain contract): e.g. {missing[:5].tolist()}"
+            )
+        ls = larr[ps]
+        ld = larr[pd_]
         in_c = np.bincount(ls[ls == ld], minlength=K)
         deg = np.bincount(ls, minlength=K) + np.bincount(ld, minlength=K)
         return pa.table(

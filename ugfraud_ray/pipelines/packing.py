@@ -57,7 +57,9 @@ def pack_sequences(
     def local_scan(g) -> pa.Table:
         ids = g[id_col].to_numpy().astype(np.int64)
         n = g["n_tokens"].to_numpy().astype(np.int64)
-        order = np.argsort(ids)
+        # stable: duplicate doc_ids keep a deterministic relative order,
+        # making seq_id/seq_offset reproducible (and SQL-replayable)
+        order = np.argsort(ids, kind="stable")
         ids, n = ids[order], n[order]
         before = np.concatenate([[0], np.cumsum(n)[:-1]])
         rb = int(g["_rb"].iloc[0])

@@ -211,6 +211,18 @@ def strongly_connected_components(
 
     eng_f.shutdown()
     eng_b.shutdown()
+    remaining = sum(int((b[:, 2] < 0).sum()) for b in blocks)
+    if remaining:
+        # FW-BW coloring retires >=1 SCC per round; a directed chain of
+        # more than max_rounds SCCs exhausts the loop with unassigned
+        # vertices. Fail loudly instead of returning silent -1 labels
+        # (the local path is n-bounded and never truncates).
+        raise RuntimeError(
+            f"SCC FW-BW coloring did not converge within max_rounds="
+            f"{max_rounds}: {remaining} vertices unassigned — raise "
+            "max_rounds (bounded by the number of SCCs on the longest "
+            "directed chain)"
+        )
     out_vid = np.concatenate(
         [np.arange(p, n_vertices, P, dtype=np.int64) for p in range(P)]
     )

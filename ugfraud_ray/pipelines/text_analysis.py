@@ -633,18 +633,19 @@ def oov_stats(
     vocab_ref = ray.put(vocab)
 
     def f(t: pa.Table) -> pa.Table:
+        # SAME tokenizer as the vocabulary build (_explode_tokens: Arrow
+        # utf8_lower + RE2 \s+ split) — a second tokenizer (str.split)
+        # disagrees on Unicode whitespace/casing and would make
+        # n_tokens/n_oov inconsistent with the vocab's own token stream
         vb = ray.get(vocab_ref)
-        n_tok = np.empty(t.num_rows, dtype=np.int64)
-        n_oov = np.empty(t.num_rows, dtype=np.int64)
-        for i, s in enumerate(t[key].to_pylist()):
-            toks = np.array(s.lower().split(), dtype=object)
-            n_tok[i] = len(toks)
-            if len(toks):
-                pos = np.searchsorted(vb, toks)
-                pos = np.clip(pos, 0, len(vb) - 1)
-                n_oov[i] = int((vb[pos] != toks).sum())
-            else:
-                n_oov[i] = 0
+        flat, rows = _explode_tokens(t, key)
+        n_tok = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        if len(flat) and len(vb):
+            pos = np.clip(np.searchsorted(vb, flat), 0, len(vb) - 1)
+            oov_rows = rows[vb[pos] != flat]
+        else:
+            oov_rows = rows
+        n_oov = np.bincount(oov_rows, minlength=t.num_rows).astype(np.int64)
         return pa.table(
             {id_col: t[id_col], "n_tokens": pa.array(n_tok), "n_oov": pa.array(n_oov)}
         )

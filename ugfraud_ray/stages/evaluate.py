@@ -48,16 +48,22 @@ def evaluate_collected(
     """Semi-join scores ⋉ labels then numpy AUC/AP."""
     import pyarrow as pa
 
+    import pyarrow.compute as pc
+
     lt = collect_table(labels.select_columns([key, label_col]))
-    lab = dict(zip(lt[key].to_pylist(), lt[label_col].to_pylist()))
-    lab_ref = ray.put(lab)
+    keys_arr = lt[key].combine_chunks()
+    vals = lt[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab_ref = ray.put((keys_arr, vals))
 
     def semi(t: pa.Table) -> pa.Table:
-        lk = ray.get(lab_ref)
-        keys = t[key].to_pylist()
-        mask = [k in lk for k in keys]
-        sub = t.filter(pa.array(mask))
-        ys = pa.array([lk[k] for k, m in zip(keys, mask) if m], pa.int64())
+        # vectorized semi-join: pc.index_in against the broadcast key
+        # array instead of a per-row Python membership probe
+        ka, va = ray.get(lab_ref)
+        idx = pc.index_in(t[key].combine_chunks(), value_set=ka)
+        mask = pc.is_valid(idx)
+        sub = t.filter(mask)
+        pos = idx.filter(mask).to_numpy(zero_copy_only=False).astype(np.int64)
+        ys = pa.array(va[pos], pa.int64())
         return pa.table({key: sub[key], score_col: sub[score_col], "y": ys})
 
     joined = scores.map_batches(semi, batch_format="pyarrow").to_pandas()
