@@ -1686,6 +1686,83 @@ def _q_ann_lsh(sf_dir: str):
     )
 
 
+def _q_ann_ivf_recall(sf_dir: str):
+    """Recall@k gate for the IVF ANN path (VERDICT r1 item 4a): runs
+    ivf_topk and the exact brute_force_topk at identical params and
+    emits threshold booleans. Both sides are deterministic (seeded
+    quantizer, fixed sample), so the thresholds are a stable value
+    check: measured mean recall 0.62 (sf0.001) / 0.76 (sf0.01), min
+    0.5 / 0.6 — gated at mean>=0.55, min>=0.40. The oracle replays the
+    constants; a recall regression flips the booleans and FAILs."""
+    from ugfraud_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qids = list(range(ANN_QUERIES))
+    ivf = ivf_topk(emb, query_ids=qids, k=ANN_K).to_pandas()
+    exact = brute_force_topk(emb, query_ids=qids, k=ANN_K).to_pandas()
+    recalls = []
+    for q in qids:
+        a = set(ivf.loc[ivf.query_id == q, "neighbor_id"])
+        b = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        recalls.append(len(a & b) / max(len(b), 1))
+    mean_r, min_r = float(np.mean(recalls)), float(np.min(recalls))
+    return pa.table(
+        {
+            "n_queries": pa.array([ANN_QUERIES], pa.int64()),
+            "k": pa.array([ANN_K], pa.int64()),
+            "mean_recall_ge_055": pa.array([int(mean_r >= 0.55)], pa.int64()),
+            "min_recall_ge_040": pa.array([int(min_r >= 0.40)], pa.int64()),
+        }
+    )
+
+
+def _q_msf_total(sf_dir: str):
+    """Value oracle for the Borůvka MSF (VERDICT r1 item 4b): the
+    forest over the src%10/dst%10 subgraph of general_edges with
+    md5-low64 pair weights (mod 1e9+7 — int64-safe, unique on this
+    input) has a unique edge set, and its total weight is SQL-checkable
+    via the cycle property: an edge is in the MSF iff no strictly
+    lighter path connects its endpoints (minimax closure, unique
+    weights). The full-scale msf_edges query stays rows-only; this
+    runs the SAME distributed Borůvka kernel on the reduced graph."""
+    from ugfraud_ray.pipelines.msf import minimum_spanning_forest
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    ge = general_edges(sf_dir)
+
+    def filt(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (s % 10 == 0) & (d % 10 == 0)
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    sub = ge.map_batches(filt, batch_format="pyarrow").materialize()
+    n_edges_in = sub.count()
+    from ray.data.aggregate import Max
+
+    mx = sub.aggregate(Max("src", alias_name="ms"), Max("dst", alias_name="md"))
+    n_vertices = int(max(mx["ms"] or 0, mx["md"] or 0)) + 1
+
+    def wfn(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return _md5_low64([f"{x}_{y}" for x, y in zip(a.tolist(), b.tolist())]) % np.uint64(
+            1_000_000_007
+        )
+
+    forest = minimum_spanning_forest(
+        sub, n_vertices, approx_edges=n_edges_in, weight_fn=wfn
+    )
+    total = sum(int(w) for w in forest["weight"].to_pylist())
+    return pa.table(
+        {
+            "n_edges": pa.array([forest.num_rows], pa.int64()),
+            "total_weight": pa.array([total], pa.int64()),
+        }
+    )
+
+
 def _q_quantiles(sf_dir: str):
     """Exact distributed quantiles (functions/quantiles.py): shared
     histogram pass + one candidate-bin refine pass, never a full sort.
@@ -1788,96 +1865,109 @@ def _q_media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered most-load-bearing first: a capped driver run always
+    # certifies the core engine paths (superstep BP/PageRank, graph
+    # build, dedup family, event kernels) before redundant readouts
+    # (VERDICT r1 item 10).
     return {
-        "doc_md5_checksum": _q_doc_md5,
+        # --- core superstep engine + graph build ---
+        "pagerank": _q_pagerank,
+        "speagle_scores": _q_speagle,
+        "review_edges": _q_review_edges,
+        "connected_components": _q_components,
+        "gang_posteriors": _q_gang,
+        "zoobp_beliefs": _q_zoobp,
+        "user_priors": _q_user_priors,
+        "triangle_count": _q_triangles,
+        "strongly_connected_components": _q_scc,
+        "label_propagation": _q_labelprop,
+        # --- dedup family ---
         "doc_minhash_dedup": _q_minhash_dedup,
+        "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
-        "doc_jaccard_pairs_exact": _q_jaccard_pairs_exact,
         "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_exact": _q_embedding_neardup_exact,
-        "doc_lang_id": _q_lang_id,
-        "doc_quality_score": _q_quality_score,
-        "doc_fingerprints": _q_fingerprints,
-        "doc_bpe_token_count": _q_bpe_token_count,
-        "doc_distinctive_terms": _q_distinctive_terms,
-        "doc_top_tokens": _q_top_tokens,
-        "doc_inverted_index": _q_inverted_index,
-        "ann_ivf_topk": _q_ann_ivf,
+        # --- ANN / embeddings ---
+        "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
-        "media_features": _q_media_features,
-        "quantiles_extendedprice": _q_quantiles,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "embedding_centroids": _q_embedding_centroids,
+        # --- text analysis ---
+        "doc_quality_score": _q_quality_score,
+        "doc_lang_id": _q_lang_id,
+        "doc_top_tokens": _q_top_tokens,
+        "doc_bpe_token_count": _q_bpe_token_count,
+        "doc_fingerprints": _q_fingerprints,
+        "doc_packing": _q_doc_packing,
+        "doc_pii_redact": _q_doc_pii_redact,
+        "doc_contamination": _q_doc_contamination,
+        # --- event-stream kernels ---
+        "events_sessions": _q_events_sessions,
+        "events_windowed": _q_events_windowed,
+        "events_asof_last_error": _q_events_asof,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_hll_users": _q_events_hll_users,
+        "events_topk_per_user": _q_events_topk,
+        # --- relational / splits ---
+        "lineitem_pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
+        "quantiles_extendedprice": _q_quantiles,
+        "seeded_sample": _q_seeded_sample,
+        # --- graph kernels with driver-dense state (r2 focus) ---
+        "kcore_members": _q_kcore,
+        "mis_members": _q_mis,
+        "graph_coloring": _q_coloring,
+        "hyperball_nf": _q_hyperball,
+        "random_walks": _q_random_walks,
+        "msf_total_weight": _q_msf_total,
+        "graph_diameter": _q_diameter,
+        # --- remaining value-oracled readouts ---
+        "doc_md5_checksum": _q_doc_md5,
+        "doc_jaccard_pairs_exact": _q_jaccard_pairs_exact,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "doc_distinctive_terms": _q_distinctive_terms,
+        "doc_inverted_index": _q_inverted_index,
         "top_unshipped_orders": _q_top_unshipped,
         "customers_no_urgent_orders": _q_customers_no_urgent,
         "revenue_rollup": _q_revenue_rollup,
-        "lineitem_pricing_summary": _q_pricing_summary,
         "grouped_quantiles_events": _q_grouped_quantiles,
-        "user_priors": _q_user_priors,
-        "label_propagation": _q_labelprop,
         "partition_modularity": _q_modularity,
         "betweenness_subset": _q_betweenness,
-        "seeded_sample": _q_seeded_sample,
-        "events_windowed": _q_events_windowed,
-        "events_sessions": _q_events_sessions,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
         "events_paths": _q_events_paths,
         "events_hourly_users": _q_events_hourly_users,
         "component_sizes": _q_component_sizes,
         "events_props": _q_events_props,
-        "events_asof_last_error": _q_events_asof,
-        "events_topk_per_user": _q_events_topk,
         "events_sliding_count": _q_events_sliding,
         "events_distinct_users": _q_events_distinct_users,
-        "events_hll_users": _q_events_hll_users,
         "events_running_total": _q_events_running_total,
         "events_zscore": _q_events_zscore,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_top_type_per_user": _q_events_top_type_per_user,
         "events_incident_join": _q_events_incident_join,
-        "fbox_suspicious_users": _q_fbox_users,
-        "fraudar_blocks": _q_fraudar_blocks,
-        "fraudar_user_scores": _q_fraudar_user_scores,
         "svd_singular_values": _q_svd_singular_values,
         "prior_review_scores": _q_prior_scores,
-        "gang_posteriors": _q_gang,
-        "zoobp_beliefs": _q_zoobp,
-        "speagle_scores": _q_speagle,
-        "review_edges": _q_review_edges,
         "degree_in": lambda sf: _q_degree(sf, "in"),
         "degree_out": lambda sf: _q_degree(sf, "out"),
         "user_ground_truth": _q_user_ground_truth,
         "scale_minmax": _q_scale_minmax,
         "top_orders": _q_top_orders,
         "prior_median": _q_prior_median,
-        "triangle_count": _q_triangles,
         "graph_transitivity": _q_transitivity,
         "rich_club": _q_rich_club,
-        "connected_components": _q_components,
         "bfs_hops": _q_bfs_hops,
-        "hyperball_nf": _q_hyperball,
         "harmonic_centrality": _q_harmonic,
         "closeness_centrality": _q_closeness,
         "graph_distance_distribution": _q_distance_distribution,
         "graph_effective_diameter": _q_effective_diameter,
         "clustering_coefficient": _q_clustering,
-        "strongly_connected_components": _q_scc,
         "sssp_dist": _q_sssp,
-        "embedding_centroids": _q_embedding_centroids,
         "embedding_quantize": _q_embedding_quantize,
-        "random_walks": _q_random_walks,
         "degree_histogram": _q_degree_histogram,
         "link_reciprocity": _q_link_reciprocity,
         "ktruss_edges": _q_ktruss,
-        "graph_diameter": _q_diameter,
-        "kcore_members": _q_kcore,
-        "mis_members": _q_mis,
-        "graph_coloring": _q_coloring,
         "graph_assortativity": _q_assortativity,
-        "msf_edges": _q_msf,
         "review_butterflies": _q_butterflies,
-        "pagerank": _q_pagerank,
         "contracted_graph": _q_contracted_graph,
         "contracted_pagerank": _q_contracted_pagerank,
         "hits_scores": _q_hits,
@@ -1885,19 +1975,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_scores": _q_linkpred,
         "personalized_pagerank": _q_ppr,
         "auc_rating_label": _q_auc,
-        "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_pii_redact": _q_doc_pii_redact,
         "doc_term_redact": _q_doc_term_redact,
-        "doc_contamination": _q_doc_contamination,
         "doc_splits": _q_doc_splits,
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_source_rollup": _q_doc_source_rollup,
         "doc_oov_rate": _q_doc_oov,
-        "doc_packing": _q_doc_packing,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
-        "ann_topk": _q_ann_topk,
+        # --- rows-only by design (no SQL oracle) ---
+        "ann_ivf_topk": _q_ann_ivf,
+        "msf_edges": _q_msf,
+        "fbox_suspicious_users": _q_fbox_users,
+        "fraudar_blocks": _q_fraudar_blocks,
+        "fraudar_user_scores": _q_fraudar_user_scores,
+        "media_features": _q_media_features,
     }
 
 
@@ -2726,6 +2818,44 @@ def _labelprop_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # deterministic recall@k gate: the Ray side computes recall of
+        # seeded IVF vs the exact top-k and emits threshold booleans;
+        # the constants replay them (a recall regression FAILs the row)
+        "ann_ivf_recall": f"""
+            SELECT CAST({ANN_QUERIES} AS BIGINT) AS n_queries,
+                   CAST({ANN_K} AS BIGINT) AS k,
+                   CAST(1 AS BIGINT) AS mean_recall_ge_055,
+                   CAST(1 AS BIGINT) AS min_recall_ge_040
+        """,
+        # MSF via the cycle property (weights unique): an edge is in the
+        # forest iff the minimax path weight between its endpoints equals
+        # its own weight — the minimax closure is a recursive CTE, weights
+        # are md5_number_upper == the engine's md5-low64, mod 1e9+7
+        "msf_total_weight": f"""
+            WITH RECURSIVE gen AS ({_SQL_GENERAL_EDGES}),
+            base AS (
+              SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM gen WHERE src % 10 = 0 AND dst % 10 = 0
+            ),
+            w AS (
+              SELECT a, b,
+                     CAST(md5_number_upper(CONCAT(a, '_', b)) % 1000000007 AS BIGINT) AS wt
+              FROM base
+            ),
+            sym AS (SELECT a AS u, b AS v, wt FROM w UNION ALL SELECT b, a, wt FROM w),
+            mm(u, v, wt) AS (
+              SELECT u, v, wt FROM sym
+              UNION
+              SELECT mm.u, s.v, GREATEST(mm.wt, s.wt)
+              FROM mm JOIN sym s ON mm.v = s.u WHERE mm.u <> s.v
+            ),
+            mini AS (SELECT u, v, MIN(wt) AS m FROM mm GROUP BY u, v),
+            msf AS (
+              SELECT w.wt FROM w
+              JOIN mini ON mini.u = w.a AND mini.v = w.b AND mini.m = w.wt
+            )
+            SELECT COUNT(*) AS n_edges, CAST(SUM(wt) AS BIGINT) AS total_weight FROM msf
+        """,
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),

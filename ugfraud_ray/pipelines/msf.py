@@ -87,7 +87,7 @@ def _merge_candidates(parts):
 
 
 @ray.remote
-def _cand_block(t, comp: np.ndarray):
+def _cand_block(t, comp: np.ndarray, weight_fn=None):
     if isinstance(t, pa.Table) and t.num_rows > 0:
         a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -97,7 +97,8 @@ def _cand_block(t, comp: np.ndarray):
     else:
         z = np.zeros(0, dtype=np.int64)
         return z, np.zeros(0, dtype=np.uint64), z, z
-    return _candidates(a, b, pair_weights(a, b), comp)
+    wf = weight_fn or pair_weights
+    return _candidates(a, b, wf(a, b), comp)
 
 
 @ray.remote
@@ -131,9 +132,14 @@ def minimum_spanning_forest(
     n_vertices: int,
     max_iters: int = 40,
     approx_edges: int | None = None,
+    weight_fn=None,
 ) -> pa.Table:
     """(src, dst, weight) MSF edges (canonical src<dst, sorted), exact
-    and unique under the deterministic pair weights."""
+    and unique under deterministic pair weights. weight_fn(a, b) ->
+    uint64 array overrides the default splitmix pair hash (it must be a
+    pure function of the canonical pair and collision-free on the input,
+    or the forest loses uniqueness)."""
+    wf = weight_fn or pair_weights
     und = _canonical_undirected(edges, approx_edges)
     comp = np.arange(n_vertices, dtype=np.int64)
     uf = _UnionFind(n_vertices)
@@ -145,7 +151,7 @@ def minimum_spanning_forest(
         t = collect_table(und)
         la = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         lb = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lw = pair_weights(la, lb)
+        lw = wf(la, lb)
     else:
         blocks = und.materialize().to_arrow_refs()
 
@@ -154,7 +160,7 @@ def minimum_spanning_forest(
             c, w, a, b = _candidates(la, lb, lw, comp)
         else:
             comp_ref = ray.put(comp)
-            refs = [_cand_block.remote(bk, comp_ref) for bk in blocks]
+            refs = [_cand_block.remote(bk, comp_ref, weight_fn) for bk in blocks]
             while len(refs) > 1:
                 refs = [_merge_blocks.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
             c, w, a, b = ray.get(refs[0]) if refs else _merge_candidates([])
@@ -186,7 +192,7 @@ def minimum_spanning_forest(
     else:
         a = np.zeros(0, dtype=np.int64)
         b = np.zeros(0, dtype=np.int64)
-    w = pair_weights(a, b)
+    w = wf(a, b)
     order = np.lexsort((b, a))
     return pa.table(
         {
