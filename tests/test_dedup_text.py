@@ -52,6 +52,12 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     for a, b in planted:
         assert cl[a] == cl[b]
 
+    # distributed clustering path (threshold=0: hash-min CC over the
+    # candidate pairs) agrees bit-exactly with the driver union-find
+    dist = minhash_lsh_dedup(docs, local_threshold=0).to_pandas()
+    dl = dict(zip(dist["doc_id"], dist["cluster"]))
+    assert dl == cl
+
 
 def test_ngram_jaccard_separates_dups_from_random(ray_session):
     from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs

@@ -254,39 +254,77 @@ def minhash_lsh_dedup(
     bands: int = 16,
     ngram: int = 3,
     seed: int = 7,
+    local_threshold: int = 5_000_000,
 ) -> "ray.data.Dataset":
-    """(doc_id, cluster) near-dup clusters: LSH candidates + union-find.
+    """(doc_id, cluster) near-dup clusters: LSH candidates + connected
+    components; cluster = min doc_id of the candidate component
+    (order-free, so both paths agree bit-exactly).
 
-    The candidate-pair table is tiny relative to the corpus (only
-    colliding docs); union-find runs on the driver over that table —
-    O(pairs), not O(docs).
+    ≤ local_threshold candidate pairs: collected driver union-find —
+    O(pairs), tiny vs the corpus. Above it (boilerplate-heavy corpora
+    can explode the pair set): the distributed hash-min CC kernel
+    (pipelines/components.py) over the candidate edge table, so the
+    pair table never lands on the driver; only the final
+    (colliding doc -> cluster) map does (O(colliding docs), broadcast
+    once for the vectorized assign pass).
     """
     from ugfraud_ray.functions.collect import collect_table
 
-    pair_t = collect_table(
-        minhash_lsh_candidates(docs, key, id_col, num_perm, bands, ngram, seed)
-    )
-    parent: dict[int, int] = {}
+    pairs = minhash_lsh_candidates(
+        docs, key, id_col, num_perm, bands, ngram, seed
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= local_threshold:
+        pair_t = collect_table(pairs)
+        parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
 
-    for a, b in zip(pair_t["id_a"].to_pylist(), pair_t["id_b"].to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = {x: find(x) for x in parent}
-    roots_ref = ray.put(roots)
+        for a, b in zip(pair_t["id_a"].to_pylist(), pair_t["id_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = {x: find(x) for x in parent}
+        mk = np.array(sorted(roots), dtype=np.int64)
+        mv = np.array([roots[k] for k in mk.tolist()], dtype=np.int64)
+    else:
+        import tempfile
+
+        from ugfraud_ray.pipelines.components import connected_components
+        from ugfraud_ray.pipelines.testdata_graph import number_int_vertices, unmap_vids
+
+        e, vmap, n = number_int_vertices(
+            pairs.rename_columns({"id_a": "src", "id_b": "dst"})
+        )
+        comp, _ = connected_components(
+            e, n, tempfile.mkdtemp(prefix="lshcc_"), P=4
+        )
+        # numbering is ascending-original-id order-preserving, so the
+        # min-vid component representative unmaps to the min doc_id
+        out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
+        out = unmap_vids(out, vmap, vid_col="component", out_col="cluster")
+        mt = collect_table(out.select_columns(["id", "cluster"]))
+        mk = mt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mv = mt["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(mk)
+        mk, mv = mk[order], mv[order]
+
+    map_ref = ray.put((mk, mv))
 
     def assign(t: pa.Table) -> pa.Table:
-        rt = ray.get(roots_ref)
-        ids = t[id_col].to_pylist()
-        return pa.table(
-            {id_col: t[id_col], "cluster": pa.array([rt.get(i, i) for i in ids], pa.int64())}
-        )
+        keys, vals = ray.get(map_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
+            hit = keys[pos] == ids
+            cl = np.where(hit, vals[pos], ids)
+        else:
+            cl = ids
+        return pa.table({id_col: t[id_col], "cluster": pa.array(cl, pa.int64())})
 
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
