@@ -18,6 +18,7 @@ from __future__ import annotations
 import html as _html
 import re
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -26,35 +27,56 @@ _HREF = re.compile(rb'<a href="([^"]+)">')
 _MAIN = re.compile(rb"<main>(.*?)</main>", re.DOTALL)
 
 
+def _page_views(col):
+    """Zero-copy memoryview per row of a (large_)binary column.
+
+    Slices the value buffer directly via the offsets buffer — no
+    per-row ``as_py()`` bytes copy. ``re`` accepts memoryviews and
+    still returns bytes groups."""
+    arrs = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for a in arrs:
+        if a.null_count:
+            raise ValueError("html column must be non-null")
+        dt = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+        off = np.frombuffer(a.buffers()[1], dtype=dt)[a.offset : a.offset + len(a) + 1]
+        data = memoryview(a.buffers()[2])
+        for j in range(len(a)):
+            yield data[off[j] : off[j + 1]]
+
+
 class LinkTextExtractor:
     """pages batch -> flat edge rows (src_url, dst_url, warc_ts).
 
-    One output row per extracted link. Pure bytes -> bytes, deterministic.
+    One output row per extracted link. Pure bytes -> bytes,
+    deterministic. Vectorized assembly: per-page ``findall`` extends ONE
+    flat list, src urls / timestamps are gathered Arrow-side with
+    ``pc.take`` over ``np.repeat``-ed row indices (urls and timestamps
+    never round-trip through Python), and the link bytes convert to
+    strings with a single vectorized binary->string cast.
     """
 
     def __init__(self) -> None:
         self.href = _HREF
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html_col = batch["html"]
-        urls = batch["url"].to_pylist()
-        ts = batch["warc_ts"].to_pylist()
-        src, dst, ts_out = [], [], []
-        for i in range(len(batch)):
-            page = html_col[i].as_py()
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        counts = np.zeros(n, dtype=np.int64)
+        flat: list[bytes] = []
+        for i, page in enumerate(_page_views(batch["html"])):
             links = self.href.findall(page)
-            if not links:
-                continue
-            u, t = urls[i], ts[i]
-            for link in links:
-                src.append(u)
-                dst.append(link.decode("utf-8"))
-                ts_out.append(t)
+            if links:
+                counts[i] = len(links)
+                flat.extend(links)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
         return pa.table(
             {
-                "src_url": pa.array(src, pa.string()),
-                "dst_url": pa.array(dst, pa.string()),
-                "ts": pa.array(ts_out, pa.timestamp("us")),
+                "src_url": pc.take(batch["url"].combine_chunks(), idx),
+                "dst_url": pa.array(flat, pa.binary()).cast(pa.string()),
+                "ts": pc.take(batch["warc_ts"].combine_chunks(), idx).cast(
+                    pa.timestamp("us")
+                ),
             }
         )
 
@@ -64,17 +86,17 @@ class TextExtractor:
 
     ``text`` is recovered by unescaping the ``<main>`` payload; the
     conformance gate (tests) checks it equals the ground-truth column
-    byte-for-byte per url.
+    byte-for-byte per url. The regex scans zero-copy memoryview slices;
+    unescape+decode stays per-row (inherently Python), everything else
+    is Arrow.
     """
 
     def __init__(self) -> None:
         self.main = _MAIN
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html_col = batch["html"]
         texts = []
-        for i in range(len(batch)):
-            page = html_col[i].as_py()
+        for page in _page_views(batch["html"]):
             m = self.main.search(page)
             texts.append(_html.unescape(m.group(1).decode("utf-8")) if m else "")
         return pa.table(
