@@ -17,12 +17,14 @@ Semantics (pinned so the SQL oracle replays them exactly):
   ``max_iters`` — the same post-hoc stop replay pattern as the GANG
   oracle.
 
-Scale shape: the per-round degree is a dense bincount over
-alive-filtered edge blocks + 8-way tree reduce (per-vertex hash
-aggregates are the measured many-groups slow path); the alive bitmap
-(1 byte/vertex) broadcasts once per round via ray.put. Same
-driver-holds-(n,)-arrays assumption as dense_degrees — beyond ~10^9
-vertices switch to vid-range-bucketed partials.
+Scale shape: ≤ local_threshold edges the loop runs driver-local
+(bincount over the collected pair table — the usual shuffle-spin-up
+gate); above it the peel runs as a ``KCoreProgram`` on the vid-sharded
+``SuperstepEngine`` (state/engine.py): each shard owns its slice of
+the alive state, messages are the src alive flags summed dst-local, so
+the driver holds NO per-vertex arrays during the rounds (only the
+final membership readout is assembled). Both paths compute the
+identical Jacobi fixpoint (parity-tested).
 """
 
 from __future__ import annotations
@@ -52,28 +54,43 @@ def _canonical_undirected(
     )
 
 
-@ray.remote
-def _alive_deg_block(t, alive: np.ndarray, n: int) -> np.ndarray:
-    if isinstance(t, pa.Table):
-        if t.num_rows == 0:
-            return np.zeros(n, dtype=np.int64)
-        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    else:  # pandas block from a shuffle stage
-        if len(t) == 0 or "src" not in getattr(t, "columns", []):
-            return np.zeros(n, dtype=np.int64)
-        a = np.asarray(t["src"]).astype(np.int64)
-        b = np.asarray(t["dst"]).astype(np.int64)
-    keep = alive[a] & alive[b]
-    return np.bincount(a[keep], minlength=n) + np.bincount(b[keep], minlength=n)
+class KCoreProgram:
+    """Vertex program for the distributed peel: s0 = alive flag; each
+    superstep sums neighbors' alive flags (deg within the alive
+    subgraph for an alive vertex) and re-thresholds. delta = flips, so
+    ``tol=0.0`` stops at the first count-stable round — the exact
+    semantics the SQL oracle replays."""
 
+    state_dim = 1
+    combine = "sum"
+    edge_cols: tuple = ()
 
-@ray.remote
-def _sum_deg(*parts: np.ndarray) -> np.ndarray:
-    out = parts[0].copy()
-    for p in parts[1:]:
-        out += p
-    return out
+    def __init__(self, k: int):
+        self.k = k
+
+    def init_state(self, vids: np.ndarray, shard) -> np.ndarray:
+        return np.ones((len(vids), 1), dtype=np.float64)
+
+    def prepare_edges(self, edge_table, shard):
+        return None
+
+    def message(self, src_state: np.ndarray, edge_data, shard) -> np.ndarray:
+        return src_state[:, 0]
+
+    def apply(self, vids, old, agg, have_msg, aux, shard):
+        alive = old[:, 0] > 0.0
+        new = (alive & (agg[:, 0] >= float(self.k))).astype(np.float64)
+        return new, {"delta": float((new != old[:, 0]).sum())}
+
+    def init_stats(self, vids, state, shard) -> dict:
+        return {}
+
+    def reduce_stats(self, stats: list[dict]) -> dict:
+        out: dict = {}
+        for s in stats:
+            for k_, v in s.items():
+                out[k_] = out.get(k_, 0.0) + v
+        return out
 
 
 def kcore_members(
@@ -82,12 +99,15 @@ def kcore_members(
     k: int = 2,
     max_iters: int = 30,
     approx_edges: int | None = None,
+    local_threshold: int = 5_000_000,
+    P: int = 4,
+    layout_dir: str | None = None,
 ) -> np.ndarray:
     """Boolean (n_vertices,) mask of the k-core over int-vid edges."""
     und = _canonical_undirected(edges, approx_edges)
     alive = np.ones(n_vertices, dtype=bool)
 
-    if approx_edges is not None and approx_edges <= 5_000_000:
+    if approx_edges is not None and approx_edges <= local_threshold:
         t = collect_table(und)
         a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -102,15 +122,22 @@ def kcore_members(
             alive = new
         return alive
 
-    blocks = und.materialize().to_arrow_refs()
-    for _ in range(max_iters):
-        alive_ref = ray.put(alive)
-        refs = [_alive_deg_block.remote(bk, alive_ref, n_vertices) for bk in blocks]
-        while len(refs) > 1:
-            refs = [_sum_deg.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-        deg = ray.get(refs[0]) if refs else np.zeros(n_vertices, dtype=np.int64)
-        new = alive & (deg >= k)
-        if new.sum() == alive.sum():
-            break
-        alive = new
+    # engine path: alive state lives in the vid-sharded shards; the
+    # driver never holds or broadcasts per-vertex arrays mid-loop
+    import tempfile
+
+    from ugfraud_ray.state.engine import SuperstepEngine
+    from ugfraud_ray.state.layout import build_layout, symmetrize
+
+    sym = symmetrize(und.select_columns(["src", "dst"])).materialize()
+    layout = build_layout(
+        sym, n_vertices, layout_dir or tempfile.mkdtemp(prefix="kcore_"), P=P
+    )
+    eng = SuperstepEngine(layout, KCoreProgram(k))
+    eng.run(max_iters=max_iters, tol=0.0)
+    rt = collect_table(eng.result_dataset())
+    eng.shutdown()
+    alive = np.zeros(n_vertices, dtype=bool)
+    vid = rt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    alive[vid] = rt["s0"].to_numpy(zero_copy_only=False) > 0.0
     return alive
