@@ -25,9 +25,14 @@ Detector/GANG.py:114-137). Here every iterative kernel is a
   resume scans the greatest committed step (per-partition lineage +
   mid-iteration resumability, north rule).
 
-Messages are plain float64 (n, state_dim) numpy arrays; combines are
-``np.bincount`` (sum) or ``ufunc.at`` (min/max) — no Python loops over
-edges anywhere.
+Messages are plain float64 (n, msg_dim) numpy arrays (msg_dim defaults
+to state_dim — programs whose state carries extra bookkeeping columns
+set it smaller); combines are ``np.bincount`` (sum), ``ufunc.at``
+(min/max), or ``lexmin64`` — an EXACT lexicographic min over a 2-column
+message whose columns are integers in [0, 2^32): the pair is packed
+into one uint64 key (hi<<32 | lo), minimized with ``np.minimum.at``,
+and unpacked, so 64-bit hash priorities (md5-low64) survive the float64
+message path bit-exactly. No Python loops over edges anywhere.
 """
 
 from __future__ import annotations
@@ -53,7 +58,8 @@ class VertexProgram:
     """
 
     state_dim: int = 1
-    combine: str = "sum"  # 'sum' | 'min' | 'max'
+    msg_dim: int | None = None  # message width; defaults to state_dim
+    combine: str = "sum"  # 'sum' | 'min' | 'max' | 'lexmin64'
     edge_cols: tuple = ()  # extra edge columns the kernel needs
 
     def init_state(self, vids: np.ndarray, shard: "Any") -> np.ndarray:
@@ -88,7 +94,19 @@ class VertexProgram:
         return out
 
 
-_COMBINE_IDENT = {"sum": 0.0, "min": np.inf, "max": -np.inf}
+_U32MAX_F = float(0xFFFFFFFF)  # per-column lexmin64 identity (key = u64 max)
+_COMBINE_IDENT = {"sum": 0.0, "min": np.inf, "max": -np.inf, "lexmin64": _U32MAX_F}
+
+
+def _lex_pack(c0: np.ndarray, c1: np.ndarray) -> np.ndarray:
+    """(hi, lo) float64 columns of exact integers in [0, 2^32) -> uint64 key."""
+    return (c0.astype(np.uint64) << np.uint64(32)) | c1.astype(np.uint64)
+
+
+def _lex_unpack(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    hi = (key >> np.uint64(32)).astype(np.float64)
+    lo = (key & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    return hi, lo
 
 
 @ray.remote
@@ -156,9 +174,10 @@ class GraphShard:
         # temporaries every step serialize on the kernel mmap lock —
         # measured multi-second stalls in the BP engine
         k = program.state_dim
+        self.k_msg = getattr(program, "msg_dim", None) or k
         self._src_vals = np.zeros((self.n_edges, k))
         self._gtmp = np.zeros((self.n_edges, k))
-        self._agg = np.zeros((self.n_local, k))
+        self._agg = np.zeros((self.n_local, self.k_msg))
         self._have = np.zeros(self.n_local, dtype=bool)
 
     def vertex_aux(self, col: str, default: float = 0.0) -> np.ndarray:
@@ -197,6 +216,7 @@ class GraphShard:
         msgs = self.program.message(src_vals, self.edge_data, self)
         if msgs.ndim == 1:
             msgs = msgs[:, None]
+        km = self.k_msg
         ident = _COMBINE_IDENT[self.program.combine]
         agg = self._agg
         agg.fill(ident)
@@ -205,30 +225,38 @@ class GraphShard:
         lm = self.local_mask
         dl = self.dst_local[lm]
         if self.program.combine == "sum":
-            for j in range(k):
+            for j in range(km):
                 agg[:, j] += np.bincount(dl, weights=msgs[lm, j], minlength=self.n_local)
         elif self.program.combine == "min":
-            for j in range(k):
+            for j in range(km):
                 np.minimum.at(agg[:, j], dl, msgs[lm, j])
+        elif self.program.combine == "lexmin64":
+            aggk = np.full(self.n_local, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+            np.minimum.at(aggk, dl, _lex_pack(msgs[lm, 0], msgs[lm, 1]))
+            agg[:, 0], agg[:, 1] = _lex_unpack(aggk)
         else:
-            for j in range(k):
+            for j in range(km):
                 np.maximum.at(agg[:, j], dl, msgs[lm, j])
         np.logical_or.at(have, dl, True)
         self._agg, self._have = agg, have
-        # hub partials: (n_hubs, k) dense — n_hubs is small by construction
+        # hub partials: (n_hubs, km) dense — n_hubs is small by construction
         n_hubs = len(self.hub_vids)
-        hub_partial = np.full((n_hubs, k), ident, dtype=np.float64)
+        hub_partial = np.full((n_hubs, km), ident, dtype=np.float64)
         hub_have = np.zeros(n_hubs, dtype=bool)
         if n_hubs and self.is_hub_edge.any():
             hm = msgs[self.is_hub_edge]
             if self.program.combine == "sum":
-                for j in range(k):
+                for j in range(km):
                     hub_partial[:, j] += np.bincount(self.hub_idx, weights=hm[:, j], minlength=n_hubs)
             elif self.program.combine == "min":
-                for j in range(k):
+                for j in range(km):
                     np.minimum.at(hub_partial[:, j], self.hub_idx, hm[:, j])
+            elif self.program.combine == "lexmin64":
+                hk = np.full(n_hubs, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+                np.minimum.at(hk, self.hub_idx, _lex_pack(hm[:, 0], hm[:, 1]))
+                hub_partial[:, 0], hub_partial[:, 1] = _lex_unpack(hk)
             else:
-                for j in range(k):
+                for j in range(km):
                     np.maximum.at(hub_partial[:, j], self.hub_idx, hm[:, j])
             np.logical_or.at(hub_have, self.hub_idx, True)
         return np.concatenate([hub_partial, hub_have[:, None].astype(np.float64)], axis=1)
@@ -296,7 +324,7 @@ class SuperstepEngine:
     def _combine_hub(self, partials: list[np.ndarray]) -> np.ndarray | None:
         if not self.n_hubs:
             return None
-        k = self.program.state_dim
+        k = getattr(self.program, "msg_dim", None) or self.program.state_dim
         vals = np.stack([p[:, :k] for p in partials])  # (P, n_hubs, k)
         have = np.stack([p[:, k] > 0 for p in partials])
         any_have = have.any(axis=0)
@@ -304,6 +332,10 @@ class SuperstepEngine:
             out = vals.sum(axis=0)
         elif self.program.combine == "min":
             out = vals.min(axis=0)
+        elif self.program.combine == "lexmin64":
+            keys = np.stack([_lex_pack(p[:, 0], p[:, 1]) for p in partials]).min(axis=0)
+            hi, lo = _lex_unpack(keys)
+            out = np.column_stack([hi, lo])
         else:
             out = vals.max(axis=0)
         return np.concatenate([out, any_have[:, None].astype(np.float64)], axis=1)
