@@ -1278,6 +1278,45 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_svd_user_probs(sf_dir: str):
+    """evaluate_SVD (SVD.py:104-138): train the deterministic linear
+    head on the SVD user embedding of the seeded train split, return
+    (vid, prob of the −1/non-spam class) for the held-out users.
+    Rows-only (the GD training loop is not SQL-expressible); values
+    are conformance-gated against the reference's own evaluate_SVD in
+    tests/test_reference_conformance.py gate 11."""
+    from ugfraud_ray.detectors.svd import svd_decompose, svd_user_embedding
+    from ugfraud_ray.detectors.svdclf import svd_classifier_probs
+
+    from ray.data.aggregate import Mean
+
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    eb, n_prods = _prod_indexed_edges(sf_dir)
+    s, Vk = svd_decompose(eb, n_prods, percent=0.02, approx_edges=eb.count())
+    emb = svd_user_embedding(eb, s, Vk)
+    # ground truth for THIS query is majority-spam (mean label > 0.5),
+    # not M9's any-spam — the synthetic returnflag marker fires for
+    # nearly every user at least once, so any-spam is single-class at
+    # small SF and untrainable; the classifier itself is reference-
+    # conformant regardless of the label source (gate 11)
+    gt = review_edges(sf_dir).groupby("src").aggregate(Mean("label", alias_name="m"))
+
+    def binarize(t: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.greater(t["m"], 0.5), pa.int8())
+        return pa.table({"vid": t["src"], "label": lab})
+
+    labels = gt.map_batches(binarize, batch_format="pyarrow")
+    probs = svd_classifier_probs(emb, labels, seed=11)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": t["vid"], "prob": pc.round(t["prob"], ndigits=9)}
+        )
+
+    return probs.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_labelprop(sf_dir: str):
     """Semi-supervised LP on the general graph; deterministic seeds
     (every 10th vertex labeled vid%3). Runs exactly LP_ITERS Jacobi
@@ -1946,6 +1985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_type_per_user": _q_events_top_type_per_user,
         "events_incident_join": _q_events_incident_join,
         "svd_singular_values": _q_svd_singular_values,
+        "svd_user_probs": _q_svd_user_probs,
         "prior_review_scores": _q_prior_scores,
         "degree_in": lambda sf: _q_degree(sf, "in"),
         "degree_out": lambda sf: _q_degree(sf, "out"),

@@ -31,8 +31,34 @@ def install_reference_shims() -> None:
     skm.roc_auc_score = lambda y, s: roc_auc(y, s)
     skm.average_precision_score = lambda y, s: average_precision(y, s)
     sk.metrics = skm
+
+    # sklearn.svm.SVC -> the engine's deterministic LinearSVC, so the
+    # reference's evaluate_SVD (Detector/SVD.py:90-138) executes here
+    # end-to-end; constructor kwargs (C, tol, probability) are accepted
+    # and ignored — the stray SVC(C=100, tol=1e-5) at SVD.py:93 is
+    # discarded by the reference itself, so defaults rule both sides.
+    from ugfraud_ray.detectors.svdclf import LinearSVC
+
+    class _SVC:
+        def __init__(self, **kwargs):
+            self._m = LinearSVC()
+
+        def fit(self, X, y):
+            self._m.fit(np.asarray(X), np.asarray(y))
+            return self
+
+        def predict(self, X):
+            return self._m.predict(np.asarray(X))
+
+        def predict_proba(self, X):
+            return self._m.predict_proba(np.asarray(X))
+
+    sksvm = types.ModuleType("sklearn.svm")
+    sksvm.SVC = _SVC
+    sk.svm = sksvm
     sys.modules.setdefault("sklearn", sk)
     sys.modules.setdefault("sklearn.metrics", skm)
+    sys.modules.setdefault("sklearn.svm", sksvm)
 
     class _DenseMat:
         """scipy.sparse stand-in: dense backing, matrix-style ops —

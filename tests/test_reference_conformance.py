@@ -239,3 +239,81 @@ def test_reference_zoobp_degenerate_matches(fixture_graph):
     got_u, got_p = zoobp_reference_degenerate(u_priors, p_priors, n_pos, n_neg, ep=0.01)
     for k_ in ref_user_beliefs:
         assert abs(ref_user_beliefs[k_] - got_u[k_]) < 1e-6, k_
+
+
+def test_reference_svd_classifier_matches_engine(ray_session):
+    """Gate 11: the reference's evaluate_SVD (SVD.py:90-138) executed
+    here with sklearn.svm shimmed to the engine's LinearSVC, vs the
+    engine's svd_decompose -> svd_user_embedding ->
+    svd_classifier_probs on the SAME split (the reference's own
+    random_split, replayed by re-seeding numpy).
+
+    The fixture is FULLY DENSE (every user rated every product) so the
+    reference's np.empty rating matrix (B4: uninitialized cells) has no
+    unset entries and the run is deterministic."""
+    import networkx as nx
+
+    install_reference_shims()
+    from UGFraud.Detector.SVD import SVD
+
+    from ugfraud_ray.detectors.svd import svd_decompose, svd_user_embedding
+    from ugfraud_ray.detectors.svdclf import svd_classifier_probs
+
+    U, Pn = 20, 5
+    # users 0..7 all rating 1 (neg class); users 8+ mixed -> pos
+    src, dst, rating = [], [], []
+    for u in range(U):
+        for p in range(Pn):
+            src.append(u)
+            dst.append(p)
+            rating.append(2 if (u >= 8 and (u + p) % 2 == 0) else 1)
+    G = nx.Graph()
+    for u in range(U):
+        G.add_node(str(Pn + u), types="user", prior=0.5)
+    for p in range(Pn):
+        G.add_node(str(p), types="prod", prior=0.5)
+    for s, d, r in zip(src, dst, rating):
+        # demo remap (demo_pre.py:49-52): label 0 <=> spam review
+        G.add_edge(str(Pn + s), str(d), types="review", rating=int(r),
+                   label=0 if r == 2 else 1)
+
+    model = SVD(G)
+    svd_output = model.run(0.4)  # k = round(5*0.4) = 2
+    np.random.seed(99)
+    ref_uids, ref_probs = model.evaluate_SVD(svd_output, G)
+    ref = {int(ref_uids[j]) - Pn: ref_probs[j] for j in range(len(ref_uids))}
+
+    # replay the identical split (same seed, same call sequence)
+    np.random.seed(99)
+    tr_pos, tr_neg, te_pos, te_neg = model.random_split(G)
+    train_ids = {int(s) - Pn for s in tr_pos | tr_neg}
+    test_ids = {int(s) - Pn for s in te_pos | te_neg}
+
+    eb = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "rating": pa.array([float(r) for r in rating]),
+            }
+        )
+    )
+    s_, Vk = svd_decompose(eb, Pn, percent=0.4, approx_edges=len(src))
+    emb = svd_user_embedding(eb, s_, Vk)
+    pos_users = {u for u, r in zip(src, rating) if r == 2}
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(range(U), pa.int64()),
+                "label": pa.array(
+                    [1 if u in pos_users else 0 for u in range(U)], pa.int8()
+                ),
+            }
+        )
+    )
+    got = svd_classifier_probs(
+        emb, labels, train_ids=train_ids, test_ids=test_ids
+    ).to_pandas()
+    assert set(got["vid"]) == test_ids == set(ref)
+    for _, row in got.iterrows():
+        assert abs(row["prob"] - ref[int(row["vid"])]) < 1e-6, int(row["vid"])
