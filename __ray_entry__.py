@@ -371,7 +371,7 @@ def _q_random_walks(sf_dir: str):
     )
     seeds = ids[ids % BFS_SEED_MOD == 0].astype(np.int64)
     n = int(ids.max()) + 1
-    return random_walks(ge, n, seeds, walk_len=WALK_LEN)
+    return random_walks(ge, n, seeds, walk_len=WALK_LEN, approx_edges=ge.count())
 
 
 def _q_embedding_centroids(sf_dir: str):

@@ -491,6 +491,34 @@ def test_random_walks_deterministic_and_correct():
     assert (got["step"] > 0).sum() >= 10
 
 
+def test_random_walks_sharded_parity(tmp_path):
+    """The frontier-routed shard path is bit-identical to the
+    broadcast-CSR path (the walk is a pure function of (graph, wid))."""
+    from ugfraud_ray.pipelines.walks import random_walks
+
+    rng = np.random.default_rng(31)
+    n, m = 40, 160
+    src = rng.integers(0, n, size=m).astype(np.int64)
+    dst = rng.integers(0, n, size=m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _edges_ds(src, dst)
+    seeds = np.array([0, 3, 7, 13, 22, 39], dtype=np.int64)
+    local = (
+        random_walks(ds, n, seeds, walk_len=6)
+        .to_pandas().sort_values(["wid", "step"]).reset_index(drop=True)
+    )
+    sharded = (
+        random_walks(
+            ds, n, seeds, walk_len=6,
+            approx_edges=len(src), local_threshold=0, P=3,
+            edge_dir=str(tmp_path / "w"),
+        )
+        .to_pandas().sort_values(["wid", "step"]).reset_index(drop=True)
+    )
+    assert (local == sharded).all().all()
+
+
 def test_component_sizes_matches_networkx(tmp_path):
     from ugfraud_ray.pipelines.components import component_sizes
 
