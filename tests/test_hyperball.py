@@ -73,9 +73,9 @@ def test_hyperball_matches_exact_ball_sketch(ray_session):
             assert float(row["approx"]) == float(est[0])
 
 
-def test_hyperball_local_vs_distributed(ray_session):
-    """The Ray-blocked union path produces the identical table to the
-    local-numpy path (max-union is order-free), whatever the blocking."""
+def test_hyperball_local_vs_distributed(ray_session, tmp_path):
+    """The register-sharded actor path produces the identical table to
+    the local-numpy path (max-union is order-free), whatever P."""
     from ugfraud_ray.pipelines.hyperball import neighborhood_function
 
     src, dst, ids = _graph(seed=13, n=80, m=300)
@@ -87,7 +87,10 @@ def test_hyperball_local_vs_distributed(ray_session):
         ray.data.from_arrow(t).repartition(9),
         ids,
         radius=2,
-        approx_edges=None,  # force the distributed block-union path
+        approx_edges=len(src),
+        local_threshold=0,  # force the register-sharded actor path
+        P=3,
+        edge_dir=str(tmp_path / "hb"),
     ).to_pandas()
     key = ["id", "r"]
     assert loc.sort_values(key).reset_index(drop=True).equals(

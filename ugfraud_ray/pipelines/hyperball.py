@@ -19,11 +19,23 @@ has 57 bits here — too wide for the float-frexp shortcut, so a 6-step
 vectorized shift cascade computes bit length exactly); register sums
 are exact integers; int→double through the decimal string.
 
-Scale shape: registers are a dense (n, 128) uint8 matrix; one superstep
-is per-block ``np.maximum.at`` partials over the edge blocks + an
-8-way elementwise-max tree reduce — the same dense-partial pattern as
-kcore/MIS, moving 128 B/vertex. Beyond driver-array scale the matrix
-shards by vid range (the register union is embarrassingly mergeable).
+Scale shape, two paths (identical registers, parity-tested):
+
+- ≤ ``local_threshold`` edges: registers are a dense (n, 128) uint8
+  driver matrix; one superstep is a collected-edge ``np.maximum.at``
+  pass (the usual shuffle-spin-up gate).
+- above it: NO (n, 128) matrix anywhere. Edges are written once as
+  dst%P-partitioned parquet; P ``_HBShard`` actors each own the
+  registers of vids with vid % P == pid plus the edge slice whose dsts
+  they own, so the gather regs[dst] is shard-LOCAL. Each round a shard
+  pre-combines its contributions per src (``np.maximum.at`` into a
+  per-src-owner buffer — max-union is mergeable, so pre-combining is
+  exact) and ships P (src, regs) payloads as direct actor-to-actor
+  refs; owners fold with another ``maximum.at``. Per-round readouts
+  accumulate shard-local; the driver sees only the final (n·(R+1), 5)
+  readout table (the query result itself), never register state. The
+  vid→original-id map still ships once via ``ray.put`` (8 B/vertex —
+  at full web scale it would come from the layout's vertex files).
 """
 
 from __future__ import annotations
@@ -72,29 +84,6 @@ def init_registers(ids: np.ndarray) -> np.ndarray:
     return regs
 
 
-@ray.remote
-def _union_block(t, regs: np.ndarray, n: int):
-    if isinstance(t, pa.Table) and t.num_rows > 0:
-        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    elif not isinstance(t, pa.Table) and len(t) > 0 and "src" in getattr(t, "columns", []):
-        a = np.asarray(t["src"]).astype(np.int64)
-        b = np.asarray(t["dst"]).astype(np.int64)
-    else:
-        return np.zeros((n, regs.shape[1]), dtype=np.uint8)
-    out = np.zeros((n, regs.shape[1]), dtype=np.uint8)
-    np.maximum.at(out, a, regs[b])
-    return out
-
-
-@ray.remote
-def _max_blocks(*parts: np.ndarray) -> np.ndarray:
-    out = parts[0].copy()
-    for p in parts[1:]:
-        np.maximum(out, p, out=out)
-    return out
-
-
 def _estimates(regs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-vertex (nz, float(S_total), estimate). S_total = Σ_j 2^(RHO_MAX
     - rho_j) (rho=0 for an empty register contributes 2^RHO_MAX) can reach
@@ -125,18 +114,134 @@ def _estimates(regs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return nz, s_f, est
 
 
+@ray.remote
+class _HBShard:
+    """Owns registers for vids with vid % P == pid and the edge slice
+    whose dsts it owns (dst % P == pid)."""
+
+    def __init__(self, pid: int, P: int, edge_dir: str, ids: np.ndarray):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        self.pid, self.P = pid, P
+        self.ids_owned = ids[pid::P].astype(np.int64)
+        self.regs = init_registers(self.ids_owned)  # (n_local, 128)
+        files = sorted(glob.glob(os.path.join(edge_dir, f"part={pid}", "*.parquet")))
+        if files:
+            t = pa.concat_tables(
+                [pq.read_table(f, columns=["src", "dst"]) for f in files]
+            )
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        # per-src-owner precompute: unique srcs + inverse for the exact
+        # pre-combine (max-union is mergeable), plus the dst gather index
+        self.groups = []
+        owner = src % P
+        for p in range(P):
+            m = owner == p
+            uniq, inv = np.unique(src[m], return_inverse=True)
+            self.groups.append((uniq, inv, (dst[m] // P)))
+        self.rows: list = []
+        self._emit(0)
+
+    def _emit(self, r: int) -> None:
+        nz, s_f, est = _estimates(self.regs)
+        self.rows.append(
+            pa.table(
+                {
+                    "id": pa.array(self.ids_owned),
+                    "r": pa.array(np.full(len(self.ids_owned), r, dtype=np.int64)),
+                    "n_registers": pa.array(nz),
+                    "s_hll": pa.array(s_f),
+                    "approx": pa.array(est),
+                }
+            )
+        )
+
+    def partials(self, r: int):
+        out = []
+        for uniq, inv, dst_loc in self.groups:
+            buf = np.zeros((len(uniq), HB_M), dtype=np.uint8)
+            if len(inv):
+                np.maximum.at(buf, inv, self.regs[dst_loc])
+            out.append((uniq, buf))
+        return tuple(out)
+
+    def fold(self, r: int, *payloads) -> None:
+        for srcs, buf in payloads:
+            if len(srcs):
+                np.maximum.at(self.regs, srcs // self.P, buf)
+        self._emit(r)
+
+    def collect(self) -> pa.Table:
+        return pa.concat_tables(self.rows)
+
+
+def _nf_sharded(
+    edges: "ray.data.Dataset",
+    ids: np.ndarray,
+    radius: int,
+    P: int,
+    edge_dir: str | None,
+) -> pa.Table:
+    import tempfile
+
+    edge_dir = edge_dir or tempfile.mkdtemp(prefix="hb_")
+    P = max(2, P)  # num_returns=P routing assumes a list of refs
+    P_ = P
+
+    def assign(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((dst % P_).astype(np.int64)))
+
+    edges.select_columns(["src", "dst"]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(edge_dir, partition_cols=["part"])
+
+    ids_ref = ray.put(ids.astype(np.int64))
+    shards = [_HBShard.remote(p, P, edge_dir, ids_ref) for p in range(P)]
+    for r in range(1, radius + 1):
+        outs = [
+            shards[i].partials.options(num_returns=P).remote(r) for i in range(P)
+        ]
+        folds = [
+            shards[j].fold.remote(r, *[outs[i][j] for i in range(P)])
+            for j in range(P)
+        ]
+        ray.get(folds)
+    t = pa.concat_tables(ray.get([s.collect.remote() for s in shards]))
+    for s in shards:
+        ray.kill(s)
+    order = np.lexsort(
+        (
+            t["id"].to_numpy(zero_copy_only=False),
+            t["r"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return t.take(pa.array(order))
+
+
 def neighborhood_function(
     edges: "ray.data.Dataset",
     ids: np.ndarray,
     radius: int = 4,
     local_threshold: int = 5_000_000,
     approx_edges: int | None = None,
+    P: int = 4,
+    edge_dir: str | None = None,
 ) -> pa.Table:
     """(id, r, n_registers, s_hll, approx) for r = 0..radius: the
     estimated out-ball size |{u : dist(v→u) <= r}| per vertex. ``ids``
     maps contiguous vids to original ids (hash identity); ``edges`` are
     directed on the vid domain; multi-edges are harmless (max-union is
     idempotent)."""
+    if approx_edges is not None and approx_edges > local_threshold:
+        return _nf_sharded(edges, ids, radius, P, edge_dir)
+
     n = len(ids)
     regs = init_registers(ids)
     out_id, out_r, out_nz, out_s, out_e = [], [], [], [], []
@@ -150,28 +255,16 @@ def neighborhood_function(
         out_e.append(est)
 
     emit(0, regs)
-    local = approx_edges is not None and approx_edges <= local_threshold
-    if local:
-        from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.functions.collect import collect_table
 
-        t = collect_table(edges.select_columns(["src", "dst"]))
-        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        for r in range(1, radius + 1):
-            upd = np.zeros_like(regs)
-            np.maximum.at(upd, a, regs[b])
-            regs = np.maximum(regs, upd)
-            emit(r, regs)
-    else:
-        blocks = edges.select_columns(["src", "dst"]).materialize().to_arrow_refs()
-        for r in range(1, radius + 1):
-            regs_ref = ray.put(regs)
-            refs = [_union_block.remote(bk, regs_ref, n) for bk in blocks]
-            while len(refs) > 1:
-                refs = [_max_blocks.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-            upd = ray.get(refs[0]) if refs else np.zeros_like(regs)
-            regs = np.maximum(regs, upd)
-            emit(r, regs)
+    t = collect_table(edges.select_columns(["src", "dst"]))
+    a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for r in range(1, radius + 1):
+        upd = np.zeros_like(regs)
+        np.maximum.at(upd, a, regs[b])
+        regs = np.maximum(regs, upd)
+        emit(r, regs)
 
     return pa.table(
         {
