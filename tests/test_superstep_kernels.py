@@ -878,10 +878,16 @@ def test_betweenness_local_vs_distributed(tmp_path):
     sources = np.arange(0, n, 5, dtype=np.int64)
     loc = betweenness_subset(edges, n, sources, radius=3, approx_edges=len(e))
     dist = betweenness_subset(
-        edges.repartition(7), n, sources, radius=3, approx_edges=None
+        edges.repartition(7),
+        n,
+        sources,
+        radius=3,
+        approx_edges=len(e),
+        local_threshold=0,  # force the superstep-engine path
+        P=3,
+        layout_dir=str(tmp_path / "bc"),
     )
     lp = loc.to_pandas().sort_values("vid").reset_index(drop=True)
     dp = dist.to_pandas().sort_values("vid").reset_index(drop=True)
-    # partials are integer (forward) and per-edge-identical floats
-    # (backward): block split only reorders sums
+    # forward partials are integer-exact; backward sums only reorder
     np.testing.assert_allclose(lp["betweenness"], dp["betweenness"], atol=1e-9)
