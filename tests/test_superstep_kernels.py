@@ -734,8 +734,11 @@ def test_msf_matches_kruskal_oracle():
     got_set = set(zip(got["src"].tolist(), got["dst"].tolist()))
     assert got_set == want
 
-    # distributed path agrees
-    dist = minimum_spanning_forest(_edges_ds(src, dst), n, approx_edges=None).to_pandas()
+    # distributed Borůvka (joins + bucketed min + hash-min CC contraction)
+    # finds the identical forest (unique weights => unique MSF)
+    dist = minimum_spanning_forest(
+        _edges_ds(src, dst), n, approx_edges=len(src), local_threshold=0, P=3
+    ).to_pandas()
     assert set(zip(dist["src"].tolist(), dist["dst"].tolist())) == want
 
 

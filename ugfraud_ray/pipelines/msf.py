@@ -16,12 +16,21 @@ Semantics:
   components contract (driver-side union-find over picked edges —
   ≤ n−1 unions TOTAL across all rounds); O(log n) rounds.
 
-Scale shape: per-block candidate tables (≤ one row per component
-present in the block: lexsort by (component, weight), first-per-run) +
-8-way tree reduce with the same first-per-run merge — the all-reduce
-moves component-sized tables, never edge-sized. The component label
-array (n,) broadcasts once per round via ray.put; same
-driver-holds-(n,)-arrays assumption as dense_degrees.
+Scale shape, two paths (identical forest by uniqueness of weights,
+parity-tested):
+
+- ≤ ``local_threshold`` edges: collected edges, driver union-find (the
+  usual shuffle-spin-up gate; the forest output is edge-sized anyway).
+- above it: textbook distributed Borůvka with NO driver per-vertex
+  state and NO union-find. Labels live as a Dataset(vid, comp); each
+  round (a) relabels edges by two hash joins against the label table,
+  (b) takes the min-weight edge per component with ONE bucketed
+  shuffle (both endpoints emitted; per-bucket lexsort + first-run),
+  (c) dedupes mutual picks by canonical pair (unique weights ⇒ the
+  picked set is a forest — no cycle check needed), (d) contracts by
+  running the in-repo distributed hash-min CC kernel over the picked
+  (ca, cb) component graph and composing it into the label table with
+  one more join. O(log n) rounds, each a constant number of shuffles.
 """
 
 from __future__ import annotations
@@ -72,40 +81,6 @@ def _candidates(a, b, w, comp):
     return c[first], ww[first], aa[first], bb[first]
 
 
-def _merge_candidates(parts):
-    """Merge (comp, w, a, b) candidate tuples: global first-per-comp."""
-    c = np.concatenate([p[0] for p in parts])
-    w = np.concatenate([p[1] for p in parts])
-    a = np.concatenate([p[2] for p in parts])
-    b = np.concatenate([p[3] for p in parts])
-    if len(c) == 0:
-        return c, w, a, b
-    order = np.lexsort((w, c))
-    c, w, a, b = c[order], w[order], a[order], b[order]
-    first = np.concatenate([[True], c[1:] != c[:-1]])
-    return c[first], w[first], a[first], b[first]
-
-
-@ray.remote
-def _cand_block(t, comp: np.ndarray, weight_fn=None):
-    if isinstance(t, pa.Table) and t.num_rows > 0:
-        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-    elif not isinstance(t, pa.Table) and len(t) > 0 and "src" in getattr(t, "columns", []):
-        a = np.asarray(t["src"]).astype(np.int64)
-        b = np.asarray(t["dst"]).astype(np.int64)
-    else:
-        z = np.zeros(0, dtype=np.int64)
-        return z, np.zeros(0, dtype=np.uint64), z, z
-    wf = weight_fn or pair_weights
-    return _candidates(a, b, wf(a, b), comp)
-
-
-@ray.remote
-def _merge_blocks(*parts):
-    return _merge_candidates(list(parts))
-
-
 class _UnionFind:
     def __init__(self, n: int):
         self.parent = np.arange(n, dtype=np.int64)
@@ -127,12 +102,165 @@ class _UnionFind:
         return True
 
 
+def _msf_distributed(
+    und: "ray.data.Dataset",
+    n: int,
+    max_iters: int,
+    wf,
+    P: int,
+    scratch_dir: str | None,
+) -> pa.Table:
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ugfraud_ray.functions.bucketing import (
+        int_hash_bucket,
+        n_coarse_buckets,
+        pair_hash_bucket,
+    )
+    from ugfraud_ray.pipelines.components import connected_components
+
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="msf_")
+    edges = und.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+    NP = max(4, P)
+    labels = ray.data.range(n).map_batches(
+        lambda t: pa.table({"vid": t["id"], "comp": t["id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    nb = n_coarse_buckets(2 * n_edges)
+
+    def emit_candidates(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = wf(a, b)
+        w = np.concatenate([w, w])
+        comp = np.concatenate([ca, cb])
+        return pa.table(
+            {
+                "_cb": pa.array(int_hash_bucket(comp, nb)),
+                "comp": pa.array(comp),
+                "whi": pa.array((w >> np.uint64(32)).astype(np.int64)),
+                "wlo": pa.array((w & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "ca": pa.array(np.concatenate([ca, ca])),
+                "cb": pa.array(np.concatenate([cb, cb])),
+            }
+        )
+
+    def min_per_comp(t: pa.Table) -> pa.Table:
+        comp = t["comp"].to_numpy(zero_copy_only=False)
+        whi = t["whi"].to_numpy(zero_copy_only=False)
+        wlo = t["wlo"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wlo, whi, comp))
+        first = np.concatenate([[True], comp[order][1:] != comp[order][:-1]])
+        keep = order[first]
+        return t.take(pa.array(keep)).select(["a", "b", "ca", "cb"])
+
+    def dedupe_pairs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        aa, bb = a[order], b[order]
+        first = np.concatenate([[True], (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])])
+        return t.take(pa.array(order[first]))
+
+    forest_parts: list[pa.Table] = []
+    from ugfraud_ray.functions.collect import collect_table
+
+    for r in range(max_iters):
+        live = (
+            edges.join(
+                labels.rename_columns({"vid": "src", "comp": "ca"}),
+                join_type="inner",
+                on=("src",),
+                num_partitions=NP,
+            )
+            .join(
+                labels.rename_columns({"vid": "dst", "comp": "cb"}),
+                join_type="inner",
+                on=("dst",),
+                num_partitions=NP,
+            )
+            .filter(expr="ca != cb")
+            .materialize()
+        )
+        if live.count() == 0:
+            break
+        cand = (
+            live.map_batches(emit_candidates, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(min_per_comp, batch_format="pyarrow")
+        )
+
+        def pair_bucket(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return t.append_column("_pb", pa.array(pair_hash_bucket(a, b, nb)))
+
+        picked = (
+            cand.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("_pb")
+            .map_groups(dedupe_pairs, batch_format="pyarrow")
+            .select_columns(["a", "b", "ca", "cb"])
+            .materialize()
+        )
+        if picked.count() == 0:
+            break
+        forest_parts.append(collect_table(picked.select_columns(["a", "b"])))
+        ccl, _ = connected_components(
+            picked.select_columns(["ca", "cb"]).rename_columns(
+                {"ca": "src", "cb": "dst"}
+            ),
+            n,
+            layout_dir=os.path.join(scratch, f"cc{r}"),
+            P=P,
+        )
+        labels = (
+            labels.join(
+                ccl.rename_columns({"vid": "comp", "component": "newc"}),
+                join_type="inner",
+                on=("comp",),
+                num_partitions=NP,
+            )
+            .select_columns(["vid", "newc"])
+            .rename_columns({"newc": "comp"})
+            .materialize()
+        )
+
+    if forest_parts:
+        ft = pa.concat_tables(forest_parts)
+        a = ft["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ft["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = np.zeros(0, dtype=np.int64)
+        b = np.zeros(0, dtype=np.int64)
+    w = wf(a, b)
+    order = np.lexsort((b, a))
+    return pa.table(
+        {
+            "src": pa.array(a[order]),
+            "dst": pa.array(b[order]),
+            "weight": pa.array(w[order]),
+        }
+    )
+
+
 def minimum_spanning_forest(
     edges: "ray.data.Dataset",
     n_vertices: int,
     max_iters: int = 40,
     approx_edges: int | None = None,
     weight_fn=None,
+    local_threshold: int = 5_000_000,
+    P: int = 4,
+    scratch_dir: str | None = None,
 ) -> pa.Table:
     """(src, dst, weight) MSF edges (canonical src<dst, sorted), exact
     and unique under deterministic pair weights. weight_fn(a, b) ->
@@ -141,29 +269,21 @@ def minimum_spanning_forest(
     or the forest loses uniqueness)."""
     wf = weight_fn or pair_weights
     und = _canonical_undirected(edges, approx_edges)
+    if approx_edges is not None and approx_edges > local_threshold:
+        return _msf_distributed(und, n_vertices, max_iters, wf, P, scratch_dir)
+
     comp = np.arange(n_vertices, dtype=np.int64)
     uf = _UnionFind(n_vertices)
     fa: list[np.ndarray] = []
     fb: list[np.ndarray] = []
 
-    local = approx_edges is not None and approx_edges <= 5_000_000
-    if local:
-        t = collect_table(und)
-        la = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lb = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lw = wf(la, lb)
-    else:
-        blocks = und.materialize().to_arrow_refs()
+    t = collect_table(und)
+    la = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lb = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lw = wf(la, lb)
 
     for _ in range(max_iters):
-        if local:
-            c, w, a, b = _candidates(la, lb, lw, comp)
-        else:
-            comp_ref = ray.put(comp)
-            refs = [_cand_block.remote(bk, comp_ref, weight_fn) for bk in blocks]
-            while len(refs) > 1:
-                refs = [_merge_blocks.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-            c, w, a, b = ray.get(refs[0]) if refs else _merge_candidates([])
+        c, w, a, b = _candidates(la, lb, lw, comp)
         if len(c) == 0:
             break
         picked_a, picked_b = [], []
