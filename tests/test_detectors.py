@@ -311,3 +311,44 @@ def test_scale_value_reference_bug_semantics():
     # intended mode keeps everything
     full = scale_value(d)
     assert set(full) == set(d) and abs(full["c"] - 0.5) < 1e-12
+
+
+def test_speagle_early_stop_at(tmp_path, ray_session):
+    """SpEagle.py:424-436 schedule-fraction cap, Jacobi mapping: frozen
+    nodes' OUTGOING messages never leave the uniform init. With
+    early_stop_at=0 every message is frozen, so every belief equals its
+    prior exactly; a mid fraction must differ from the full run."""
+    from ugfraud_ray.detectors.speagle import speagle
+
+    src, dst, rating, u_prior, p_prior, r_prior, U, Pn = _mini_review_graph(
+        seed=9, n_users=20, n_prods=5, n_edges=60
+    )
+    N = U + Pn
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "prior": pa.array(r_prior)})
+    )
+    vp = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(np.arange(N, dtype=np.int64)),
+                "prior": pa.array(np.concatenate([u_prior, p_prior])),
+                "kind": pa.array((np.arange(N) < U).astype(np.int8)),
+            }
+        )
+    )
+    vs0, rs0, _ = speagle(edges, vp, N, str(tmp_path / "s0"), P=2,
+                          max_iters=50, tol=1e-10, early_stop_at=0.0)
+    v0 = vs0.to_pandas().sort_values("vid")["score"].to_numpy()
+    np.testing.assert_allclose(v0, np.concatenate([u_prior, p_prior]), atol=1e-12)
+    r0 = rs0.to_pandas().sort_values(["src", "dst"])["score"].to_numpy()
+    order = np.lexsort((dst, src))
+    np.testing.assert_allclose(r0, r_prior[order], atol=1e-12)
+
+    vs1, _, _ = speagle(edges, vp, N, str(tmp_path / "s1"), P=2,
+                        max_iters=50, tol=1e-10)
+    vsh, _, _ = speagle(edges, vp, N, str(tmp_path / "sh"), P=2,
+                        max_iters=50, tol=1e-10, early_stop_at=0.15)
+    v1 = vs1.to_pandas().sort_values("vid")["score"].to_numpy()
+    vh = vsh.to_pandas().sort_values("vid")["score"].to_numpy()
+    assert not np.allclose(v1, vh)  # the cap has an effect
+    assert np.isfinite(vh).all()

@@ -317,3 +317,43 @@ def test_reference_svd_classifier_matches_engine(ray_session):
     assert set(got["vid"]) == test_ids == set(ref)
     for _, row in got.iterrows():
         assert abs(row["prob"] - ref[int(row["vid"])]) < 1e-6, int(row["vid"])
+
+
+def test_reference_node_link_json_round_trip(fixture_graph, ray_session, tmp_path):
+    """Gate 12: the reference's save_graph/load_graph (helper.py:363-400)
+    round-trips through the engine's node-link reader/writer."""
+    import networkx as nx
+
+    from UGFraud.Utils.helper import load_graph, save_graph
+
+    from ugfraud_ray.sources.node_link import (
+        read_node_link_json,
+        write_node_link_json,
+    )
+
+    src, dst, rating, u_prior, p_prior, r_prior, U, Pn, G = fixture_graph
+    p1 = str(tmp_path / "ref_graph_data.json")
+    save_graph(G, p1)
+
+    nodes, edges, meta = read_node_link_json(p1)
+    nt = nodes.to_pandas().set_index("id")
+    et = edges.to_pandas()
+    assert meta["directed"] is False and meta["multigraph"] is False
+    assert len(nt) == G.number_of_nodes()
+    assert len(et) == G.number_of_edges()
+    for nid, attrs in G.nodes(data=True):
+        for k, v in attrs.items():
+            assert nt.loc[nid, k] == v, (nid, k)
+    eset = {(r["src"], r["dst"]) for _, r in et.iterrows()}
+    for a, b in G.edges():
+        assert (a, b) in eset or (b, a) in eset
+    row = et.iloc[0]
+    ref_attrs = G.edges[(row["src"], row["dst"])]
+    for k in ("types", "prior", "rating", "label"):
+        assert row[k] == ref_attrs[k]
+
+    # engine write -> reference load
+    p2 = str(tmp_path / "eng_graph_data.json")
+    write_node_link_json(nodes, edges, p2, directed=False, multigraph=False)
+    G2 = load_graph(p2)
+    assert nx.utils.graphs_equal(G, G2)

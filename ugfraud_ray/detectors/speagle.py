@@ -110,9 +110,11 @@ def _msg_diff(d: np.ndarray, logH: np.ndarray) -> np.ndarray:
 
 @ray.remote
 class BPShard:
-    def __init__(self, layout_path: str, p: int, potentials: dict):
+    def __init__(self, layout_path: str, p: int, potentials: dict,
+                 active_ref=None):
         from ugfraud_ray.state.layout import GraphLayout
 
+        self._active_ref = active_ref
         self.layout = GraphLayout.load(layout_path)
         self.p = p
         self.P = self.layout.P
@@ -129,6 +131,20 @@ class BPShard:
         self.dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.E = len(self.src)
         self.prior_r = log_prior_odds(t["prior"].to_numpy(zero_copy_only=False))
+        # early_stop_at (SpEagle.py:424-436): outgoing messages of nodes
+        # OUTSIDE the schedule prefix never update (they stay at the
+        # uniform init, exactly like the reference's untouched Nodes).
+        # Jacobi mapping: freeze u2r where the user is inactive, p2r
+        # where the product is, r2u/r2p where the review is (a review
+        # node is active iff its user is — the BFS-adjacency rule).
+        if active_ref is not None:
+            # top-level ObjectRef args arrive auto-dereferenced
+            act = np.sort(np.asarray(active_ref))
+            self.fz_u2r = ~np.isin(self.src, act)
+            self.fz_p2r = ~np.isin(self.dst, act)
+            self.fz_r = self.fz_u2r
+        else:
+            self.fz_u2r = self.fz_p2r = self.fz_r = None
         self.src_part = (self.src % self.P).astype(np.int64)
         self.src_local = self.src // self.P
         self.dst_part = (self.dst % self.P).astype(np.int64)
@@ -241,6 +257,11 @@ class BPShard:
         msg_into(self._Sp, self.m_r2p, -1, "p_r", self._n_p2r)
         msg_into(self.prior_r, self.m_p2r, +1, "r_u", self._n_r2u)
         msg_into(self.prior_r, self.m_u2r, +1, "r_p", self._n_r2p)
+        if self.fz_u2r is not None:
+            np.copyto(self._n_u2r, self.m_u2r, where=self.fz_u2r)
+            np.copyto(self._n_p2r, self.m_p2r, where=self.fz_p2r)
+            np.copyto(self._n_r2u, self.m_r2u, where=self.fz_r)
+            np.copyto(self._n_r2p, self.m_r2p, where=self.fz_r)
         delta = (
             l1_delta(self._n_u2r, self.m_u2r)
             + l1_delta(self._n_p2r, self.m_p2r)
@@ -379,12 +400,17 @@ class SpEagleEngine:
     """Driver loop for the BP shard pool."""
 
     def __init__(self, layout, potentials: dict | None = None,
-                 ckpt_dir: str | None = None, checkpoint_every: int = 0):
+                 ckpt_dir: str | None = None, checkpoint_every: int = 0,
+                 active_ref=None):
         self.layout = layout
         self.pot = potentials or default_potentials()
         self.ckpt_dir = ckpt_dir
         self.checkpoint_every = checkpoint_every
-        self.shards = [BPShard.remote(layout.path, p, self.pot) for p in range(layout.P)]
+        self.active_ref = active_ref
+        self.shards = [
+            BPShard.remote(layout.path, p, self.pot, active_ref)
+            for p in range(layout.P)
+        ]
         self.metrics: list[dict] = []
         self.n_nodes = None  # set by caller for reference-style delta norm
 
@@ -455,7 +481,7 @@ class SpEagleEngine:
         self.layout = GraphLayout.load(self.layout.path)
         for p in touched:
             ray.kill(self.shards[p])
-            self.shards[p] = BPShard.remote(self.layout.path, p, self.pot)
+            self.shards[p] = BPShard.remote(self.layout.path, p, self.pot, self.active_ref)
 
     def vertex_scores(self) -> "ray.data.Dataset":
         return ray.data.from_arrow_refs([s.vertex_scores.remote() for s in self.shards])
@@ -482,6 +508,7 @@ def speagle(
     ckpt_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    early_stop_at: float = 1.0,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset", list[dict]]:
     """Run SpEagle BP to convergence.
 
@@ -490,6 +517,14 @@ def speagle(
     hub_threshold: in-degree above which a product's edges are spread
     by src across shards (two-level combine through the generic
     partial exchange — degree-aware skew splitting).
+    early_stop_at: the reference's schedule-fraction cap
+    (SpEagle.py:424-436) — only nodes inside the first
+    ``int((N+E)·early_stop_at)`` slots of the degree-descending
+    schedule update their OUTGOING messages; the rest keep the uniform
+    init, exactly like the reference's untouched Node objects (Jacobi
+    mapping: vertices fill the prefix first — reviews have degree 2
+    and trail the schedule — and a review node is active iff its user
+    is). 1.0 (default) disables the machinery entirely.
     Returns (vertex_scores, review_scores, metrics).
     """
     from ugfraud_ray.state.layout import build_layout
@@ -499,8 +534,24 @@ def speagle(
         edge_cols=["prior"], vertex_aux=vertex_prior,
         hub_threshold=hub_threshold,
     )
+    n_edges_pre = edges_with_prior.count()
+    active_ref = None
+    if early_stop_at < 1.0:
+        from ugfraud_ray.stages.graph_build import dense_degrees
+
+        deg = dense_degrees(
+            edges_with_prior.select_columns(["src", "dst"]), "src", n_vertices
+        ) + dense_degrees(
+            edges_with_prior.select_columns(["src", "dst"]), "dst", n_vertices
+        )
+        k_v = min(
+            n_vertices, max(0, int((n_vertices + n_edges_pre) * early_stop_at))
+        )
+        order = np.lexsort((np.arange(n_vertices), -deg))  # deg desc, vid asc
+        active_ref = ray.put(np.sort(order[:k_v]).astype(np.int64))
     eng = SpEagleEngine(layout, potentials, ckpt_dir=ckpt_dir,
-                        checkpoint_every=checkpoint_every)
+                        checkpoint_every=checkpoint_every,
+                        active_ref=active_ref)
     n_edges = edges_with_prior.count()
     eng.run(max_iters=max_iters, tol=tol, resume=resume,
             n_nodes=n_vertices + n_edges)
