@@ -1278,6 +1278,46 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_doc_bigram_pmi(sf_dir: str):
+    """Top-30 adjacent-token collocations by PMI (text_analysis
+    .bigram_pmi): exact integer bigram/unigram counts, pmi =
+    ln(((n/cx)/cy)*T) as one fixed float expression rounded to 9, ties
+    by (x, y). min_count=5 bounds the survivor set."""
+    from ugfraud_ray.pipelines.text_analysis import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir), min_count=5, topk=30)
+
+
+def _q_doc_bm25(sf_dir: str):
+    """Okapi BM25 of every document against the fixed query set
+    (text_analysis.bm25_scores); integer tf/df/dl/N partials, one
+    float expression per term summed in ascending term order, rounded
+    to 9 — the SQL oracle pivots the terms and mirrors the exact
+    association."""
+    from ugfraud_ray.pipelines.text_analysis import bm25_scores
+
+    return bm25_scores(_docs(sf_dir), ["merge", "scan", "stream", "window"])
+
+
+def _q_doc_weighted_sample(sf_dir: str):
+    """Deterministic Efraimidis–Spirakis weighted sampling
+    (pipelines/splits.py weighted_sample_topk): 50 docs drawn without
+    replacement with inclusion odds ∝ (len(text) % 1000 + 1). The SQL
+    oracle replays u = (md5>>11 + 1)/2^53 and the FLOOR(...·1e6+0.5)
+    key rounding verbatim; selection ties break by doc_id."""
+    from ugfraud_ray.pipelines.splits import weighted_sample_topk
+
+    docs = _docs(sf_dir)
+
+    def wgt(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        w = (ln % 1000 + 1).astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"], "w": pa.array(w)})
+
+    ds = docs.map_batches(wgt, batch_format="pyarrow")
+    return weighted_sample_topk(ds, "doc_id", "w", k=50, seed=7)
+
+
 def _q_svd_user_probs(sf_dir: str):
     """evaluate_SVD (SVD.py:104-138): train the deterministic linear
     head on the SVD user embedding of the seeded train split, return
@@ -1986,6 +2026,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_incident_join": _q_events_incident_join,
         "svd_singular_values": _q_svd_singular_values,
         "svd_user_probs": _q_svd_user_probs,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_bm25": _q_doc_bm25,
+        "doc_bigram_pmi": _q_doc_bigram_pmi,
         "prior_review_scores": _q_prior_scores,
         "degree_in": lambda sf: _q_degree(sf, "in"),
         "degree_out": lambda sf: _q_degree(sf, "out"),
@@ -3067,6 +3110,96 @@ def oracle_sql() -> dict[str, str]:
         "seeded_sample": """
             SELECT o_orderkey, o_custkey FROM orders
             WHERE (o_orderkey * 2654435761) % 4294967296 % 10 = 0
+        """,
+        "doc_bigram_pmi": """
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   t -> t <> '') AS a
+                FROM documents
+            ), bg AS (
+                SELECT a[CAST(i AS BIGINT)] AS x, a[CAST(i AS BIGINT)+1] AS y
+                FROM arr, UNNEST(range(1, array_length(a))) AS u(i)
+            ), cnt AS (
+                SELECT x, y, COUNT(*) AS n FROM bg GROUP BY x, y
+            ), tot AS (
+                SELECT CAST(SUM(n) AS DOUBLE) AS T FROM cnt
+            ), uni AS (
+                SELECT token, COUNT(*) AS c FROM (
+                    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                    FROM documents
+                ) WHERE token <> '' GROUP BY token
+            ), j AS (
+                SELECT s.x, s.y, s.n, ux.c AS cx, uy.c AS cy
+                FROM (SELECT * FROM cnt WHERE n >= 5) s
+                JOIN uni ux ON s.x = ux.token
+                JOIN uni uy ON s.y = uy.token
+            )
+            SELECT x, y, n,
+                   FLOOR(ln(CAST(n AS DOUBLE) / CAST(cx AS DOUBLE) / CAST(cy AS DOUBLE) * T)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
+            FROM j, tot
+            ORDER BY pmi DESC, x ASC, y ASC LIMIT 30
+        """,
+        "doc_bm25": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                FROM documents
+            ), tok2 AS (
+                SELECT doc_id, token FROM tok WHERE token <> ''
+            ), dl AS (
+                SELECT d.doc_id, COALESCE(t.dl, 0) AS dl
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id
+                ) t USING (doc_id)
+            ), tfq AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+                WHERE token IN ('merge', 'scan', 'stream', 'window') GROUP BY doc_id, token
+            ), piv AS (
+                SELECT dl.doc_id, dl.dl,
+                   COALESCE(MAX(CASE WHEN token = 'merge' THEN tf END), 0) AS tf0,
+                   COALESCE(MAX(CASE WHEN token = 'scan' THEN tf END), 0) AS tf1,
+                   COALESCE(MAX(CASE WHEN token = 'stream' THEN tf END), 0) AS tf2,
+                   COALESCE(MAX(CASE WHEN token = 'window' THEN tf END), 0) AS tf3
+                FROM dl LEFT JOIN tfq ON dl.doc_id = tfq.doc_id
+                GROUP BY dl.doc_id, dl.dl
+            ), s AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                   SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+                FROM piv
+            ), i AS (
+                SELECT n, avgdl,
+                   ln((s.n - df0 + 0.5)/(df0 + 0.5) + 1.0) AS idf0,
+                   ln((s.n - df1 + 0.5)/(df1 + 0.5) + 1.0) AS idf1,
+                   ln((s.n - df2 + 0.5)/(df2 + 0.5) + 1.0) AS idf2,
+                   ln((s.n - df3 + 0.5)/(df3 + 0.5) + 1.0) AS idf3
+                FROM s
+            )
+            SELECT piv.doc_id,
+                   FLOOR(((idf0 * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) + (idf1 * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) + (idf2 * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) + (idf3 * (CAST(tf3 AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf3 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))) * 1000000000.0 + 0.5) / 1000000000.0 AS score
+            FROM piv, i
+        """,
+        "doc_weighted_sample": """
+            WITH w AS (
+                SELECT doc_id,
+                       CAST(length(text) % 1000 + 1 AS DOUBLE) AS weight
+                FROM documents
+            ), s AS (
+                SELECT doc_id, weight,
+                       FLOOR(
+                           ln(CAST((md5_number_upper(CONCAT('7:', CAST(doc_id AS VARCHAR))) >> 11) + 1 AS DOUBLE)
+                              / 9007199254740992.0)
+                           / weight * 1000000.0 + 0.5
+                       ) / 1000000.0 AS key6
+                FROM w WHERE weight > 0
+            )
+            SELECT doc_id, weight, key6 FROM s
+            ORDER BY key6 DESC, doc_id LIMIT 50
         """,
         "review_edges": _SQL_REVIEW_EDGES,
         "degree_in": f"""

@@ -443,3 +443,104 @@ def test_inverted_index_matches_python_oracle(ray_session):
         .to_pandas().sort_values("token").reset_index(drop=True)
     )
     assert dist.equals(got)
+
+
+def test_weighted_sample_topk_matches_direct(ray_session):
+    """ES top-k selection equals the direct numpy computation."""
+    import hashlib
+
+    from ugfraud_ray.pipelines.splits import weighted_sample_topk
+
+    ids = np.arange(100, dtype=np.int64) + 1000
+    w = (ids % 7 + 1).astype(np.float64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    ).repartition(5)
+    got = weighted_sample_topk(ds, "doc_id", "w", k=10, seed=7).to_pandas()
+
+    h = np.array(
+        [
+            int.from_bytes(hashlib.md5(f"7:{i}".encode()).digest()[:8], "little")
+            for i in ids.tolist()
+        ],
+        dtype=np.uint64,
+    )
+    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+    key6 = np.floor(np.log(u) / w * 1e6 + 0.5) / 1e6
+    order = np.lexsort((ids, -key6))[:10]
+    want = ids[np.sort(order)]
+    assert sorted(got["doc_id"].tolist()) == sorted(want.tolist())
+    assert (got["key6"].to_numpy()[:-1] >= got["key6"].to_numpy()[1:]).all()
+
+
+def test_bm25_matches_direct(ray_session):
+    """BM25 vs a dict-based direct computation on a tiny corpus."""
+    import math
+
+    from ugfraud_ray.pipelines.text_analysis import bm25_scores
+
+    texts = [
+        "merge scan merge table",
+        "window window stream",
+        "scan scan scan",
+        "nothing relevant here",
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    terms = sorted(["merge", "scan", "stream", "window"])
+    got = bm25_scores(ds, terms).to_pandas().sort_values("doc_id")
+
+    toks = [t.lower().split() for t in texts]
+    N = len(texts)
+    dl = [len(x) for x in toks]
+    avgdl = sum(dl) / N
+    k1, b = 1.2, 0.75
+    dfs = {q: sum(1 for x in toks if q in x) for q in terms}
+    for i in range(N):
+        s = 0.0
+        for q in terms:
+            tf = toks[i].count(q)
+            idf = math.log((N - dfs[q] + 0.5) / (dfs[q] + 0.5) + 1.0)
+            s = s + idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl[i] / avgdl))
+        want = math.floor(s * 1e9 + 0.5) / 1e9
+        assert abs(got[got.doc_id == i]["score"].iloc[0] - want) < 1e-12, i
+
+
+def test_bigram_pmi_matches_direct(ray_session):
+    from collections import Counter
+
+    import math
+
+    from ugfraud_ray.pipelines.text_analysis import bigram_pmi
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=30).tolist()) for _ in range(40)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)})
+    ).repartition(4)
+    got = bigram_pmi(ds, min_count=3, topk=10).to_pandas()
+
+    bg = Counter()
+    uni = Counter()
+    for t in texts:
+        xs = t.split()
+        uni.update(xs)
+        bg.update(zip(xs[:-1], xs[1:]))
+    T = sum(bg.values())
+    rows = []
+    for (x, y), n in bg.items():
+        if n >= 3:
+            pmi = math.floor(math.log(n / uni[x] / uni[y] * T) * 1e9 + 0.5) / 1e9
+            rows.append((-pmi, x, y, n))
+    rows.sort()
+    want = [(x, y, n, -mp) for mp, x, y, n in rows[:10]]
+    have = list(
+        zip(got["x"].tolist(), got["y"].tolist(), got["n"].tolist(), got["pmi"].tolist())
+    )
+    assert have == want

@@ -759,3 +759,179 @@ def inverted_index(
         .groupby("_cb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def bm25_scores(
+    docs: "ray.data.Dataset",
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """(doc_id, score): Okapi BM25 of every document against a fixed
+    query-term set — the standard relevance readout over the corpus
+    (Robertson–Spärck Jones idf, the +1 'BM25+' log form). Tokenizer is
+    the shared ``_explode_tokens`` (Arrow lower + RE2 \\s+), so the SQL
+    oracle replays token streams exactly. No reference analog (UGFraud
+    has no ranking); the inverted_index / distinctive_terms ops cover
+    the integer half of TF-IDF, this adds the float scorer.
+
+    Float replay contract: df/dl/tf/N/total_len are EXACT integers;
+    idf_t = ln((N − df + 0.5)/(df + 0.5) + 1) and avgdl = total/N are
+    one-expression floats; per-doc score sums terms in ASCENDING term
+    order with the per-term factor written
+    ``idf · (tf·(k1+1))/(tf + k1·(1 − b + b·dl/avgdl))`` — the SQL
+    pivot mirrors the same association order; readout rounds to 9.
+
+    Scale shape: one stateless pass emits per-doc (dl, tf per term)
+    rows (query set broadcast in the closure, tiny); corpus stats come
+    from Ray integer aggregates; scoring streams with the idf vector in
+    the closure. No shuffle at all beyond the tiny aggregates.
+    """
+    from ugfraud_ray.functions.collect import collect_table
+
+    terms = sorted(set(query_terms))
+    tcols = [f"tf{i}" for i in range(len(terms))]
+    tarr = np.array(terms)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        n = t.num_rows
+        dl = np.bincount(rows, minlength=n).astype(np.int64)
+        out = {id_col: t[id_col], "dl": pa.array(dl)}
+        pos = np.searchsorted(tarr, flat)
+        pos_c = np.clip(pos, 0, len(tarr) - 1)
+        hit = tarr[pos_c] == flat
+        for i, c in enumerate(tcols):
+            m = hit & (pos_c == i)
+            out[c] = pa.array(np.bincount(rows[m], minlength=n).astype(np.int64))
+        return pa.table(out)
+
+    tf = docs.map_batches(per_doc, batch_format="pyarrow").materialize()
+    n_docs = tf.count()
+    sums = tf.sum(["dl"] + tcols + [])  # dict of exact integer sums
+    total_len = int(sums["sum(dl)"])
+    # df per term: docs with tf > 0 — exact integer aggregate
+    def df_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([int((t[c].to_numpy(zero_copy_only=False) > 0).sum())]) for c in tcols}
+        )
+
+    dft = collect_table(tf.map_batches(df_partial, batch_format="pyarrow"))
+    dfs = [int(np.sum(dft[c].to_numpy(zero_copy_only=False))) for c in tcols]
+    avgdl = float(total_len) / float(n_docs)
+    idf = [
+        float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)) for d in dfs
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        for i, c in enumerate(tcols):  # ascending term order, fixed
+            tfv = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = s + idf[i] * (tfv * (k1 + 1.0)) / (tfv + denom_base)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "score": pa.array(np.floor(s * 1e9 + 0.5) / 1e9),
+            }
+        )
+
+    return tf.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_pmi(
+    docs: "ray.data.Dataset",
+    min_count: int = 5,
+    topk: int = 30,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Top-k collocations: adjacent-token bigrams ranked by pointwise
+    mutual information pmi = ln(((c_xy / c_x) / c_y) · T) with T = total
+    bigram count — the standard phrase-mining / tokenizer-merge-rule
+    readout. Tokenizer is the shared ``_explode_tokens`` stream
+    (empties dropped BEFORE pairing, so bigrams can span a run of
+    whitespace); counts are exact integers, pmi is one fixed float
+    expression rounded to 9, rank ties break by (x, y).
+
+    Scale shape: per-block ``np.unique`` pre-aggregation of bigram
+    partials, ONE sort-based groupby-sum over (x, y), min_count filter
+    bounds the survivor set to ≤ T/min_count rows, and the unigram
+    counts for survivors come from a second stateless pass with the
+    (small) survivor-token set broadcast in the closure — the corpus
+    vocabulary is never collected.
+    """
+    from ugfraud_ray.functions.collect import collect_table
+    from ray.data.aggregate import Sum
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        if len(flat) < 2:
+            return pa.table(
+                {"x": pa.array([], pa.string()), "y": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        same = rows[:-1] == rows[1:]
+        x, y = flat[:-1][same], flat[1:][same]
+        # integer-code packing (numpy unicode arrays strip embedded NULs,
+        # so string concat packing is unsafe)
+        ux, ixv = np.unique(x, return_inverse=True)
+        uy, iyv = np.unique(y, return_inverse=True)
+        code = ixv.astype(np.int64) * len(uy) + iyv
+        uniq, counts = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "x": pa.array(ux[uniq // len(uy)]),
+                "y": pa.array(uy[uniq % len(uy)]),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        docs.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    total = int(counts.sum("n") or 0)
+    surv = collect_table(counts.filter(expr=f"n >= {int(min_count)}"))
+    sx = surv["x"].to_numpy(zero_copy_only=False)
+    sy = surv["y"].to_numpy(zero_copy_only=False)
+    sn = surv["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.unique(np.concatenate([sx, sy])) if len(sx) else np.array([], dtype=str)
+
+    def unigram_partials(t: pa.Table) -> pa.Table:
+        flat, _ = _explode_tokens(t, key)
+        if len(flat) == 0 or len(vocab) == 0:
+            return pa.table({"tok": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        pos = np.clip(np.searchsorted(vocab, flat), 0, len(vocab) - 1)
+        hit = vocab[pos] == flat
+        c = np.bincount(pos[hit], minlength=len(vocab)).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pa.table({"tok": pa.array(vocab[nz]), "c": pa.array(c[nz])})
+
+    ut = collect_table(docs.map_batches(unigram_partials, batch_format="pyarrow"))
+    uc = np.zeros(len(vocab), dtype=np.int64)
+    if ut.num_rows:
+        pos = np.searchsorted(vocab, ut["tok"].to_numpy(zero_copy_only=False))
+        np.add.at(uc, pos, ut["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    cx = uc[np.searchsorted(vocab, sx)] if len(sx) else np.array([], dtype=np.int64)
+    cy = uc[np.searchsorted(vocab, sy)] if len(sy) else np.array([], dtype=np.int64)
+    pmi = np.log(
+        sn.astype(np.float64) / cx.astype(np.float64) / cy.astype(np.float64)
+        * float(total)
+    ) if len(sn) else np.array([], dtype=np.float64)
+    pmi9 = np.floor(pmi * 1e9 + 0.5) / 1e9
+    order = np.lexsort((sy, sx, -pmi9))[:topk]
+    return pa.table(
+        {
+            "x": pa.array(sx[order]),
+            "y": pa.array(sy[order]),
+            "n": pa.array(sn[order]),
+            "pmi": pa.array(pmi9[order]),
+        }
+    )
