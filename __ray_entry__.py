@@ -1278,6 +1278,17 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_doc_curation(sf_dir: str):
+    """End-to-end curation flagship (pipelines/curation.curate):
+    length gate -> exact dedup (min-id survivor) -> MinHash-LSH
+    near-dedup (keep cluster representative) -> split + token count.
+    The SQL oracle replays the identical chain in one statement,
+    reusing the bit-exact LSH CTE chain over the survivor set."""
+    from ugfraud_ray.pipelines.curation import curate
+
+    return curate(_docs(sf_dir), min_chars=100)
+
+
 def _q_doc_bigram_pmi(sf_dir: str):
     """Top-30 adjacent-token collocations by PMI (text_analysis
     .bigram_pmi): exact integer bigram/unigram counts, pmi =
@@ -2029,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
+        "doc_curation": _q_doc_curation,
         "prior_review_scores": _q_prior_scores,
         "degree_in": lambda sf: _q_degree(sf, "in"),
         "degree_out": lambda sf: _q_degree(sf, "out"),
@@ -2353,7 +2365,7 @@ def _lang_id_sql() -> str:
     return sql
 
 
-def _shingle_ctes(ngram: int = 3) -> str:
+def _shingle_ctes(ngram: int = 3, source: str = "documents") -> str:
     """CTE chain reproducing ``pipelines.dedup._shingle_hashes`` bit-exactly
     in DuckDB, ending at ``sh(doc_id, sh)``: md5-low64 token hashes
     (== ``md5_number_upper``), FNV-rolled word n-gram shingles, splitmix64
@@ -2385,7 +2397,7 @@ def _shingle_ctes(ngram: int = 3) -> str:
         toklist AS (
           SELECT doc_id,
                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS ts
-          FROM documents
+          FROM {source}
           WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
         ),
         tok AS (
@@ -2407,7 +2419,7 @@ def _shingle_ctes(ngram: int = 3) -> str:
     """
 
 
-def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 7) -> str:
+def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 7, source: str = "documents") -> str:
     """Shared CTE chain reproducing ``minhash_lsh_candidates`` bit-exactly
     in DuckDB, ending at ``cand(id_a, id_b)`` (plus ``sh(doc_id, sh)``).
 
@@ -2460,7 +2472,7 @@ def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed
     )
 
     return rf"""
-        {_shingle_ctes(ngram)},
+        {_shingle_ctes(ngram, source)},
         perms AS (
           SELECT unnest(range({num_perm})) AS p,
                  unnest(CAST({a_lit} AS UBIGINT[])) AS a,
@@ -2473,7 +2485,7 @@ def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed
         ),
         fullsig AS (
           SELECT d.doc_id, p.p, COALESCE(s.mh, 18446744073709551615) AS mh
-          FROM (SELECT doc_id FROM documents) d
+          FROM (SELECT doc_id FROM {source}) d
           CROSS JOIN perms p
           LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.p = p.p
         ),
@@ -2491,6 +2503,49 @@ def _minhash_cand_ctes(num_perm: int = 64, bands: int = 16, ngram: int = 3, seed
           FROM buck x JOIN buck y
             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
         )
+    """
+
+
+def _curation_sql() -> str:
+    """SQL replica of ``pipelines.curation.curate``: the gate and exact
+    dedup are plain SQL, the near-dedup reuses the bit-exact LSH CTE
+    chain (``_minhash_cand_ctes``) SOURCED FROM the survivor set, and
+    the cluster representative rule is the same recursive min-label CC
+    as the doc_minhash_dedup oracle."""
+    return rf"""
+        WITH RECURSIVE gated AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 100
+        ),
+        exact AS (
+          SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+        ),
+        surv AS (
+          SELECT g.doc_id, g.text FROM gated g JOIN exact e USING (doc_id)
+        ),
+        {_minhash_cand_ctes(source="surv")},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION
+          SELECT id_b, id_a FROM cand
+        ),
+        walk(vid, comp) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+        ),
+        comps AS (SELECT vid, MIN(comp) AS comp FROM walk GROUP BY vid),
+        final AS (
+          SELECT d.doc_id, d.text
+          FROM surv d LEFT JOIN comps c ON c.vid = d.doc_id
+          WHERE COALESCE(c.comp, d.doc_id) = d.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 100 THEN 'test'
+                    WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 200 THEN 'valid'
+                    ELSE 'train' END AS split,
+               CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM final
     """
 
 
@@ -2940,6 +2995,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_edges, CAST(SUM(wt) AS BIGINT) AS total_weight FROM msf
         """,
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "doc_curation": _curation_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),

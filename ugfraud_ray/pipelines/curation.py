@@ -1,0 +1,110 @@
+"""End-to-end corpus curation — the composed flagship pipeline.
+
+The full pass a training-data user runs before tokenization, chaining
+the individually-oracled stages into ONE streaming lineage:
+
+    1. quality gate        — keep docs with ≥ ``min_chars`` characters
+                             (utf8 length; the doc_quality family's
+                             cheapest predicate, pushed to the front so
+                             every later stage sees less data)
+    2. exact dedup         — md5(text) groups, survivor = min doc_id
+                             (D1 semantics, pipelines/dedup.exact_dedup)
+    3. near-dedup          — MinHash-LSH clusters over the survivors,
+                             keep doc_id == cluster (= min id of its
+                             candidate component,
+                             pipelines/dedup.minhash_lsh_dedup)
+    4. split + token count — split = md5(doc_id) mod 1000 cumulative
+                             buckets (test < 100 ≤ valid < 200 ≤ train,
+                             the assign_splits convention) and n_tokens
+                             from the shared ``_explode_tokens``
+                             tokenizer, both pure per-row functions in
+                             one stateless pass.
+
+Output: (doc_id, split, n_tokens) for every retained document — the
+per-split token budget reads off with one group-by.
+
+Scale shape: stage 1 is a pushed-down filter, stage 2 one hash
+groupby, stage 3 runs on the already-thinned survivors (LSH is the
+expensive stage — ordering matters), stage 4 is shuffle-free.
+Survivor-id membership between stages rides a broadcast Arrow id set
+below ``local_threshold`` survivors and an inner hash join above it.
+Every stage is individually value-oracled; the composite query replays
+the identical chain in one SQL statement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ugfraud_ray.functions.collect import collect_table
+
+
+def _semi_join_ids(
+    ds: "ray.data.Dataset",
+    ids: "ray.data.Dataset",
+    id_col: str,
+    local_threshold: int,
+) -> "ray.data.Dataset":
+    """Rows of ds whose id_col is in ids(id_col) — broadcast filter for
+    small id sets, hash join above the gate."""
+    if ids.count() > local_threshold:  # pragma: no cover - cluster scale
+        return ds.join(ids, join_type="inner", on=(id_col,), num_partitions=64)
+    keep_ref = ray.put(collect_table(ids)[id_col].combine_chunks())
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t[id_col], value_set=ray.get(keep_ref)), False)
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def curate(
+    docs: "ray.data.Dataset",
+    min_chars: int = 100,
+    key: str = "text",
+    id_col: str = "doc_id",
+    split_mod: int = 1000,
+    split_bounds: tuple = (("test", 100), ("valid", 200)),
+    local_threshold: int = 20_000_000,
+) -> "ray.data.Dataset":
+    """(doc_id, split, n_tokens) of the curated corpus (see module doc)."""
+    from ugfraud_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+    from ugfraud_ray.pipelines.text_analysis import _explode_tokens
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.utf8_length(t[key]), min_chars))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+
+    exact = exact_dedup(gated, key=key, id_col=id_col).select_columns([id_col])
+    survivors = _semi_join_ids(gated, exact, id_col, local_threshold).materialize()
+
+    clusters = minhash_lsh_dedup(survivors, key=key, id_col=id_col)
+    reps = clusters.filter(expr=f"{id_col} == cluster").select_columns([id_col])
+    final = _semi_join_ids(survivors, reps, id_col, local_threshold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        n = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        ids = t[id_col].to_pylist()
+        b = (_md5_low64([str(i) for i in ids]) % np.uint64(split_mod)).astype(np.int64)
+        split = np.full(len(b), "train", dtype=object)
+        lo = 0
+        for name, hi in split_bounds:
+            split[(b >= lo) & (b < hi)] = name
+            lo = hi
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "split": pa.array(split, pa.string()),
+                "n_tokens": pa.array(n),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
