@@ -156,6 +156,12 @@ def bench_pipelines(sf_dir: str) -> dict:
     brute_force_topk(emb, query_ids=list(range(5)), k=10).count()
     q["ann_brute_topk"] = time.perf_counter() - t0
 
+    from ugfraud_ray.pipelines.curation import curate
+
+    t0 = time.perf_counter()
+    curate(docs, min_chars=100).count()
+    q["doc_curation"] = time.perf_counter() - t0
+
     pages_res = bench_pages_pipeline()
     q.update(pages_res.pop("queries", {}))
     out.update(pages_res)
