@@ -51,24 +51,57 @@ def svd_user_embedding(
     Vk: np.ndarray,
     value: str = "rating",
 ) -> "ray.data.Dataset":
-    """(vid, emb: fixed_size_list<double, k>) — U_k rows = A V_k / s_k."""
+    """(vid, emb: fixed_size_list<double, k>) — U_k rows = A V_k / s_k.
+
+    Vectorized segmented sum: each block pre-combines its edges per
+    unique src with ONE ``np.add.at`` over the (uniq, k) buffer (the
+    projection matrix broadcast once via ``ray.put``), then a single
+    k-column groupby-sum merges cross-block partials — never a
+    per-user ``map_groups`` (the measured many-small-groups slow
+    path). Float note: per-user partial sums associate by block, so
+    results can differ from a serial per-user sum by ulps — consumers
+    round (the classifier standardizes; the query rounds to 9)."""
+    from ray.data.aggregate import Sum
+
     s_safe = np.where(s > 0, s, 1.0)
     proj = Vk / s_safe[None, :]
+    k = proj.shape[1]
     ref = ray.put(np.ascontiguousarray(proj))
+    ecols = [f"e{j}" for j in range(k)]
 
-    def per_user(g) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         P = ray.get(ref)
-        cols = g["dst"].to_numpy().astype(np.int64)
-        vals = g[value].to_numpy().astype(np.float64)
-        row = (vals[:, None] * P[cols]).sum(axis=0)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        buf = np.zeros((len(uniq), P.shape[1]))
+        np.add.at(buf, inv, vals[:, None] * P[cols])
+        out = {"vid": pa.array(uniq)}
+        for j, c in enumerate(ecols):
+            out[c] = pa.array(buf[:, j])
+        return pa.table(out)
+
+    summed = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(*[Sum(c, alias_name=c) for c in ecols])
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = np.column_stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in ecols]
+        ).astype(np.float64)
         return pa.table(
             {
-                "vid": pa.array([int(g["src"].iloc[0])]),
-                "emb": pa.FixedSizeListArray.from_arrays(pa.array(row), len(row)),
+                "vid": t["vid"],
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1)), k
+                ),
             }
         )
 
-    return edges.groupby("src").map_groups(per_user, batch_format="pandas")
+    return summed.map_batches(pack, batch_format="pyarrow")
 
 
 def svd_user_scores(
