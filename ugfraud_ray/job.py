@@ -36,9 +36,13 @@ import time
 def _parse_args(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(prog="python -m ugfraud_ray.job")
     ap.add_argument("--pipeline", required=True,
-                    choices=["pagerank", "components", "triangles"])
+                    choices=["pagerank", "components", "triangles", "curate"])
     ap.add_argument("--pages", help="input pages parquet dir/file "
                     "(url, warc_ts, html, text, lang)")
+    ap.add_argument("--docs", help="input documents parquet dir/file "
+                    "(doc_id, text) — required for --pipeline curate")
+    ap.add_argument("--min-chars", type=int, default=100,
+                    help="curate: length gate (characters)")
     ap.add_argument("--synthesize", metavar="U,P",
                     help="write a synthetic corpus of U user + P product "
                     "pages into --pages first (resumable shard writer)")
@@ -66,6 +70,27 @@ def run(args: argparse.Namespace) -> dict:
     from ugfraud_ray.stages.graph_build import build_graph
 
     metrics: dict = {"pipeline": args.pipeline}
+    if args.pipeline == "curate":
+        # corpus curation: documents -> (doc_id, split, n_tokens),
+        # written as split-partitioned parquet (resumable consumers can
+        # read one split dir at a time)
+        from ugfraud_ray.pipelines.curation import curate
+
+        if not args.docs:
+            raise SystemExit("--docs is required for --pipeline curate")
+        docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+        t0 = time.perf_counter()
+        out = curate(docs, min_chars=args.min_chars).materialize()
+        metrics["pipeline_s"] = round(time.perf_counter() - t0, 3)
+        metrics["n_retained"] = out.count()
+        os.makedirs(args.output, exist_ok=True)
+        t0 = time.perf_counter()
+        out.write_parquet(
+            os.path.join(args.output, "curated"), partition_cols=["split"]
+        )
+        metrics["write_s"] = round(time.perf_counter() - t0, 3)
+        return metrics
+
     if args.synthesize:
         from ugfraud_ray.sources.pages import synthesize_pages_distributed
 
@@ -123,7 +148,7 @@ def run(args: argparse.Namespace) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     args = _parse_args(sys.argv[1:] if argv is None else argv)
-    if not args.pages:
+    if not args.pages and args.pipeline != "curate":
         raise SystemExit("--pages is required (with --synthesize to create it)")
     import ray
 
