@@ -894,3 +894,39 @@ def test_betweenness_local_vs_distributed(tmp_path):
     dp = dist.to_pandas().sort_values("vid").reset_index(drop=True)
     # forward partials are integer-exact; backward sums only reorder
     np.testing.assert_allclose(lp["betweenness"], dp["betweenness"], atol=1e-9)
+
+
+def test_mis_coloring_external_priorities_engine_parity(tmp_path):
+    """The queries pass EXTERNAL md5 priorities (of original ids); the
+    engine path must consume them via the layout's vertex-aux files and
+    reach the same fixpoint as the local rounds."""
+    import hashlib
+
+    from ugfraud_ray.pipelines.mis import coloring, mis_members
+
+    rng = np.random.default_rng(5)
+    n = 60
+    src = rng.integers(0, n, 250).astype(np.int64)
+    dst = rng.integers(0, n, 250).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _edges_ds(src, dst)
+    prio = np.array(
+        [
+            int.from_bytes(hashlib.md5(str(v * 31 + 7).encode()).digest()[:8], "little")
+            for v in range(n)
+        ],
+        dtype=np.uint64,
+    )
+    a = mis_members(ds, n, approx_edges=len(src), priorities=prio)
+    b = mis_members(
+        ds, n, approx_edges=len(src), priorities=prio,
+        local_threshold=0, P=3, layout_dir=str(tmp_path / "m"),
+    )
+    assert (a == b).all()
+    ca = coloring(ds, n, approx_edges=len(src), priorities=prio)
+    cb = coloring(
+        ds, n, approx_edges=len(src), priorities=prio,
+        local_threshold=0, P=3, layout_dir=str(tmp_path / "c"),
+    )
+    assert (ca == cb).all()
