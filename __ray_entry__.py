@@ -1973,6 +1973,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_labelprop,
         # --- dedup family ---
         "doc_minhash_dedup": _q_minhash_dedup,
+        "doc_curation": _q_doc_curation,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_bm25": _q_doc_bm25,
+        "doc_bigram_pmi": _q_doc_bigram_pmi,
+        "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
@@ -2036,11 +2041,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_type_per_user": _q_events_top_type_per_user,
         "events_incident_join": _q_events_incident_join,
         "svd_singular_values": _q_svd_singular_values,
-        "svd_user_probs": _q_svd_user_probs,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "doc_bm25": _q_doc_bm25,
-        "doc_bigram_pmi": _q_doc_bigram_pmi,
-        "doc_curation": _q_doc_curation,
         "prior_review_scores": _q_prior_scores,
         "degree_in": lambda sf: _q_degree(sf, "in"),
         "degree_out": lambda sf: _q_degree(sf, "out"),
