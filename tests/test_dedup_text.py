@@ -544,3 +544,26 @@ def test_bigram_pmi_matches_direct(ray_session):
         zip(got["x"].tolist(), got["y"].tolist(), got["n"].tolist(), got["pmi"].tolist())
     )
     assert have == want
+
+
+def test_curate_degenerate_inputs(ray_session):
+    from ugfraud_ray.pipelines.curation import curate
+
+    # everything below the gate -> empty result with the right schema
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["short", "tiny", "x"])})
+    )
+    out = curate(ds, min_chars=100)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "split", "n_tokens"}
+
+    # exact duplicates collapse to the min id; split/tokens populated
+    long = "word " * 60
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([5, 9, 7], pa.int64()),
+                  "text": pa.array([long, long, long + "tail"])})
+    )
+    got = curate(ds2, min_chars=100).to_pandas().sort_values("doc_id")
+    assert 9 not in set(got["doc_id"])  # exact dup of 5
+    assert (got["n_tokens"] > 0).all()

@@ -52,8 +52,11 @@ def _semi_join_ids(
 ) -> "ray.data.Dataset":
     """Rows of ds whose id_col is in ids(id_col) — broadcast filter for
     small id sets, hash join above the gate."""
-    if ids.count() > local_threshold:  # pragma: no cover - cluster scale
+    n = ids.count()
+    if n > local_threshold:  # pragma: no cover - cluster scale
         return ds.join(ids, join_type="inner", on=(id_col,), num_partitions=64)
+    if n == 0:
+        return ds.limit(0)
     keep_ref = ray.put(collect_table(ids)[id_col].combine_chunks())
 
     def f(t: pa.Table) -> pa.Table:
@@ -81,6 +84,16 @@ def curate(
         return t.filter(pc.greater_equal(pc.utf8_length(t[key]), min_chars))
 
     gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    if gated.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "split": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     exact = exact_dedup(gated, key=key, id_col=id_col).select_columns([id_col])
     survivors = _semi_join_ids(gated, exact, id_col, local_threshold).materialize()
