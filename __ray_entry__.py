@@ -896,6 +896,40 @@ def _q_linkpred(sf_dir: str):
     )
 
 
+def _q_linkpred_extended(sf_dir: str):
+    """Jaccard and preferential-attachment readouts over the same top-N
+    common-neighbor pairs as linkpred_scores: jaccard = cn/(du+dv-cn)
+    (one division over exact integers), pa = du*dv (exact integer) —
+    the other two classic link-prediction baselines."""
+    from ugfraud_ray.pipelines.linkpred import link_prediction_scores
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.stages.graph_build import dense_degrees
+    from ugfraud_ray.pipelines.triangles import _canonical_edges
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    t = link_prediction_scores(
+        e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG, approx_rows=ge.count()
+    )
+    ce = _canonical_edges(e, approx_rows=ge.count()).materialize()
+    deg = dense_degrees(ce, "a", n) + dense_degrees(ce, "b", n)
+    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    u = t["u"].to_numpy()
+    v = t["v"].to_numpy()
+    cn = t["cn"].to_numpy().astype(np.int64)
+    du, dv = deg[u].astype(np.int64), deg[v].astype(np.int64)
+    jac = cn.astype(np.float64) / (du + dv - cn).astype(np.float64)
+    return pa.table(
+        {
+            "u": pa.array(ids[u], pa.int64()),
+            "v": pa.array(ids[v], pa.int64()),
+            "cn": pa.array(cn),
+            "jaccard": pa.array(np.floor(jac * 1e9 + 0.5) / 1e9),
+            "pa": pa.array(du * dv),
+        }
+    )
+
+
 def _q_ppr(sf_dir: str):
     """Personalized PageRank from a deterministic seed set (original
     id % PPR_SEED_MOD == 0); teleport + dangling mass return to seeds."""
@@ -2068,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits,
         "salsa_scores": _q_salsa,
         "linkpred_scores": _q_linkpred,
+        "linkpred_extended": _q_linkpred_extended,
         "personalized_pagerank": _q_ppr,
         "auc_rating_label": _q_auc,
         "doc_term_redact": _q_doc_term_redact,
@@ -4039,6 +4074,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u, v, cn, ROUND(aa, 9) AS aa
             FROM nonedge ORDER BY cn DESC, u, v LIMIT {LINKPRED_TOPN}
+        """,
+        "linkpred_extended": f"""
+            WITH g0 AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g0 WHERE src <> dst GROUP BY 1, 2
+            ),
+            adj AS (
+                SELECT a AS w, b AS nbr FROM e
+                UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+            elig AS (
+                SELECT adj.w, adj.nbr, deg.d
+                FROM adj JOIN deg USING (w)
+                WHERE deg.d BETWEEN 2 AND {LINKPRED_MAX_DEG}
+            ),
+            pairs AS (
+                SELECT x.nbr AS u, y.nbr AS v
+                FROM elig x JOIN elig y ON x.w = y.w AND x.nbr < y.nbr
+            ),
+            scored AS (
+                SELECT u, v, COUNT(*) AS cn FROM pairs GROUP BY u, v
+            ),
+            nonedge AS (
+                SELECT s.u, s.v, s.cn
+                FROM scored s LEFT JOIN e ON e.a = s.u AND e.b = s.v
+                WHERE e.a IS NULL
+            ),
+            topn AS (
+                SELECT u, v, cn FROM nonedge
+                ORDER BY cn DESC, u, v LIMIT {LINKPRED_TOPN}
+            )
+            SELECT t.u, t.v, t.cn,
+                   FLOOR(CAST(t.cn AS DOUBLE) / CAST(du.d + dv.d - t.cn AS DOUBLE)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS jaccard,
+                   du.d * dv.d AS pa
+            FROM topn t
+            JOIN deg du ON du.w = t.u
+            JOIN deg dv ON dv.w = t.v
         """,
         "auc_rating_label": f"""
             WITH e AS ({_SQL_REVIEW_EDGES}),
