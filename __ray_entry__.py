@@ -1323,6 +1323,16 @@ def _q_doc_curation(sf_dir: str):
     return curate(_docs(sf_dir), min_chars=100)
 
 
+def _q_doc_phrase_search(sf_dir: str):
+    """Keyword-in-context search (text_analysis.phrase_search): first
+    1-based char position of each fixed query phrase per matching doc —
+    one Arrow find_substring kernel per phrase, zero shuffles; the SQL
+    oracle is STRPOS > 0."""
+    from ugfraud_ray.pipelines.text_analysis import phrase_search
+
+    return phrase_search(_docs(sf_dir), ["merge scan", "window window", "slow join"])
+
+
 def _q_doc_bigram_pmi(sf_dir: str):
     """Top-30 adjacent-token collocations by PMI (text_analysis
     .bigram_pmi): exact integer bigram/unigram counts, pmi =
@@ -2011,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
+        "doc_phrase_search": _q_doc_phrase_search,
         "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -3231,6 +3242,12 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
             FROM j, tot
             ORDER BY pmi DESC, x ASC, y ASC LIMIT 30
+        """,
+        "doc_phrase_search": """
+            SELECT doc_id, p.phrase, STRPOS(text, p.phrase) AS pos
+            FROM documents,
+                 (SELECT UNNEST(['merge scan', 'slow join', 'window window']) AS phrase) p
+            WHERE STRPOS(text, p.phrase) > 0
         """,
         "doc_bm25": """
             WITH tok AS (

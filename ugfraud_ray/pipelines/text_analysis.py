@@ -935,3 +935,49 @@ def bigram_pmi(
             "pmi": pa.array(pmi9[order]),
         }
     )
+
+
+def phrase_search(
+    docs: "ray.data.Dataset",
+    phrases: list[str],
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """(doc_id, phrase, pos) — first occurrence (1-based character
+    position, SQL STRPOS convention) of each query phrase in each
+    matching document; non-matching (doc, phrase) pairs are dropped.
+    The keyword-in-context search primitive: one vectorized Arrow
+    ``find_substring`` kernel per phrase per batch, zero shuffles, and
+    the broadcast phrase list lives in the closure. Case-sensitive by
+    contract (both sides would lower() identically otherwise)."""
+    plist = sorted(set(phrases))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids_out, ph_out, pos_out = [], [], []
+        col = t[key]
+        for ph in plist:
+            pos = pc.find_substring(col, ph).to_numpy(zero_copy_only=False)
+            hit = pos >= 0
+            if hit.any():
+                ids_out.append(
+                    t[id_col].to_numpy(zero_copy_only=False)[hit]
+                )
+                ph_out.append(np.full(int(hit.sum()), ph, dtype=object))
+                pos_out.append(pos[hit].astype(np.int64) + 1)
+        if not ids_out:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "phrase": pa.array([], pa.string()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(ids_out)),
+                "phrase": pa.array(np.concatenate(ph_out), pa.string()),
+                "pos": pa.array(np.concatenate(pos_out)),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
