@@ -1323,6 +1323,33 @@ def _q_doc_curation(sf_dir: str):
     return curate(_docs(sf_dir), min_chars=100)
 
 
+def _q_doc_quality_above_median(sf_dir: str):
+    """Percentile-gated quality filter: keep docs whose (9-rounded)
+    quality score exceeds the corpus median, computed by the exact
+    rank-pinned quantile kernel (functions/quantiles.exact_quantiles,
+    floor((n-1)/2) order statistic) — the composition of two oracled
+    stages into the standard quality-cut curation step."""
+    from ugfraud_ray.functions.quantiles import exact_quantiles
+    from ugfraud_ray.pipelines.text_analysis import quality_score
+
+    docs = _docs(sf_dir)
+    qs = quality_score(docs)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(
+                    np.round(t["quality"].to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    rq = qs.map_batches(rnd, batch_format="pyarrow").materialize()
+    (_, med), = exact_quantiles(rq, "quality", [0.5], approx_rows=rq.count())
+    return rq.filter(expr=f"quality > {med!r}")
+
+
 def _q_doc_phrase_search(sf_dir: str):
     """Keyword-in-context search (text_analysis.phrase_search): first
     1-based char position of each fixed query phrase per matching doc —
@@ -2022,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
         "doc_phrase_search": _q_doc_phrase_search,
+        "doc_quality_above_median": _q_doc_quality_above_median,
         "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -3242,6 +3270,27 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
             FROM j, tot
             ORDER BY pmi DESC, x ASC, y ASC LIMIT 30
+        """,
+        "doc_quality_above_median": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_extract_all(text, '[\t\n\x0b\x0c\r ]')) AS DOUBLE) AS n_sp,
+                       CAST(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) AS n_pu
+                FROM documents
+            ), q AS (
+                SELECT doc_id, ROUND((
+                      LEAST(n_chars/500.0, 1.0)
+                    + (1.0 - LEAST(ABS(n_sp/GREATEST(n_chars,1.0) - 0.17)/0.17, 1.0))
+                    + (1.0 - LEAST(n_pu/GREATEST(n_chars,1.0)/0.2, 1.0))
+                )/3.0, 9) AS quality FROM f
+            ), med AS (
+                SELECT quality AS m FROM (
+                    SELECT quality, ROW_NUMBER() OVER (ORDER BY quality) - 1 AS rk
+                    FROM q
+                ) WHERE rk = (SELECT CAST(FLOOR((COUNT(*) - 1) * 0.5) AS BIGINT) FROM q)
+            )
+            SELECT doc_id, quality FROM q, med WHERE quality > m
         """,
         "doc_phrase_search": """
             SELECT doc_id, p.phrase, STRPOS(text, p.phrase) AS pos
