@@ -223,3 +223,51 @@ def test_quantize_embeddings(ray_session):
     # row 2: scale 2 -> q = [127, 127, -127, 64]
     assert got.loc[2, "q_sum"] == 127 + 127 - 127 + 64
     assert (got["n_dims"] == 4).all()
+
+
+def test_ivf_index_persistence_matches_inline(ray_session, tmp_path):
+    """build_ivf_index + ivf_index_query reproduce the in-line ivf_topk
+    exactly (same seeded quantizer, probes, tie rule), reading only the
+    probed bucket partitions."""
+    import os
+
+    from ugfraud_ray.pipelines.similarity import (
+        build_ivf_index,
+        ivf_index_query,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d))
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), d
+                ),
+            }
+        )
+    ).repartition(4)
+
+    qids = [0, 7, 42]
+    inline = (
+        ivf_topk(emb, qids, k=5, n_centroids=8, n_probe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    idx = str(tmp_path / "ivf")
+    man = build_ivf_index(emb, idx, n_centroids=8)
+    assert man["n_centroids"] == 8 and os.path.isfile(os.path.join(idx, "manifest.json"))
+    got = (
+        ivf_index_query(idx, qids, vecs[qids], k=5, n_probe=3)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert (inline[["query_id", "neighbor_id", "rnk"]].to_numpy()
+            == got[["query_id", "neighbor_id", "rnk"]].to_numpy()).all()
+    np.testing.assert_allclose(inline["sim"], got["sim"], atol=1e-12)

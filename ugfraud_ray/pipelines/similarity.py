@@ -155,21 +155,7 @@ def ivf_topk(
     bucket's vectors fit a map_groups task — at 100 TB raise n_centroids
     so corpus/n_centroids stays task-sized.
     """
-    sample = emb.limit(sample_size)
-    st = collect_table(sample)
-    xs = _normalize(_vecs_from_column(st[vec_col], len(st)))
-    rng = np.random.default_rng(seed)
-    centroids = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
-    # 5 Lloyd rounds on the sample (seeded, deterministic)
-    for _ in range(5):
-        a = (xs @ centroids.T).argmax(axis=1)
-        for c in range(len(centroids)):
-            m = a == c
-            if m.any():
-                v = xs[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    centroids[c] = v / n
+    centroids = _train_centroids(emb, n_centroids, vec_col, seed, sample_size)
     cent_ref = ray.put(centroids)
 
     bucketed = emb.map_batches(
@@ -419,4 +405,211 @@ def quantize_embeddings(
 
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         f, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence — build once, query many
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(
+    emb: "ray.data.Dataset",
+    n_centroids: int,
+    vec_col: str,
+    seed: int,
+    sample_size: int,
+) -> np.ndarray:
+    """Seeded k-means|sample coarse quantizer (5 Lloyd rounds on a
+    bounded sample) — shared by ivf_topk and build_ivf_index so an
+    index built on disk reproduces the in-line path exactly."""
+    st = collect_table(emb.limit(sample_size))
+    xs = _normalize(_vecs_from_column(st[vec_col], len(st)))
+    rng = np.random.default_rng(seed)
+    centroids = xs[rng.choice(len(xs), size=min(n_centroids, len(xs)), replace=False)]
+    for _ in range(5):
+        a = (xs @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            m = a == c
+            if m.any():
+                v = xs[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def build_ivf_index(
+    emb: "ray.data.Dataset",
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+    sample_size: int = 4096,
+) -> dict:
+    """Persist an IVF index: ``centroids.parquet`` + vectors written as
+    bucket-partitioned parquet (one directory per inverted list, so a
+    query run reads ONLY its probe buckets — partition pruning at the
+    read — and a failed build can re-run; the assignment pass is an
+    actor-pool map with the centroid matrix shipped once). Returns the
+    manifest (also written to ``manifest.json``)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    centroids = _train_centroids(emb, n_centroids, vec_col, seed, sample_size)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "centroid_id": pa.array(range(len(centroids)), pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(centroids.reshape(-1)), centroids.shape[1]
+                ),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    cent_ref = ray.put(centroids)
+
+    def assign_keep(t: pa.Table) -> pa.Table:
+        x = _normalize(_vecs_from_column(t[vec_col], t.num_rows))
+        b = (x @ _normalize(ray.get(cent_ref)).T).argmax(axis=1).astype(np.int64)
+        # bucket twice: `bucket` becomes the partition path (dropped
+        # from the files), `b` stays a regular column for the reader
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "b": pa.array(b),
+                "bucket": pa.array(b),
+            }
+        )
+
+    emb.map_batches(assign_keep, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "vectors"), partition_cols=["bucket"]
+    )
+    manifest = {
+        "n_centroids": int(len(centroids)),
+        "dim": int(centroids.shape[1]),
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "seed": seed,
+    }
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def ivf_index_query(
+    index_dir: str,
+    query_ids: "list[int] | np.ndarray",
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pa.Table:
+    """Query a persisted IVF index: probe the ``n_probe`` nearest
+    inverted lists per query, reading ONLY those bucket directories.
+    (query_id, neighbor_id, sim, rnk) — identical output (same
+    centroids, probes, and tie rule) to the in-line ``ivf_topk`` when
+    the index was built with the same parameters (parity-tested)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    ct = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    centroids = _vecs_from_column(ct["vec"], ct.num_rows)
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_mat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(q_mat @ _normalize(centroids).T), axis=1)[:, :n_probe]
+    needed = sorted({int(b) for row in probes for b in row})
+    probe_map: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in range(len(q_ids)):
+        for b in probes[r]:
+            probe_map.setdefault(int(b), []).append((int(q_ids[r]), q_mat[r]))
+    pm_ref = ray.put(probe_map)
+
+    import glob
+
+    paths = [
+        f
+        for b in needed
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "vectors", f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64()), "rnk": pa.array([], pa.int64())}
+        )
+    ds = ray.data.read_parquet(paths)
+
+    def search(t: pa.Table) -> pa.Table:
+        pm = ray.get(pm_ref)
+        bs = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _normalize(_vecs_from_column(t[vec_col], t.num_rows))
+        out_q, out_n, out_s = [], [], []
+        for b in np.unique(bs):
+            qs = pm.get(int(b))
+            if not qs:
+                continue
+            m = bs == b
+            bi, bx = ids[m], x[m]
+            for qid, qv in qs:
+                s = bx @ qv
+                cand = np.flatnonzero(bi != qid)
+                if not len(cand):
+                    continue
+                order = np.lexsort((bi[cand], -s[cand]))[: min(k, len(cand))]
+                out_q.append(np.full(len(order), qid))
+                out_n.append(bi[cand][order])
+                out_s.append(s[cand][order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = collect_table(ds.map_batches(search, batch_format="pyarrow"))
+    qv = cand["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = cand["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sv = cand["sim"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out_q, out_n, out_s, out_r = [], [], [], []
+    for qid in np.unique(qv):
+        m = qv == qid
+        # dedupe (a neighbor may appear in several probed buckets only
+        # if buckets overlapped — they don't — but batches may split a
+        # bucket, so per-pair keep the single sim value)
+        order = np.lexsort((nv[m], -sv[m]))[:k]
+        out_q.append(np.full(len(order), qid))
+        out_n.append(nv[m][order])
+        out_s.append(sv[m][order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    if not out_q:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64()), "rnk": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+            "rnk": pa.array(np.concatenate(out_r)),
+        }
     )
