@@ -1323,6 +1323,70 @@ def _q_doc_curation(sf_dir: str):
     return curate(_docs(sf_dir), min_chars=100)
 
 
+def _q_review_graph_monthly(sf_dir: str):
+    """Temporal graph snapshots: the review graph bucketed by order
+    month — per month the edge count, distinct active users, and the
+    max-degree user (ties to the smaller id). One joined pass tags each
+    edge with its month (broadcast order->custkey/month map, same
+    shape as review_edges), one (month, src) count, then a per-month
+    integer argmax over the tiny month-grouped table. All-integer
+    outputs, exact."""
+    from ray.data.aggregate import Count
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+    from ugfraud_ray.functions.collect import collect_table
+
+    ot = collect_table(orders)
+    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    od = ot["o_orderdate"].to_numpy(zero_copy_only=False)
+    month = (od.astype("datetime64[M]").astype(np.int64))  # months since 1970
+    size = int(ok.max()) + 1 if len(ok) else 1
+    cust = np.full(size, -1, dtype=np.int64)
+    mon = np.full(size, -1, dtype=np.int64)
+    cust[ok] = oc
+    mon[ok] = month
+    ref = ray.put((cust, mon))
+
+    def tag(t: pa.Table) -> pa.Table:
+        c, m = ray.get(ref)
+        lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oklo = (lo < len(c)) & (c[np.minimum(lo, len(c) - 1)] >= 0)
+        lo = lo[oklo]
+        return pa.table({"month": pa.array(m[lo]), "src": pa.array(c[lo])})
+
+    per_user = (
+        lineitem.map_batches(tag, batch_format="pyarrow")
+        .groupby(["month", "src"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def per_month(g) -> pa.Table:
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        src = g["src"].to_numpy().astype(np.int64)
+        order = np.lexsort((src, -cnt))[0]
+        # month back to ISO yyyy-mm for a string key both sides agree on
+        m = int(g["month"].iloc[0])
+        y, mm = 1970 + m // 12, m % 12 + 1
+        return pa.table(
+            {
+                "month": pa.array([f"{y:04d}-{mm:02d}"], pa.string()),
+                "n_edges": pa.array([int(cnt.sum())], pa.int64()),
+                "n_users": pa.array([len(src)], pa.int64()),
+                "top_user": pa.array([int(src[order])], pa.int64()),
+                "top_degree": pa.array([int(cnt[order])], pa.int64()),
+            }
+        )
+
+    return per_user.groupby("month").map_groups(per_month, batch_format="pandas")
+
+
 def _q_doc_quality_above_median(sf_dir: str):
     """Percentile-gated quality filter: keep docs whose (9-rounded)
     quality score exceeds the corpus median, computed by the exact
@@ -2050,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_pmi": _q_doc_bigram_pmi,
         "doc_phrase_search": _q_doc_phrase_search,
         "doc_quality_above_median": _q_doc_quality_above_median,
+        "review_graph_monthly": _q_review_graph_monthly,
         "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -3270,6 +3335,27 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
             FROM j, tot
             ORDER BY pmi DESC, x ASC, y ASC LIMIT 30
+        """,
+        "review_graph_monthly": """
+            WITH e AS (
+                SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+                       o.o_custkey AS src
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ), pu AS (
+                SELECT month, src, COUNT(*) AS cnt FROM e GROUP BY month, src
+            ), top AS (
+                SELECT month, src AS top_user, cnt AS top_degree,
+                       ROW_NUMBER() OVER (PARTITION BY month
+                                          ORDER BY cnt DESC, src ASC) AS rn
+                FROM pu
+            )
+            SELECT p.month,
+                   CAST(SUM(p.cnt) AS BIGINT) AS n_edges,
+                   COUNT(*) AS n_users,
+                   MAX(t.top_user) AS top_user,
+                   MAX(t.top_degree) AS top_degree
+            FROM pu p JOIN (SELECT * FROM top WHERE rn = 1) t USING (month)
+            GROUP BY p.month
         """,
         "doc_quality_above_median": """
             WITH f AS (
