@@ -1342,30 +1342,53 @@ def _q_review_graph_monthly(sf_dir: str):
     )
     from ugfraud_ray.functions.collect import collect_table
 
-    ot = collect_table(orders)
-    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    od = ot["o_orderdate"].to_numpy(zero_copy_only=False)
-    month = (od.astype("datetime64[M]").astype(np.int64))  # months since 1970
-    size = int(ok.max()) + 1 if len(ok) else 1
-    cust = np.full(size, -1, dtype=np.int64)
-    mon = np.full(size, -1, dtype=np.int64)
-    cust[ok] = oc
-    mon[ok] = month
-    ref = ray.put((cust, mon))
+    if orders.count() > 10_000_000:  # same gate as review_edges: broadcast
+        # only a small build side; else hash join
+        def month_col(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+            m = od.astype("datetime64[M]").astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": t["o_orderkey"],
+                    "src": t["o_custkey"],
+                    "month": pa.array(m),
+                }
+            )
 
-    def tag(t: pa.Table) -> pa.Table:
-        c, m = ray.get(ref)
-        lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        oklo = (lo < len(c)) & (c[np.minimum(lo, len(c) - 1)] >= 0)
-        lo = lo[oklo]
-        return pa.table({"month": pa.array(m[lo]), "src": pa.array(c[lo])})
+        joined = lineitem.join(
+            orders.map_batches(month_col, batch_format="pyarrow"),
+            join_type="inner",
+            on=("l_orderkey",),
+            num_partitions=64,
+        ).select_columns(["month", "src"])
+        per_user_src = joined
+    else:
+        per_user_src = None
 
-    per_user = (
-        lineitem.map_batches(tag, batch_format="pyarrow")
-        .groupby(["month", "src"])
-        .aggregate(Count(alias_name="cnt"))
-    )
+    if per_user_src is not None:
+        tagged = per_user_src
+    else:
+        ot = collect_table(orders)
+        ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = ot["o_orderdate"].to_numpy(zero_copy_only=False)
+        month = od.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        size = int(ok.max()) + 1 if len(ok) else 1
+        cust = np.full(size, -1, dtype=np.int64)
+        mon = np.full(size, -1, dtype=np.int64)
+        cust[ok] = oc
+        mon[ok] = month
+        ref = ray.put((cust, mon))
+
+        def tag(t: pa.Table) -> pa.Table:
+            c, m = ray.get(ref)
+            lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            oklo = (lo < len(c)) & (c[np.minimum(lo, len(c) - 1)] >= 0)
+            lo = lo[oklo]
+            return pa.table({"month": pa.array(m[lo]), "src": pa.array(c[lo])})
+
+        tagged = lineitem.map_batches(tag, batch_format="pyarrow")
+    per_user = tagged.groupby(["month", "src"]).aggregate(Count(alias_name="cnt"))
 
     def per_month(g) -> pa.Table:
         cnt = g["cnt"].to_numpy().astype(np.int64)
