@@ -1323,6 +1323,33 @@ def _q_doc_curation(sf_dir: str):
     return curate(_docs(sf_dir), min_chars=100)
 
 
+def _q_coreview_pairs(sf_dir: str):
+    """Co-review projection — the classic collusion signal (FRAUDAR's
+    dense-block input viewed pairwise): top user pairs by number of
+    commonly-reviewed products, with the Adamic–Adar-weighted variant
+    (1/ln(prod degree) — busy products count less). Exactly the
+    link-prediction kernel run on the bipartite review graph: common
+    neighbors of two users ARE their co-reviewed products, and user
+    pairs are never adjacent in a bipartite graph so the non-edge
+    filter is a no-op."""
+    from ugfraud_ray.pipelines.linkpred import link_prediction_scores
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    e = review_edges(sf_dir).select_columns(["src", "dst"]).materialize()
+    n = int(e.max("dst")) + 1
+    t = link_prediction_scores(
+        e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG, approx_rows=e.count()
+    )
+    return pa.table(
+        {
+            "u": t["u"],
+            "v": t["v"],
+            "common_prods": t["cn"],
+            "aa": pa.array(np.round(t["aa"].to_numpy(), 9)),
+        }
+    )
+
+
 def _q_review_graph_monthly(sf_dir: str):
     """Temporal graph snapshots: the review graph bucketed by order
     month — per month the edge count, distinct active users, and the
@@ -2138,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_search": _q_doc_phrase_search,
         "doc_quality_above_median": _q_doc_quality_above_median,
         "review_graph_monthly": _q_review_graph_monthly,
+        "coreview_pairs": _q_coreview_pairs,
         "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -3358,6 +3386,38 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
             FROM j, tot
             ORDER BY pmi DESC, x ASC, y ASC LIMIT 30
+        """,
+        "coreview_pairs": f"""
+            WITH g0 AS ({_SQL_REVIEW_EDGES}),
+            e AS (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM g0 WHERE src <> dst GROUP BY 1, 2
+            ),
+            adj AS (
+                SELECT a AS w, b AS nbr FROM e
+                UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+            elig AS (
+                SELECT adj.w, adj.nbr, deg.d
+                FROM adj JOIN deg USING (w)
+                WHERE deg.d BETWEEN 2 AND {LINKPRED_MAX_DEG}
+            ),
+            pairs AS (
+                SELECT x.nbr AS u, y.nbr AS v, x.d
+                FROM elig x JOIN elig y ON x.w = y.w AND x.nbr < y.nbr
+            ),
+            scored AS (
+                SELECT u, v, COUNT(*) AS common_prods, SUM(1.0 / LN(d)) AS aa
+                FROM pairs GROUP BY u, v
+            ),
+            nonedge AS (
+                SELECT s.u, s.v, s.common_prods, s.aa
+                FROM scored s LEFT JOIN e ON e.a = s.u AND e.b = s.v
+                WHERE e.a IS NULL
+            )
+            SELECT u, v, common_prods, ROUND(aa, 9) AS aa
+            FROM nonedge ORDER BY common_prods DESC, u, v LIMIT {LINKPRED_TOPN}
         """,
         "review_graph_monthly": """
             WITH e AS (
