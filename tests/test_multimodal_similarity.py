@@ -271,3 +271,28 @@ def test_ivf_index_persistence_matches_inline(ray_session, tmp_path):
     assert (inline[["query_id", "neighbor_id", "rnk"]].to_numpy()
             == got[["query_id", "neighbor_id", "rnk"]].to_numpy()).all()
     np.testing.assert_allclose(inline["sim"], got["sim"], atol=1e-12)
+
+
+def test_media_exact_dedup(ray_session):
+    from ugfraud_ray.pipelines.multimodal import media_exact_dedup, synthesize_media
+
+    t = synthesize_media(30, kind="image")
+    # plant duplicates: rows 25..29 reuse payloads 0..4 with new ids
+    dup = t.slice(0, 5)
+    planted = pa.table(
+        {
+            "media_id": pa.array([100 + i for i in range(5)], pa.int64()),
+            "kind": dup["kind"],
+            "payload": dup["payload"],
+            "width": dup["width"],
+            "height": dup["height"],
+            "n_frames": dup["n_frames"],
+            "sample_rate": dup["sample_rate"],
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, planted])).repartition(3)
+    out = media_exact_dedup(ds).to_pandas()
+    assert len(out) == 30  # 30 distinct payloads
+    n2 = out[out.n_copies == 2]
+    assert len(n2) == 5
+    assert (n2["media_id"] < 100).all()  # min-id survivor

@@ -237,3 +237,31 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_exact_dedup(
+    media: "ray.data.Dataset", id_col: str = "media_id", payload_col: str = "payload"
+) -> "ray.data.Dataset":
+    """(payload_md5, media_id = min id, n_copies) — byte-exact media
+    dedup over the opaque binary column (D1 min-id survivor semantics,
+    the binary sibling of dedup.exact_dedup). Hashing is a streaming
+    map over the payload bytes — the binary column never shuffles, only
+    the (hash, id) pairs do."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(b).hexdigest() if b is not None else ""
+            for b in t[payload_col].to_pylist()
+        ]
+        return pa.table(
+            {"payload_md5": pa.array(hs, pa.string()), id_col: t[id_col]}
+        )
+
+    return (
+        media.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("payload_md5")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
+    )
