@@ -1335,10 +1335,17 @@ def _q_coreview_pairs(sf_dir: str):
     from ugfraud_ray.pipelines.linkpred import link_prediction_scores
     from ugfraud_ray.pipelines.testdata_graph import review_edges
 
+    from ugfraud_ray.pipelines.testdata_graph import PART_OFFSET
+
     e = review_edges(sf_dir).select_columns(["src", "dst"]).materialize()
     n = int(e.max("dst")) + 1
+    # centers restricted to PRODUCTS so every emitted pair is two USERS
+    # (centering on a user would emit co-reviewed product pairs)
+    center = np.zeros(n, dtype=bool)
+    center[PART_OFFSET:] = True
     t = link_prediction_scores(
-        e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG, approx_rows=e.count()
+        e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG,
+        approx_rows=e.count(), center_mask=center,
     )
     return pa.table(
         {
@@ -2021,10 +2028,24 @@ def _q_msf_total(sf_dir: str):
     mx = sub.aggregate(Max("src", alias_name="ms"), Max("dst", alias_name="md"))
     n_vertices = int(max(mx["ms"] or 0, mx["md"] or 0)) + 1
 
+    # mod 2^44: weights stay int64-SUM-safe up to ~5e5 forest edges
+    # while keeping the birthday-collision odds ~1e-5 at 15k edges
+    # (1e9+7 reached ~11% at sf1); uniqueness is additionally asserted
+    # below so a collision fails LOUDLY instead of diverging silently
     def wfn(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return _md5_low64([f"{x}_{y}" for x, y in zip(a.tolist(), b.tolist())]) % np.uint64(
-            1_000_000_007
+            1 << 44
         )
+
+    from ugfraud_ray.functions.collect import collect_table as _ct
+
+    ct = _ct(sub)
+    wa = ct["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wb = ct["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cw = wfn(np.minimum(wa, wb), np.maximum(wa, wb))
+    uniq_pairs = len({(int(x), int(y)) for x, y in zip(np.minimum(wa, wb), np.maximum(wa, wb))})
+    if len(np.unique(cw)) < uniq_pairs:
+        raise ValueError("msf_total_weight: pair-weight collision — raise the modulus")
 
     forest = minimum_spanning_forest(
         sub, n_vertices, approx_edges=n_edges_in, weight_fn=wfn
@@ -3167,7 +3188,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             w AS (
               SELECT a, b,
-                     CAST(md5_number_upper(CONCAT(a, '_', b)) % 1000000007 AS BIGINT) AS wt
+                     CAST(md5_number_upper(CONCAT(a, '_', b)) % 17592186044416 AS BIGINT) AS wt
               FROM base
             ),
             sym AS (SELECT a AS u, b AS v, wt FROM w UNION ALL SELECT b, a, wt FROM w),
@@ -3402,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT adj.w, adj.nbr, deg.d
                 FROM adj JOIN deg USING (w)
                 WHERE deg.d BETWEEN 2 AND {LINKPRED_MAX_DEG}
+                  AND adj.w >= 1000000  -- centers = products only
             ),
             pairs AS (
                 SELECT x.nbr AS u, y.nbr AS v, x.d

@@ -534,10 +534,11 @@ def speagle(
         edge_cols=["prior"], vertex_aux=vertex_prior,
         hub_threshold=hub_threshold,
     )
-    n_edges_pre = edges_with_prior.count()
     active_ref = None
     if early_stop_at < 1.0:
         from ugfraud_ray.stages.graph_build import dense_degrees
+
+        n_edges_pre = edges_with_prior.count()
 
         deg = dense_degrees(
             edges_with_prior.select_columns(["src", "dst"]), "src", n_vertices

@@ -119,13 +119,12 @@ def classify_binary(
 
 
 def _hash64(vids: np.ndarray, seed: int) -> np.ndarray:
-    out = np.empty(len(vids), dtype=np.uint64)
-    pre = f"{seed}:".encode()
-    for i, v in enumerate(vids.tolist()):
-        out[i] = int.from_bytes(
-            hashlib.md5(pre + str(v).encode()).digest()[:8], "little"
-        )
-    return out
+    """md5-low64 of f"{seed}:{vid}" — the engine's shared hash
+    convention (pipelines/sketches._md5_low64 == DuckDB
+    md5_number_upper)."""
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    return _md5_low64([f"{seed}:{v}" for v in vids.tolist()])
 
 
 def _emb_matrix(t: pa.Table) -> np.ndarray:

@@ -193,7 +193,9 @@ def betweenness_subset(
     length ≤ radius on the DIRECTED vid-domain edge table. Returns
     (vid, betweenness) for all n_vertices, ascending vid."""
     n = n_vertices
-    if approx_edges is not None and approx_edges > local_threshold:
+    # unknown size is treated as LARGE: collecting an unhinted input
+    # to the driver is the one unrecoverable choice at scale
+    if approx_edges is None or approx_edges > local_threshold:
         return _bc_sharded(edges, n, np.asarray(sources, np.int64), radius, P, layout_dir)
 
     S = len(sources)

@@ -239,7 +239,9 @@ def neighborhood_function(
     maps contiguous vids to original ids (hash identity); ``edges`` are
     directed on the vid domain; multi-edges are harmless (max-union is
     idempotent)."""
-    if approx_edges is not None and approx_edges > local_threshold:
+    # unknown size is treated as LARGE: collecting an unhinted input
+    # to the driver is the one unrecoverable choice at scale
+    if approx_edges is None or approx_edges > local_threshold:
         return _nf_sharded(edges, ids, radius, P, edge_dir)
 
     n = len(ids)

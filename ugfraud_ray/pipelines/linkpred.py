@@ -70,8 +70,13 @@ def link_prediction_scores(
     approx_rows: int | None = None,
     local_threshold: int = 400_000,
     n_buckets: int | None = None,
+    center_mask: "np.ndarray | None" = None,
 ) -> pa.Table:
-    """Top-N (u, v, cn, aa) non-adjacent pairs of the undirected graph."""
+    """Top-N (u, v, cn, aa) non-adjacent pairs of the undirected graph.
+
+    center_mask: optional (n_vertices,) bool — only these vertices act
+    as wedge CENTERS (common neighbors). Bipartite projections restrict
+    centers to one side so the pairs come from the other."""
     from ugfraud_ray.stages.graph_build import dense_degrees
     from ugfraud_ray.functions.bucketing import n_coarse_buckets
 
@@ -94,6 +99,8 @@ def link_prediction_scores(
     with np.errstate(divide="ignore"):
         wvec = np.where(deg >= 2, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
     ok = (deg >= 2) & (deg <= max_degree)  # eligible common neighbors
+    if center_mask is not None:
+        ok &= np.asarray(center_mask, dtype=bool)
 
     if ne <= local_threshold:
         t = collect_table(e)

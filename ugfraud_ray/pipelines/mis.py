@@ -56,10 +56,9 @@ _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 def vid_priorities(n_vertices: int) -> np.ndarray:
     """uint64 md5-low64 priority per vid (== DuckDB md5_number_upper)."""
-    out = np.empty(n_vertices, dtype=np.uint64)
-    for v in range(n_vertices):
-        out[v] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
-    return out
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    return _md5_low64(list(range(n_vertices)))
 
 
 def _round_local(a, b, und, prio):
@@ -90,9 +89,9 @@ def _shard_prio(vids: np.ndarray, shard) -> tuple[np.ndarray, np.ndarray]:
     t = getattr(shard, "_aux_table", None)
     if t is not None and "prio_hi" in t.column_names:
         return shard.vertex_aux("prio_hi"), shard.vertex_aux("prio_lo")
-    p = np.empty(len(vids), dtype=np.uint64)
-    for i, v in enumerate(vids.tolist()):
-        p[i] = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    p = _md5_low64(vids.tolist())
     return (
         (p >> np.uint64(32)).astype(np.float64),
         (p & np.uint64(0xFFFFFFFF)).astype(np.float64),

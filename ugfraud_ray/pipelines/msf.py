@@ -269,7 +269,9 @@ def minimum_spanning_forest(
     or the forest loses uniqueness)."""
     wf = weight_fn or pair_weights
     und = _canonical_undirected(edges, approx_edges)
-    if approx_edges is not None and approx_edges > local_threshold:
+    # unknown size is treated as LARGE: collecting an unhinted input
+    # to the driver is the one unrecoverable choice at scale
+    if approx_edges is None or approx_edges > local_threshold:
         return _msf_distributed(und, n_vertices, max_iters, wf, P, scratch_dir)
 
     comp = np.arange(n_vertices, dtype=np.int64)

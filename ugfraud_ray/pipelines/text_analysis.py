@@ -792,6 +792,8 @@ def bm25_scores(
     from ugfraud_ray.functions.collect import collect_table
 
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_scores: empty query_terms")
     tcols = [f"tf{i}" for i in range(len(terms))]
     tarr = np.array(terms)
 
@@ -810,6 +812,8 @@ def bm25_scores(
 
     tf = docs.map_batches(per_doc, batch_format="pyarrow").materialize()
     n_docs = tf.count()
+    if n_docs == 0:
+        raise ValueError("bm25_scores: empty corpus")
     sums = tf.sum(["dl"] + tcols + [])  # dict of exact integer sums
     total_len = int(sums["sum(dl)"])
     # df per term: docs with tf > 0 — exact integer aggregate
@@ -955,15 +959,27 @@ def phrase_search(
     def f(t: pa.Table) -> pa.Table:
         ids_out, ph_out, pos_out = [], [], []
         col = t[key]
+        # find_substring returns BYTE offsets; STRPOS counts CHARACTERS.
+        # They agree on pure-ASCII prefixes — convert only the rows with
+        # a multibyte char before the match (rare), per-row
+        nbytes = pc.binary_length(col).to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        ascii_row = nbytes == nchars
         for ph in plist:
             pos = pc.find_substring(col, ph).to_numpy(zero_copy_only=False)
             hit = pos >= 0
             if hit.any():
+                cpos = pos.astype(np.int64) + 1
+                fix = hit & ~ascii_row
+                if fix.any():
+                    texts = col.to_pylist()
+                    for i in np.flatnonzero(fix).tolist():
+                        cpos[i] = texts[i].find(ph) + 1
                 ids_out.append(
                     t[id_col].to_numpy(zero_copy_only=False)[hit]
                 )
                 ph_out.append(np.full(int(hit.sum()), ph, dtype=object))
-                pos_out.append(pos[hit].astype(np.int64) + 1)
+                pos_out.append(cpos[hit])
         if not ids_out:
             return pa.table(
                 {

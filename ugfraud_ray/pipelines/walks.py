@@ -236,7 +236,9 @@ def random_walks(
     wids_arr = (
         seed_vids.astype(np.int64) if wid_of is None else np.asarray(wid_of, np.int64)
     )
-    if approx_edges is not None and approx_edges > local_threshold:
+    # unknown size is treated as LARGE: collecting an unhinted input
+    # to the driver is the one unrecoverable choice at scale
+    if approx_edges is None or approx_edges > local_threshold:
         return _walks_sharded(edges, seed_vids, wids_arr, walk_len, P, edge_dir)
     indptr, nbrs = _build_csr(edges, n_vertices)
     csr_ref = ray.put((indptr, nbrs))
