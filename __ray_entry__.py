@@ -1312,6 +1312,54 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_doc_mixture_report(sf_dir: str):
+    """Data-mixture report — the readout an LLM data team actually
+    consumes: per (split, lang, source) document count and total token
+    budget over the CURATED corpus (the doc_curation lineage joined
+    back to document metadata via a broadcast map). Exact integers,
+    one tiny grouped sum."""
+    from ray.data.aggregate import Count, Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.pipelines.curation import curate
+
+    cur = curate(_docs(sf_dir), min_chars=100).materialize()
+    meta = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"],
+    )
+    mt = collect_table(meta)
+    mid = mt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(mid, kind="stable")
+    langs = np.asarray(mt["lang"].to_pylist(), dtype=object)
+    srcs = np.asarray(mt["source"].to_pylist(), dtype=object)
+    ref = ray.put((mid[order], langs[order], srcs[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_s, lg, sc = ray.get(ref)
+        vid = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ids_s, vid), 0, max(len(ids_s) - 1, 0))
+        ok = len(ids_s) > 0
+        if not ok:
+            raise ValueError("doc_mixture_report: empty metadata")
+        if not (ids_s[pos] == vid).all():
+            raise ValueError("doc_mixture_report: curated doc missing from metadata")
+        return pa.table(
+            {
+                "split": t["split"],
+                "lang": pa.array(lg[pos], pa.string()),
+                "source": pa.array(sc[pos], pa.string()),
+                "n_tokens": t["n_tokens"],
+            }
+        )
+
+    return (
+        cur.map_batches(attach, batch_format="pyarrow")
+        .groupby(["split", "lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens"))
+    )
+
+
 def _q_doc_curation(sf_dir: str):
     """End-to-end curation flagship (pipelines/curation.curate):
     length gate -> exact dedup (min-id survivor) -> MinHash-LSH
@@ -2180,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "doc_minhash_dedup": _q_minhash_dedup,
         "doc_curation": _q_doc_curation,
+        "doc_mixture_report": _q_doc_mixture_report,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
@@ -2760,6 +2809,19 @@ def _curation_sql() -> str:
     """
 
 
+def _mixture_report_sql() -> str:
+    """Mixture report = the curation chain joined back to metadata."""
+    cur = _curation_sql()
+    return f"""
+        WITH cur AS ({cur})
+        SELECT c.split, d.lang, d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens
+        FROM cur c JOIN documents d USING (doc_id)
+        GROUP BY c.split, d.lang, d.source
+    """
+
+
 def _minhash_dedup_sql() -> str:
     """SQL replica of ``pipelines.dedup.minhash_lsh_dedup``: the bit-exact
     LSH candidate pairs (see ``_minhash_cand_ctes``), then the engine's
@@ -3207,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_curation": _curation_sql(),
+        "doc_mixture_report": _mixture_report_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
