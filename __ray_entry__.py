@@ -1312,6 +1312,43 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_doc_source_diversity(sf_dir: str):
+    """Per-source lexical diversity: approximate distinct word-3-gram
+    shingle count per document source via the grouped 4096-register
+    HyperLogLog (pipelines/sketches) — the data-diversity readout that
+    catches template farms. The whole sketch state (register count +
+    exact integer register sum) is value-checked, not just the rounded
+    estimate; shingles come from the shared shingle chain."""
+    from ugfraud_ray.pipelines.dedup import _shingle_hashes
+    from ugfraud_ray.pipelines.sketches import hll_distinct_per_group
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        srcs, shs = [], []
+        for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            sh = _shingle_hashes(text, 3)
+            if len(sh):
+                srcs.append(np.full(len(sh), src, dtype=object))
+                shs.append(sh)
+        if not srcs:
+            return pa.table(
+                {"source": pa.array([], pa.string()), "sh": pa.array([], pa.uint64())}
+            )
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(srcs), pa.string()),
+                "sh": pa.array(np.concatenate(shs)),
+            }
+        )
+
+    pairs = docs.map_batches(emit, batch_format="pyarrow")
+    return hll_distinct_per_group(pairs, group_col="source", value_col="sh")
+
+
 def _q_doc_mixture_report(sf_dir: str):
     """Data-mixture report — the readout an LLM data team actually
     consumes: per (split, lang, source) document count and total token
@@ -2229,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": _q_minhash_dedup,
         "doc_curation": _q_doc_curation,
         "doc_mixture_report": _q_doc_mixture_report,
+        "doc_source_diversity": _q_doc_source_diversity,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
@@ -2809,6 +2847,46 @@ def _curation_sql() -> str:
     """
 
 
+def _source_diversity_sql() -> str:
+    """Per-source shingle HLL: the shared shingle chain joined to
+    document sources, then the events_hll_users estimator chain."""
+    return rf"""
+        WITH {_shingle_ctes(3)},
+        pairs AS (
+            SELECT d.source AS grp, s.sh FROM sh s JOIN documents d USING (doc_id)
+        ), h AS (
+            SELECT DISTINCT grp, md5_number_upper(CAST(sh AS VARCHAR)) AS hv
+            FROM pairs
+        ), r AS (
+            SELECT grp,
+                   CAST(hv & 4095 AS BIGINT) AS j,
+                   CAST(CASE WHEN (hv >> 12) = 0 THEN 53
+                        ELSE 53 - length(bin(hv >> 12)) END AS BIGINT) AS rho
+            FROM h
+        ), regs AS (
+            SELECT grp, j, MAX(rho) AS rr FROM r GROUP BY grp, j
+        ), agg AS (
+            SELECT grp, COUNT(*) AS nz,
+                   SUM(CAST(CAST(1 AS BIGINT) << (53 - rr) AS HUGEINT))
+                     + CAST(4096 - COUNT(*) AS HUGEINT) * 9007199254740992 AS s
+            FROM regs GROUP BY grp
+        ), raw AS (
+            SELECT grp, nz,
+                   CAST(CAST(s AS VARCHAR) AS DOUBLE) AS s_dbl,
+                   CAST('1.0897106820939319e+23' AS DOUBLE)
+                     / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS raw
+            FROM agg
+        )
+        SELECT grp AS source,
+               CAST(nz AS BIGINT) AS n_registers,
+               s_dbl AS s_hll,
+               floor((CASE WHEN (4096 - nz) > 0 AND raw <= 10240.0
+                      THEN 4096.0 * ln(4096.0 / CAST(4096 - nz AS DOUBLE))
+                      ELSE raw END) * 100.0 + 0.5) / 100.0 AS approx
+        FROM raw
+    """
+
+
 def _mixture_report_sql() -> str:
     """Mixture report = the curation chain joined back to metadata."""
     cur = _curation_sql()
@@ -3270,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_curation": _curation_sql(),
         "doc_mixture_report": _mixture_report_sql(),
+        "doc_source_diversity": _source_diversity_sql(),
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
