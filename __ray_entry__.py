@@ -1312,6 +1312,38 @@ def _q_svd_singular_values(sf_dir: str):
     )
 
 
+def _q_doc_zipf_slope(sf_dir: str):
+    """Zipf slope of the corpus token spectrum: OLS slope of ln(count)
+    on ln(rank) over the top-100 tokens (a healthy natural corpus sits
+    near −1; template farms flatten it). Float replay contract: each
+    per-rank term (x, y, xy, x²) is quantized to the 1e-9 grid as an
+    exact int64, the four sums are order-free integer sums, and the
+    slope is ONE mirrored float expression over them."""
+    from ugfraud_ray.pipelines.text_analysis import top_tokens
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    tt = top_tokens(_docs(sf_dir), k=TOPK_TOKENS)
+    t = tt if isinstance(tt, pa.Table) else collect_table(tt)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.float64)
+    k = len(n)
+    x = np.log(rnk)
+    y = np.log(n)
+    g = lambda v: np.floor(v * 1e9 + 0.5).astype(np.int64)
+    sx, sy = int(g(x).sum()), int(g(y).sum())
+    sxy, sxx = int(g(x * y).sum()), int(g(x * x).sum())
+    slope = (k * float(sxy) - float(sx) * float(sy) / 1e9) / (
+        k * float(sxx) - float(sx) * float(sx) / 1e9
+    )
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "slope": pa.array([np.floor(slope * 1e9 + 0.5) / 1e9]),
+        }
+    )
+
+
 def _q_doc_source_diversity(sf_dir: str):
     """Per-source lexical diversity: approximate distinct word-3-gram
     shingle count per document source via the grouped 4096-register
@@ -2267,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": _q_doc_curation,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
+        "doc_zipf_slope": _q_doc_zipf_slope,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
@@ -3349,6 +3382,35 @@ def oracle_sql() -> dict[str, str]:
         "doc_curation": _curation_sql(),
         "doc_mixture_report": _mixture_report_sql(),
         "doc_source_diversity": _source_diversity_sql(),
+        "doc_zipf_slope": f"""
+            WITH tt AS (
+                SELECT token, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rnk
+                FROM (
+                    SELECT token, COUNT(*) AS n FROM (
+                        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                        FROM documents
+                    ) WHERE token <> '' GROUP BY token
+                )
+                QUALIFY rnk <= {TOPK_TOKENS}
+            ), terms AS (
+                SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS gx,
+                       CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS gy,
+                       CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS gxy,
+                       CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS gxx
+                FROM tt
+            ), sums AS (
+                SELECT COUNT(*) AS k,
+                       CAST(SUM(gx) AS BIGINT) AS sx, CAST(SUM(gy) AS BIGINT) AS sy,
+                       CAST(SUM(gxy) AS BIGINT) AS sxy, CAST(SUM(gxx) AS BIGINT) AS sxx
+                FROM terms
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   FLOOR(((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1000000000.0)
+                         / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1000000000.0))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS slope
+            FROM sums
+        """,
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
