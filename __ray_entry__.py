@@ -1804,6 +1804,17 @@ def _q_events_running_total(sf_dir: str):
     return running_total(_events(sf_dir))
 
 
+def _q_events_robust_zscore(sf_dir: str):
+    """Median/MAD robust standardization per event_type
+    (events.robust_zscore_per_type): both medians are exact integer
+    order statistics on the shared 1e-4 value grid, z is one float
+    division rounded to 9."""
+    from ugfraud_ray.pipelines.events import robust_zscore_per_type
+
+    ev = _events(sf_dir)
+    return robust_zscore_per_type(ev, approx_rows=ev.count())
+
+
 def _q_events_zscore(sf_dir: str):
     """Two-pass per-group feature normalization: moment partials in-map,
     tiny (mu, sd) table broadcast into a second streaming pass
@@ -2367,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_running_total": _q_events_running_total,
         "events_zscore": _q_events_zscore,
+        "events_robust_zscore": _q_events_robust_zscore,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_top_type_per_user": _q_events_top_type_per_user,
         "events_incident_join": _q_events_incident_join,
@@ -4991,6 +5003,37 @@ def oracle_sql() -> dict[str, str]:
         # rounded in both numpy and DuckDB); int→double via VARCHAR as in
         # the HLL oracle; groups with n<2 or zero variance dropped both
         # sides; z floor-rounded to 1e-6 identically
+        "events_robust_zscore": """
+            WITH q AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qq
+              FROM events
+            ), med AS (
+              SELECT event_type, qq AS m FROM (
+                SELECT event_type, qq,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qq) - 1 AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM q
+              ) WHERE rk = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+            ), dev AS (
+              SELECT q.event_id, q.event_type, q.qq, med.m,
+                     ABS(q.qq - med.m) AS ad
+              FROM q JOIN med USING (event_type)
+            ), mad AS (
+              SELECT event_type, ad AS d FROM (
+                SELECT event_type, ad,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) - 1 AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+              ) WHERE rk = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+            )
+            SELECT dev.event_id, dev.event_type,
+                   CASE WHEN mad.d > 0
+                        THEN FLOOR((CAST(dev.qq AS DOUBLE) - CAST(dev.m AS DOUBLE))
+                                   / CAST(mad.d AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0
+                        ELSE 0.0 END AS robust_z
+            FROM dev JOIN mad USING (event_type)
+        """,
         "events_zscore": """
             WITH q AS (
               SELECT event_id, event_type,

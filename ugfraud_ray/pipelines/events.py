@@ -1212,3 +1212,64 @@ def windowed_unique_users(
         .groupby("window_start_us")
         .aggregate(Sum("nu", alias_name="n_users"))
     )
+
+
+def robust_zscore_per_type(
+    events: "ray.data.Dataset",
+    local_threshold: int = 2_000_000,
+    approx_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """(event_id, event_type, robust_z) — median/MAD standardization,
+    the outlier-insensitive sibling of ``zscore_per_type``: z = (v −
+    median)/MAD with MAD = median(|v − median|) per event_type (0 when
+    MAD is 0). Values ride the shared 1e-4 grid as exact int64, so both
+    medians are integer order statistics (rank floor((n−1)/2), the
+    engine's pinned rule) and z is ONE float division rounded to 9 —
+    bit-replayable. Two grouped-quantile passes + one streaming score
+    pass; the per-type (median, MAD) table broadcasts (type count is
+    dimension-sized)."""
+    from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.functions.quantiles import grouped_exact_quantiles
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qq = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"], "qq": pa.array(qq)}
+        )
+
+    q = events.map_batches(quant, batch_format="pyarrow").materialize()
+    n_rows = q.count() if approx_rows is None else approx_rows
+    med_t = grouped_exact_quantiles(q, "event_type", "qq", [0.5], approx_rows=n_rows)
+    med = dict(zip(med_t["event_type"].to_pylist(), med_t["value"].to_pylist()))
+    med_ref = ray.put(med)
+
+    def dev(t: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        qq = t["qq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mv = np.array([m[k] for k in t["event_type"].to_pylist()], dtype=np.int64)
+        return pa.table(
+            {"event_type": t["event_type"], "ad": pa.array(np.abs(qq - mv))}
+        )
+
+    devs = q.map_batches(dev, batch_format="pyarrow")
+    mad_t = grouped_exact_quantiles(devs, "event_type", "ad", [0.5], approx_rows=n_rows)
+    mad = dict(zip(mad_t["event_type"].to_pylist(), mad_t["value"].to_pylist()))
+    both_ref = ray.put((med, mad))
+
+    def score(t: pa.Table) -> pa.Table:
+        m, d = ray.get(both_ref)
+        qq = t["qq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kinds = t["event_type"].to_pylist()
+        mv = np.array([m[k] for k in kinds], dtype=np.float64)
+        dv = np.array([d[k] for k in kinds], dtype=np.float64)
+        z = np.where(dv > 0, (qq - mv) / np.where(dv > 0, dv, 1.0), 0.0)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "robust_z": pa.array(np.floor(z * 1e9 + 0.5) / 1e9),
+            }
+        )
+
+    return q.map_batches(score, batch_format="pyarrow")
