@@ -1804,6 +1804,54 @@ def _q_events_running_total(sf_dir: str):
     return running_total(_events(sf_dir))
 
 
+def _q_events_top_anomalies(sf_dir: str):
+    """Top-50 outlier events by |robust z| (the median/MAD score) —
+    the alerting readout over events_robust_zscore. Selection orders by
+    (|z| DESC, event_id ASC); |z| sits on the 1e-9 grid both sides."""
+    from ugfraud_ray.pipelines.events import robust_zscore_per_type
+
+    ev = _events(sf_dir)
+    z = robust_zscore_per_type(ev, approx_rows=ev.count())
+
+    def absz(t: pa.Table) -> pa.Table:
+        zz = t["robust_z"].to_numpy(zero_copy_only=False)
+        return t.append_column("abs_z", pa.array(np.abs(zz)))
+
+    return (
+        z.map_batches(absz, batch_format="pyarrow")
+        .sort(["abs_z", "event_id"], descending=[True, False])
+        .limit(50)
+        .select_columns(["event_id", "event_type", "robust_z", "abs_z"])
+    )
+
+
+def _q_doc_length_histogram(sf_dir: str):
+    """Power-of-two token-length histogram of the corpus — the curation
+    dashboard's length-distribution panel. Bucket = bit_length of
+    n_tokens (0 for empty docs); exact integer counts, one tiny grouped
+    sum from per-block bincount partials."""
+    docs = _docs(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ugfraud_ray.pipelines.text_analysis import _explode_tokens
+
+        flat, rows = _explode_tokens(t, "text")
+        n = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        b = np.zeros(len(n), dtype=np.int64)
+        nz = n > 0
+        b[nz] = np.frexp(n[nz].astype(np.float64))[1]  # bit_length, exact < 2^53
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="n_docs"))
+    )
+
+
 def _q_events_robust_zscore(sf_dir: str):
     """Median/MAD robust standardization per event_type
     (events.robust_zscore_per_type): both medians are exact integer
@@ -2379,6 +2427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_zscore": _q_events_zscore,
         "events_robust_zscore": _q_events_robust_zscore,
+        "events_top_anomalies": _q_events_top_anomalies,
+        "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
         "events_top_type_per_user": _q_events_top_type_per_user,
         "events_incident_join": _q_events_incident_join,
@@ -5033,6 +5083,52 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(mad.d AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0
                         ELSE 0.0 END AS robust_z
             FROM dev JOIN mad USING (event_type)
+        """,
+        "events_top_anomalies": """
+            WITH q AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qq
+              FROM events
+            ), med AS (
+              SELECT event_type, qq AS m FROM (
+                SELECT event_type, qq,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qq) - 1 AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM q
+              ) WHERE rk = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+            ), dev AS (
+              SELECT q.event_id, q.event_type, q.qq, med.m,
+                     ABS(q.qq - med.m) AS ad
+              FROM q JOIN med USING (event_type)
+            ), mad AS (
+              SELECT event_type, ad AS d FROM (
+                SELECT event_type, ad,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) - 1 AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+              ) WHERE rk = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+            ), z AS (
+              SELECT dev.event_id, dev.event_type,
+                     CASE WHEN mad.d > 0
+                          THEN FLOOR((CAST(dev.qq AS DOUBLE) - CAST(dev.m AS DOUBLE))
+                                     / CAST(mad.d AS DOUBLE) * 1000000000.0 + 0.5) / 1000000000.0
+                          ELSE 0.0 END AS robust_z
+              FROM dev JOIN mad USING (event_type)
+            )
+            SELECT event_id, event_type, robust_z, ABS(robust_z) AS abs_z
+            FROM z ORDER BY abs_z DESC, event_id ASC LIMIT 50
+        """,
+        "doc_length_histogram": """
+            WITH n AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       t -> t <> '')) AS nt
+                FROM documents
+            )
+            SELECT CASE WHEN nt = 0 THEN 0
+                        ELSE length(bin(CAST(nt AS BIGINT))) END AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM n GROUP BY 1
         """,
         "events_zscore": """
             WITH q AS (
