@@ -374,6 +374,17 @@ def _q_random_walks(sf_dir: str):
     return random_walks(ge, n, seeds, walk_len=WALK_LEN, approx_edges=ge.count())
 
 
+def _q_embedding_label_affinity(sf_dir: str):
+    """Pairwise cosine between per-label MEAN embeddings
+    (similarity.label_affinity): exact integer grid sums (cosine is
+    scale-invariant so the means never materialize), Python-int
+    products, one mirrored float expression floored to 1e-9."""
+    from ugfraud_ray.pipelines.similarity import label_affinity
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return label_affinity(emb)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Per-label mean embedding (similarity.label_centroids): half-up
     1e-4 quantization -> int64 partial sums -> (label, dim) groupby;
@@ -2376,6 +2387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_centroids": _q_embedding_centroids,
+        "embedding_label_affinity": _q_embedding_label_affinity,
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
         "doc_lang_id": _q_lang_id,
@@ -4039,6 +4051,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # half-up 1e-4 quantization makes the vector-mean exact: integer
         # qsum, then (qsum/grid)/n mirrored op-for-op
+        "embedding_label_affinity": """
+            WITH ex AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ), s AS (
+                SELECT label, dim,
+                       CAST(SUM(FLOOR(CAST(x AS DOUBLE) * 10000 + 0.5)) AS HUGEINT) AS sg
+                FROM ex GROUP BY label, dim
+            ), nrm AS (
+                SELECT label, SUM(sg * sg) AS n2 FROM s GROUP BY label
+            ), pr AS (
+                SELECT a.label AS label_a, b.label AS label_b,
+                       SUM(a.sg * b.sg) AS num
+                FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+                GROUP BY 1, 2
+            )
+            SELECT CAST(label_a AS BIGINT) AS label_a,
+                   CAST(label_b AS BIGINT) AS label_b,
+                   FLOOR(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                         / sqrt(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE)
+                                * CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS cosine
+            FROM pr
+            JOIN nrm na ON na.label = pr.label_a
+            JOIN nrm nb ON nb.label = pr.label_b
+        """,
         "embedding_centroids": """
             WITH ex AS (
                 SELECT label,

@@ -613,3 +613,75 @@ def ivf_index_query(
             "rnk": pa.array(np.concatenate(out_r)),
         }
     )
+
+
+def label_affinity(
+    embeddings: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    grid: int = 10_000,
+) -> pa.Table:
+    """(label_a, label_b, cosine) for every label pair a < b: cosine
+    between the per-label MEAN embeddings — the class-drift /
+    source-affinity diagnostic. Means never materialize: cosine is
+    scale-invariant, so cos = Σ_d Sa_d·Sb_d / √(ΣSa²·ΣSb²) over the
+    EXACT integer grid sums S (the label_centroids quantization), all
+    products merged as Python ints; ONE float expression at readout
+    (float(int) is correctly rounded, mirroring SQL's VARCHAR→DOUBLE
+    route), floored to the 1e-9 grid."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = _vecs_from_column(t[vec_col], t.num_rows).astype(np.float64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(v * grid + 0.5).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), v.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ulab, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "qsum": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    agg = collect_table(
+        embeddings.select_columns([label_col, vec_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum"))
+    )
+    labs = agg["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dims = agg["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qs = agg["qsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ulab = np.unique(labs)
+    D = int(dims.max()) + 1 if len(dims) else 0
+    S = {}
+    for lb in ulab.tolist():
+        m = labs == lb
+        row = np.zeros(D, dtype=object)
+        row[dims[m]] = [int(x) for x in qs[m]]
+        S[lb] = row
+    n2 = {lb: sum(int(x) * int(x) for x in S[lb]) for lb in ulab.tolist()}
+    la_out, lb_out, cos_out = [], [], []
+    for i, a in enumerate(ulab.tolist()):
+        for b in ulab.tolist()[i + 1 :]:
+            num = sum(int(x) * int(y) for x, y in zip(S[a], S[b]))
+            denom = math.sqrt(float(n2[a]) * float(n2[b]))
+            c = float(num) / denom if denom > 0 else 0.0
+            la_out.append(a)
+            lb_out.append(b)
+            cos_out.append(math.floor(c * 1e9 + 0.5) / 1e9)
+    return pa.table(
+        {
+            "label_a": pa.array(la_out, pa.int64()),
+            "label_b": pa.array(lb_out, pa.int64()),
+            "cosine": pa.array(cos_out, pa.float64()),
+        }
+    )
