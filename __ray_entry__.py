@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ugfraud_ray.pipelines.testdata_graph import PART_OFFSET
+
 PR_DAMPING = 0.85
 PR_ITERS = 10
 LP_ITERS = 12
@@ -77,6 +79,7 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF = "1998-06-01"  # orders before / shipments after this date
 Q3_TOPN = 10
 PACK_BUDGET = 512  # LM sequence-packing token budget
+MONTHLY_JOIN_THRESHOLD = 10_000_000  # orders above this: hash join, not broadcast
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -84,9 +87,9 @@ BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 # shared SQL fragments (must mirror the Ray-side derivations exactly)
 # ---------------------------------------------------------------------------
 
-_SQL_REVIEW_EDGES = """
+_SQL_REVIEW_EDGES = f"""
     SELECT o_custkey AS src,
-           l_partkey + 1000000 AS dst,
+           l_partkey + {PART_OFFSET} AS dst,
            CAST(MIN(CASE WHEN l_discount >= 0.05 THEN 2 ELSE 1 END) AS BIGINT) AS rating,
            CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS label
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
@@ -543,9 +546,15 @@ def _q_effective_diameter(sf_dir: str):
 def _q_betweenness(sf_dir: str):
     """Subset betweenness centrality (pipelines/betweenness.py): exact
     radius-bounded Brandes from hash-picked pivots (original id %
-    BETW_SEED_MOD == 0) on the directed general graph; per-edge
-    dependency terms associate identically to the SQL replay, readout
-    rounded to 9 decimals on both sides."""
+    BETW_SEED_MOD == 0) on the directed general graph; readout rounded
+    to 9 decimals on both sides. Association caveat: the driver-local
+    path replays the SQL's per-edge sigma*coef association exactly; the
+    engine path above the 5M-edge gate re-associates the backward sums
+    per superstep (sigma * sum(coef)), so a value sitting exactly on a
+    1e-9 rounding boundary could flip its last digit at engine scale.
+    The engine path is oracle-verified at sf0.001 with the gate forced
+    (tests/test_superstep_kernels.py
+    ::test_betweenness_engine_path_vs_duckdb_oracle)."""
     from ugfraud_ray.pipelines.betweenness import betweenness_subset
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
@@ -1324,35 +1333,13 @@ def _q_svd_singular_values(sf_dir: str):
 
 
 def _q_doc_zipf_slope(sf_dir: str):
-    """Zipf slope of the corpus token spectrum: OLS slope of ln(count)
-    on ln(rank) over the top-100 tokens (a healthy natural corpus sits
-    near −1; template farms flatten it). Float replay contract: each
-    per-rank term (x, y, xy, x²) is quantized to the 1e-9 grid as an
-    exact int64, the four sums are order-free integer sums, and the
-    slope is ONE mirrored float expression over them."""
-    from ugfraud_ray.pipelines.text_analysis import top_tokens
+    """Zipf slope of the corpus token spectrum (pipelines/text_analysis
+    .zipf_slope): OLS slope of ln(count) on ln(rank) over the top-100
+    tokens via 1e-9-grid integer partials + one mirrored float
+    expression (see the package docstring for the replay contract)."""
+    from ugfraud_ray.pipelines.text_analysis import zipf_slope
 
-    from ugfraud_ray.functions.collect import collect_table
-
-    tt = top_tokens(_docs(sf_dir), k=TOPK_TOKENS)
-    t = tt if isinstance(tt, pa.Table) else collect_table(tt)
-    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.float64)
-    k = len(n)
-    x = np.log(rnk)
-    y = np.log(n)
-    g = lambda v: np.floor(v * 1e9 + 0.5).astype(np.int64)
-    sx, sy = int(g(x).sum()), int(g(y).sum())
-    sxy, sxx = int(g(x * y).sum()), int(g(x * x).sum())
-    slope = (k * float(sxy) - float(sx) * float(sy) / 1e9) / (
-        k * float(sxx) - float(sx) * float(sx) / 1e9
-    )
-    return pa.table(
-        {
-            "k": pa.array([k], pa.int64()),
-            "slope": pa.array([np.floor(slope * 1e9 + 0.5) / 1e9]),
-        }
-    )
+    return zipf_slope(_docs(sf_dir), k=TOPK_TOKENS)
 
 
 def _q_doc_source_diversity(sf_dir: str):
@@ -1393,51 +1380,20 @@ def _q_doc_source_diversity(sf_dir: str):
 
 
 def _q_doc_mixture_report(sf_dir: str):
-    """Data-mixture report — the readout an LLM data team actually
-    consumes: per (split, lang, source) document count and total token
-    budget over the CURATED corpus (the doc_curation lineage joined
-    back to document metadata via a broadcast map). Exact integers,
+    """Data-mixture report (pipelines/curation.mixture_report): per
+    (split, lang, source) document count and total token budget over
+    the CURATED corpus joined back to document metadata — broadcast
+    searchsorted attach below the 10M-row metadata gate, inner hash
+    join above it (join path parity-forced in tests). Exact integers,
     one tiny grouped sum."""
-    from ray.data.aggregate import Count, Sum
+    from ugfraud_ray.pipelines.curation import curate, mixture_report
 
-    from ugfraud_ray.functions.collect import collect_table
-    from ugfraud_ray.pipelines.curation import curate
-
-    cur = curate(_docs(sf_dir), min_chars=100).materialize()
+    cur = curate(_docs(sf_dir), min_chars=100)
     meta = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "source"],
     )
-    mt = collect_table(meta)
-    mid = mt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(mid, kind="stable")
-    langs = np.asarray(mt["lang"].to_pylist(), dtype=object)
-    srcs = np.asarray(mt["source"].to_pylist(), dtype=object)
-    ref = ray.put((mid[order], langs[order], srcs[order]))
-
-    def attach(t: pa.Table) -> pa.Table:
-        ids_s, lg, sc = ray.get(ref)
-        vid = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(ids_s, vid), 0, max(len(ids_s) - 1, 0))
-        ok = len(ids_s) > 0
-        if not ok:
-            raise ValueError("doc_mixture_report: empty metadata")
-        if not (ids_s[pos] == vid).all():
-            raise ValueError("doc_mixture_report: curated doc missing from metadata")
-        return pa.table(
-            {
-                "split": t["split"],
-                "lang": pa.array(lg[pos], pa.string()),
-                "source": pa.array(sc[pos], pa.string()),
-                "n_tokens": t["n_tokens"],
-            }
-        )
-
-    return (
-        cur.map_batches(attach, batch_format="pyarrow")
-        .groupby(["split", "lang", "source"])
-        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens"))
-    )
+    return mixture_report(cur, meta)
 
 
 def _q_doc_curation(sf_dir: str):
@@ -1460,28 +1416,12 @@ def _q_coreview_pairs(sf_dir: str):
     neighbors of two users ARE their co-reviewed products, and user
     pairs are never adjacent in a bipartite graph so the non-edge
     filter is a no-op."""
-    from ugfraud_ray.pipelines.linkpred import link_prediction_scores
+    from ugfraud_ray.pipelines.linkpred import coreview_pairs
     from ugfraud_ray.pipelines.testdata_graph import review_edges
 
-    from ugfraud_ray.pipelines.testdata_graph import PART_OFFSET
-
-    e = review_edges(sf_dir).select_columns(["src", "dst"]).materialize()
-    n = int(e.max("dst")) + 1
-    # centers restricted to PRODUCTS so every emitted pair is two USERS
-    # (centering on a user would emit co-reviewed product pairs)
-    center = np.zeros(n, dtype=bool)
-    center[PART_OFFSET:] = True
-    t = link_prediction_scores(
-        e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG,
-        approx_rows=e.count(), center_mask=center,
-    )
-    return pa.table(
-        {
-            "u": t["u"],
-            "v": t["v"],
-            "common_prods": t["cn"],
-            "aa": pa.array(np.round(t["aa"].to_numpy(), 9)),
-        }
+    return coreview_pairs(
+        review_edges(sf_dir), PART_OFFSET,
+        top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG,
     )
 
 
@@ -1504,7 +1444,7 @@ def _q_review_graph_monthly(sf_dir: str):
     )
     from ugfraud_ray.functions.collect import collect_table
 
-    if orders.count() > 10_000_000:  # same gate as review_edges: broadcast
+    if orders.count() > MONTHLY_JOIN_THRESHOLD:  # same gate as review_edges: broadcast
         # only a small build side; else hash join
         def month_col(t: pa.Table) -> pa.Table:
             od = t["o_orderdate"].to_numpy(zero_copy_only=False)
@@ -1517,11 +1457,13 @@ def _q_review_graph_monthly(sf_dir: str):
                 }
             )
 
+        from ugfraud_ray.stages.graph_build import join_partitions
+
         joined = lineitem.join(
             orders.map_batches(month_col, batch_format="pyarrow"),
             join_type="inner",
             on=("l_orderkey",),
-            num_partitions=64,
+            num_partitions=join_partitions(),
         ).select_columns(["month", "src"])
         per_user_src = joined
     else:
@@ -1550,26 +1492,9 @@ def _q_review_graph_monthly(sf_dir: str):
             return pa.table({"month": pa.array(m[lo]), "src": pa.array(c[lo])})
 
         tagged = lineitem.map_batches(tag, batch_format="pyarrow")
-    per_user = tagged.groupby(["month", "src"]).aggregate(Count(alias_name="cnt"))
+    from ugfraud_ray.pipelines.graphstats import temporal_degree_snapshots
 
-    def per_month(g) -> pa.Table:
-        cnt = g["cnt"].to_numpy().astype(np.int64)
-        src = g["src"].to_numpy().astype(np.int64)
-        order = np.lexsort((src, -cnt))[0]
-        # month back to ISO yyyy-mm for a string key both sides agree on
-        m = int(g["month"].iloc[0])
-        y, mm = 1970 + m // 12, m % 12 + 1
-        return pa.table(
-            {
-                "month": pa.array([f"{y:04d}-{mm:02d}"], pa.string()),
-                "n_edges": pa.array([int(cnt.sum())], pa.int64()),
-                "n_users": pa.array([len(src)], pa.int64()),
-                "top_user": pa.array([int(src[order])], pa.int64()),
-                "top_degree": pa.array([int(cnt[order])], pa.int64()),
-            }
-        )
-
-    return per_user.groupby("month").map_groups(per_month, batch_format="pandas")
+    return temporal_degree_snapshots(tagged)
 
 
 def _q_doc_quality_above_median(sf_dir: str):
@@ -1816,51 +1741,26 @@ def _q_events_running_total(sf_dir: str):
 
 
 def _q_events_top_anomalies(sf_dir: str):
-    """Top-50 outlier events by |robust z| (the median/MAD score) —
-    the alerting readout over events_robust_zscore. Selection orders by
-    (|z| DESC, event_id ASC); |z| sits on the 1e-9 grid both sides."""
-    from ugfraud_ray.pipelines.events import robust_zscore_per_type
+    """Top-50 outlier events by |robust z| (pipelines/events
+    .top_anomalies): per-block top-k partials + one driver merge — NO
+    global sort. Selection orders by (|z| DESC, event_id ASC); |z| sits
+    on the 1e-9 grid both sides, so the result equals the sorted one."""
+    from ugfraud_ray.pipelines.events import robust_zscore_per_type, top_anomalies
 
     ev = _events(sf_dir)
     z = robust_zscore_per_type(ev, approx_rows=ev.count())
-
-    def absz(t: pa.Table) -> pa.Table:
-        zz = t["robust_z"].to_numpy(zero_copy_only=False)
-        return t.append_column("abs_z", pa.array(np.abs(zz)))
-
-    return (
-        z.map_batches(absz, batch_format="pyarrow")
-        .sort(["abs_z", "event_id"], descending=[True, False])
-        .limit(50)
-        .select_columns(["event_id", "event_type", "robust_z", "abs_z"])
+    return top_anomalies(z, k=50).select(
+        ["event_id", "event_type", "robust_z", "abs_z"]
     )
 
 
 def _q_doc_length_histogram(sf_dir: str):
-    """Power-of-two token-length histogram of the corpus — the curation
-    dashboard's length-distribution panel. Bucket = bit_length of
-    n_tokens (0 for empty docs); exact integer counts, one tiny grouped
-    sum from per-block bincount partials."""
-    docs = _docs(sf_dir)
+    """Power-of-two token-length histogram (pipelines/text_analysis
+    .length_histogram): bucket = bit_length of n_tokens, exact integer
+    counts from per-block bincount partials + one tiny grouped sum."""
+    from ugfraud_ray.pipelines.text_analysis import length_histogram
 
-    def partial(t: pa.Table) -> pa.Table:
-        from ugfraud_ray.pipelines.text_analysis import _explode_tokens
-
-        flat, rows = _explode_tokens(t, "text")
-        n = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
-        b = np.zeros(len(n), dtype=np.int64)
-        nz = n > 0
-        b[nz] = np.frexp(n[nz].astype(np.float64))[1]  # bit_length, exact < 2^53
-        u, c = np.unique(b, return_counts=True)
-        return pa.table({"bucket": pa.array(u), "c": pa.array(c.astype(np.int64))})
-
-    from ray.data.aggregate import Sum
-
-    return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("c", alias_name="n_docs"))
-    )
+    return length_histogram(_docs(sf_dir))
 
 
 def _q_events_robust_zscore(sf_dir: str):
@@ -2190,7 +2090,7 @@ def _q_ann_ivf_recall(sf_dir: str):
 def _q_msf_total(sf_dir: str):
     """Value oracle for the Borůvka MSF (VERDICT r1 item 4b): the
     forest over the src%10/dst%10 subgraph of general_edges with
-    md5-low64 pair weights (mod 1e9+7 — int64-safe, unique on this
+    md5-low64 pair weights (mod 2^44 — int64-SUM-safe, unique on this
     input) has a unique edge set, and its total weight is SQL-checkable
     via the cycle property: an edge is in the MSF iff no strictly
     lighter path connects its endpoints (minimax closure, unique
@@ -3426,7 +3326,7 @@ def oracle_sql() -> dict[str, str]:
         # MSF via the cycle property (weights unique): an edge is in the
         # forest iff the minimax path weight between its endpoints equals
         # its own weight — the minimax closure is a recursive CTE, weights
-        # are md5_number_upper == the engine's md5-low64, mod 1e9+7
+        # are md5_number_upper == the engine's md5-low64, mod 2^44
         "msf_total_weight": f"""
             WITH RECURSIVE gen AS ({_SQL_GENERAL_EDGES}),
             base AS (
@@ -3701,7 +3601,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT adj.w, adj.nbr, deg.d
                 FROM adj JOIN deg USING (w)
                 WHERE deg.d BETWEEN 2 AND {LINKPRED_MAX_DEG}
-                  AND adj.w >= 1000000  -- centers = products only
+                  AND adj.w >= {PART_OFFSET}  -- centers = products only
             ),
             pairs AS (
                 SELECT x.nbr AS u, y.nbr AS v, x.d

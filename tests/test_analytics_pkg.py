@@ -1,0 +1,143 @@
+"""Unit tests for the analytics moved from the driver contract into the
+package (VERDICT r2 item 3): zipf_slope, length_histogram,
+top_anomalies, temporal_degree_snapshots, coreview_pairs — each against
+a naive numpy/pandas oracle, imported from ugfraud_ray."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _doc_table(seed=3, n=40):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    # Zipf-ish frequencies: word i with weight 1/(i+1)
+    p = 1.0 / np.arange(1, len(words) + 1)
+    p /= p.sum()
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(5, 40), p=p))
+        for _ in range(n - 1)
+    ] + [""]
+    return pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": pa.array(texts)}
+    )
+
+
+def test_zipf_slope_matches_numpy_ols(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import zipf_slope
+
+    t = _doc_table()
+    out = zipf_slope(ray.data.from_arrow(t), k=5)
+    assert out["k"][0].as_py() == 5
+    # naive oracle: counts of the top-5 tokens, plain OLS
+    from collections import Counter
+
+    c = Counter()
+    for txt in t["text"].to_pylist():
+        c.update(txt.lower().split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    y = np.log([n for _, n in top])
+    x = np.log(np.arange(1, 6, dtype=np.float64))
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(out["slope"][0].as_py() - slope) < 1e-6
+
+
+def test_length_histogram_matches_bincount(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import length_histogram
+
+    t = _doc_table()
+    got = (
+        length_histogram(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    want: dict[int, int] = {}
+    for txt in t["text"].to_pylist():
+        n = len(txt.lower().split())
+        want[n.bit_length()] = want.get(n.bit_length(), 0) + 1
+    assert dict(zip(got["bucket"], got["n_docs"])) == want
+    assert int(got["n_docs"].sum()) == t.num_rows
+
+
+def test_top_anomalies_equals_global_sort(ray_session):
+    from ugfraud_ray.pipelines.events import top_anomalies
+
+    rng = np.random.default_rng(11)
+    n = 500
+    z = np.round(rng.normal(0, 3, n), 9)
+    z[7] = z[13] = 50.0  # tie on |z| -> id ascending breaks it
+    z[21] = -50.0
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "event_type": pa.array(["t"] * n),
+            "robust_z": pa.array(z),
+        }
+    )
+    # many small blocks so the per-block partial path is exercised
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = top_anomalies(ds, k=20)
+    order = np.lexsort((np.arange(n), -np.abs(z)))[:20]
+    assert got["event_id"].to_pylist() == order.tolist()
+    assert got["abs_z"].to_pylist() == np.abs(z)[order].tolist()
+    assert {7, 13, 21} <= set(got["event_id"].to_pylist())
+
+
+def test_temporal_degree_snapshots(ray_session):
+    from ugfraud_ray.pipelines.graphstats import temporal_degree_snapshots
+
+    # month 600 = 2020-01; user 3 has degree 3, user 1 degree 3 (tie ->
+    # smaller id wins); month 601 has a single edge
+    months = [600] * 6 + [601]
+    srcs = [3, 3, 3, 1, 1, 1, 9]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"month": pa.array(months, pa.int64()), "src": pa.array(srcs, pa.int64())}
+        )
+    )
+    got = (
+        temporal_degree_snapshots(ds)
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    assert got["month"].tolist() == ["2020-01", "2020-02"]
+    assert got["n_edges"].tolist() == [6, 1]
+    assert got["n_users"].tolist() == [2, 1]
+    assert got["top_user"].tolist() == [1, 9]  # tie at degree 3 -> min id
+    assert got["top_degree"].tolist() == [3, 1]
+
+
+def test_coreview_pairs_planted_and_domain_guard(ray_session):
+    from ugfraud_ray.pipelines.linkpred import coreview_pairs
+
+    off = 100
+    # users 0,1 co-review products 100,101,102; user 2 reviews 100 only
+    src = [0, 0, 0, 1, 1, 1, 2]
+    dst = [100, 101, 102, 100, 101, 102, 100]
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    got = coreview_pairs(ds, off, top_n=10)
+    rows = list(
+        zip(got["u"].to_pylist(), got["v"].to_pylist(), got["common_prods"].to_pylist())
+    )
+    assert rows[0] == (0, 1, 3)
+    assert (0, 2, 1) in rows and (1, 2, 1) in rows
+    aa = dict(zip(rows, got["aa"].to_pylist()))
+    # product 100 has degree 3, 101/102 degree 2
+    want_01 = round(1 / np.log(3) + 2 / np.log(2), 9)
+    assert abs(aa[(0, 1, 3)] - want_01) < 1e-9
+
+    bad = ray.data.from_arrow(
+        pa.table({"src": pa.array([150], pa.int64()), "dst": pa.array([100], pa.int64())})
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="overlaps the product vid"):
+        coreview_pairs(bad, off)

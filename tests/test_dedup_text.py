@@ -567,3 +567,78 @@ def test_curate_degenerate_inputs(ray_session):
     got = curate(ds2, min_chars=100).to_pandas().sort_values("doc_id")
     assert 9 not in set(got["doc_id"])  # exact dup of 5
     assert (got["n_tokens"] > 0).all()
+
+
+def test_curate_never_materializes_text(ray_session, monkeypatch):
+    """Scale contract: the curation flagship must never pin a
+    text-bearing dataset in the object store — only id-only / pair
+    datasets may materialize (the 100 TB de-materialization rule)."""
+    import ray.data as rd
+
+    from ugfraud_ray.pipelines.curation import curate
+
+    orig = rd.Dataset.materialize
+    seen: list[tuple] = []
+
+    def spy(self, *a, **k):
+        seen.append(tuple(self.columns() or []))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+    t, _ = _corpus_with_dups(n_base=30, n_dup_pairs=4)
+    out = curate(ray.data.from_arrow(t), min_chars=10).to_pandas()
+    assert len(out) > 0
+    assert seen, "expected id-only materializations to be observed"
+    assert all("text" not in cols for cols in seen), seen
+
+
+def test_semi_join_ids_join_path_parity(ray_session):
+    """local_threshold=0 forces the Dataset.join branch; it must agree
+    with the broadcast-filter branch row-for-row."""
+    from ugfraud_ray.pipelines.curation import _semi_join_ids
+
+    t, _ = _corpus_with_dups(n_base=25, n_dup_pairs=3)
+    ds = ray.data.from_arrow(t)
+    keep = pa.table({"doc_id": pa.array([0, 3, 7, 11, 26], pa.int64())})
+    ids = ray.data.from_arrow(keep)
+    via_join = (
+        _semi_join_ids(ds, ids, "doc_id", local_threshold=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    via_bcast = (
+        _semi_join_ids(ds, ids, "doc_id", local_threshold=10**9)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert via_join["doc_id"].tolist() == via_bcast["doc_id"].tolist() == [0, 3, 7, 11, 26]
+    assert via_join["text"].tolist() == via_bcast["text"].tolist()
+
+
+def test_mixture_report_join_path_parity(ray_session):
+    """mixture_report's >threshold hash-join branch must agree with the
+    broadcast searchsorted branch on every (split, lang, source) row."""
+    from ugfraud_ray.pipelines.curation import curate, mixture_report
+
+    t, _ = _corpus_with_dups(n_base=40, n_dup_pairs=5)
+    rng = np.random.default_rng(5)
+    n = t.num_rows
+    meta = pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "lang": pa.array(rng.choice(["en", "de", "fr"], size=n).tolist()),
+            "source": pa.array(rng.choice(["web", "wiki"], size=n).tolist()),
+        }
+    )
+    docs = ray.data.from_arrow(t)
+    cur = curate(docs, min_chars=10)
+
+    def run(threshold):
+        out = mixture_report(
+            cur, ray.data.from_arrow(meta), local_threshold=threshold
+        ).to_pandas()
+        return out.sort_values(["split", "lang", "source"]).reset_index(drop=True)
+
+    a, b = run(0), run(10**9)
+    assert a[["split", "lang", "source"]].values.tolist() == b[["split", "lang", "source"]].values.tolist()
+    assert a["n_docs"].tolist() == b["n_docs"].tolist()
+    assert a["total_tokens"].tolist() == b["total_tokens"].tolist()
+    assert int(a["n_docs"].sum()) == cur.count()

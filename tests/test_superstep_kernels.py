@@ -930,3 +930,65 @@ def test_mis_coloring_external_priorities_engine_parity(tmp_path):
         local_threshold=0, P=3, layout_dir=str(tmp_path / "c"),
     )
     assert (ca == cb).all()
+
+
+def test_betweenness_engine_path_vs_duckdb_oracle(tmp_path, ray_session):
+    """ADVICE r2: the DuckDB oracle was only ever exercised against the
+    driver-local Brandes path (the driver SFs sit below the 5M-edge
+    gate). Replay the betweenness_subset QUERY with the engine path
+    FORCED (local_threshold=0) at sf0.001 and compare to the oracle SQL
+    at the driver's own tolerance, so the re-associated backward sums
+    are value-verified against SQL, not just against the local path."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from ugfraud_ray.pipelines.betweenness import betweenness_subset
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    vt = vmap.to_pandas().sort_values("vid")
+    sources = (
+        vt.loc[vt["id"] % entrymod.BETW_SEED_MOD == 0, "vid"].to_numpy().astype(np.int64)
+    )
+    t = betweenness_subset(
+        e,
+        n,
+        sources,
+        radius=entrymod.BETW_RADIUS,
+        approx_edges=ge.count(),
+        local_threshold=0,  # force the superstep-engine path
+        P=3,
+        layout_dir=str(tmp_path / "bc_oracle"),
+    )
+    got = (
+        unmap_vids(ray.data.from_arrow(t), vmap, vid_col="vid", out_col="id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    got["betweenness"] = np.round(got["betweenness"].to_numpy(), 9)
+
+    con = duckdb.connect()
+    for tab in ("orders",):
+        con.execute(
+            f"CREATE VIEW {tab} AS SELECT * FROM read_parquet('{sf_dir}/{tab}.parquet')"
+        )
+    want = (
+        con.execute(entrymod.oracle_sql()["betweenness_subset"])
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+    np.testing.assert_allclose(
+        got["betweenness"].to_numpy(),
+        want["betweenness"].to_numpy(),
+        rtol=1e-9,
+        atol=1e-12,
+    )

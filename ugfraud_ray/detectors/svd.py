@@ -58,9 +58,13 @@ def svd_user_embedding(
     projection matrix broadcast once via ``ray.put``), then a single
     k-column groupby-sum merges cross-block partials — never a
     per-user ``map_groups`` (the measured many-small-groups slow
-    path). Float note: per-user partial sums associate by block, so
-    results can differ from a serial per-user sum by ulps — consumers
-    round (the classifier standardizes; the query rounds to 9)."""
+    path). Determinism: each block's float partial is quantized to the
+    1e-9 integer grid before the grouped sum (the engine's exact-sum
+    pattern), so the cross-block merge is an order-free int64 sum and
+    the embedding — and everything trained on it (svd_user_probs) — is
+    bit-identical run to run regardless of Ray's block order. The
+    ≤0.5e-9-per-block quantization error is far below the 1e-6
+    reference-conformance tolerance (gate 11)."""
     from ray.data.aggregate import Sum
 
     s_safe = np.where(s > 0, s, 1.0)
@@ -77,9 +81,10 @@ def svd_user_embedding(
         uniq, inv = np.unique(src, return_inverse=True)
         buf = np.zeros((len(uniq), P.shape[1]))
         np.add.at(buf, inv, vals[:, None] * P[cols])
+        grid = np.floor(buf * 1e9 + 0.5).astype(np.int64)
         out = {"vid": pa.array(uniq)}
         for j, c in enumerate(ecols):
-            out[c] = pa.array(buf[:, j])
+            out[c] = pa.array(grid[:, j])
         return pa.table(out)
 
     summed = (
@@ -89,9 +94,11 @@ def svd_user_embedding(
     )
 
     def pack(t: pa.Table) -> pa.Table:
-        m = np.column_stack(
-            [t[c].to_numpy(zero_copy_only=False) for c in ecols]
-        ).astype(np.float64)
+        m = (
+            np.column_stack([t[c].to_numpy(zero_copy_only=False) for c in ecols])
+            .astype(np.float64)
+            / 1e9
+        )
         return pa.table(
             {
                 "vid": t["vid"],

@@ -44,6 +44,7 @@ import ray
 import ray.data
 
 from ugfraud_ray.functions.collect import collect_table
+from ugfraud_ray.stages.graph_build import join_partitions
 
 
 class LinearSVC:
@@ -168,10 +169,45 @@ def svd_classifier_probs(
         lab_val = lt["label"].to_numpy(zero_copy_only=False).astype(np.int8)
         lab_ref = ray.put((lab_vid, lab_val))
         labeled = None
-    else:  # pragma: no cover - exercised only at cluster scale
+    else:
+        # Arrow's hash join rejects fixed_size_list payload columns, so
+        # the embedding is unpacked to k scalar columns around the join
+        # and repacked after (found by the forced-gate parity test).
         lab_ref = None
-        labeled = embedding.join(
-            user_labels, join_type="inner", on=("vid",), num_partitions=64
+        sch = embedding.schema()
+        k_dim = sch.types[sch.names.index("emb")].list_size
+        ecols = [f"_e{j}" for j in range(k_dim)]
+
+        def unpack(t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t)
+            out = {"vid": t["vid"]}
+            for j, c in enumerate(ecols):
+                out[c] = pa.array(m[:, j])
+            return pa.table(out)
+
+        def repack(t: pa.Table) -> pa.Table:
+            m = np.column_stack(
+                [t[c].to_numpy(zero_copy_only=False) for c in ecols]
+            ).astype(np.float64)
+            return pa.table(
+                {
+                    "vid": t["vid"],
+                    "emb": pa.FixedSizeListArray.from_arrays(
+                        pa.array(m.reshape(-1)), k_dim
+                    ),
+                    "label": t["label"],
+                }
+            )
+
+        labeled = (
+            embedding.map_batches(unpack, batch_format="pyarrow")
+            .join(
+                user_labels,
+                join_type="inner",
+                on=("vid",),
+                num_partitions=join_partitions(),
+            )
+            .map_batches(repack, batch_format="pyarrow")
         )
 
     def attach(t: pa.Table) -> pa.Table:
@@ -232,6 +268,13 @@ def svd_classifier_probs(
         )
         keep = np.argsort(h, kind="stable")[:train_cap]
         train_t = train_t.take(pa.array(np.sort(keep)))
+    # vid-sort the training rows: the GD matmuls sum over rows, so row
+    # order (which depends on block order / broadcast-vs-join path)
+    # would otherwise perturb the model by ulps run to run
+    vsort = np.argsort(
+        train_t["vid"].to_numpy(zero_copy_only=False).astype(np.int64), kind="stable"
+    )
+    train_t = train_t.take(pa.array(vsort))
     if train_t.num_rows == 0:
         raise ValueError("empty training split")
     X = _emb_matrix(train_t)

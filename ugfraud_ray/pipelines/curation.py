@@ -23,11 +23,15 @@ the individually-oracled stages into ONE streaming lineage:
 Output: (doc_id, split, n_tokens) for every retained document — the
 per-split token budget reads off with one group-by.
 
-Scale shape: stage 1 is a pushed-down filter, stage 2 one hash
-groupby, stage 3 runs on the already-thinned survivors (LSH is the
-expensive stage — ordering matters), stage 4 is shuffle-free.
-Survivor-id membership between stages rides a broadcast Arrow id set
-below ``local_threshold`` survivors and an inner hash join above it.
+Scale shape: NO text-bearing dataset is ever materialized. The gated
+lineage is lazy; each consumer (exact-dedup hashing pass, MinHash
+candidate pass, LSH assign pass, final semi-join) re-reads the
+column-pruned source through the filter instead of pinning the corpus
+text in the object store — at 100 TB a handful of pruned streaming
+re-reads beats spilling the whole corpus twice. Only id-only datasets
+(dedup survivor ids, cluster representatives) are materialized, and a
+survivor-id membership pass rides a broadcast Arrow id set below
+``local_threshold`` survivors and an inner hash join above it.
 Every stage is individually value-oracled; the composite query replays
 the identical chain in one SQL statement.
 """
@@ -42,6 +46,7 @@ import ray
 import ray.data
 
 from ugfraud_ray.functions.collect import collect_table
+from ugfraud_ray.stages.graph_build import join_partitions
 
 
 def _semi_join_ids(
@@ -51,10 +56,16 @@ def _semi_join_ids(
     local_threshold: int,
 ) -> "ray.data.Dataset":
     """Rows of ds whose id_col is in ids(id_col) — broadcast filter for
-    small id sets, hash join above the gate."""
+    small id sets, hash join above the gate.
+
+    ``ids`` is materialized here: it is id-only (never carries text) and
+    is consumed twice (count + collect/join), so pinning it avoids
+    re-running its whole upstream lineage.
+    """
+    ids = ids.materialize()
     n = ids.count()
-    if n > local_threshold:  # pragma: no cover - cluster scale
-        return ds.join(ids, join_type="inner", on=(id_col,), num_partitions=64)
+    if n > local_threshold:
+        return ds.join(ids, join_type="inner", on=(id_col,), num_partitions=join_partitions())
     if n == 0:
         return ds.limit(0)
     keep_ref = ray.put(collect_table(ids)[id_col].combine_chunks())
@@ -83,8 +94,10 @@ def curate(
     def gate(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(pc.utf8_length(t[key]), min_chars))
 
-    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
-    if gated.count() == 0:
+    # lazy on purpose: every consumer re-reads the pruned source through
+    # the gate filter; the text column is never pinned in the object store
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    if gated.limit(1).count() == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -96,7 +109,7 @@ def curate(
         )
 
     exact = exact_dedup(gated, key=key, id_col=id_col).select_columns([id_col])
-    survivors = _semi_join_ids(gated, exact, id_col, local_threshold).materialize()
+    survivors = _semi_join_ids(gated, exact, id_col, local_threshold)
 
     clusters = minhash_lsh_dedup(survivors, key=key, id_col=id_col)
     reps = clusters.filter(expr=f"{id_col} == cluster").select_columns([id_col])
@@ -121,3 +134,61 @@ def curate(
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def mixture_report(
+    cur: "ray.data.Dataset",
+    meta: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    local_threshold: int = 10_000_000,
+) -> "ray.data.Dataset":
+    """Data-mixture report — the readout an LLM data team consumes:
+    per (split, lang, source) document count and total token budget over
+    the curated corpus joined back to document metadata.
+
+    ``cur`` is the curate() output (doc_id, split, n_tokens); ``meta``
+    carries (doc_id, lang, source). Below ``local_threshold`` metadata
+    rows the (id -> lang/source) map is collected once, sorted, and
+    broadcast for a vectorized searchsorted attach (with a loud error if
+    a curated doc has no metadata); above it, the corpus-sized metadata
+    never lands on the driver — an inner ``Dataset.join`` on doc_id does
+    the attach (missing metadata silently drops the doc there, the
+    inner-join semantics). Exact integers, one tiny grouped sum.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    n_meta = meta.count()
+    if n_meta > local_threshold:
+        attached = cur.join(
+            meta, join_type="inner", on=(id_col,), num_partitions=join_partitions()
+        ).select_columns(["split", "lang", "source", "n_tokens"])
+    else:
+        mt = collect_table(meta)
+        if mt.num_rows == 0:
+            raise ValueError("mixture_report: empty metadata")
+        mid = mt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(mid, kind="stable")
+        langs = np.asarray(mt["lang"].to_pylist(), dtype=object)
+        srcs = np.asarray(mt["source"].to_pylist(), dtype=object)
+        ref = ray.put((mid[order], langs[order], srcs[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            ids_s, lg, sc = ray.get(ref)
+            vid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(ids_s, vid), 0, len(ids_s) - 1)
+            if not (ids_s[pos] == vid).all():
+                raise ValueError("mixture_report: curated doc missing from metadata")
+            return pa.table(
+                {
+                    "split": t["split"],
+                    "lang": pa.array(lg[pos], pa.string()),
+                    "source": pa.array(sc[pos], pa.string()),
+                    "n_tokens": t["n_tokens"],
+                }
+            )
+
+        attached = cur.map_batches(attach, batch_format="pyarrow")
+
+    return attached.groupby(["split", "lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )

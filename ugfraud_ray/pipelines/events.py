@@ -1273,3 +1273,31 @@ def robust_zscore_per_type(
         )
 
     return q.map_batches(score, batch_format="pyarrow")
+
+
+def top_anomalies(
+    scored: "ray.data.Dataset",
+    k: int = 50,
+    id_col: str = "event_id",
+    z_col: str = "robust_z",
+) -> pa.Table:
+    """Top-k outlier rows by (|z| desc, id asc) WITHOUT a global sort:
+    every block keeps only its own top-k (vectorized lexsort partial),
+    the <= k x n_blocks survivors merge once on the driver. Selection is
+    deterministic — |z| sits on the 1e-9 grid and ties break by id — so
+    the result is identical to sort(desc).limit(k), minus the all-to-all
+    shuffle of every scored row that a distributed sort would pay."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        zz = np.abs(t[z_col].to_numpy(zero_copy_only=False).astype(np.float64))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -zz))[:k]
+        return t.append_column("abs_z", pa.array(zz)).take(pa.array(order))
+
+    merged = collect_table(scored.map_batches(partial, batch_format="pyarrow"))
+    if merged.num_rows == 0:
+        return merged
+    zz = merged["abs_z"].to_numpy(zero_copy_only=False)
+    ids = merged[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -zz))[:k]
+    return merged.take(pa.array(order))

@@ -279,3 +279,34 @@ def _rich_club_table(
             "phi": pa.array(phi),
         }
     )
+
+
+def temporal_degree_snapshots(tagged: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Temporal graph snapshots over a (month:int64 months-since-1970,
+    src:int64) edge-endpoint stream: per month the edge count, distinct
+    active sources, and the max-degree source (ties to the smaller id).
+    One (month, src) grouped count collapses the stream to
+    active-vertex size, then a per-month integer argmax runs over that
+    tiny table. All-integer outputs, exact at any scale; the month key
+    is emitted as ISO yyyy-mm."""
+    from ray.data.aggregate import Count
+
+    per_user = tagged.groupby(["month", "src"]).aggregate(Count(alias_name="cnt"))
+
+    def per_month(g) -> pa.Table:
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        src = g["src"].to_numpy().astype(np.int64)
+        order = np.lexsort((src, -cnt))[0]
+        m = int(g["month"].iloc[0])
+        y, mm = 1970 + m // 12, m % 12 + 1
+        return pa.table(
+            {
+                "month": pa.array([f"{y:04d}-{mm:02d}"], pa.string()),
+                "n_edges": pa.array([int(cnt.sum())], pa.int64()),
+                "n_users": pa.array([len(src)], pa.int64()),
+                "top_user": pa.array([int(src[order])], pa.int64()),
+                "top_degree": pa.array([int(cnt[order])], pa.int64()),
+            }
+        )
+
+    return per_user.groupby("month").map_groups(per_month, batch_format="pandas")

@@ -280,3 +280,44 @@ def link_prediction_scores(
             "aa": pa.array(aa[pick]),
         }
     )
+
+
+def coreview_pairs(
+    edges: "ray.data.Dataset",
+    part_offset: int,
+    top_n: int = 100,
+    max_degree: int = 10_000,
+) -> pa.Table:
+    """Co-review projection — the classic collusion signal (FRAUDAR's
+    dense-block input viewed pairwise): top user pairs by number of
+    commonly-reviewed products, with the Adamic-Adar-weighted variant
+    (1/ln(prod degree) — busy products count less). Exactly the
+    link-prediction kernel on the bipartite review graph with wedge
+    CENTERS restricted to the product side (vid >= part_offset): common
+    neighbors of two users ARE their co-reviewed products, and user
+    pairs are never adjacent in a bipartite graph so the non-edge filter
+    is a no-op. Asserts the user-id domain stays below part_offset so a
+    scale where the domains overlap fails loudly instead of silently
+    mixing product vids into the user pairs."""
+    e = edges.select_columns(["src", "dst"]).materialize()
+    max_src = int(e.max("src"))
+    if max_src >= part_offset:
+        raise ValueError(
+            f"coreview_pairs: user id {max_src} overlaps the product vid "
+            f"domain (part_offset={part_offset}); renumber before projecting"
+        )
+    n = int(e.max("dst")) + 1
+    center = np.zeros(n, dtype=bool)
+    center[part_offset:] = True
+    t = link_prediction_scores(
+        e, n, top_n=top_n, max_degree=max_degree,
+        approx_rows=e.count(), center_mask=center,
+    )
+    return pa.table(
+        {
+            "u": t["u"],
+            "v": t["v"],
+            "common_prods": t["cn"],
+            "aa": pa.array(np.round(t["aa"].to_numpy(), 9)),
+        }
+    )

@@ -997,3 +997,58 @@ def phrase_search(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def zipf_slope(docs: "ray.data.Dataset", k: int = 100, key: str = "text") -> pa.Table:
+    """Zipf slope of the corpus token spectrum: OLS slope of ln(count)
+    on ln(rank) over the top-k tokens (a healthy natural corpus sits
+    near -1; template farms flatten it). Float replay contract: each
+    per-rank term (x, y, xy, x^2) is quantized to the 1e-9 grid as an
+    exact int64, the four sums are order-free integer sums, and the
+    slope is ONE mirrored float expression over them. The heavy work is
+    the top_tokens vocabulary pass; the regression runs over k rows."""
+    from ugfraud_ray.functions.collect import collect_table
+
+    tt = top_tokens(docs, k=k, key=key)
+    t = tt if isinstance(tt, pa.Table) else collect_table(tt)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.float64)
+    kk = len(n)
+    x = np.log(rnk)
+    y = np.log(n)
+    g = lambda v: np.floor(v * 1e9 + 0.5).astype(np.int64)
+    sx, sy = int(g(x).sum()), int(g(y).sum())
+    sxy, sxx = int(g(x * y).sum()), int(g(x * x).sum())
+    slope = (kk * float(sxy) - float(sx) * float(sy) / 1e9) / (
+        kk * float(sxx) - float(sx) * float(sx) / 1e9
+    )
+    return pa.table(
+        {
+            "k": pa.array([kk], pa.int64()),
+            "slope": pa.array([np.floor(slope * 1e9 + 0.5) / 1e9]),
+        }
+    )
+
+
+def length_histogram(docs: "ray.data.Dataset", key: str = "text") -> "ray.data.Dataset":
+    """Power-of-two token-length histogram of the corpus — the curation
+    dashboard's length-distribution panel. Bucket = bit_length of
+    n_tokens (0 for empty docs); exact integer counts, one tiny grouped
+    sum over per-block bincount partials (the histogram never sees one
+    row per document past the map stage)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        n = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        b = np.zeros(len(n), dtype=np.int64)
+        nz = n > 0
+        b[nz] = np.frexp(n[nz].astype(np.float64))[1]  # bit_length, exact < 2^53
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="n_docs"))
+    )
