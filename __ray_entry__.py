@@ -2247,6 +2247,67 @@ def _q_media_features(sf_dir: str):
     return media_features(media)
 
 
+class _MediaRoundTrip:
+    """Actor-pool stage for media_decode_stats: per doc synthesize a
+    REAL PCM WAV (n = len%1000+8 ramp samples, value i%251) and a real
+    8-bit BMP (h = len%17+1, w = len%31+1, ramp pixels i%256), then
+    DECODE both through RealDecoder and emit exact integer stats. The
+    image checksum is position-weighted (sum i*pix[i] row-major) so a
+    wrong stride, row flip, or header offset changes it."""
+
+    def __init__(self):
+        from ugfraud_ray.pipelines.multimodal import RealDecoder
+
+        self.dec = RealDecoder()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ugfraud_ray.pipelines.multimodal import encode_bmp_gray8, encode_wav
+
+        lens = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        wav_n, wav_sum, img_h, img_w, img_wsum = [], [], [], [], []
+        for L in lens.tolist():
+            n = L % 1000 + 8
+            h, w = L % 17 + 1, L % 31 + 1
+            wav = encode_wav((np.arange(n) % 251).astype(np.int16), 16000)
+            bmp = encode_bmp_gray8(
+                (np.arange(h * w) % 256).astype(np.uint8).reshape(h, w)
+            )
+            s = self.dec.decode(wav).astype(np.int64)
+            img = self.dec.decode(bmp).astype(np.int64)
+            wav_n.append(len(s))
+            wav_sum.append(int(s.sum()))
+            img_h.append(img.shape[0])
+            img_w.append(img.shape[1])
+            flat = img.reshape(-1)
+            img_wsum.append(int((np.arange(len(flat)) * flat).sum()))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "wav_n": pa.array(wav_n, pa.int64()),
+                "wav_sum": pa.array(wav_sum, pa.int64()),
+                "img_h": pa.array(img_h, pa.int64()),
+                "img_w": pa.array(img_w, pa.int64()),
+                "img_wsum": pa.array(img_wsum, pa.int64()),
+            }
+        )
+
+
+def _q_media_decode_stats(sf_dir: str):
+    """Value-bearing oracle for the REAL media decoders (WAV chunk walk
+    + BMP bottom-up padded strides): deterministic containers are
+    synthesized per document from LENGTH(text) alone, decoded back by
+    the actor-pool stage, and the exact integer readouts (sample count,
+    sample sum, image dims, position-weighted pixel sum) are replayed
+    by the SQL oracle as closed-form ramp sums — a wrong header walk,
+    stride, or row flip fails the row."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(expr="doc_id < 200")
+    return docs.map_batches(
+        _MediaRoundTrip, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered most-load-bearing first: a capped driver run always
     # certifies the core engine paths (superstep BP/PageRank, graph
@@ -2390,6 +2451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fraudar_blocks": _q_fraudar_blocks,
         "fraudar_user_scores": _q_fraudar_user_scores,
         "media_features": _q_media_features,
+        "media_decode_stats": _q_media_decode_stats,
     }
 
 
@@ -5314,6 +5376,34 @@ def oracle_sql() -> dict[str, str]:
                 + (1.0 - LEAST(ABS(n_sp/GREATEST(n_chars,1.0) - 0.17)/0.17, 1.0))
                 + (1.0 - LEAST(n_pu/GREATEST(n_chars,1.0)/0.2, 1.0))
             )/3.0, 9) AS quality FROM f
+        """,
+        # real-codec round trip: the Ray side DECODES synthesized WAV /
+        # BMP containers; the oracle replays the ramp payloads as
+        # closed-form sums of (i % 251) and position-weighted (i % 256)
+        # — 31375 = sum(0..250), 8355840 = 256*32640, 5559680 = sum(j^2)
+        "media_decode_stats": """
+            WITH d AS (
+                SELECT doc_id, LENGTH(text) AS L FROM documents WHERE doc_id < 200
+            ), p AS (
+                SELECT doc_id,
+                       L % 1000 + 8 AS n,
+                       L % 17 + 1 AS h,
+                       L % 31 + 1 AS w,
+                       (L % 17 + 1) * (L % 31 + 1) AS m
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS wav_n,
+                   CAST((n // 251) * 31375 + (n % 251) * ((n % 251) - 1) // 2
+                        AS BIGINT) AS wav_sum,
+                   CAST(h AS BIGINT) AS img_h,
+                   CAST(w AS BIGINT) AS img_w,
+                   CAST(8355840 * ((m // 256) * ((m // 256) - 1) // 2)
+                        + 5559680 * (m // 256)
+                        + 256 * (m // 256) * ((m % 256) * ((m % 256) - 1) // 2)
+                        + ((m % 256) - 1) * (m % 256) * (2 * (m % 256) - 1) // 6
+                        AS BIGINT) AS img_wsum
+            FROM p
         """,
     }
 

@@ -147,3 +147,33 @@ def test_read_metadata_gz_matches_reference_parse(ray_session, tmp_path):
     e = read_edge_list(str(el)).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert e["src"].tolist() == [0, 2, 2]
     assert e["dst"].tolist() == [1, 1, 3]
+
+
+def test_number_int_vertices_distributed_parity(ray_session):
+    """broadcast_threshold=0 forces the range-bucket distributed
+    numbering (per-block distinct -> ONE coarse shuffle -> driver
+    prefix offsets over bucket counts); it must agree with the
+    driver-local path on the vid map AND the remapped edges."""
+    import pyarrow as pa
+
+    from ugfraud_ray.pipelines.testdata_graph import number_int_vertices
+
+    rng = np.random.default_rng(17)
+    # sparse, clumpy id domain (exercises empty range buckets)
+    ids = np.unique(rng.choice([5, 7, 900, 901, 10_000, 10_001, 777_777], 200))
+    src = rng.choice(ids, 300).astype(np.int64)
+    dst = rng.choice(ids, 300).astype(np.int64)
+    e = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(5)
+    e1, v1, n1 = number_int_vertices(e)
+    e2, v2, n2 = number_int_vertices(e, broadcast_threshold=0)
+    assert n1 == n2
+    p1 = v1.to_pandas().sort_values("id").reset_index(drop=True)
+    p2 = v2.to_pandas().sort_values("id").reset_index(drop=True)
+    assert p1["id"].tolist() == p2["id"].tolist()
+    assert p1["vid"].tolist() == p2["vid"].tolist()
+    cols = ["src", "dst"]
+    a = e1.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    b = e2.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

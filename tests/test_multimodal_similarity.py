@@ -296,3 +296,97 @@ def test_media_exact_dedup(ray_session):
     n2 = out[out.n_copies == 2]
     assert len(n2) == 5
     assert (n2["media_id"] < 100).all()  # min-id survivor
+
+
+def test_wav_round_trip_and_chunk_walk():
+    from ugfraud_ray.pipelines.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32767, 333, dtype=np.int16)
+    got, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(got, s)
+
+    # a LIST chunk between fmt and data must be walked over, and an
+    # odd-sized chunk is word-aligned
+    import struct
+
+    payload = encode_wav(s, 8000)
+    fmt_end = 12 + 8 + 16
+    info = b"xyz"  # odd size 3 -> 1 pad byte
+    listchunk = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    wedged = payload[:fmt_end] + listchunk + payload[fmt_end:]
+    got2, _ = decode_wav(wedged)
+    np.testing.assert_array_equal(got2, s)
+
+
+def test_bmp_round_trip_padding_and_topdown():
+    import struct
+
+    from ugfraud_ray.pipelines.multimodal import decode_bmp, encode_bmp_gray8
+
+    rng = np.random.default_rng(10)
+    for w in (5, 7, 8, 31):  # strides 8, 8, 8, 32 -> padding exercised
+        img = rng.integers(0, 256, (11, w), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp_gray8(img)), img)
+
+    # top-down variant: negative height, rows NOT flipped
+    img = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    b = bytearray(encode_bmp_gray8(img[::-1]))  # stored bottom-up = img
+    b[22:26] = struct.pack("<i", -4)  # declare top-down
+    np.testing.assert_array_equal(decode_bmp(bytes(b)), img[::-1][::-1])
+
+
+def test_ppm_round_trip_with_comments():
+    from ugfraud_ray.pipelines.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = rng.integers(0, 256, (6, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(gray)), gray)
+
+    commented = b"P5\n# a comment\n4 2\n# another\n255\n" + bytes(range(8))
+    np.testing.assert_array_equal(
+        decode_ppm(commented), np.arange(8, dtype=np.uint8).reshape(2, 4)
+    )
+
+
+def test_real_decoder_mixed_pool(ray_session):
+    """RealDecoder streams a MIXED media table (WAV + BMP + PPM + the
+    synthetic FAKEMEDIA container) through the one actor-pool feature
+    stage; a compressed payload raises NotImplementedError."""
+    import pyarrow as pa
+    import pytest
+
+    from ugfraud_ray.pipelines.multimodal import (
+        RealDecoder,
+        encode_bmp_gray8,
+        encode_ppm,
+        encode_wav,
+        media_features,
+        synthesize_media,
+    )
+
+    rng = np.random.default_rng(12)
+    wav = encode_wav(rng.integers(-100, 100, 50, dtype=np.int16))
+    bmp = encode_bmp_gray8(rng.integers(0, 256, (8, 5), dtype=np.uint8))
+    ppm = encode_ppm(rng.integers(0, 256, (3, 4, 3), dtype=np.uint8))
+    fake = synthesize_media(1, kind="image")["payload"][0].as_py()
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "payload": pa.array([wav, bmp, ppm, fake], pa.binary()),
+        }
+    )
+    got = (
+        media_features(ray.data.from_arrow(t), decoder=RealDecoder())
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert got["h"].tolist() == [1, 8, 3, fake and got["h"][3]]
+    assert got["w"].tolist()[:3] == [50, 5, 4]
+
+    with pytest.raises(Exception, match="codec library"):
+        RealDecoder().decode(b"\x89PNG\r\n\x1a\n....")

@@ -38,15 +38,17 @@ def _percentile_thresholds(
 ) -> "ray.data.Dataset":
     """(degree, threshold): exact per-degree percentile (fBox.py:72-76)."""
 
-    def pct(g) -> pa.Table:
+    def pct(g: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "degree": pa.array([int(g["degree"].iloc[0])]),
-                "threshold": pa.array([float(np.percentile(g["rec"].to_numpy(), tau))]),
+                "degree": pa.array([int(g["degree"][0].as_py())]),
+                "threshold": pa.array(
+                    [float(np.percentile(g["rec"].to_numpy(zero_copy_only=False), tau))]
+                ),
             }
         )
 
-    return deg_rec.groupby("degree").map_groups(pct, batch_format="pandas")
+    return deg_rec.groupby("degree").map_groups(pct, batch_format="pyarrow")
 
 
 def _flag_side(

@@ -107,7 +107,7 @@ def butterfly_count(
     wedges = (
         e.map_batches(bucket_user, batch_format="pyarrow")
         .groupby("_ub")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
     def bucket_pair(t: pa.Table) -> pa.Table:
@@ -135,7 +135,7 @@ def butterfly_count(
     parts = collect_table(
         wedges.map_batches(bucket_pair, batch_format="pyarrow")
         .groupby("_pb")
-        .map_groups(stats_bucket, batch_format="pandas")
+        .map_groups(stats_bucket, batch_format="pyarrow")
     )
     if parts.num_rows == 0:
         return 0, 0, 0

@@ -183,7 +183,7 @@ def local_clustering(
         e.map_batches(orient, batch_format="pyarrow")
         .map_batches(bucket_u, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(emit_wedges, batch_format="pandas")
+        .map_groups(emit_wedges, batch_format="pyarrow")
     )
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -220,7 +220,7 @@ def local_clustering(
         wedges.union(e.map_batches(edge_rows, batch_format="pyarrow"))
         .map_batches(bucket_xy, batch_format="pyarrow")
         .groupby("_cb2")
-        .map_groups(close_bucket, batch_format="pandas")
+        .map_groups(close_bucket, batch_format="pyarrow")
     )
     # driver holds the O(V) count vector — the same footprint as the
     # broadcast degree table above

@@ -391,12 +391,12 @@ def _bucketed_pair_emit(
     if approx_rows is not None and approx_rows <= local_threshold:
         from ugfraud_ray.functions.collect import collect_table
 
-        return ray.data.from_arrow(emit(collect_table(ds).to_pandas()))
+        return ray.data.from_arrow(emit(collect_table(ds)))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
 
@@ -508,12 +508,12 @@ def simhash_dedup(
     if n_banded <= 1_000_000:
         from ugfraud_ray.functions.collect import collect_table
 
-        pairs = ray.data.from_arrow(check(collect_table(banded).to_pandas()))
+        pairs = ray.data.from_arrow(check(collect_table(banded)))
     else:
         pairs = (
             banded.map_batches(bucketize, batch_format="pyarrow")
             .groupby("_cb")
-            .map_groups(check, batch_format="pandas")
+            .map_groups(check, batch_format="pyarrow")
         )
     from ugfraud_ray.stages.graph_build import dedup_pairs as _dp
 
@@ -762,4 +762,4 @@ def embedding_cosine_dedup(
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")

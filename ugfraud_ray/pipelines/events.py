@@ -44,23 +44,34 @@ def windowed_counts(
     """(window_start_us, event_type, n_events, total_value) per tumbling
     hour (window start as epoch microseconds — exact-integer comparable).
 
-    Per-block partials via numpy datetime64 floor + pandas groupby, then
-    a driver merge of the (tiny) partial tables — the partial-combine
-    side is O(windows x types) per block regardless of block size.
+    Per-block partials on zero-copy Arrow batches (numpy datetime64
+    floor + np.unique/np.add.at combine), then a driver merge of the
+    (tiny) partial tables — the partial-combine side is
+    O(windows x types) per block regardless of block size.
     """
 
-    def partial(df):
-        import pandas as pd
-
-        ts = df[ts_col].to_numpy().astype("datetime64[us]")
+    def partial(t: pa.Table):
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
         ws = ts.astype("datetime64[h]").astype("datetime64[us]")
-        g = pd.DataFrame(
-            {"window_start": ws, "event_type": df[type_col].to_numpy(), "v": df[value_col].to_numpy()}
-        ).groupby(["window_start", "event_type"], sort=False)
-        out = g.agg(n_events=("v", "size"), total_value=("v", "sum")).reset_index()
-        return out
+        et = np.asarray(t[type_col].to_pylist(), dtype=object)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        uw, iw = np.unique(ws, return_inverse=True)
+        ut, it = np.unique(et, return_inverse=True)
+        key = iw * len(ut) + it
+        uk, ik = np.unique(key, return_inverse=True)
+        n = np.bincount(ik, minlength=len(uk)).astype(np.int64)
+        sv = np.zeros(len(uk))
+        np.add.at(sv, ik, v)
+        return pa.table(
+            {
+                "window_start": pa.array(uw[uk // len(ut)]),
+                "event_type": pa.array(ut[uk % len(ut)], pa.string()),
+                "n_events": pa.array(n),
+                "total_value": pa.array(sv),
+            }
+        )
 
-    parts = collect_table(events.map_batches(partial, batch_format="pandas")).to_pandas()
+    parts = collect_table(events.map_batches(partial, batch_format="pyarrow")).to_pandas()
     if len(parts) == 0 or "window_start" not in parts.columns:
         return ray.data.from_arrow(
             pa.table(
@@ -192,7 +203,7 @@ def sessionize(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -274,7 +285,7 @@ def asof_last_event(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _asof_block(*extract(g)), batch_format="pandas")
+        .map_groups(lambda g: _asof_block(*extract(g)), batch_format="pyarrow")
     )
 
 
@@ -347,7 +358,7 @@ def topk_per_user(
         ds.map_batches(block_topk, batch_format="pyarrow")
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(block_topk, batch_format="pandas")
+        .map_groups(block_topk, batch_format="pyarrow")
     )
 
 
@@ -415,7 +426,7 @@ def sliding_window_count(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _sliding_count_block(*extract(g), win_us), batch_format="pandas")
+        .map_groups(lambda g: _sliding_count_block(*extract(g), win_us), batch_format="pyarrow")
     )
 
 
@@ -486,7 +497,7 @@ def running_total(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _running_total_block(*extract(g)), batch_format="pandas")
+        .map_groups(lambda g: _running_total_block(*extract(g)), batch_format="pyarrow")
     )
 
 
@@ -823,7 +834,7 @@ def top_type_per_user(
     return (
         parts.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _top_type_kernel(*extract(g)), batch_format="pandas")
+        .map_groups(lambda g: _top_type_kernel(*extract(g)), batch_format="pyarrow")
     )
 
 
@@ -983,7 +994,7 @@ def funnel(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _funnel_block(*extract(g), len(steps)), batch_format="pandas")
+        .map_groups(lambda g: _funnel_block(*extract(g), len(steps)), batch_format="pyarrow")
     )
 
 
@@ -1077,7 +1088,7 @@ def retention_cohorts(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _retention_block(*extract(g)), batch_format="pandas")
+        .map_groups(lambda g: _retention_block(*extract(g)), batch_format="pyarrow")
         .groupby(["cohort_week", "week_offset"])
         .aggregate(Sum("nu", alias_name="n_users"))
     )
@@ -1153,7 +1164,7 @@ def event_paths(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(lambda g: _paths_block(*extract(g)), batch_format="pandas")
+        .map_groups(lambda g: _paths_block(*extract(g)), batch_format="pyarrow")
     )
 
 
@@ -1208,7 +1219,7 @@ def windowed_unique_users(
         .map_batches(pairs, batch_format="pyarrow")
         .map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(count_bucket, batch_format="pandas")
+        .map_groups(count_bucket, batch_format="pyarrow")
         .groupby("window_start_us")
         .aggregate(Sum("nu", alias_name="n_users"))
     )

@@ -127,7 +127,7 @@ def reciprocity(
         agg = (
             ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("_cb")
-            .map_groups(per_bucket, batch_format="pandas")
+            .map_groups(per_bucket, batch_format="pyarrow")
             .aggregate(Sum("ne", alias_name="ne"), Sum("nm", alias_name="nm"))
         )
         ne, nm = int(agg["ne"]), int(agg["nm"])
@@ -293,11 +293,11 @@ def temporal_degree_snapshots(tagged: "ray.data.Dataset") -> "ray.data.Dataset":
 
     per_user = tagged.groupby(["month", "src"]).aggregate(Count(alias_name="cnt"))
 
-    def per_month(g) -> pa.Table:
-        cnt = g["cnt"].to_numpy().astype(np.int64)
-        src = g["src"].to_numpy().astype(np.int64)
+    def per_month(g: pa.Table) -> pa.Table:
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((src, -cnt))[0]
-        m = int(g["month"].iloc[0])
+        m = int(g["month"][0].as_py())
         y, mm = 1970 + m // 12, m % 12 + 1
         return pa.table(
             {
@@ -309,4 +309,4 @@ def temporal_degree_snapshots(tagged: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         )
 
-    return per_user.groupby("month").map_groups(per_month, batch_format="pandas")
+    return per_user.groupby("month").map_groups(per_month, batch_format="pyarrow")

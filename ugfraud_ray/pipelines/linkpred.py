@@ -216,7 +216,7 @@ def link_prediction_scores(
     wedges = (
         adj.map_batches(bucket_w, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(emit, batch_format="pyarrow")
     )
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -261,7 +261,7 @@ def link_prediction_scores(
     per_bucket = (
         tagged.map_batches(bucket_pair, batch_format="pyarrow")
         .groupby("_pb")
-        .map_groups(score_bucket, batch_format="pandas")
+        .map_groups(score_bucket, batch_format="pyarrow")
     )
     # global merge: ≤ n_buckets × top_n candidate rows — driver-small
     ct = collect_table(per_bucket)

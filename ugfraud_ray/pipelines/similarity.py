@@ -100,7 +100,7 @@ def brute_force_topk(
     def merge(g) -> pa.Table:
         sims = g["sim"].to_numpy().astype(np.float64)
         nid = g["neighbor_id"].to_numpy().astype(np.int64)
-        qid = int(g["query_id"].iloc[0])
+        qid = int(g["query_id"][0].as_py())
         order = np.lexsort((nid, -sims))[:k]
         s = sims[order]
         if round_to is not None:
@@ -114,7 +114,7 @@ def brute_force_topk(
             }
         )
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 class _IVFAssign:
@@ -184,7 +184,7 @@ def ivf_topk(
 
     def search_bucket(g) -> pa.Table:
         pm = ray.get(pm_ref)
-        b = int(g["bucket"].iloc[0])
+        b = int(g["bucket"][0].as_py())
         qs = pm.get(b)
         empty = pa.table(
             {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
@@ -215,12 +215,12 @@ def ivf_topk(
             }
         )
 
-    partial = bucketed.groupby("bucket").map_groups(search_bucket, batch_format="pandas")
+    partial = bucketed.groupby("bucket").map_groups(search_bucket, batch_format="pyarrow")
 
     def merge(g) -> pa.Table:
         sims = g["sim"].to_numpy().astype(np.float64)
         nid = g["neighbor_id"].to_numpy().astype(np.int64)
-        qid = int(g["query_id"].iloc[0])
+        qid = int(g["query_id"][0].as_py())
         order = np.lexsort((nid, -sims))[:k]
         return pa.table(
             {
@@ -231,7 +231,7 @@ def ivf_topk(
             }
         )
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def lsh_topk(
@@ -305,7 +305,7 @@ def lsh_topk(
     def merge(g) -> pa.Table:
         sims = g["sim"].to_numpy().astype(np.float64)
         nid = g["neighbor_id"].to_numpy().astype(np.int64)
-        qid = int(g["query_id"].iloc[0])
+        qid = int(g["query_id"][0].as_py())
         order = np.lexsort((nid, -sims))[:k]
         return pa.table(
             {
@@ -316,7 +316,7 @@ def lsh_topk(
             }
         )
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def label_centroids(

@@ -201,16 +201,93 @@ def number_int_vertices(
 
         return edges.map_batches(remap, batch_format="pyarrow"), vmap, n
 
-    ids = (
-        edges.select_columns(["src"]).rename_columns({"src": "id"})
-        .union(edges.select_columns(["dst"]).rename_columns({"dst": "id"}))
-        .groupby("id")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["id"])
-        .sort("id")
+    # Distributed numbering WITHOUT a fine-grained groupby or global
+    # sort (measured 58 s + 18 s for 12M rows / 350k ids on 32 cpus —
+    # the many-groups slow path): per-block np.unique partials, then ONE
+    # coarse shuffle into RANGE buckets (bucket = id // step, so bucket
+    # order == id order and the contiguous-ascending-vid contract
+    # holds), per-bucket distinct+rank, and driver-side prefix offsets
+    # over the ≤ n_buckets (bucket, count) pairs. Same input: 6.4 s.
+    # Range (not hash) buckets can skew if ids concentrate in one
+    # stripe; bucket count scales with the data so a stripe stays
+    # worker-heap-sized for any uniform-ish id domain.
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    mx = max(int(edges.max("src")), int(edges.max("dst")))
+    nb = n_coarse_buckets(n_edges)
+    step = mx // nb + 1
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        return pa.table({"id": pa.array(u), "_rb": pa.array(u // step)})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = np.unique(g["id"].to_numpy(zero_copy_only=False))
+        b = int(g["_rb"][0].as_py())
+        return pa.table(
+            {
+                "id": pa.array(u),
+                "_rb": pa.array(np.full(len(u), b, dtype=np.int64)),
+                "_rank": pa.array(np.arange(len(u), dtype=np.int64)),
+                "_cnt": pa.array(np.full(len(u), len(u), dtype=np.int64)),
+            }
+        )
+
+    bucketed = (
+        edges.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()
     )
-    vmap = with_row_index(ids, column="vid").materialize()
-    n = vmap.count()
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        rb = t["_rb"].to_numpy(zero_copy_only=False)
+        cnt = t["_cnt"].to_numpy(zero_copy_only=False)
+        first = np.flatnonzero(np.concatenate([[True], np.diff(rb) != 0]))
+        return pa.table({"_rb": pa.array(rb[first]), "_cnt": pa.array(cnt[first])})
+
+    # ≤ n_buckets × blocks rows land on the driver — never O(ids)
+    ct = collect_table(bucketed.map_batches(bucket_counts, batch_format="pyarrow"))
+    rb_u, rb_first = np.unique(
+        ct["_rb"].to_numpy(zero_copy_only=False), return_index=True
+    )
+    cnts = ct["_cnt"].to_numpy(zero_copy_only=False)[rb_first]
+    offsets = dict(
+        zip(rb_u.tolist(), np.concatenate([[0], np.cumsum(cnts)[:-1]]).tolist())
+    )
+    off_ref = ray.put(offsets)
+
+    def assign_vid(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        rb = t["_rb"].to_numpy(zero_copy_only=False)
+        base = np.array([off[b] for b in rb.tolist()], dtype=np.int64)
+        return pa.table(
+            {
+                "id": t["id"],
+                "vid": pa.array(base + t["_rank"].to_numpy(zero_copy_only=False)),
+            }
+        )
+
+    vmap = bucketed.map_batches(assign_vid, batch_format="pyarrow").materialize()
+    # empty range buckets leave columnless zero-row blocks behind the
+    # shuffle; Arrow's hash join rejects them ("no match for key field"),
+    # so rebuild the dataset from the nonempty block refs (driver holds
+    # refs + per-block counts only)
+    from ugfraud_ray.stages.graph_build import _nrows
+
+    refs = vmap.to_arrow_refs()
+    counts_per_block = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts_per_block) if c]
+    if keep:
+        vmap = ray.data.from_arrow_refs(keep)
+    n = int(np.sum(cnts))
     if n <= broadcast_threshold:
         vt = collect_table(vmap)
         orig = vt["id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -553,7 +553,7 @@ def boilerplate_stats(
     summed = (
         pairs.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_sb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .groupby(id_col)
         .aggregate(Sum("ns", alias_name="n_shingles"), Sum("nb", alias_name="n_boiler"))
     )
@@ -757,7 +757,7 @@ def inverted_index(
     return (
         pair_ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

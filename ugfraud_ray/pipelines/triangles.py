@@ -192,7 +192,7 @@ def triangle_count(
     tagged = wedge_ds.union(tagged_edges).map_batches(bucketize, batch_format="pyarrow")
     total = (
         tagged.groupby("_cb")
-        .map_groups(count_bucket, batch_format="pandas")
+        .map_groups(count_bucket, batch_format="pyarrow")
         .aggregate(Sum("t", alias_name="total"))
     )
     return int(total["total"])

@@ -233,13 +233,13 @@ def ktruss(
             alive.map_batches(orient, batch_format="pyarrow")
             .map_batches(bucket_u, batch_format="pyarrow")
             .groupby("_cb")
-            .map_groups(emit_wedges, batch_format="pandas")
+            .map_groups(emit_wedges, batch_format="pyarrow")
         )
         credits = (
             wedges.union(alive.map_batches(edge_rows, batch_format="pyarrow"))
             .map_batches(bucket_xy, batch_format="pyarrow")
             .groupby("_cb2")
-            .map_groups(close_credits, batch_format="pandas")
+            .map_groups(close_credits, batch_format="pyarrow")
         )
 
         # co-bucket credits (kind 0, weight c) with alive edges (kind 1)
@@ -288,7 +288,7 @@ def ktruss(
             .union(alive.map_batches(tag_edge, batch_format="pyarrow"))
             .map_batches(bucket_ab, batch_format="pyarrow")
             .groupby("_cb3")
-            .map_groups(survivors, batch_format="pandas")
+            .map_groups(survivors, batch_format="pyarrow")
             .materialize()
         )
         n_new = alive.count()

@@ -215,7 +215,7 @@ def dedup_pairs(
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 
