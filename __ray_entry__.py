@@ -363,17 +363,34 @@ def _q_random_walks(sf_dir: str):
     from ugfraud_ray.functions.collect import collect_table
 
     ge = general_edges(sf_dir).materialize()
-    gt = collect_table(ge)
-    ids = np.unique(
-        np.concatenate(
+
+    # seed ids distributed: per-block distinct of the mod-filtered ids
+    # plus the block max — the driver sees O(seeds + blocks), never the
+    # edge table (which this query used to collect whole)
+    def seed_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
             [
-                gt["src"].to_numpy(zero_copy_only=False),
-                gt["dst"].to_numpy(zero_copy_only=False),
+                t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
             ]
         )
-    )
-    seeds = ids[ids % BFS_SEED_MOD == 0].astype(np.int64)
-    n = int(ids.max()) + 1
+        u = np.unique(v[v % BFS_SEED_MOD == 0])
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([u, [v.max()]] if len(v) else [u])),
+                "is_seed": pa.array(
+                    np.concatenate([np.ones(len(u), bool), [False]])
+                    if len(v)
+                    else np.zeros(0, bool)
+                ),
+            }
+        )
+
+    st = collect_table(ge.map_batches(seed_partial, batch_format="pyarrow"))
+    sid = st["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    smask = st["is_seed"].to_numpy(zero_copy_only=False)
+    seeds = np.unique(sid[smask])
+    n = int(sid.max()) + 1
     return random_walks(ge, n, seeds, walk_len=WALK_LEN, approx_edges=ge.count())
 
 

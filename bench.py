@@ -397,17 +397,29 @@ def main() -> None:
 
     import ray
 
+    sf_dir = SF_DIR
+    if "--sf1" in sys.argv:
+        # 10x scale row: deterministic key-offset tiling of sf0.1 into
+        # /tmp/sf1 (tools/scale_testdata.py), generated on first use —
+        # puts the distributed branches of every size gate on record
+        sf_dir = "/tmp/sf1"
+        if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import scale_testdata
+
+            scale_testdata.scale(10, "/root/testdata/sf0.1", sf_dir)
+
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     t_all = time.perf_counter()
-    res = bench_pipelines(SF_DIR)
+    res = bench_pipelines(sf_dir)
     total = time.perf_counter() - t_all
     out = {
         "metric": "headline pipelines wall time (graph build, pagerank, cc, triangles, dedup, text, ann)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in res["queries"].items()},
-        "sf": _sf_from_dir(SF_DIR),
+        "sf": _sf_from_dir(sf_dir),
         "num_cpus": NUM_CPUS,
         "n_review_edges": res.get("n_review_edges"),
         "pagerank_edges_per_sec_superstep": round(res.get("pagerank_edges_per_sec_superstep", 0)),

@@ -177,3 +177,41 @@ def test_number_int_vertices_distributed_parity(ray_session):
     a = e1.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
     b = e2.to_pandas()[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_unmap_vids_join_branch_parity(ray_session):
+    """local_threshold=0 forces the unmap hash-join branch (the O(V)
+    map never lands on the driver); must equal the broadcast gather,
+    including the double-unmap shape where the result already carries
+    an 'id' column."""
+    import pyarrow as pa
+
+    from ugfraud_ray.pipelines.testdata_graph import unmap_vids
+
+    vmap = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([100, 200, 300, 400], pa.int64()),
+                "vid": pa.array([0, 1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    res = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array([2, 0, 3], pa.int64()),
+                "component": pa.array([0, 0, 3], pa.int64()),
+            }
+        )
+    )
+    a = unmap_vids(res, vmap, vid_col="vid", out_col="id")
+    b = unmap_vids(res, vmap, vid_col="vid", out_col="id", local_threshold=0)
+    pa_ = a.to_pandas().sort_values("id").reset_index(drop=True)
+    pb = b.to_pandas().sort_values("id").reset_index(drop=True)
+    assert pa_["id"].tolist() == pb["id"].tolist() == [100, 300, 400]
+    assert pa_["component"].tolist() == pb["component"].tolist()
+
+    # second unmap: result already has an 'id' column
+    c = unmap_vids(a, vmap, vid_col="component", out_col="cluster", local_threshold=0)
+    pc_ = c.to_pandas().sort_values("id").reset_index(drop=True)
+    assert pc_["cluster"].tolist() == [100, 100, 400]

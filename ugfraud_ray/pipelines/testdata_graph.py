@@ -318,8 +318,33 @@ def number_int_vertices(
 
 
 def unmap_vids(result: "ray.data.Dataset", vmap: "ray.data.Dataset", vid_col: str = "vid",
-               out_col: str = "id") -> "ray.data.Dataset":
-    """Translate contiguous vids in `result` back to original ids (broadcast)."""
+               out_col: str = "id", local_threshold: int = 10_000_000) -> "ray.data.Dataset":
+    """Translate contiguous vids in `result` back to original ids.
+
+    Below ``local_threshold`` vertices the (vid -> id) array broadcasts
+    once via ``ray.put`` and every batch does a vectorized gather; above
+    it the O(V) map never lands on the driver — one hash join on the vid
+    column does the translation (same size gate as every other
+    broadcast-vs-join site; join branch parity-forced in tests)."""
+    if vmap.count() > local_threshold:
+        # temp column names so a result that already carries an "id"
+        # column (e.g. the second unmap of a (id, component) table)
+        # can't collide with the probe side
+        probe = vmap.select_columns(["vid", "id"]).rename_columns(
+            {"vid": vid_col, "id": "__orig_id"}
+            if vid_col != "vid"
+            else {"id": "__orig_id"}
+        )
+        return (
+            result.join(
+                probe,
+                join_type="inner",
+                num_partitions=join_partitions(),
+                on=(vid_col,),
+            )
+            .drop_columns([vid_col])
+            .rename_columns({"__orig_id": out_col})
+        )
     vt = collect_table(vmap)
     rev = np.zeros(len(vt), dtype=np.int64)
     rev[vt["vid"].to_numpy(zero_copy_only=False)] = vt["id"].to_numpy(zero_copy_only=False)
