@@ -80,6 +80,7 @@ Q3_CUTOFF = "1998-06-01"  # orders before / shipments after this date
 Q3_TOPN = 10
 PACK_BUDGET = 512  # LM sequence-packing token budget
 MONTHLY_JOIN_THRESHOLD = 10_000_000  # orders above this: hash join, not broadcast
+BUDGET_CHARS = 20_000  # per-lang char budget for the mixture-sampling query
 BOILER_MIN_DOCS = 3  # shingle is boilerplate when in >= this many docs
 BOILER_PCT = 50  # doc flagged when boiler shingles >= pct% of distinct
 
@@ -1591,6 +1592,34 @@ def _q_doc_weighted_sample(sf_dir: str):
     return weighted_sample_topk(ds, "doc_id", "w", k=50, seed=7)
 
 
+def _q_doc_dedup_cluster_histogram(sf_dir: str):
+    """Near-dup cluster-size histogram (dedup.cluster_size_histogram
+    over the doc_minhash_dedup assignment): how many clusters of each
+    size the corpus carries — the dedup-quality dashboard panel. The
+    SQL oracle nests the bit-exact LSH+CC chain and re-aggregates."""
+    from ugfraud_ray.pipelines.dedup import cluster_size_histogram, minhash_lsh_dedup
+
+    return cluster_size_histogram(minhash_lsh_dedup(_docs(sf_dir)))
+
+
+def _q_doc_token_budget_sample(sf_dir: str):
+    """Budget-capped mixture sampling (splits.token_budget_sample): per
+    lang, keep the prefix of docs in md5(doc_id) order whose running
+    n_chars total stays ≤ BUDGET_CHARS — the reproducible "give me ~N
+    chars per language" selection step after a mixture report. Two-level
+    ordered scan over hash-range buckets, no global sort; all-integer
+    cum replayed by a SQL cumulative window."""
+    from ugfraud_ray.pipelines.splits import token_budget_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return token_budget_sample(
+        docs, group_col="lang", weight_col="n_chars", budget=BUDGET_CHARS
+    )
+
+
 def _q_svd_user_probs(sf_dir: str):
     """evaluate_SVD (SVD.py:104-138): train the deterministic linear
     head on the SVD user embedding of the seeded train split, return
@@ -2349,6 +2378,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_diversity": _q_doc_source_diversity,
         "doc_zipf_slope": _q_doc_zipf_slope,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_token_budget_sample": _q_doc_token_budget_sample,
+        "doc_dedup_cluster_histogram": _q_doc_dedup_cluster_histogram,
         "doc_bm25": _q_doc_bm25,
         "doc_bigram_pmi": _q_doc_bigram_pmi,
         "doc_phrase_search": _q_doc_phrase_search,
@@ -3805,6 +3836,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, weight, key6 FROM s
             ORDER BY key6 DESC, doc_id LIMIT 50
+        """,
+        "doc_dedup_cluster_histogram": f"""
+            WITH per AS (
+                SELECT cluster, COUNT(*) AS sz
+                FROM ({_minhash_dedup_sql()}) clusters
+                GROUP BY cluster
+            )
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM per GROUP BY sz
+        """,
+        "doc_token_budget_sample": f"""
+            WITH d AS (
+                SELECT doc_id, lang, n_chars,
+                       md5_number_upper(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), c AS (
+                SELECT doc_id, lang, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY lang ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum
+                FROM d
+            )
+            SELECT doc_id, lang, n_chars, CAST(cum AS BIGINT) AS cum
+            FROM c WHERE cum <= {BUDGET_CHARS}
         """,
         "review_edges": _SQL_REVIEW_EDGES,
         "degree_in": f"""

@@ -642,3 +642,20 @@ def test_mixture_report_join_path_parity(ray_session):
     assert a["n_docs"].tolist() == b["n_docs"].tolist()
     assert a["total_tokens"].tolist() == b["total_tokens"].tolist()
     assert int(a["n_docs"].sum()) == cur.count()
+
+
+def test_cluster_size_histogram(ray_session):
+    from ugfraud_ray.pipelines.dedup import cluster_size_histogram
+
+    # clusters: {0,1,2} -> 0, {5,6} -> 5, {9} -> 9, {10} -> 10
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 5, 6, 9, 10], pa.int64()),
+            "cluster": pa.array([0, 0, 0, 5, 5, 9, 10], pa.int64()),
+        }
+    )
+    got = (
+        cluster_size_histogram(ray.data.from_arrow(t).repartition(3))
+        .to_pandas().sort_values("cluster_size").reset_index(drop=True)
+    )
+    assert list(zip(got["cluster_size"], got["n_clusters"])) == [(1, 2), (2, 1), (3, 1)]

@@ -763,3 +763,42 @@ def embedding_cosine_dedup(
         )
 
     return bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+
+
+def cluster_size_histogram(
+    clusters: "ray.data.Dataset", cluster_col: str = "cluster"
+) -> "ray.data.Dataset":
+    """(cluster_size, n_clusters) over a (id, cluster) assignment — the
+    dedup-quality dashboard readout (how much of the corpus sits in
+    2-copy pairs vs 1000-copy boilerplate blobs). Two tiny grouped sums
+    over per-block np.unique partials; the row count entering each
+    shuffle is bounded by the distinct-cluster count, never the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t[cluster_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({cluster_col: pa.array(u), "_c": pa.array(c.astype(np.int64))})
+
+    sizes = (
+        clusters.map_batches(partial, batch_format="pyarrow")
+        .groupby(cluster_col)
+        .aggregate(Sum("_c", alias_name="sz"))
+    )
+
+    def partial2(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["sz"].to_numpy(zero_copy_only=False).astype(np.int64), return_counts=True
+        )
+        return pa.table(
+            {"cluster_size": pa.array(u), "_n": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        sizes.map_batches(partial2, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("_n", alias_name="n_clusters"))
+    )

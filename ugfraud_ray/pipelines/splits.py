@@ -145,3 +145,132 @@ def weighted_sample_topk(
         .sort(["key6", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def token_budget_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Greedy budget-capped sample per group: walk each group's rows in
+    deterministic md5(id) order and keep the prefix whose running
+    ``weight_col`` total stays ≤ ``budget`` — the mixture-building step
+    after a mixture report ("give me ~N tokens per language, chosen
+    reproducibly"). Output: (id, group, weight, cum) for every kept row.
+
+    Distributed shape (the packing two-level ordered scan, no global
+    sort): rows land in RANGE buckets of the md5 key (bucket = high
+    bits, so bucket order == hash order), each bucket computes local
+    per-group prefix sums + a per-(bucket, group) total, the driver
+    prefix-sums the ≤ n_buckets × n_groups totals into offsets, and a
+    second streaming pass emits cum = offset + local prefix and filters
+    cum ≤ budget. All-integer, replayed exactly by a SQL cumulative
+    window (SUM OVER PARTITION BY group ORDER BY md5_number_upper(id)).
+    """
+    import ray
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.functions.collect import collect_table
+
+    nb = n_buckets or n_coarse_buckets()
+    shift = np.uint64(64 - int(nb - 1).bit_length() if nb > 1 else 64)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = _md5_low64([str(i) for i in ids])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                weight_col: t[weight_col],
+                "_h": pa.array(h),
+                "_rb": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    def local_scan(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.asarray(g[group_col].to_pylist(), dtype=object)
+        w = g[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rb = int(g["_rb"][0].as_py())
+        # per-group ordered prefix inside the bucket: sort by (group,
+        # h, id), then cumsum minus each group-run's base
+        gi, inv = np.unique(grp, return_inverse=True)
+        order = np.lexsort((ids, h, inv))
+        ids, grp, w, h, inv = ids[order], grp[order], w[order], h[order], inv[order]
+        cs = np.cumsum(w)
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(inv) != 0]))
+        base = np.repeat(cs[starts] - w[starts], np.diff(np.append(starts, len(w))))
+        local = cs - base
+        totals = local[np.append(starts[1:] - 1, len(w) - 1)]
+        tot = np.repeat(totals, np.diff(np.append(starts, len(w))))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                group_col: pa.array(grp, pa.string()),
+                weight_col: pa.array(w),
+                "_h": pa.array(h),
+                "_rb": pa.array(np.full(len(w), rb, dtype=np.int64)),
+                "_local": pa.array(local),
+                "_gtotal": pa.array(tot),
+            }
+        )
+
+    scanned = (
+        ds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(local_scan, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def bucket_totals(t: pa.Table) -> pa.Table:
+        rb = t["_rb"].to_numpy(zero_copy_only=False)
+        grp = np.asarray(t[group_col].to_pylist(), dtype=object)
+        tot = t["_gtotal"].to_numpy(zero_copy_only=False)
+        change = np.concatenate([[True], (np.diff(rb) != 0) | (grp[1:] != grp[:-1])])
+        first = np.flatnonzero(change)
+        return pa.table(
+            {
+                "_rb": pa.array(rb[first]),
+                group_col: pa.array(grp[first], pa.string()),
+                "_gtotal": pa.array(tot[first]),
+            }
+        )
+
+    # ≤ n_buckets × n_groups × blocks rows on the driver
+    ct = collect_table(scanned.map_batches(bucket_totals, batch_format="pyarrow"))
+    rb_a = ct["_rb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gr_a = np.asarray(ct[group_col].to_pylist(), dtype=object)
+    to_a = ct["_gtotal"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # dedup (a bucket's output may split across blocks; totals repeat)
+    seen: dict = {}
+    for r, g0, t0 in zip(rb_a.tolist(), gr_a.tolist(), to_a.tolist()):
+        seen[(r, g0)] = t0
+    offsets: dict = {}
+    running: dict = {}
+    for r, g0 in sorted(seen):
+        offsets[(r, g0)] = running.get(g0, 0)
+        running[g0] = running.get(g0, 0) + seen[(r, g0)]
+    off_ref = ray.put(offsets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        rb = t["_rb"].to_numpy(zero_copy_only=False)
+        grp = t[group_col].to_pylist()
+        base = np.array([off[(int(r), g0)] for r, g0 in zip(rb, grp)], dtype=np.int64)
+        cum = base + t["_local"].to_numpy(zero_copy_only=False)
+        keep = cum <= budget
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                group_col: t[group_col].filter(pa.array(keep)),
+                weight_col: t[weight_col].filter(pa.array(keep)),
+                "cum": pa.array(cum[keep]),
+            }
+        )
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
