@@ -431,6 +431,180 @@ def _q_embedding_centroids(sf_dir: str):
     return out.map_batches(cast, batch_format="pyarrow")
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (similarity.kmeans): every quantity an
+    exact integer (1e-3 input grid, 1e-6 centroid grid, non-negative
+    shift so numpy // == DuckDB //), seeded by the k smallest
+    (md5-low64(id), id) keys; the SQL oracle replays all iterations as
+    an unrolled CTE chain over HUGEINT sums. Returns the final
+    (vec_id, cluster, d2) assignment."""
+    from ugfraud_ray.pipelines.similarity import kmeans
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kmeans(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_sql(k: int, iters: int, grid: int = 1000, cgrid: int = 1000, shift: int = 8) -> str:
+    """Unrolled CTE replay of similarity.kmeans: c0 = seed vectors on
+    the centroid grid; each round assigns by exact integer distance
+    (ties to the lowest cluster) and re-centers via the same
+    half-up non-negative integer division; empty clusters COALESCE to
+    the previous round's centroid."""
+    ctes = [
+        f"""q AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {grid} + 0.5)
+                        AS BIGINT) + {shift * grid} AS q
+            FROM embeddings
+        )""",
+        f"""seeds AS (
+            SELECT vec_id,
+                   row_number() OVER (
+                       ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS cluster
+            FROM embeddings
+            QUALIFY cluster < {k}
+        )""",
+        f"""c0 AS (
+            SELECT s.cluster, q.dim, CAST(q.q AS HUGEINT) * {cgrid} AS c
+            FROM seeds s JOIN q ON s.vec_id = q.vec_id
+        )""",
+    ]
+    for i in range(1, iters + 2):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"""d{i} AS (
+            SELECT q.vec_id, c.cluster,
+                   SUM((CAST(q.q AS HUGEINT) * {cgrid} - c.c)
+                       * (CAST(q.q AS HUGEINT) * {cgrid} - c.c)) AS d2
+            FROM q JOIN {prev} c ON q.dim = c.dim
+            GROUP BY q.vec_id, c.cluster
+        )"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+            SELECT vec_id, cluster, d2 FROM d{i}
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+        )"""
+        )
+        if i <= iters:
+            ctes.append(
+                f"""cm{i} AS (
+            SELECT a.cluster, q.dim,
+                   (SUM(CAST(q.q AS HUGEINT)) * {2 * cgrid} + COUNT(*))
+                       // (2 * COUNT(*)) AS c
+            FROM a{i} a JOIN q ON a.vec_id = q.vec_id
+            GROUP BY a.cluster, q.dim
+        )"""
+            )
+            ctes.append(
+                f"""c{i} AS (
+            SELECT p.cluster, p.dim, COALESCE(m.c, p.c) AS c
+            FROM {prev} p LEFT JOIN cm{i} m
+                ON m.cluster = p.cluster AND m.dim = p.dim
+        )"""
+            )
+    final = iters + 1
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(d2 AS BIGINT) AS d2
+        FROM a{final}"""
+    )
+
+
+def _q_embedding_covariance(sf_dir: str):
+    """Upper-triangle covariance of the quantized embedding matrix
+    (similarity.embedding_covariance): per-block d x d int64 matmul
+    partials, driver merges Python ints, ONE mirrored float readout
+    (n*S_ij - S_i*S_j)/(n^2 grid^2) floored half-up to 1e-9."""
+    from ugfraud_ray.pipelines.similarity import embedding_covariance
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    return embedding_covariance(emb)
+
+
+KCENTER_K = 4
+
+
+def _q_embedding_kcenter(sf_dir: str):
+    """Greedy farthest-point k-center coreset (similarity.kcenter_sample):
+    exact int64 distances (no division anywhere), seed = min
+    (md5-low64(id), id), farthest ties to lowest id — the greedy
+    trajectory replays bit-exactly as an unrolled SQL chain."""
+    from ugfraud_ray.pipelines.similarity import kcenter_sample
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kcenter_sample(emb, k=KCENTER_K)
+
+
+def _kcenter_sql(k: int, grid: int = 1000) -> str:
+    """Unrolled replay of similarity.kcenter_sample: ch{i} accumulates
+    the chosen set; each round joins q against the chosen vectors,
+    takes the min distance per point, and picks the excluded-set argmax
+    (DESC, vec_id)."""
+    ctes = [
+        f"""q AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {grid} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings
+        )""",
+        """ch0 AS (
+            SELECT CAST(0 AS BIGINT) AS rank, vec_id, CAST(0 AS BIGINT) AS d2
+            FROM embeddings
+            QUALIFY row_number() OVER (
+                ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id
+            ) = 1
+        )""",
+    ]
+    for i in range(1, k):
+        prev = f"ch{i - 1}"
+        ctes.append(
+            f"""dm{i} AS (
+            SELECT vec_id, MIN(dc) AS d FROM (
+                SELECT q.vec_id AS vec_id, cq.cid AS cid,
+                       SUM((q.q - cq.q) * (q.q - cq.q)) AS dc
+                FROM q JOIN (
+                    SELECT c.vec_id AS cid, q2.dim AS dim, q2.q AS q
+                    FROM {prev} c JOIN q q2 ON q2.vec_id = c.vec_id
+                ) cq ON q.dim = cq.dim
+                GROUP BY q.vec_id, cq.cid
+            ) GROUP BY vec_id
+        )"""
+        )
+        ctes.append(
+            f"""pk{i} AS (
+            SELECT CAST({i} AS BIGINT) AS rank, vec_id, CAST(d AS BIGINT) AS d2
+            FROM dm{i}
+            WHERE vec_id NOT IN (SELECT vec_id FROM {prev})
+            ORDER BY d DESC, vec_id LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"ch{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pk{i})"
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT rank, vec_id, d2 FROM ch{k - 1}"
+    )
+
+
 def _q_diameter(sf_dir: str):
     """Double-sweep diameter lower bound over the undirected general
     graph (bfs.double_sweep_diameter): BFS from min id, then from the
@@ -1711,6 +1885,16 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
 
+def _q_events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap stats (events.interarrival_stats):
+    all-int64 (n/min/max/sum of microsecond gaps ordered by
+    (ts, event_id)), exact at any block order; users with one event
+    emit nothing."""
+    from ugfraud_ray.pipelines.events import interarrival_stats
+
+    return interarrival_stats(_events(sf_dir))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered conversion funnel view->click->purchase (events.funnel):
     deepest step reached per user, each step matched at the earliest
@@ -1900,6 +2084,16 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+
+
+def _q_doc_rarity(sf_dir: str):
+    """Integer-exact per-doc rarity (text_analysis.rarity_scores):
+    sum over token occurrences of (1e9 // corpus-df). No floats/log —
+    truncating integer division matches DuckDB // exactly; zero-token
+    docs emit nothing on both sides."""
+    from ugfraud_ray.pipelines.text_analysis import rarity_scores
+
+    return rarity_scores(_docs(sf_dir))
 
 
 def _q_doc_md5(sf_dir: str):
@@ -2397,8 +2591,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_centroids": _q_embedding_centroids,
         "embedding_label_affinity": _q_embedding_label_affinity,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_kcenter": _q_embedding_kcenter,
+        "embedding_covariance": _q_embedding_covariance,
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
+        "doc_rarity": _q_doc_rarity,
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
         "doc_bpe_token_count": _q_bpe_token_count,
@@ -2408,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": _q_doc_contamination,
         # --- event-stream kernels ---
         "events_sessions": _q_events_sessions,
+        "events_interarrival": _q_events_interarrival,
         "events_windowed": _q_events_windowed,
         "events_asof_last_error": _q_events_asof,
         "events_funnel": _q_events_funnel,
@@ -4115,6 +4314,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm na ON na.label = pr.label_a
             JOIN nrm nb ON nb.label = pr.label_b
         """,
+        "embedding_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "embedding_kcenter": _kcenter_sql(KCENTER_K),
+        "embedding_covariance": """
+            WITH q AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ),
+            p AS (
+                SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS sp
+                FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                GROUP BY a.dim, b.dim
+            ),
+            s AS (SELECT dim, SUM(q) AS sq FROM q GROUP BY dim),
+            nn AS (SELECT COUNT(*) AS n FROM embeddings)
+            SELECT p.i, p.j,
+                   FLOOR(CAST(nn.n * p.sp - sa.sq * sb.sq AS DOUBLE)
+                         / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1000000.0)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS cov
+            FROM p
+            CROSS JOIN nn
+            JOIN s sa ON sa.dim = p.i
+            JOIN s sb ON sb.dim = p.j
+        """,
         "embedding_centroids": """
             WITH ex AS (
                 SELECT label,
@@ -5024,6 +5249,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
         """,
+        "events_interarrival": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+                QUALIFY gap IS NOT NULL
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_gaps,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+            FROM g GROUP BY user_id
+        """,
         # integer week index = epoch_us // week; offset relative to the
         # user's first-event week; COUNT(DISTINCT) mirrors the engine's
         # user-bucketed exact partials
@@ -5437,6 +5678,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN s ON s.r = CAST(floor((n.cnt - 1) * qs.q) AS BIGINT)
         """,
         # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
+        "doc_rarity": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+                FROM documents
+            ),
+            t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM t2 GROUP BY token
+            )
+            SELECT t2.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(1000000000 // df.df) AS BIGINT) AS rarity
+            FROM t2 JOIN df ON t2.token = df.token
+            GROUP BY t2.doc_id
+        """,
         "doc_quality_score": r"""
             WITH f AS (
                 SELECT doc_id,

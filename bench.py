@@ -66,8 +66,13 @@ def bench_pipelines(sf_dir: str) -> dict:
     try:
         ranks, metrics = pagerank(redges, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=None)
         q["pagerank_10_supersteps"] = time.perf_counter() - t0
-        step_secs = [m["seconds"] for m in metrics]
-        out["pagerank_edges_per_sec_superstep"] = n_redges * len(step_secs) / sum(step_secs)
+        # steady-state median, same protocol as the BP metric below —
+        # the first 1-2 supersteps pay actor spin-up + edge-table load
+        # and would skew a mean at larger SFs
+        import numpy as _np
+
+        step_secs = [m["seconds"] for m in metrics[2:]] or [m["seconds"] for m in metrics]
+        out["pagerank_edges_per_sec_superstep"] = n_redges / float(_np.median(step_secs))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

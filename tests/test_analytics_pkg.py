@@ -141,3 +141,44 @@ def test_coreview_pairs_planted_and_domain_guard(ray_session):
 
     with pytest.raises(ValueError, match="overlaps the product vid"):
         coreview_pairs(bad, off)
+
+
+def test_rarity_scores_local_distributed_and_mirror(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.text_analysis import rarity_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat",
+        "  ",  # zero-token doc: emits nothing
+        "unique singleton tokens here",
+        "the the the cat",
+    ]
+    t = pa.table({"doc_id": pa.array(range(10, 15), pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    local = rarity_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        rarity_scores(ds, local_vocab_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
+
+    # naive mirror
+    toks = [tx.lower().split() for tx in texts]
+    df = {}
+    for tk in toks:
+        for w in set(tk):
+            df[w] = df.get(w, 0) + 1
+    want = {
+        i + 10: (len(tk), sum(10**9 // df[w] for w in tk))
+        for i, tk in enumerate(toks)
+        if tk
+    }
+    got = {r.doc_id: (r.n_tokens, r.rarity) for r in local.itertuples(index=False)}
+    assert got == want

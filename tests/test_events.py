@@ -463,3 +463,30 @@ def test_windowed_unique_users(ray_session):
     )
     assert got["window_start_us"].tolist() == want["ws"].tolist()
     assert got["n_users"].tolist() == want["user_id"].tolist()
+
+
+def test_interarrival_matches_pandas_and_bucketed_path(ray_session):
+    from ugfraud_ray.pipelines.events import interarrival_stats
+
+    t = _synth_events()
+    ds = ray.data.from_arrow(t)
+    local = interarrival_stats(ds).to_pandas().sort_values("user_id").reset_index(drop=True)
+    dist = (
+        interarrival_stats(ds, local_threshold=0)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
+
+    df = t.to_pandas()
+    df["us"] = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    df = df.sort_values(["user_id", "us", "event_id"])
+    df["gap"] = df.groupby("user_id")["us"].diff()
+    g = df.dropna(subset=["gap"]).groupby("user_id")["gap"]
+    want = g.agg(["count", "min", "max", "sum"]).astype(np.int64)
+    assert (local["user_id"].to_numpy() == want.index.to_numpy()).all()
+    assert (local["n_gaps"].to_numpy() == want["count"].to_numpy()).all()
+    assert (local["min_gap_us"].to_numpy() == want["min"].to_numpy()).all()
+    assert (local["max_gap_us"].to_numpy() == want["max"].to_numpy()).all()
+    assert (local["sum_gap_us"].to_numpy() == want["sum"].to_numpy()).all()

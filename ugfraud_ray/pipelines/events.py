@@ -1312,3 +1312,86 @@ def top_anomalies(
     ids = merged[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -zz))[:k]
     return merged.take(pa.array(order))
+
+
+def _interarrival_block(user: np.ndarray, ts_us: np.ndarray, eid: np.ndarray) -> pa.Table:
+    """Per-user inter-arrival gap stats over one complete-user block:
+    (user_id, n_gaps, min_gap_us, max_gap_us, sum_gap_us). Events are
+    ordered by (ts, event_id) within a user; users with < 2 events emit
+    nothing. All int64 — exact at any block order."""
+    order = np.lexsort((eid, ts_us, user))
+    u, t = user[order], ts_us[order]
+    same = np.zeros(len(u), dtype=bool)
+    if len(u) > 1:
+        same[1:] = u[1:] == u[:-1]
+    gaps = np.where(same, t - np.roll(t, 1), 0)[same]
+    gu = u[same]
+    uu, inv = np.unique(gu, return_inverse=True)
+    if len(uu) == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "min_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+                "sum_gap_us": pa.array([], pa.int64()),
+            }
+        )
+    n = np.bincount(inv)
+    mn = np.full(len(uu), np.iinfo(np.int64).max, dtype=np.int64)
+    mx = np.full(len(uu), np.iinfo(np.int64).min, dtype=np.int64)
+    sm = np.zeros(len(uu), dtype=np.int64)
+    np.minimum.at(mn, inv, gaps)
+    np.maximum.at(mx, inv, gaps)
+    np.add.at(sm, inv, gaps)
+    return pa.table(
+        {
+            "user_id": pa.array(uu.astype(np.int64)),
+            "n_gaps": pa.array(n.astype(np.int64)),
+            "min_gap_us": pa.array(mn),
+            "max_gap_us": pa.array(mx),
+            "sum_gap_us": pa.array(sm),
+        }
+    )
+
+
+def interarrival_stats(
+    events: "ray.data.Dataset",
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-user inter-arrival time distribution — the burst/bot-rate
+    signal of an event stream. Same partitioning contract as
+    ``sessionize``: a user's events co-located (driver-local below the
+    gate, else hash-bucketed users + the identical kernel per bucket)."""
+    ds = events.select_columns(["user_id", "ts", "event_id"])
+
+    def extract(t) -> tuple:
+        return (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+            t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(_interarrival_block(*extract(collect_table(ds))))
+
+    nb = np.uint64(n_coarse_buckets(n))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return _interarrival_block(*extract(g))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

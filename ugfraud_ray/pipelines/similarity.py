@@ -685,3 +685,331 @@ def label_affinity(
             "cosine": pa.array(cos_out, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd) — exact-integer arithmetic end to end
+# ---------------------------------------------------------------------------
+
+
+def _quantize_block(
+    t: pa.Table, vec_col: str, grid: int, shift: int
+) -> np.ndarray:
+    """float list column -> shifted int64 grid: q = floor(x*grid+0.5) + shift*grid.
+
+    The shift keeps every quantity non-negative so truncating and floor
+    division coincide (DuckDB ``//`` truncates toward zero; numpy ``//``
+    floors — they only agree on non-negative operands). Distances are
+    shift-invariant, so clustering is unaffected.
+    """
+    v = _vecs_from_column(t[vec_col], t.num_rows)
+    q = np.floor(v * grid + 0.5).astype(np.int64) + shift * grid
+    if q.min(initial=0) < 0:
+        raise ValueError(
+            f"embedding values below -{shift}; raise kmeans(shift=...)"
+        )
+    return q
+
+
+def _kmeans_seeds(
+    emb: "ray.data.Dataset", k: int, id_col: str, vec_col: str, grid: int, shift: int
+) -> np.ndarray:
+    """Deterministic seeding: the k vectors with the smallest
+    (md5-low64(id), id) key — a seeded uniform draw both sides can
+    replay (DuckDB: ORDER BY md5_number_upper(CAST(id AS VARCHAR)), id).
+    Per-block top-k partials -> driver merge of <= k x blocks rows;
+    the corpus never leaves the cluster."""
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_low64(ids.tolist())
+        order = np.lexsort((ids, h))[:k]
+        q = _quantize_block(t, vec_col, grid, shift)[order]
+        return pa.table(
+            {
+                "h": pa.array(h[order].astype(np.uint64)),
+                "id": pa.array(ids[order]),
+                "q": pa.array(q.tolist()),
+            }
+        )
+
+    top = collect_table(
+        emb.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+    )
+    h = top["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = top["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, h))[:k]
+    return np.array(top["q"].to_pylist(), dtype=np.int64)[order]
+
+
+def kmeans(
+    emb: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed Lloyd k-means over an embedding column; returns
+    Dataset(id_col, cluster, d2) — the final assignment and its exact
+    squared distance in integer grid units.
+
+    Every quantity is an exact integer, so the result is bit-identical
+    to the SQL replay regardless of block order or parallelism:
+
+    - inputs quantized once per pass onto a 1/grid grid and shifted
+      non-negative (see ``_quantize_block``);
+    - centroids live on a 1/(grid*cgrid) grid: C = half-up(mean(q)*cgrid)
+      via non-negative integer division (qsum*2*cgrid + n) // (2*n),
+      merged on the driver with Python ints (k*dim values — no overflow
+      whatever the per-cluster count);
+    - distances D_j = sum_d (q_d*cgrid - C_jd)^2 expanded as
+      |Q|^2 - 2 Q.C + |C|^2 with int64 matmuls (bounds: |x|<=shift,
+      dim<=~500 keep every term < 2^62); argmin ties go to the lowest
+      cluster id on both sides;
+    - empty clusters keep their previous centroid (SQL: COALESCE against
+      the prior iteration's centroid table).
+
+    Scale shape: iters+1 streaming passes over the (pruned id+vec)
+    dataset; per pass ONE tiny groupby over k*dim partial rows; the
+    (k x dim) centroid matrix is the only broadcast (ray.put per round).
+    Reference analog: none (UGFraud has no clustering); this is the
+    training-data-curation operator (corpus bucketing / diversity
+    sampling) built on the label_centroids exact-sum pattern.
+    """
+    from ray.data.aggregate import Sum
+
+    C = _kmeans_seeds(emb, k, id_col, vec_col, grid, shift) * cgrid
+    src = emb.select_columns([id_col, vec_col])
+
+    def dist2(q: np.ndarray, C: np.ndarray) -> np.ndarray:
+        qq = (q * q).sum(axis=1) * (cgrid * cgrid)
+        cross = (q @ C.T) * cgrid
+        cc = (C * C).sum(axis=1)
+        return qq[:, None] - 2 * cross + cc[None, :]
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partials(t: pa.Table, _cref=cref) -> pa.Table:
+            Cm = ray.get(_cref)
+            q = _quantize_block(t, vec_col, grid, shift)
+            assign = np.argmin(dist2(q, Cm), axis=1)
+            d = q.shape[1]
+            sums = np.zeros((len(Cm), d), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            cnt = np.bincount(assign, minlength=len(Cm)).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(nz, d)),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(nz))),
+                    "qsum": pa.array(sums[nz].reshape(-1)),
+                    "n": pa.array(np.repeat(cnt[nz], d)),
+                }
+            )
+
+        agg = collect_table(
+            src.map_batches(partials, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
+        )
+        newC = C.copy()
+        for c_, d_, qs_, n_ in zip(
+            agg["cluster"].to_pylist(),
+            agg["dim"].to_pylist(),
+            agg["qsum"].to_pylist(),
+            agg["n"].to_pylist(),
+        ):
+            newC[c_, d_] = (int(qs_) * 2 * cgrid + int(n_)) // (2 * int(n_))
+        C = newC
+
+    cref = ray.put(C)
+
+    def final(t: pa.Table, _cref=cref) -> pa.Table:
+        Cm = ray.get(_cref)
+        q = _quantize_block(t, vec_col, grid, shift)
+        D = dist2(q, Cm)
+        assign = np.argmin(D, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(assign.astype(np.int64)),
+                "d2": pa.array(D[np.arange(len(q)), assign]),
+            }
+        )
+
+    return src.map_batches(final, batch_format="pyarrow")
+
+
+def kcenter_sample(
+    emb: "ray.data.Dataset",
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> pa.Table:
+    """Greedy farthest-point (Gonzalez) k-center coreset over an
+    embedding column — the classic diversity-sampling / coreset
+    selection pass of a curation pipeline. Returns a k-row table
+    (rank, id, d2): the selection order and each pick's exact squared
+    distance to the previously-chosen set (seed d2 = 0).
+
+    Exact-integer end to end — vectors quantized to 1/grid, distances
+    are int64 sums of squared differences, NO division anywhere — so
+    the greedy trajectory is bit-identical to the SQL replay. Seed =
+    smallest (md5-low64(id), id); each round picks the not-yet-chosen
+    point with max min-distance to the chosen set, ties to lowest id.
+
+    Scale shape: k-1 streaming passes; each pass recomputes min-dist
+    against the <= k chosen vectors (tiny, shipped in the closure) and
+    reduces per-block (argmax, id, qvec) partials — rows leaving a
+    block: ONE. O(k^2 n d) total work, no shuffle at all.
+    """
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    src = emb.select_columns([id_col, vec_col])
+
+    def quant(t: pa.Table) -> np.ndarray:
+        v = _vecs_from_column(t[vec_col], t.num_rows)
+        return np.floor(v * grid + 0.5).astype(np.int64)
+
+    # --- seed: min (md5, id), per-block partial -> driver merge
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _md5_low64(ids.tolist())
+        j = np.lexsort((ids, h))[0]
+        return pa.table(
+            {
+                "h": pa.array([h[j]], pa.uint64()),
+                "id": pa.array([ids[j]]),
+                "q": pa.array([quant(t)[j].tolist()]),
+            }
+        )
+
+    top = collect_table(src.map_batches(seed_partial, batch_format="pyarrow"))
+    j = np.lexsort(
+        (
+            top["id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            top["h"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+    )[0]
+    chosen_ids = [int(top["id"][j].as_py())]
+    chosen_q = [np.array(top["q"][j].as_py(), dtype=np.int64)]
+    chosen_d2 = [0]
+
+    for _ in range(1, k):
+        C = np.stack(chosen_q)
+        ids_arr = np.array(chosen_ids, dtype=np.int64)
+
+        def far_partial(t: pa.Table, _C=C, _ids=ids_arr) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            q = quant(t)
+            qq = (q * q).sum(axis=1)
+            cc = (_C * _C).sum(axis=1)
+            D = qq[:, None] - 2 * (q @ _C.T) + cc[None, :]
+            dmin = D.min(axis=1)
+            keep = ~np.isin(ids, _ids)
+            if not keep.any():
+                return pa.table(
+                    {"d": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+                     "q": pa.array([], pa.list_(pa.int64()))}
+                )
+            ids, q, dmin = ids[keep], q[keep], dmin[keep]
+            j = np.lexsort((ids, -dmin))[0]
+            return pa.table(
+                {"d": pa.array([dmin[j]]), "id": pa.array([ids[j]]),
+                 "q": pa.array([q[j].tolist()])}
+            )
+
+        part = collect_table(src.map_batches(far_partial, batch_format="pyarrow"))
+        d = part["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = part["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            break
+        j = np.lexsort((pid, -d))[0]
+        chosen_ids.append(int(pid[j]))
+        chosen_q.append(np.array(part["q"][j].as_py(), dtype=np.int64))
+        chosen_d2.append(int(d[j]))
+
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(chosen_ids), dtype=np.int64)),
+            id_col: pa.array(chosen_ids, pa.int64()),
+            "d2": pa.array(chosen_d2, pa.int64()),
+        }
+    )
+
+
+def embedding_covariance(
+    emb: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> pa.Table:
+    """Upper-triangle covariance matrix of the (1/grid-quantized)
+    embedding column: rows (i, j, cov) for i <= j — the input stage of
+    PCA / whitening / decorrelation over a corpus.
+
+    Exact integer partials: per block ONE d x d int64 matmul (q.T @ q)
+    plus the column sums; the driver merges <= d^2 Python ints (no
+    overflow whatever n) and applies the single mirrored float readout
+    cov = (n*S_ij - S_i*S_j) / (n^2 * grid^2), floored half-up to 1e-9.
+    int64 partial bound: |x| <= 8 and grid=1000 keep per-block sums
+    exact up to ~1e11 rows/block; beyond that split hi/lo like
+    functions/numerics. No shuffle at all — one streaming pass, the
+    only reduce is the d^2-row partials table.
+    """
+    src = emb.select_columns([vec_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _vecs_from_column(t[vec_col], t.num_rows)
+        q = np.floor(v * grid + 0.5).astype(np.int64)
+        d = q.shape[1]
+        S = q.T @ q
+        iu, ju = np.triu_indices(d)
+        sq = q.sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)),
+                "j": pa.array(np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64)),
+                "v": pa.array(
+                    np.concatenate([S[iu, ju], sq, [t.num_rows]]).astype(np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = collect_table(
+        src.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+    )
+    ii = agg["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+    jj = agg["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vv = [int(x) for x in agg["v"].to_pylist()]
+    n = next(v for i_, j_, v in zip(ii, jj, vv) if i_ == -1 and j_ == -1)
+    sums = {int(i_): v for i_, j_, v in zip(ii, jj, vv) if j_ == -1 and i_ >= 0}
+    import math
+
+    out_i, out_j, out_c = [], [], []
+    denom = float(n) * float(n) * grid * grid
+    for i_, j_, v in sorted(zip(ii.tolist(), jj.tolist(), vv)):
+        if i_ < 0 or j_ < 0:
+            continue
+        num = n * v - sums[i_] * sums[j_]
+        out_i.append(i_)
+        out_j.append(j_)
+        out_c.append(math.floor(float(num) / denom * 1e9 + 0.5) / 1e9)
+    return pa.table(
+        {
+            "i": pa.array(out_i, pa.int64()),
+            "j": pa.array(out_j, pa.int64()),
+            "cov": pa.array(out_c, pa.float64()),
+        }
+    )

@@ -1052,3 +1052,123 @@ def length_histogram(docs: "ray.data.Dataset", key: str = "text") -> "ray.data.D
         .groupby("bucket")
         .aggregate(Sum("c", alias_name="n_docs"))
     )
+
+
+def rarity_scores(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 10**9,
+    approx_docs: int | None = None,
+    local_vocab_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Per-document rarity score — the integer-exact cousin of an idf
+    quality signal: rarity = sum over token OCCURRENCES of
+    (scale // df(token)), where df is the corpus document frequency.
+    Output (doc_id, n_tokens, rarity), all int64; zero-token docs emit
+    nothing (mirrors the SQL ``token <> ''`` stream). No floats, no
+    log — truncating integer division matches DuckDB ``//`` exactly.
+
+    Two passes (the distinctive_terms shape): df via per-block
+    uniqued (token, partial-df) partials, then either
+    - LOCAL (corpus hint <= threshold): vocab merged on the driver,
+      broadcast once (ray.put of two sorted arrays), scored by a
+      vectorized searchsorted probe per block; or
+    - DISTRIBUTED: vocabulary-sized groupby-sum, per-block (doc, token,
+      tf) run-length rows joined to the df table (join_partitions-sized
+      hash join — never a fixed partition count), then ONE doc-keyed
+      groupby-sum. The vocabulary never lands on the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        order = np.lexsort((rows, flat))
+        f, r = flat[order], rows[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = (f[1:] != f[:-1]) | (r[1:] != r[:-1])
+        uniq, counts = np.unique(f[first], return_counts=True)
+        return pa.table(
+            {"token": pa.array(uniq, pa.string()), "df": pa.array(counts.astype(np.int64))}
+        )
+
+    partials = docs.map_batches(df_partial, batch_format="pyarrow")
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+
+    if n_docs <= local_vocab_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        pt = collect_table(partials)
+        toks = pt["token"].to_numpy(zero_copy_only=False)
+        dfs = pt["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab, inv = np.unique(toks, return_inverse=True)
+        tot = np.zeros(len(vocab), dtype=np.int64)
+        np.add.at(tot, inv, dfs)
+        lookup_ref = ray.put((vocab, scale // tot))
+
+        def score(t: pa.Table) -> pa.Table:
+            vocab_, contrib_ = ray.get(lookup_ref)
+            flat, rows = _explode_tokens(t, key)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = contrib_[np.searchsorted(vocab_, flat)]
+            nr = len(t)
+            n_tok = np.bincount(rows, minlength=nr).astype(np.int64)
+            rar = np.zeros(nr, dtype=np.int64)
+            np.add.at(rar, rows, c)
+            nz = n_tok > 0
+            return pa.table(
+                {
+                    id_col: pa.array(ids[nz]),
+                    "n_tokens": pa.array(n_tok[nz]),
+                    "rarity": pa.array(rar[nz]),
+                }
+            )
+
+        return docs.select_columns([id_col, key]).map_batches(
+            score, batch_format="pyarrow"
+        )
+
+    from ugfraud_ray.stages.graph_build import join_partitions
+
+    df_tab = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((flat, rows))
+        f, r = flat[order], rows[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = (f[1:] != f[:-1]) | (r[1:] != r[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(f))).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[r[starts]]),
+                "token": pa.array(f[starts], pa.string()),
+                "tf": pa.array(tf),
+            }
+        )
+
+    tf_ds = docs.select_columns([id_col, key]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    joined = tf_ds.join(
+        df_tab, join_type="inner", num_partitions=join_partitions(), on=("token",)
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(tf),
+                "rarity": pa.array(tf * (scale // dfv)),
+            }
+        )
+
+    return (
+        joined.map_batches(contrib, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"), Sum("rarity", alias_name="rarity"))
+    )
