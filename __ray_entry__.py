@@ -810,6 +810,28 @@ def _q_kcore(sf_dir: str):
     return pa.table({"id": pa.array(ids[alive], pa.int64())})
 
 
+def _q_graph_coreness(sf_dir: str):
+    """Full core decomposition (kcore.coreness): sequential k-sweep of
+    the kcore_members peel; coreness(v) = max surviving k. NO SQL
+    oracle (an unrolled per-k recursive-CTE replay costs ~12 s x kmax
+    at sf0.01) — rows-only here; the peel fixpoint is value-anchored by
+    the kcore_members oracle and the exact naive-mirror pytest
+    (tests/test_superstep_kernels.py::test_coreness_both_paths...)."""
+    from ugfraud_ray.pipelines.kcore import coreness
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    out = coreness(e, n, approx_edges=ge.count())
+    return unmap_vids(
+        out.rename_columns({"id": "vid"}), vmap, vid_col="vid", out_col="id"
+    )
+
+
 def _q_mis(sf_dir: str):
     """Maximal independent set over the general graph (pipelines/mis.py):
     deterministic Luby rounds — all local md5-priority minima join each
@@ -2620,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_sample": _q_seeded_sample,
         # --- graph kernels with driver-dense state (r2 focus) ---
         "kcore_members": _q_kcore,
+        "graph_coreness": _q_graph_coreness,
         "mis_members": _q_mis,
         "graph_coloring": _q_coloring,
         "hyperball_nf": _q_hyperball,

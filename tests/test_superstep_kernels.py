@@ -992,3 +992,48 @@ def test_betweenness_engine_path_vs_duckdb_oracle(tmp_path, ray_session):
         rtol=1e-9,
         atol=1e-12,
     )
+
+
+def test_coreness_both_paths_match_naive_sweep(ray_session):
+    from ugfraud_ray.pipelines.kcore import coreness
+
+    rng = np.random.default_rng(61)
+    n, m = 200, 1400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(5)
+
+    # naive sweep: exact coreness via repeated peel at k = 1, 2, ...
+    a, b = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.unique(a * np.int64(10**6) + b)
+    a, b = pairs // 10**6, pairs % 10**6
+    touched = np.zeros(n, dtype=bool)
+    touched[a] = True
+    touched[b] = True
+    alive = touched.copy()
+    core = np.zeros(n, dtype=np.int64)
+    k = 1
+    while alive.any():
+        while True:
+            kp = alive[a] & alive[b]
+            deg = np.bincount(a[kp], minlength=n) + np.bincount(b[kp], minlength=n)
+            new = alive & (deg >= k)
+            if new.sum() == alive.sum():
+                break
+            alive = new
+        core[alive] = k
+        k += 1
+
+    want = {int(i): int(core[i]) for i in np.flatnonzero(touched)}
+
+    loc = coreness(ds, n, approx_edges=len(src)).to_pandas()
+    got_local = dict(zip(loc["id"], loc["coreness"]))
+    assert got_local == want
+
+    dist = coreness(ds, n, approx_edges=None).to_pandas()
+    got_dist = dict(zip(dist["id"].astype(int), dist["coreness"].astype(int)))
+    assert got_dist == want

@@ -141,3 +141,105 @@ def kcore_members(
     vid = rt["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
     alive[vid] = rt["s0"].to_numpy(zero_copy_only=False) > 0.0
     return alive
+
+
+def coreness(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    max_iters: int = 60,
+    approx_edges: int | None = None,
+    local_threshold: int = 5_000_000,
+    P: int = 4,
+    layout_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Full core decomposition: Dataset(id, coreness) for every vertex
+    touched by an edge (coreness >= 1; isolated vertices emit nothing).
+
+    coreness(v) = max k such that v survives the k-core peel. Computed
+    as a sequential sweep k = 1, 2, ... (k-cores are nested, so each
+    peel is independent and restartable from the full vertex set); the
+    sweep stops at the first empty core. No SQL oracle — the peel-at-k
+    fixpoint is value-anchored by the kcore_members oracle and the
+    naive-mirror pytest (tests/test_hyperball.py::coreness cases).
+
+    Scale shape: <= local_threshold edges runs the driver bincount peel
+    (same gate as kcore_members); above it each k runs a KCoreProgram
+    on ONE shared vid-sharded layout (built once, engines per k), the
+    per-k membership stays a Dataset, and coreness is a union +
+    groupby-max — the driver never holds a per-vertex array on the
+    distributed path.
+    """
+    und = _canonical_undirected(edges, approx_edges)
+
+    if approx_edges is not None and approx_edges <= local_threshold:
+        t = collect_table(und)
+        a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        touched = np.zeros(n_vertices, dtype=bool)
+        touched[a] = True
+        touched[b] = True
+        alive = touched.copy()
+        core = np.zeros(n_vertices, dtype=np.int64)
+        k = 1
+        while alive.any():
+            for _ in range(max_iters):
+                keep = alive[a] & alive[b]
+                deg = np.bincount(a[keep], minlength=n_vertices) + np.bincount(
+                    b[keep], minlength=n_vertices
+                )
+                new = alive & (deg >= k)
+                if new.sum() == alive.sum():
+                    break
+                alive = new
+            core[alive] = k
+            k += 1
+        ids = np.flatnonzero(touched)
+        return ray.data.from_arrow(
+            pa.table({"id": pa.array(ids), "coreness": pa.array(core[ids])})
+        )
+
+    import tempfile
+
+    from ugfraud_ray.state.engine import SuperstepEngine
+    from ugfraud_ray.state.layout import build_layout, symmetrize
+
+    sym = symmetrize(und.select_columns(["src", "dst"])).materialize()
+    layout = build_layout(
+        sym, n_vertices, layout_dir or tempfile.mkdtemp(prefix="coreness_"), P=P
+    )
+    parts = []
+    k = 1
+    while True:
+        eng = SuperstepEngine(layout, KCoreProgram(k))
+        eng.run(max_iters=max_iters, tol=0.0)
+        rd = eng.result_dataset().materialize()
+        eng.shutdown()
+
+        def alive_rows(t: pa.Table, _k=k) -> pa.Table:
+            vid = t["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t["s0"].to_numpy(zero_copy_only=False) > 0.0
+            return pa.table(
+                {
+                    "id": pa.array(vid[s]),
+                    "coreness": pa.array(np.full(int(s.sum()), _k, dtype=np.int64)),
+                }
+            )
+
+        alive_k = rd.map_batches(alive_rows, batch_format="pyarrow").materialize()
+        if alive_k.count() == 0:
+            break
+        parts.append(alive_k)
+        k += 1
+
+    from ray.data.aggregate import Max
+
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {"id": pa.array([], pa.int64()), "coreness": pa.array([], pa.int64())}
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.groupby("id").aggregate(Max("coreness", alias_name="coreness"))
