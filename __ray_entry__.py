@@ -209,6 +209,17 @@ def _q_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def _q_triangles_per_vertex(sf_dir: str):
+    """Per-vertex triangle participation (triangles.triangles_per_vertex):
+    degree-oriented wedge+close with the wedge source carried so every
+    closed wedge credits all three corners; zero-participation vertices
+    emit nothing (mirrors the SQL enumeration)."""
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+    from ugfraud_ray.pipelines.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(general_edges(sf_dir))
+
+
 def _q_transitivity(sf_dir: str):
     """Global clustering coefficient 3·triangles/wedges over the
     undirected simple general graph (pipelines/triangles.py): exact
@@ -1907,6 +1918,14 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
 
+def _q_events_hourly_profile(sf_dir: str):
+    """Hour-of-week seasonality fold (events.hourly_profile): per-block
+    folded-key np.unique partials, one <=168 x types groupby."""
+    from ugfraud_ray.pipelines.events import hourly_profile
+
+    return hourly_profile(_events(sf_dir))
+
+
 def _q_events_interarrival(sf_dir: str):
     """Per-user inter-arrival gap stats (events.interarrival_stats):
     all-int64 (n/min/max/sum of microsecond gaps ordered by
@@ -2105,6 +2124,31 @@ def _q_seeded_sample(sf_dir: str):
 def _docs(sf_dir: str):
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _q_doc_incremental_dedup(sf_dir: str):
+    """Continuous-crawl dedup (dedup.incremental_exact_dedup): even
+    doc_ids = corpus snapshot, odd = new batch; new docs drop if their
+    md5 exists in the corpus or earlier in the batch. Corpus hashes
+    broadcast below the key gate / Ray anti-join above (both
+    parity-tested)."""
+    from ugfraud_ray.pipelines.dedup import incremental_exact_dedup
+
+    docs = _docs(sf_dir)
+
+    def _parity(rem: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(ids % 2 == rem))
+
+        return f
+
+    corpus = docs.map_batches(_parity(0), batch_format="pyarrow")
+    new = docs.map_batches(_parity(1), batch_format="pyarrow")
+    n = docs.count()
+    return incremental_exact_dedup(
+        corpus, new, approx_new=n, approx_corpus=n
     )
 
 
@@ -2585,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zoobp_beliefs": _q_zoobp,
         "user_priors": _q_user_priors,
         "triangle_count": _q_triangles,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         "strongly_connected_components": _q_scc,
         "label_propagation": _q_labelprop,
         # --- dedup family ---
@@ -2619,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
         "doc_rarity": _q_doc_rarity,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
         "doc_bpe_token_count": _q_bpe_token_count,
@@ -2629,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream kernels ---
         "events_sessions": _q_events_sessions,
         "events_interarrival": _q_events_interarrival,
+        "events_hourly_profile": _q_events_hourly_profile,
         "events_windowed": _q_events_windowed,
         "events_asof_last_error": _q_events_asof,
         "events_funnel": _q_events_funnel,
@@ -4127,6 +4174,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
+        "triangles_per_vertex": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            v AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT id, COUNT(*) AS triangles FROM v GROUP BY id
+        """,
         "rich_club": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),
             e AS (
@@ -5272,6 +5337,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
         """,
+        "events_hourly_profile": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        """,
         "events_interarrival": """
             WITH g AS (
                 SELECT user_id,
@@ -5701,6 +5773,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN s ON s.r = CAST(floor((n.cnt - 1) * qs.q) AS BIGINT)
         """,
         # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
+        "doc_incremental_dedup": """
+            WITH n AS (
+                SELECT doc_id, md5(text) AS text_hash
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            s AS (
+                SELECT text_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+                       COUNT(*) AS n_copies
+                FROM n GROUP BY text_hash
+            )
+            SELECT s.text_hash, s.doc_id, s.n_copies
+            FROM s
+            WHERE s.text_hash NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 2 = 0
+            )
+        """,
         "doc_rarity": r"""
             WITH tok AS (
                 SELECT doc_id,

@@ -659,3 +659,38 @@ def test_cluster_size_histogram(ray_session):
         .to_pandas().sort_values("cluster_size").reset_index(drop=True)
     )
     assert list(zip(got["cluster_size"], got["n_clusters"])) == [(1, 2), (2, 1), (3, 1)]
+
+
+def test_incremental_exact_dedup_both_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import incremental_exact_dedup
+
+    corpus = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2, 4], pa.int64()),
+                "text": pa.array(["alpha", "beta", "gamma"]),
+            }
+        )
+    )
+    new = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3, 5, 7, 9], pa.int64()),
+                "text": pa.array(["beta", "delta", "delta", "epsilon", "alpha"]),
+            }
+        )
+    ).repartition(3)
+
+    # survivors: delta (min id 3, 2 copies), epsilon (7, 1); beta/alpha in corpus
+    want = {(3, 2), (7, 1)}
+    for approx_corpus in (10, 10**9):  # broadcast path, forced anti-join path
+        out = incremental_exact_dedup(
+            corpus, new, approx_new=5, approx_corpus=approx_corpus
+        ).to_pandas()
+        got = set(zip(out["doc_id"].astype(int), out["n_copies"].astype(int)))
+        assert got == want, approx_corpus

@@ -262,3 +262,27 @@ def test_rich_club_matches_networkx(ray_session):
     for k in (1, 2, 4, 8):
         for col in ("n_rich", "n_rich_edges", "phi"):
             assert dist.loc[k, col] == got.loc[k, col]
+
+
+def test_triangles_per_vertex_both_paths_match_networkx(ray_session):
+    from ugfraud_ray.pipelines.triangles import triangles_per_vertex
+
+    src, dst = _random_graph(n=80, m=500, seed=21)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(5)
+
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    G.remove_edges_from(nx.selfloop_edges(G))
+    want = {v: c for v, c in nx.triangles(G).items() if c > 0}
+
+    loc = triangles_per_vertex(ds).to_pandas()
+    got_local = dict(zip(loc["id"].astype(int), loc["triangles"].astype(int)))
+    assert got_local == want
+
+    dist = triangles_per_vertex(ds, local_threshold=0).to_pandas()
+    got_dist = dict(zip(dist["id"].astype(int), dist["triangles"].astype(int)))
+    assert got_dist == want

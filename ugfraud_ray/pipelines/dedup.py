@@ -802,3 +802,37 @@ def cluster_size_histogram(
         .groupby("cluster_size")
         .aggregate(Sum("_n", alias_name="n_clusters"))
     )
+
+
+def incremental_exact_dedup(
+    corpus: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    approx_new: int | None = None,
+    approx_corpus: int | None = None,
+) -> "ray.data.Dataset":
+    """Continuous-crawl dedup: drop new docs whose text already exists
+    in the corpus snapshot OR earlier (lower id) in the new batch.
+    Returns the surviving (text_hash, doc_id, n_copies) rows — the
+    exact_dedup survivors of the new batch anti-filtered by the corpus
+    hash set.
+
+    Composition of two scale-audited blocks: ``exact_dedup`` (hash
+    always distributed, tiny grouping gated) and
+    ``relational.semi_anti_join`` (corpus HASHES — never texts —
+    broadcast below the key-row gate, Ray hash anti-join above). The
+    corpus streams through one md5 map; nothing corpus-sized lands on
+    the driver on the join path.
+    """
+    from ugfraud_ray.pipelines.relational import semi_anti_join
+
+    surv = exact_dedup(new, key=key, id_col=id_col, approx_rows=approx_new)
+
+    def hash_only(t: pa.Table) -> pa.Table:
+        return pa.table({"text_hash": pa.array(_md5_hex(t[key].to_pylist()), pa.string())})
+
+    corp = corpus.select_columns([key]).map_batches(hash_only, batch_format="pyarrow")
+    return semi_anti_join(
+        surv, corp, "text_hash", anti=True, approx_right_rows=approx_corpus
+    )

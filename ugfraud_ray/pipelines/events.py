@@ -1395,3 +1395,49 @@ def interarrival_stats(
         .groupby("_cb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def hourly_profile(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Hour-of-week seasonality fold: (dow, hour, event_type, n_events)
+    with dow 0=Sunday..6=Saturday (DuckDB dayofweek convention;
+    epoch day 0 = Thursday => dow = (days + 4) % 7). Per-block partial
+    combine (np.unique over the folded key) then ONE tiny groupby —
+    the merged cardinality is <= 168 x types at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dow": pa.array([], pa.int64()),
+                    "hour": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        days = us // 86_400_000_000
+        dow = ((days + 4) % 7).astype(np.int64)
+        hour = ((us // 3_600_000_000) % 24).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        how = dow * 24 + hour
+        key = how * len(types) + inv
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "dow": pa.array(uq // (24 * len(types))),
+                "hour": pa.array((uq // len(types)) % 24),
+                "event_type": pa.array(types[uq % len(types)]),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
