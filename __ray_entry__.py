@@ -2183,6 +2183,17 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_dedup(_docs(sf_dir), max_hamming=8)
 
 
+def _q_minhash_agreement(sf_dir: str):
+    """Per-candidate-pair minhash signature agreement
+    (dedup.minhash_agreement): n_agree/num_perm is the Jaccard estimate
+    banded LSH thresholds on — the dedup tuning/QA readout next to the
+    exact doc_ngram_jaccard. SQL replays the bit-exact signature chain
+    and counts equal positions per pair."""
+    from ugfraud_ray.pipelines.dedup import minhash_agreement
+
+    return minhash_agreement(_docs(sf_dir).materialize())
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
@@ -2651,6 +2662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_minhash_agreement": _q_minhash_agreement,
         "embedding_neardup": _q_embedding_neardup,
         # --- ANN / embeddings ---
         "ann_topk": _q_ann_topk,
@@ -3765,6 +3777,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sums
         """,
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
+        "doc_minhash_agreement": f"""
+            WITH {_minhash_cand_ctes()}
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
+            FROM cand c
+            JOIN fullsig sa ON sa.doc_id = c.id_a
+            JOIN fullsig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+            GROUP BY c.id_a, c.id_b
+        """,
         "doc_fingerprints": _fingerprints_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),

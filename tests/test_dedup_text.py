@@ -694,3 +694,36 @@ def test_incremental_exact_dedup_both_paths(ray_session):
         ).to_pandas()
         got = set(zip(out["doc_id"].astype(int), out["n_copies"].astype(int)))
         assert got == want, approx_corpus
+
+
+def test_minhash_agreement_paths_agree_and_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import minhash_agreement
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    texts = [base, base + "extra tail words here", base, "completely different text " * 8]
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    loc = (
+        minhash_agreement(ds)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        minhash_agreement(ds, local_threshold=0)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+    # identical docs (1,3) must agree on every position
+    full = loc[(loc.id_a == 1) & (loc.id_b == 3)]
+    assert len(full) == 1 and int(full.n_agree.iloc[0]) == 64
+    assert (loc.n_agree <= 64).all() and (loc.n_agree >= 0).all()

@@ -90,6 +90,6 @@ def contamination_check(
     return docs.map_batches(
         ContaminationScorer,
         fn_constructor_args=(bench_ref, key, id_col, ngram, pct),
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_format="pyarrow",
     )

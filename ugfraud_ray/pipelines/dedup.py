@@ -209,7 +209,7 @@ def minhash_lsh_candidates(
         _MinHasher,
         fn_constructor_args=(num_perm, ngram, seed, id_col, key),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -393,8 +393,11 @@ def _bucketed_pair_emit(
 
         return ray.data.from_arrow(emit(collect_table(ds)))
 
+    from ugfraud_ray.stages.graph_build import right_size_blocks
+
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        right_size_blocks(ds, approx_rows)
+        .map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(emit, batch_format="pyarrow")
     )
@@ -738,7 +741,7 @@ def embedding_cosine_dedup(
                 }
             )
 
-    bucketed = emb.map_batches(Bucketer, batch_format="pyarrow", concurrency=2)
+    bucketed = emb.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 2))
 
     def pairs_in_bucket(g) -> pa.Table:
         ids = g[id_col].to_numpy()
@@ -835,4 +838,198 @@ def incremental_exact_dedup(
     corp = corpus.select_columns([key]).map_batches(hash_only, batch_format="pyarrow")
     return semi_anti_join(
         surv, corp, "text_hash", anti=True, approx_right_rows=approx_corpus
+    )
+
+
+def minhash_agreement(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    local_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Per-candidate-pair signature agreement (id_a, id_b, n_agree):
+    the number of minhash positions on which the two docs' signatures
+    coincide — n_agree/num_perm is the unbiased Jaccard estimate the
+    banded LSH thresholds on, so this is the dedup tuning/QA readout
+    (est vs the exact doc_ngram_jaccard over the same pairs).
+
+    Shape: signatures via the _MinHasher actor pool, candidates via the
+    shared LSH chain. <= local_threshold candidate pairs: the pair set
+    plus ONLY the colliding docs' signatures land on the driver
+    (O(pairs + colliding docs), corpus never moves). Above it: two
+    union + coarse-bucket resolve shuffles route each pair row to its
+    endpoints' signature rows (NO hash join — chained Dataset.joins
+    deadlock small aggregator pools; both paths parity-tested).
+    """
+    sigs = docs.map_batches(
+        _MinHasher,
+        fn_constructor_args=(num_perm, ngram, seed, id_col, key),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    pairs = minhash_lsh_candidates(
+        docs, key, id_col, num_perm, bands, ngram, seed
+    ).materialize()
+    n_pairs = pairs.count()
+
+    if n_pairs <= local_threshold:
+        pair_t = collect_table(pairs)
+        ia = pair_t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pair_t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        involved = np.unique(np.concatenate([ia, ib]))
+        inv_ref = ray.put(involved)
+
+        def keep_involved(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(np.isin(ids, ray.get(inv_ref))))
+
+        st = collect_table(sigs.map_batches(keep_involved, batch_format="pyarrow"))
+        ids = st[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = np.asarray(
+            st["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(len(st), -1)
+        order = np.argsort(ids)
+        ids, sig = ids[order], sig[order]
+        pa_idx = np.searchsorted(ids, ia)
+        pb_idx = np.searchsorted(ids, ib)
+        agree = (sig[pa_idx] == sig[pb_idx]).sum(axis=1).astype(np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(ia),
+                    "id_b": pa.array(ib),
+                    "n_agree": pa.array(agree),
+                }
+            )
+        )
+
+    # distributed path: NO hash join (chained Dataset.joins deadlock
+    # the aggregator pools on small clusters, and Arrow joins reject
+    # fixed_size_list payloads anyway) and the signature stream is
+    # consumed exactly ONCE (a second consumer would spawn a second
+    # _MinHasher actor pool in the same DAG and overcommit small CPU
+    # budgets). Shape: each pair row is emitted twice (keyed by each
+    # endpoint), unioned with the signature rows, ONE coarse-bucket
+    # shuffle attaches the endpoint's blob, then ONE pair-keyed bucket
+    # shuffle zips the two halves and counts agreements.
+    from ugfraud_ray.functions.bucketing import int_hash_bucket, n_coarse_buckets
+
+    nb = n_coarse_buckets(None)
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sig = np.asarray(
+            t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(n, -1)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_k": pa.array(ids),
+                "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "half": pa.array(np.zeros(n, np.int8)),
+                "blob": pa.array([s.tobytes() for s in sig], pa.binary()),
+                "kind": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ia)
+        return pa.table(
+            {
+                "_k": pa.array(np.concatenate([ia, ib])),
+                "id_a": pa.array(np.tile(ia, 2)),
+                "id_b": pa.array(np.tile(ib, 2)),
+                "half": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "blob": pa.array([b""] * (2 * n), pa.binary()),
+                "kind": pa.array(np.zeros(2 * n, np.int8)),
+            }
+        )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_cb", pa.array(int_hash_bucket(k, nb)))
+
+    def attach(g: pa.Table) -> pa.Table:
+        k = g["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        blobs = g["blob"].to_numpy(zero_copy_only=False)
+        is_sig = kind == 1
+        sk = k[is_sig]
+        order = np.argsort(sk)
+        sk, sig_blobs = sk[order], blobs[is_sig][order]
+        pr = np.flatnonzero(~is_sig)
+        if len(pr) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "half": pa.array([], pa.int8()),
+                    "blob": pa.array([], pa.binary()),
+                }
+            )
+        idx = np.searchsorted(sk, k[pr])
+        return pa.table(
+            {
+                "id_a": pa.array(g["id_a"].to_numpy(zero_copy_only=False)[pr]),
+                "id_b": pa.array(g["id_b"].to_numpy(zero_copy_only=False)[pr]),
+                "half": pa.array(g["half"].to_numpy(zero_copy_only=False)[pr]),
+                "blob": pa.array([bytes(sig_blobs[i]) for i in idx], pa.binary()),
+            }
+        )
+
+    halves = (
+        pairs.map_batches(pair_rows, batch_format="pyarrow")
+        .union(sigs.map_batches(sig_rows, batch_format="pyarrow"))
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def bucket_pair(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = int_hash_bucket(ia, nb) ^ int_hash_bucket(ib, nb)
+        return t.append_column("_cb", pa.array(h % nb))
+
+    def zip_compare(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_agree": pa.array([], pa.int64()),
+                }
+            )
+        ia = g["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = g["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = g["half"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((half, ib, ia))
+        ia, ib, half = ia[order], ib[order], half[order]
+        blobs = g["blob"].to_numpy(zero_copy_only=False)[order]
+        a_rows = np.arange(0, len(ia), 2)
+        flat = np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint64).reshape(
+            len(ia), -1
+        )
+        agree = (flat[a_rows] == flat[a_rows + 1]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(ia[a_rows]),
+                "id_b": pa.array(ib[a_rows]),
+                "n_agree": pa.array(agree),
+            }
+        )
+
+    return (
+        halves.map_batches(bucket_pair, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(zip_compare, batch_format="pyarrow")
     )

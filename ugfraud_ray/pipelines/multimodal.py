@@ -209,7 +209,7 @@ def media_features(
         fn_constructor_args=(decoder,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -222,7 +222,7 @@ def media_resize(
         fn_constructor_args=(target, decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 
@@ -235,7 +235,7 @@ def sample_frames(
         fn_constructor_args=(every_k, decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 

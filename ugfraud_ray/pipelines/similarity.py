@@ -162,7 +162,7 @@ def ivf_topk(
         _IVFAssign,
         fn_constructor_args=(cent_ref, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).materialize()
 
     # queries + their probe buckets

@@ -167,7 +167,7 @@ def language_id(
         LanguageID,
         fn_constructor_args=(key, id_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
 

@@ -91,6 +91,13 @@ def triangle_count(
         ek = a * nv + b  # canonical a<b keys, matches wedge (x<y) keys
         return int(np.isin(wk, ek).sum())
 
+    # coalesce the (small-side) dedup output before the two all-to-alls
+    # below — upstream map_groups emits hundreds of sub-MB blocks at
+    # sf~1 and the sort shuffle's per-block overhead dominates
+    from ugfraud_ray.stages.graph_build import right_size_blocks
+
+    e = right_size_blocks(e, ne).materialize() if ne <= 50_000_000 else e
+
     # degree of each endpoint (on the deduped simple graph) via dense
     # bincount partials over the materialized blocks — raw ray tasks, no
     # new Dataset execution (a groupby-Count here spins up the hash
@@ -319,7 +326,10 @@ def triangles_per_vertex(
 
     # ---- distributed path ----
     from ugfraud_ray.functions.bucketing import n_coarse_buckets
-    from ugfraud_ray.stages.graph_build import dense_degrees
+    from ugfraud_ray.stages.graph_build import dense_degrees, right_size_blocks
+
+    if ne <= 50_000_000:
+        e = right_size_blocks(e, ne).materialize()
 
     @ray.remote
     def _block_max(t) -> int:

@@ -32,6 +32,28 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 
+def right_size_blocks(
+    ds: "ray.data.Dataset",
+    approx_rows: int | None,
+    rows_per_block: int = 100_000,
+    max_small: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Coalesce a SMALL dataset into sensibly-sized blocks before an
+    all-to-all. Ray's read heuristics split small inputs into hundreds
+    of sub-MB blocks (e.g. 336 x 0.5 MB for a 6M-row parquet at sf1)
+    and the sort-based shuffle's per-block overhead then dominates:
+    measured 11.2 s -> 4.1 s for the same coarse-bucket pair dedup
+    after repartitioning to ~100k-row blocks — the repartition pass
+    included. Above ``max_small`` rows this is a NO-OP: large inputs
+    already carry target-size blocks and an extra all-to-all pass would
+    be pure waste at 100 TB; unknown sizes are left untouched too."""
+    if approx_rows is None or approx_rows > max_small:
+        return ds
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target = max(2 * ncpu, -(-int(approx_rows) // int(rows_per_block)))
+    return ds.repartition(target)
+
+
 def join_partitions(floor_: int = 8, cap: int = 4096) -> int:
     """Hash-join/shuffle partition count sized to the cluster.
 
@@ -188,6 +210,7 @@ def dedup_pairs(
         return ray.data.from_arrow(pa.table(out))
 
     nb = n_buckets if n_buckets is not None else n_coarse_buckets(approx_rows)
+    ds = right_size_blocks(ds, approx_rows)
 
     def bucketize(t: pa.Table) -> pa.Table:
         av = t[a].to_numpy(zero_copy_only=False)
