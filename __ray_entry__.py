@@ -179,6 +179,17 @@ def _q_scale_minmax(sf_dir: str):
     )
 
 
+def _q_top_orders_per_customer(sf_dir: str):
+    """ROW_NUMBER-over-PARTITION window shape
+    (relational.top_orders_per_customer): per-customer top-2 orders by
+    (price desc, orderkey asc); per-block top-k partials -> one coarse
+    customer-bucket shuffle -> identical kernel (top-k merges as a
+    semilattice). Prices pass through untouched — float-safe hash."""
+    from ugfraud_ray.pipelines.relational import top_orders_per_customer
+
+    return top_orders_per_customer(sf_dir)
+
+
 def _q_top_orders(sf_dir: str):
     """O1 descending score ranking: top-k with deterministic tie-break."""
     orders = ray.data.read_parquet(
@@ -544,6 +555,19 @@ def _q_embedding_covariance(sf_dir: str):
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     )
     return embedding_covariance(emb)
+
+
+def _q_embedding_pca(sf_dir: str):
+    """Top-2 PCA projection (similarity.pca_project): exact-integer
+    covariance -> one driver d x d eigh (sign-pinned) -> broadcast
+    matmul per batch. Rows-only (eigh is not SQL-expressible); variance
+    ordering + numpy-PCA reconstruction pytest-verified."""
+    from ugfraud_ray.pipelines.similarity import pca_project
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb)
 
 
 KCENTER_K = 4
@@ -2127,6 +2151,16 @@ def _docs(sf_dir: str):
     )
 
 
+def _q_doc_trigram_counts(sf_dir: str):
+    """Corpus trigram LM counts with n >= 2 (text_analysis.trigram_counts):
+    lexsort run partials, coarse-bucket merge; trigrams never cross a
+    doc boundary. SQL replays via positional zip-unnest of the token
+    array slices (end-empties filter out identically)."""
+    from ugfraud_ray.pipelines.text_analysis import trigram_counts
+
+    return trigram_counts(_docs(sf_dir))
+
+
 def _q_doc_incremental_dedup(sf_dir: str):
     """Continuous-crawl dedup (dedup.incremental_exact_dedup): even
     doc_ids = corpus snapshot, odd = new batch; new docs drop if their
@@ -2673,10 +2707,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_kcenter": _q_embedding_kcenter,
         "embedding_covariance": _q_embedding_covariance,
+        "embedding_pca": _q_embedding_pca,
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_trigram_counts": _q_doc_trigram_counts,
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
         "doc_bpe_token_count": _q_bpe_token_count,
@@ -2741,6 +2777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ground_truth": _q_user_ground_truth,
         "scale_minmax": _q_scale_minmax,
         "top_orders": _q_top_orders,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "prior_median": _q_prior_median,
         "graph_transitivity": _q_transitivity,
         "rich_club": _q_rich_club,
@@ -4178,6 +4215,17 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {TOPK_N}
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 2
         """,
         "prior_median": """
             SELECT o_totalprice AS median FROM (
@@ -5795,6 +5843,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN s ON s.r = CAST(floor((n.cnt - 1) * qs.q) AS BIGINT)
         """,
         # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
+        "doc_trigram_counts": r"""
+            WITH arr AS (
+                SELECT regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ),
+            tri AS (
+                SELECT unnest(a[1:len(a)-2]) AS w1,
+                       unnest(a[2:len(a)-1]) AS w2,
+                       unnest(a[3:len(a)]) AS w3
+                FROM arr WHERE len(a) >= 3
+            )
+            SELECT w1, w2, w3, COUNT(*) AS n
+            FROM tri
+            WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+            GROUP BY w1, w2, w3
+            HAVING COUNT(*) >= 2
+        """,
         "doc_incremental_dedup": """
             WITH n AS (
                 SELECT doc_id, md5(text) AS text_hash

@@ -182,3 +182,32 @@ def test_rarity_scores_local_distributed_and_mirror(ray_session):
     }
     got = {r.doc_id: (r.n_tokens, r.rarity) for r in local.itertuples(index=False)}
     assert got == want
+
+
+def test_trigram_counts_paths_and_mirror(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.text_analysis import trigram_counts
+
+    texts = [
+        "a b c a b c",        # (a,b,c)x2 (b,c,a) (c,a,b)
+        "  a b c  ",          # (a,b,c) -> total 3
+        "x y",                # too short
+        "a b c d",            # (a,b,c) -> total 4; (b,c,d)
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    key = ["w1", "w2", "w3"]
+    loc = trigram_counts(ds).to_pandas().sort_values(key).reset_index(drop=True)
+    dist = (
+        trigram_counts(ds, local_threshold=0)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+    got = {(r.w1, r.w2, r.w3): r.n for r in loc.itertuples(index=False)}
+    assert got == {("a", "b", "c"): 4}

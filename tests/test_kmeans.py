@@ -167,3 +167,41 @@ def test_embedding_covariance_matches_numpy(ray_session):
     for i, j, c in got.itertuples(index=False):
         assert abs(c - want[i, j]) < 2e-9, (i, j)
     assert len(got) == d * (d + 1) // 2
+
+
+def test_pca_project_matches_numpy(ray_session):
+    from ugfraud_ray.pipelines.similarity import pca_project
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 8
+    # anisotropic cloud: clear principal directions
+    basis = rng.normal(size=(d, d))
+    scales = np.array([4.0, 2.0] + [0.3] * (d - 2))
+    vecs = (rng.normal(size=(n, d)) * scales) @ basis.T * 0.1
+    vecs = np.clip(vecs, -7.9, 7.9)
+    t = pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)), "embedding": pa.array(vecs.tolist())}
+    )
+    got = (
+        pca_project(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    q = np.floor(vecs * 1000 + 0.5) / 1000
+    C = np.cov(q.T, bias=True)
+    # mirror the engine's covariance rounding
+    C = np.floor(C * 1e9 + 0.5) / 1e9
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(-w)[:2]
+    comps = v[:, order].T
+    for r in range(2):
+        m = np.argmax(np.abs(np.round(comps[r], 12)))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    want = q @ comps.T
+    np.testing.assert_allclose(got["pc0"].to_numpy(), np.round(want[:, 0], 9), atol=1e-8)
+    np.testing.assert_allclose(got["pc1"].to_numpy(), np.round(want[:, 1], 9), atol=1e-8)
+    # the top component must carry more variance than the second
+    assert got["pc0"].to_numpy().var() > got["pc1"].to_numpy().var()

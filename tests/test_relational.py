@@ -223,3 +223,45 @@ def test_svd_classifier_join_branch_parity(ray_session):
     )
     assert a["vid"].tolist() == b["vid"].tolist()
     assert a["prob"].tolist() == b["prob"].tolist()
+
+
+def test_top_orders_per_customer_paths_and_oracle(ray_session):
+    from ugfraud_ray.pipelines.relational import top_orders_per_customer
+
+    key = ["o_custkey", "rnk"]
+    loc = (
+        top_orders_per_customer(SF)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    dist = (
+        top_orders_per_customer(SF, local_threshold=0)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    want = (
+        con.execute(
+            """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rnk
+            FROM orders
+        ) WHERE rnk <= 2
+        """
+        )
+        .df()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert (loc["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
+    assert np.array_equal(loc["o_totalprice"].to_numpy(), want["o_totalprice"].to_numpy())

@@ -504,3 +504,72 @@ def top_unshipped_orders(
             "revenue": pa.array(np.array([float(x) / 1e4 for x in acc[order]])),
         }
     )
+
+
+def top_orders_per_customer(
+    sf_dir: str,
+    k: int = 2,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-customer top-k orders by (o_totalprice DESC, o_orderkey ASC)
+    with a dense rank — the relational window-function shape
+    (ROW_NUMBER OVER PARTITION BY). Output
+    (o_custkey, o_orderkey, o_totalprice, rnk); price passes through
+    untouched so the hash compare is float-safe.
+
+    Distributed shape: per-block top-k partials (lexsort runs bound the
+    rows leaving a block to k per customer) -> ONE coarse customer
+    bucket shuffle -> the identical kernel per bucket. Below the gate
+    the kernel runs once driver-local.
+    """
+    from ugfraud_ray.functions.bucketing import int_hash_bucket, n_coarse_buckets
+    from ugfraud_ray.functions.collect import collect_table
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    n = orders.count()
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((o, -p, c))
+        c, o, p = c[order], o[order], p[order]
+        if len(c):
+            new = np.concatenate([[True], c[1:] != c[:-1]])
+            run = np.cumsum(new) - 1
+            starts = np.flatnonzero(new)
+            pos = np.arange(len(c)) - starts[run]
+            keep = pos < k
+        else:
+            keep = np.zeros(0, dtype=bool)
+            pos = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(c[keep]),
+                "o_orderkey": pa.array(o[keep]),
+                "o_totalprice": pa.array(p[keep]),
+                "rnk": pa.array((pos[keep] + 1).astype(np.int64)),
+            }
+        )
+
+    if n <= local_threshold:
+        return ray.data.from_arrow(
+            topk_kernel(collect_table(orders))
+        )
+
+    nb = n_coarse_buckets(n)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_cb", pa.array(int_hash_bucket(c, nb)))
+
+    partial = orders.map_batches(topk_kernel, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return topk_kernel(g.drop_columns(["_cb", "rnk"]))
+
+    return (
+        partial.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1013,3 +1013,56 @@ def embedding_covariance(
             "cov": pa.array(out_c, pa.float64()),
         }
     )
+
+
+def pca_project(
+    emb: "ray.data.Dataset",
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+) -> "ray.data.Dataset":
+    """Project every embedding onto the top principal components of the
+    (1/grid-quantized) corpus: Dataset(id, pc0.., pc1..) — the
+    visualization / decorrelation / whitening head on top of
+    ``embedding_covariance``.
+
+    Determinism: the covariance matrix is exact-integer (see
+    embedding_covariance), the d x d eigendecomposition runs ONCE on the
+    driver (np.linalg.eigh on the same float64 matrix every run), and
+    each eigenvector's sign is pinned (largest-|component| entry made
+    positive, first index on ties). Projection is one broadcast matmul
+    per batch. No SQL oracle (eigh is not SQL-expressible) — rows-only
+    query; pytest checks variance ordering + reconstruction against a
+    direct numpy PCA.
+    """
+    cov_t = embedding_covariance(emb, vec_col=vec_col, grid=grid)
+    ii = cov_t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+    jj = cov_t["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cc = cov_t["cov"].to_numpy(zero_copy_only=False)
+    d = int(ii.max()) + 1
+    C = np.zeros((d, d), dtype=np.float64)
+    C[ii, jj] = cc
+    C[jj, ii] = cc
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(-w)[:n_components]
+    comps = v[:, order].T  # (n_components, d)
+    for r in range(len(comps)):
+        m = np.argmax(np.abs(np.round(comps[r], 12)))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    comps_ref = ray.put(np.ascontiguousarray(comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        P = ray.get(comps_ref)
+        x = _vecs_from_column(t[vec_col], t.num_rows)
+        q = np.floor(x * grid + 0.5) / grid
+        proj = q @ P.T
+        cols = {id_col: t[id_col]}
+        for r in range(proj.shape[1]):
+            cols[f"pc{r}"] = pa.array(np.round(proj[:, r], 9))
+        return pa.table(cols)
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow"
+    )

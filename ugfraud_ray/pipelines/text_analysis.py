@@ -1172,3 +1172,136 @@ def rarity_scores(
         .groupby(id_col)
         .aggregate(Sum("n_tokens", alias_name="n_tokens"), Sum("rarity", alias_name="rarity"))
     )
+
+
+def trigram_counts(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    min_count: int = 2,
+    approx_docs: int | None = None,
+    local_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Corpus trigram table (w1, w2, w3, n) with n >= min_count — the
+    n-gram LM / contamination-probe building block (CCNet-style corpus
+    statistics). Tokenizer = the shared lowercased RE2-\\s+ stream;
+    trigrams never cross a document boundary.
+
+    Per-block partials count trigram runs via ONE lexsort over the
+    three string arrays (no packed-key collisions); the merge is either
+    a driver reduce (corpus hint <= threshold) or a coarse-bucket
+    shuffle keyed on the hashed triple followed by the identical run
+    kernel + HAVING filter per bucket.
+    """
+    from ray.data.aggregate import Sum
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        if len(flat) < 3:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "w3": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ok = (rows[:-2] == rows[1:-1]) & (rows[1:-1] == rows[2:])
+        w1, w2, w3 = flat[:-2][ok], flat[1:-1][ok], flat[2:][ok]
+        order = np.lexsort((w3, w2, w1))
+        w1, w2, w3 = w1[order], w2[order], w3[order]
+        if len(w1):
+            change = (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1]) | (w3[1:] != w3[:-1])
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            cnt = np.diff(np.append(starts, len(w1))).astype(np.int64)
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+            cnt = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "w1": pa.array(w1[starts], pa.string()),
+                "w2": pa.array(w2[starts], pa.string()),
+                "w3": pa.array(w3[starts], pa.string()),
+                "n": pa.array(cnt),
+            }
+        )
+
+    partials = docs.select_columns([key]).map_batches(
+        tri_partial, batch_format="pyarrow"
+    )
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+
+    if n_docs <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(partials)
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
+        w2 = t["w2"].to_numpy(zero_copy_only=False)
+        w3 = t["w3"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w3, w2, w1))
+        w1, w2, w3, n = w1[order], w2[order], w3[order], n[order]
+        if len(w1):
+            change = (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1]) | (w3[1:] != w3[:-1])
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            tot = np.add.reduceat(n, starts)
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+            tot = np.zeros(0, dtype=np.int64)
+        keep = tot >= min_count
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array(w1[starts][keep], pa.string()),
+                    "w2": pa.array(w2[starts][keep], pa.string()),
+                    "w3": pa.array(w3[starts][keep], pa.string()),
+                    "n": pa.array(tot[keep]),
+                }
+            )
+        )
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nb = np.uint64(n_coarse_buckets(None))
+
+    def bucketize(df):
+        import pandas as pd
+
+        h = (
+            pd.util.hash_array(df["w1"].to_numpy(dtype=object))
+            * np.uint64(0x9E3779B97F4A7C15)
+            ^ pd.util.hash_array(df["w2"].to_numpy(dtype=object))
+            * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ pd.util.hash_array(df["w3"].to_numpy(dtype=object))
+        )
+        df["_cb"] = (h % nb).astype("int64")
+        return df
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        w1 = g["w1"].to_numpy(zero_copy_only=False)
+        w2 = g["w2"].to_numpy(zero_copy_only=False)
+        w3 = g["w3"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w3, w2, w1))
+        w1, w2, w3, n = w1[order], w2[order], w3[order], n[order]
+        if len(w1):
+            change = (w1[1:] != w1[:-1]) | (w2[1:] != w2[:-1]) | (w3[1:] != w3[:-1])
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            tot = np.add.reduceat(n, starts)
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+            tot = np.zeros(0, dtype=np.int64)
+        keep = tot >= min_count
+        return pa.table(
+            {
+                "w1": pa.array(w1[starts][keep], pa.string()),
+                "w2": pa.array(w2[starts][keep], pa.string()),
+                "w3": pa.array(w3[starts][keep], pa.string()),
+                "n": pa.array(tot[keep]),
+            }
+        )
+
+    return (
+        partials.map_batches(bucketize, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
