@@ -1,0 +1,79 @@
+"""Resumable partitioned-parquet sink: exactly-once per partition,
+skip-finished on resume, partial-dir cleanup."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ugfraud_ray.sinks.partitioned_parquet import (
+    read_partitioned,
+    write_partitioned,
+)
+
+
+def _ds():
+    n = 300
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(n, dtype=np.int64)),
+                "part": pa.array((np.arange(n) % 3).astype(np.int64)),
+                "v": pa.array(np.arange(n, dtype=np.int64) * 7),
+            }
+        )
+    ).repartition(4)
+
+
+def _files(out, part):
+    d = os.path.join(out, f"part={part}")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_write_resume_skips_finished_partitions(ray_session, tmp_path):
+    out = str(tmp_path / "sink")
+    r1 = write_partitioned(_ds(), out, "part")
+    assert r1 == {"written": [0, 1, 2], "skipped": []}
+    back = read_partitioned(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(back) == 300 and back["v"].sum() == (np.arange(300) * 7).sum()
+
+    before = {p: _files(out, p) for p in (0, 1, 2)}
+
+    # simulate a crash: partition 1 incomplete (dir partially written,
+    # manifest doesn't list it)
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    m["done"] = [0, 2]
+    json.dump(m, open(os.path.join(out, "_manifest.json"), "w"))
+    shutil.rmtree(os.path.join(out, "part=1"))
+    os.makedirs(os.path.join(out, "part=1"))
+    open(os.path.join(out, "part=1", "garbage.parquet"), "w").write("partial junk")
+
+    r2 = write_partitioned(_ds(), out, "part")
+    assert r2 == {"written": [1], "skipped": [0, 2]}
+    # finished partitions untouched, pending one rebuilt without the junk
+    assert _files(out, 0) == before[0]
+    assert _files(out, 2) == before[2]
+    assert "garbage.parquet" not in _files(out, 1)
+
+    back = read_partitioned(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(back) == 300
+    assert (back["v"].to_numpy() == back["id"].to_numpy() * 7).all()
+
+
+def test_write_no_resume_rewrites_everything(ray_session, tmp_path):
+    out = str(tmp_path / "sink2")
+    write_partitioned(_ds(), out, "part")
+    r = write_partitioned(_ds(), out, "part", resume=False)
+    assert r["written"] == [0, 1, 2]
+    assert read_partitioned(out).count() == 300
+
+
+def test_read_requires_manifest(ray_session, tmp_path):
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_partitioned(str(tmp_path / "nope"))

@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ugfraud_ray.functions.pools import actor_pool_size
+
 from ugfraud_ray.functions.collect import collect_table
 from ugfraud_ray.pipelines.dedup import _shingle_hashes
 
@@ -90,6 +92,6 @@ def contamination_check(
     return docs.map_batches(
         ContaminationScorer,
         fn_constructor_args=(bench_ref, key, id_col, ngram, pct),
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_size(concurrency),
         batch_format="pyarrow",
     )

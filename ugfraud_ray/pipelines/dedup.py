@@ -30,6 +30,8 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+from ugfraud_ray.functions.pools import actor_pool_size
 from ray.data.aggregate import Count, Min
 
 from ugfraud_ray.functions.collect import collect_table
@@ -209,7 +211,7 @@ def minhash_lsh_candidates(
         _MinHasher,
         fn_constructor_args=(num_perm, ngram, seed, id_col, key),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_size(concurrency),
     )
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -741,7 +743,9 @@ def embedding_cosine_dedup(
                 }
             )
 
-    bucketed = emb.map_batches(Bucketer, batch_format="pyarrow", concurrency=(1, 2))
+    bucketed = emb.map_batches(
+        Bucketer, batch_format="pyarrow", concurrency=actor_pool_size(2)
+    )
 
     def pairs_in_bucket(g) -> pa.Table:
         ids = g[id_col].to_numpy()
@@ -869,7 +873,7 @@ def minhash_agreement(
         _MinHasher,
         fn_constructor_args=(num_perm, ngram, seed, id_col, key),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=actor_pool_size(4),
     )
     pairs = minhash_lsh_candidates(
         docs, key, id_col, num_perm, bands, ngram, seed

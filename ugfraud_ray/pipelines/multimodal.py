@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ugfraud_ray.functions.pools import actor_pool_size
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -209,7 +211,7 @@ def media_features(
         fn_constructor_args=(decoder,),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_size(concurrency),
     )
 
 
@@ -222,7 +224,7 @@ def media_resize(
         fn_constructor_args=(target, decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_size(concurrency),
     )
 
 
@@ -235,7 +237,7 @@ def sample_frames(
         fn_constructor_args=(every_k, decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_size(concurrency),
     )
 
 

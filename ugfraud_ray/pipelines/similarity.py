@@ -23,6 +23,8 @@ import ray
 from ugfraud_ray.functions.collect import collect_table
 import ray.data
 
+from ugfraud_ray.functions.pools import actor_pool_size
+
 
 def _vecs_from_column(col: pa.ChunkedArray | pa.Array, n_rows: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -162,7 +164,7 @@ def ivf_topk(
         _IVFAssign,
         fn_constructor_args=(cent_ref, id_col, vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=actor_pool_size(2),
     ).materialize()
 
     # queries + their probe buckets

@@ -18,6 +18,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ugfraud_ray.functions.pools import actor_pool_size
+
 # character classes chosen to match the DuckDB/RE2 POSIX classes used by
 # the oracle SQL exactly (ASCII): see __ray_entry__.oracle_sql
 _DIGIT_RE = "[0-9]"
@@ -167,7 +169,7 @@ def language_id(
         LanguageID,
         fn_constructor_args=(key, id_col),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=actor_pool_size(concurrency),
     )
 
 
