@@ -72,6 +72,27 @@ def test_write_no_resume_rewrites_everything(ray_session, tmp_path):
     assert read_partitioned(out).count() == 300
 
 
+def test_string_partition_values(ray_session, tmp_path):
+    # string columns arrive as object-dtype numpy arrays (plain str
+    # elements, no .item()) — the job.py curate sink partitions on the
+    # string "split" column, so this path must round-trip
+    out = str(tmp_path / "sink3")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(np.arange(90, dtype=np.int64)),
+                "split": pa.array(["train", "valid", "test"] * 30),
+            }
+        )
+    ).repartition(3)
+    r1 = write_partitioned(ds, out, "split")
+    assert r1 == {"written": ["test", "train", "valid"], "skipped": []}
+    r2 = write_partitioned(ds, out, "split")
+    assert r2 == {"written": [], "skipped": ["test", "train", "valid"]}
+    back = read_partitioned(out).to_pandas()
+    assert len(back) == 90 and set(back["split"]) == {"train", "valid", "test"}
+
+
 def test_read_requires_manifest(ray_session, tmp_path):
     import pytest
 

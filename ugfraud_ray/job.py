@@ -85,10 +85,16 @@ def run(args: argparse.Namespace) -> dict:
         metrics["n_retained"] = out.count()
         os.makedirs(args.output, exist_ok=True)
         t0 = time.perf_counter()
-        out.write_parquet(
-            os.path.join(args.output, "curated"), partition_cols=["split"]
+        # resumable sink: a re-run after a crash writes ONLY the splits
+        # whose directories are not in the completion manifest
+        from ugfraud_ray.sinks.partitioned_parquet import write_partitioned
+
+        wres = write_partitioned(
+            out, os.path.join(args.output, "curated"), "split", resume=args.resume
         )
         metrics["write_s"] = round(time.perf_counter() - t0, 3)
+        metrics["splits_written"] = wres["written"]
+        metrics["splits_skipped"] = wres["skipped"]
         return metrics
 
     if args.synthesize:

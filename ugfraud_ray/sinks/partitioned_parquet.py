@@ -46,7 +46,10 @@ def _distinct_values(ds: "ray.data.Dataset", col: str) -> list:
     ]
     if not parts:
         return []
-    return [v.item() for v in np.unique(np.concatenate(parts))]
+    # string columns arrive as object-dtype arrays whose elements are
+    # plain Python str (no .item()); numeric ones as numpy scalars
+    return [v.item() if hasattr(v, "item") else v
+            for v in np.unique(np.concatenate(parts))]
 
 
 def _read_manifest(out_dir: str) -> set:
