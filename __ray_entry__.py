@@ -472,12 +472,104 @@ def _q_embedding_kmeans(sf_dir: str):
     return kmeans(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+SEMDEDUP_SIM2 = (4, 25)  # t^2 = 0.16 (t = 0.4): tuned to the synthetic
+# corpus' cosine scale (max pairwise cos ~0.51 at sf0.01) so the drop
+# path is exercised; production SemDeDup runs t ~ 0.9+ unchanged.
+
+
+def _q_embedding_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (similarity.semdedup, Abbas et al. 2023):
+    kmeans-cluster the embeddings, then inside each cluster drop every
+    vector with a cosine-similar lower-id neighbour. The cosine test is
+    division/sqrt-free (s > 0 and s^2*den >= num*|a|^2*|b|^2 over the
+    signed 1/grid quantization) so the SQL replay is bit-exact."""
+    from ugfraud_ray.pipelines.similarity import semdedup
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    num, den = SEMDEDUP_SIM2
+    return semdedup(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, sim2_num=num, sim2_den=den
+    )
+
+
+def _semdedup_sql(
+    k: int,
+    iters: int,
+    num: int,
+    den: int,
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+) -> str:
+    """semdedup oracle: the kmeans assignment chain, then within-cluster
+    pairwise HUGEINT dot products over the SIGNED 1/grid quantization
+    and the same division-free cosine predicate; kept = no close
+    lower-id neighbour in the same cluster."""
+    ctes, final = _kmeans_ctes(k, iters, grid, cgrid, shift)
+    ctes = list(ctes) + [
+        f"""qs AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {grid} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings
+        )""",
+        """nrm AS (
+            SELECT vec_id, SUM(CAST(q AS HUGEINT) * q) AS n2
+            FROM qs GROUP BY vec_id
+        )""",
+        f"""dots AS (
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   SUM(CAST(qa.q AS HUGEINT) * qb.q) AS s
+            FROM a{final} a
+            JOIN a{final} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN qs qa ON qa.vec_id = a.vec_id
+            JOIN qs qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+            GROUP BY a.vec_id, b.vec_id
+        )""",
+        f"""drops AS (
+            SELECT DISTINCT d.j AS vec_id
+            FROM dots d
+            JOIN nrm ni ON ni.vec_id = d.i
+            JOIN nrm nj ON nj.vec_id = d.j
+            WHERE d.s > 0 AND d.s * d.s * {den} >= {num} * ni.n2 * nj.n2
+        )""",
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+               CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM a{final} a LEFT JOIN drops dr ON dr.vec_id = a.vec_id"""
+    )
+
+
 def _kmeans_sql(k: int, iters: int, grid: int = 1000, cgrid: int = 1000, shift: int = 8) -> str:
     """Unrolled CTE replay of similarity.kmeans: c0 = seed vectors on
     the centroid grid; each round assigns by exact integer distance
     (ties to the lowest cluster) and re-centers via the same
     half-up non-negative integer division; empty clusters COALESCE to
     the previous round's centroid."""
+    ctes, final = _kmeans_ctes(k, iters, grid, cgrid, shift)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               CAST(d2 AS BIGINT) AS d2
+        FROM a{final}"""
+    )
+
+
+def _kmeans_ctes(
+    k: int, iters: int, grid: int = 1000, cgrid: int = 1000, shift: int = 8
+) -> tuple[list, int]:
+    """The kmeans CTE chain (shared with the semdedup oracle); returns
+    (ctes, final) where a{final} is the final (vec_id, cluster, d2)
+    assignment relation."""
     ctes = [
         f"""q AS (
             SELECT vec_id,
@@ -533,15 +625,7 @@ def _kmeans_sql(k: int, iters: int, grid: int = 1000, cgrid: int = 1000, shift: 
                 ON m.cluster = p.cluster AND m.dim = p.dim
         )"""
             )
-    final = iters + 1
-    return (
-        "WITH "
-        + ",\n        ".join(ctes)
-        + f"""
-        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
-               CAST(d2 AS BIGINT) AS d2
-        FROM a{final}"""
-    )
+    return ctes, iters + 1
 
 
 def _q_embedding_covariance(sf_dir: str):
@@ -2705,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "embedding_label_affinity": _q_embedding_label_affinity,
         "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_semdedup": _q_embedding_semdedup,
         "embedding_kcenter": _q_embedding_kcenter,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_pca": _q_embedding_pca,
@@ -4473,6 +4558,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm nb ON nb.label = pr.label_b
         """,
         "embedding_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "embedding_semdedup": _semdedup_sql(
+            KMEANS_K, KMEANS_ITERS, *SEMDEDUP_SIM2
+        ),
         "embedding_kcenter": _kcenter_sql(KCENTER_K),
         "embedding_covariance": """
             WITH q AS (

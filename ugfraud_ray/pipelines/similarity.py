@@ -784,16 +784,53 @@ def kmeans(
     training-data-curation operator (corpus bucketing / diversity
     sampling) built on the label_centroids exact-sum pattern.
     """
+    src = emb.select_columns([id_col, vec_col])
+    C = _kmeans_fit(emb, k, iters, id_col, vec_col, grid, cgrid, shift)
+    cref = ray.put(C)
+
+    def final(t: pa.Table, _cref=cref) -> pa.Table:
+        Cm = ray.get(_cref)
+        q = _quantize_block(t, vec_col, grid, shift)
+        D = _dist2(q, Cm, cgrid)
+        assign = np.argmin(D, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(assign.astype(np.int64)),
+                "d2": pa.array(D[np.arange(len(q)), assign]),
+            }
+        )
+
+    return src.map_batches(final, batch_format="pyarrow")
+
+
+def _dist2(q: np.ndarray, C: np.ndarray, cgrid: int) -> np.ndarray:
+    qq = (q * q).sum(axis=1) * (cgrid * cgrid)
+    cross = (q @ C.T) * cgrid
+    cc = (C * C).sum(axis=1)
+    return qq[:, None] - 2 * cross + cc[None, :]
+
+
+def _kmeans_fit(
+    emb: "ray.data.Dataset",
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    grid: int,
+    cgrid: int,
+    shift: int,
+) -> np.ndarray:
+    """The Lloyd fit loop of :func:`kmeans`, returning the final integer
+    centroid matrix (k x dim, 1/(grid*cgrid) units) so other operators
+    (``semdedup``) can assign clusters without re-deriving the chain."""
     from ray.data.aggregate import Sum
 
     C = _kmeans_seeds(emb, k, id_col, vec_col, grid, shift) * cgrid
     src = emb.select_columns([id_col, vec_col])
 
     def dist2(q: np.ndarray, C: np.ndarray) -> np.ndarray:
-        qq = (q * q).sum(axis=1) * (cgrid * cgrid)
-        cross = (q @ C.T) * cgrid
-        cc = (C * C).sum(axis=1)
-        return qq[:, None] - 2 * cross + cc[None, :]
+        return _dist2(q, C, cgrid)
 
     for _ in range(iters):
         cref = ray.put(C)
@@ -831,22 +868,101 @@ def kmeans(
             newC[c_, d_] = (int(qs_) * 2 * cgrid + int(n_)) // (2 * int(n_))
         C = newC
 
+    return C
+
+
+def semdedup(
+    emb: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+    sim2_num: int = 81,
+    sim2_den: int = 100,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster drop every vector that has a cosine-similar neighbour with a
+    smaller id (keep-lowest-id greedy). Returns
+    Dataset(id_col, cluster, kept) with kept in {0, 1}.
+
+    Exactness: the cluster assignment is :func:`kmeans`'s integer chain;
+    the cosine test is evaluated WITHOUT division or sqrt —
+    ``cos(a, b) >= t``  (t^2 = sim2_num/sim2_den, default 0.9^2) iff
+    ``s > 0 and s*s*sim2_den >= sim2_num * |a|^2 * |b|^2`` over the
+    signed 1/grid quantization s = qa.qb, so both sides replay
+    bit-exactly (SQL mirrors the same predicate on HUGEINTs). Zero
+    vectors (s = 0) never drop and are never dropped.
+
+    Scale shape: one k-means fit (iters+1 streaming passes), one
+    assignment pass with the (k x dim) centroid matrix as the only
+    broadcast, then ONE groupby(cluster) whose kernel is an
+    O(|cluster|^2 dim) int64 matmul — the SemDeDup contract is that k
+    is chosen so clusters stay small (paper: ~50k clusters for 600M
+    docs); the all-pairs work never crosses clusters. int64 overflow is
+    guarded: a cluster whose bound exceeds 2^62 falls back to exact
+    Python-int (object dtype) arithmetic.
+
+    Reference analog: none (UGFraud has no embedding ops); this is the
+    training-data-curation operator next to exact/minhash dedup.
+    """
+    src = emb.select_columns([id_col, vec_col])
+    C = _kmeans_fit(emb, k, iters, id_col, vec_col, grid, cgrid, shift)
     cref = ray.put(C)
 
-    def final(t: pa.Table, _cref=cref) -> pa.Table:
+    def assign(t: pa.Table, _cref=cref) -> pa.Table:
         Cm = ray.get(_cref)
         q = _quantize_block(t, vec_col, grid, shift)
-        D = dist2(q, Cm)
-        assign = np.argmin(D, axis=1)
+        a = np.argmin(_dist2(q, Cm, cgrid), axis=1)
         return pa.table(
             {
                 id_col: t[id_col],
-                "cluster": pa.array(assign.astype(np.int64)),
-                "d2": pa.array(D[np.arange(len(q)), assign]),
+                "cluster": pa.array(a.astype(np.int64)),
+                # signed 1/grid quantization (same rounding, shift removed)
+                "q": pa.array((q - shift * grid).tolist()),
             }
         )
 
-    return src.map_batches(final, batch_format="pyarrow")
+    assigned = src.map_batches(assign, batch_format="pyarrow")
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.array(g["q"].to_pylist(), dtype=np.int64)[order]
+        n = len(ids)
+        if n == 1:
+            kept = np.ones(1, dtype=np.int64)
+        else:
+            qmax = int(np.abs(q).max(initial=0))
+            dim = q.shape[1]
+            s_bound = dim * qmax * qmax
+            # every product below must stay < 2^62; else exact Python ints
+            if max(s_bound * s_bound * sim2_den, sim2_num * s_bound * s_bound) < 2**62:
+                S = q @ q.T
+                n2 = (q * q).sum(axis=1)
+                close = (S > 0) & (
+                    S.astype(np.int64) ** 2 * sim2_den >= sim2_num * np.outer(n2, n2)
+                )
+            else:  # pragma: no cover - exercised by the overflow pytest
+                qo = q.astype(object)
+                S = qo @ qo.T
+                n2 = (qo * qo).sum(axis=1)
+                close = (S > 0) & (S * S * sim2_den >= sim2_num * np.outer(n2, n2))
+            # drop j iff some i with a smaller id is close (strict lower tri)
+            kept = (~np.tril(close, k=-1).any(axis=1)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": g["cluster"].take(pa.array(order)),
+                "kept": pa.array(kept),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(prune, batch_format="pyarrow")
 
 
 def kcenter_sample(
