@@ -2387,6 +2387,63 @@ def _q_lang_id(sf_dir: str):
     return language_id(_docs(sf_dir))
 
 
+DOMAIN_CAP_K = 5
+
+
+def _q_doc_domain_cap(sf_dir: str):
+    """Per-source quality cap (curation.domain_cap): keep the top-k docs
+    of every source by (quality DESC, doc_id ASC) — the RefinedWeb-style
+    per-domain curation rule. The selection key is the quality ratio
+    rewritten as ONE exact rational over the integer char/space/punct
+    counts, landed on the 1e-6 grid with a half-up non-negative integer
+    division, so rank order and the output float replay bit-exactly."""
+    from ugfraud_ray.pipelines.curation import domain_cap
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return domain_cap(docs, k=DOMAIN_CAP_K)
+
+
+# quality selection key as one exact rational (see curation._quality_selkey);
+# the regex classes are the doc_quality_score ones. %K% is interpolated by
+# _domain_cap_sql (plain replace — the punct class contains literal braces).
+_DOMAIN_CAP_SQL_TMPL = r"""
+    WITH c AS (
+        SELECT doc_id, source,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(length(regexp_extract_all(text, '[\t\n\x0b\x0c\r ]')) AS BIGINT) AS nsp,
+               CAST(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS BIGINT) AS npu
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source,
+               LEAST(nc, 500) * 51 * GREATEST(nc, 1)
+                 + (17 * GREATEST(nc, 1)
+                    - LEAST(ABS(100 * nsp - 17 * GREATEST(nc, 1)),
+                            17 * GREATEST(nc, 1))) * 1500
+                 + (GREATEST(nc, 1) - LEAST(5 * npu, GREATEST(nc, 1))) * 25500
+                 AS n,
+               25500 * GREATEST(nc, 1) AS d
+        FROM c
+    ), r AS (
+        SELECT doc_id, source, (n * 2000000 + d) // (2 * d) AS qsel,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (n * 2000000 + d) // (2 * d) DESC, doc_id
+               ) AS rnk
+        FROM q
+    )
+    SELECT doc_id, source, CAST(qsel AS DOUBLE) / 1000000.0 AS quality,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= %K%
+"""
+
+
+def _domain_cap_sql(k: int) -> str:
+    return _DOMAIN_CAP_SQL_TMPL.replace("%K%", str(k))
+
+
 def _q_quality_score(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import quality_score
 
@@ -2795,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
+        "doc_domain_cap": _q_doc_domain_cap,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_trigram_counts": _q_doc_trigram_counts,
@@ -4561,6 +4619,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_semdedup": _semdedup_sql(
             KMEANS_K, KMEANS_ITERS, *SEMDEDUP_SIM2
         ),
+        "doc_domain_cap": _domain_cap_sql(DOMAIN_CAP_K),
         "embedding_kcenter": _kcenter_sql(KCENTER_K),
         "embedding_covariance": """
             WITH q AS (

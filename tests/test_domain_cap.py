@@ -1,0 +1,72 @@
+"""Per-source quality cap (curation.domain_cap) vs a pandas window
+mirror, on both the driver-local and the forced bucket-shuffle path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ugfraud_ray.pipelines.curation import _quality_selkey, domain_cap
+
+
+def _naive(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    q = _quality_selkey(pa.table({"text": pa.array(df["text"])}))
+    d = df.assign(qsel=q).sort_values(["source", "qsel", "doc_id"],
+                                      ascending=[True, False, True])
+    d["rnk"] = d.groupby("source").cumcount() + 1
+    d = d[d["rnk"] <= k]
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].to_numpy(),
+            "source": d["source"].to_numpy(),
+            "quality": d["qsel"].to_numpy() / 1_000_000.0,
+            "rnk": d["rnk"].to_numpy().astype(np.int64),
+        }
+    ).sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
+def _mkdocs(n=120, seed=5):
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(
+            "".join(rng.choice(list("abcde.,!? ")) for _ in range(rng.integers(1, 9)))
+            for _ in range(rng.integers(1, 40))
+        )
+        for _ in range(n)
+    ]
+    if n > 12:
+        # duplicated texts force qsel ties -> the doc_id tiebreak matters
+        texts[10] = texts[11] = texts[12]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) * 3 + 1,
+            "source": [f"d{i % 7}.example" for i in range(n)],
+            "text": texts,
+        }
+    )
+
+
+def _run(df, k, **kw):
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = domain_cap(ds, k=k, **kw).to_pandas()
+    return out.sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
+def test_domain_cap_local_matches_window_mirror(ray_session):
+    df = _mkdocs()
+    got = _run(df, k=4)
+    pd.testing.assert_frame_equal(got, _naive(df, 4))
+    assert got.groupby("source").size().max() <= 4
+
+
+def test_domain_cap_forced_bucket_path_parity(ray_session):
+    df = _mkdocs(n=150, seed=9)
+    got = _run(df, k=3, local_threshold=0)
+    pd.testing.assert_frame_equal(got, _naive(df, 3))
+
+
+def test_domain_cap_small_sources_keep_everything(ray_session):
+    df = _mkdocs(n=10, seed=2)  # 7 sources, each has <= 2 docs < k
+    got = _run(df, k=5)
+    assert len(got) == 10 and (got["rnk"] <= 2).all()

@@ -192,3 +192,126 @@ def mixture_report(
     return attached.groupby(["split", "lang", "source"]).aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
     )
+
+
+def _quality_selkey(t: pa.Table, key: str = "text") -> np.ndarray:
+    """Integer quality selection key: the quality_score ratio rewritten
+    as one exact rational N/D over the integer char/space/punct counts
+    (common denominator D = 3*500*17*nz = 25500*nz), landed on the 1e-6
+    grid with a half-up non-negative integer division — no float
+    arithmetic anywhere, so rank order replays bit-exactly in SQL.
+
+      len   = min(nc,500)/500
+      space = (17*nz - min(|100*nsp - 17*nz|, 17*nz)) / (17*nz)
+      punct = (nz - min(5*npu, nz)) / nz           nz = max(nc, 1)
+      qsel  = (N*2e6 + D) // (2*D),  N/D = (len+space+punct)/3
+
+    int64 bound: N <= 76500*nz and N*2e6 < 2^63 for nz < 6e7 chars
+    (guarded)."""
+    from ugfraud_ray.pipelines.text_analysis import _PUNCT_RE, _SPACE_RE
+
+    nc = pc.cast(pc.utf8_length(t[key]), pa.int64()).to_numpy(zero_copy_only=False)
+    nsp = pc.count_substring_regex(t[key], _SPACE_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+    npu = pc.count_substring_regex(t[key], _PUNCT_RE).to_numpy(zero_copy_only=False).astype(np.int64)
+    nz = np.maximum(nc, 1)
+    if nz.max(initial=0) >= 60_000_000:  # pragma: no cover
+        raise ValueError("domain_cap: document too large for the int64 key grid")
+    m_s = np.minimum(np.abs(100 * nsp - 17 * nz), 17 * nz)
+    m_p = np.minimum(5 * npu, nz)
+    n = (
+        np.minimum(nc, 500) * 51 * nz
+        + (17 * nz - m_s) * 1500
+        + (nz - m_p) * 25500
+    )
+    d = 25500 * nz
+    return (n * 2_000_000 + d) // (2 * d)
+
+
+def domain_cap(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-source document cap — keep the top ``k`` docs of every source
+    by (quality DESC, doc_id ASC) with a dense rank. The RefinedWeb-style
+    curation rule that stops any single domain from dominating the
+    corpus. Output (doc_id, source, quality, rnk); quality = qsel/1e6
+    (exact-integer key, see :func:`_quality_selkey`, so the float is the
+    same bits both sides).
+
+    Distributed shape (the top_orders_per_customer semilattice): one
+    scoring pass, per-block top-k partials (<= k rows per source leave a
+    block) -> ONE coarse source-hash bucket shuffle -> identical kernel
+    per bucket. Below the gate the kernel runs once driver-local.
+    Reference analog: none (UGFraud has no corpus ops); public pattern:
+    RefinedWeb / CCNet per-domain caps.
+    """
+    import pandas as pd
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    src = docs.select_columns([id_col, source_col, "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                source_col: t[source_col],
+                "qsel": pa.array(_quality_selkey(t)),
+            }
+        )
+
+    def topk_kernel(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = t[source_col].to_numpy(zero_copy_only=False)
+        q = t["qsel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, code = np.unique(srcs, return_inverse=True)
+        order = np.lexsort((ids, -q, code))
+        code, ids, q = code[order], ids[order], q[order]
+        if len(ids):
+            new = np.concatenate([[True], code[1:] != code[:-1]])
+            starts = np.flatnonzero(new)
+            run = np.cumsum(new) - 1
+            pos = np.arange(len(ids)) - starts[run]
+            keep = pos < k
+        else:
+            keep = np.zeros(0, dtype=bool)
+            pos = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                source_col: pa.array(uniq[code[keep]], pa.string()),
+                "quality": pa.array(q[keep] / 1_000_000.0),
+                "rnk": pa.array((pos[keep] + 1).astype(np.int64)),
+                "qsel": pa.array(q[keep]),
+            }
+        )
+
+    scored = src.map_batches(score, batch_format="pyarrow")
+    n = docs.count()
+    if n <= local_threshold:
+        out = topk_kernel(collect_table(scored))
+        return ray.data.from_arrow(out.drop_columns(["qsel"]))
+
+    nb = n_coarse_buckets(n)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t[source_col].to_numpy(zero_copy_only=False).astype(object)
+        )
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return topk_kernel(g.drop_columns(["_cb", "rnk", "quality"]))
+
+    return (
+        scored.map_batches(topk_kernel, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.drop_columns(["qsel"]), batch_format="pyarrow"
+        )
+    )
