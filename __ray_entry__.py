@@ -2387,6 +2387,34 @@ def _q_lang_id(sf_dir: str):
     return language_id(_docs(sf_dir))
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 120, 90
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Overlapping fixed-window chunking (text_analysis.chunk_documents):
+    codepoint windows of CHUNK_SIZE at CHUNK_STRIDE multiples, computed
+    loop-free on the Arrow string buffers (non-continuation-byte
+    codepoint table + one large_string gather). SQL replays with
+    generate_series + substr (both sides are codepoint-indexed)."""
+    from ugfraud_ray.pipelines.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+def _chunks_sql(size: int, stride: int) -> str:
+    return f"""
+        WITH n AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        g AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, CAST((n - 1) // {stride} AS BIGINT))) AS i
+            FROM n WHERE n > 0
+        )
+        SELECT doc_id, i AS chunk_id, i * {stride} AS start,
+               substr(text, CAST(i * {stride} + 1 AS BIGINT), {size}) AS chunk
+        FROM g
+    """
+
+
 DOMAIN_CAP_K = 5
 
 
@@ -2853,6 +2881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
         "doc_domain_cap": _q_doc_domain_cap,
+        "doc_chunks": _q_doc_chunks,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_trigram_counts": _q_doc_trigram_counts,
@@ -4620,6 +4649,7 @@ def oracle_sql() -> dict[str, str]:
             KMEANS_K, KMEANS_ITERS, *SEMDEDUP_SIM2
         ),
         "doc_domain_cap": _domain_cap_sql(DOMAIN_CAP_K),
+        "doc_chunks": _chunks_sql(CHUNK_SIZE, CHUNK_STRIDE),
         "embedding_kcenter": _kcenter_sql(KCENTER_K),
         "embedding_covariance": """
             WITH q AS (

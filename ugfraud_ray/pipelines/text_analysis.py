@@ -1307,3 +1307,77 @@ def trigram_counts(
         .groupby("_cb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def chunk_documents(
+    docs: "ray.data.Dataset",
+    size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    key: str = "text",
+) -> "ray.data.Dataset":
+    """Overlapping fixed-window chunking — split every document into
+    character windows of ``size`` starting at multiples of ``stride``
+    (stride < size overlaps; the RAG / context-window prep op). Output
+    (doc_id, chunk_id, start, chunk); empty documents emit no chunks,
+    the last chunk may be short. Offsets are CODEPOINTS (python slicing
+    == SQL substr semantics), not bytes.
+
+    Zero Python loops: the kernel works on the Arrow string buffers
+    directly — codepoint starts are the non-continuation bytes
+    ((b & 0xC0) != 0x80), chunk byte ranges come from one searchsorted
+    over them, and the output column is rebuilt as ONE large_string
+    gather (index-repeat + cumsum offsets) from the same data buffer.
+    Per-batch cost is O(bytes + chunks); nothing leaves the task but
+    the chunk rows. Reference analog: none (UGFraud is graph-only);
+    public pattern: fixed-window document chunking for retrieval.
+    """
+    if not (0 < stride and 0 < size):
+        raise ValueError("size and stride must be positive")
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = pc.cast(t[key], pa.large_utf8()).combine_chunks()
+        if col.null_count:
+            raise ValueError("chunk_documents: null text")
+        n_rows = len(col)
+        off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + n_rows + 1
+        ]
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        # byte position of every codepoint start, plus the end sentinel
+        cp_byte = np.flatnonzero((data & 0xC0) != 0x80)
+        cp_byte = np.append(cp_byte, len(data))
+        # codepoint index of each row boundary -> per-row char counts
+        row_cp = np.searchsorted(cp_byte, off)
+        n_chars = np.diff(row_cp)
+        n_chunks = np.where(n_chars > 0, (n_chars - 1) // stride + 1, 0)
+        total = int(n_chunks.sum())
+        row = np.repeat(np.arange(n_rows), n_chunks)
+        starts_of = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_id = np.arange(total) - starts_of[row]
+        start = chunk_id * stride
+        end = np.minimum(start + size, n_chars[row])
+        # char -> byte via the codepoint table (global char index)
+        a = cp_byte[row_cp[row] + start]
+        b = cp_byte[row_cp[row] + end]
+        lens = b - a
+        out_off = np.concatenate([[0], np.cumsum(lens)])
+        idx = np.repeat(a - out_off[:-1], lens) + np.arange(int(out_off[-1]))
+        chunks = pa.LargeStringArray.from_buffers(
+            total,
+            pa.py_buffer(out_off.astype(np.int64).tobytes()),
+            pa.py_buffer(data[idx].tobytes()),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[row]),
+                "chunk_id": pa.array(chunk_id.astype(np.int64)),
+                "start": pa.array(start.astype(np.int64)),
+                "chunk": chunks,
+            }
+        )
+
+    return docs.select_columns([id_col, key]).map_batches(
+        f, batch_format="pyarrow"
+    )
