@@ -2387,6 +2387,38 @@ def _q_lang_id(sf_dir: str):
     return language_id(_docs(sf_dir))
 
 
+SHUFFLE_N_SHARDS, SHUFFLE_SEED = 8, 42
+
+
+def _q_doc_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle for training order
+    (splits.shuffle_shards): rank by (md5-low64(f"{seed}-{id}"), id)
+    via the order-preserving hash-RANGE bucket two-level scan (no
+    global sort), emit (doc_id, shard, pos) with shard = pos % n."""
+    from ugfraud_ray.pipelines.splits import shuffle_shards
+
+    return shuffle_shards(
+        _docs(sf_dir), n_shards=SHUFFLE_N_SHARDS, seed=SHUFFLE_SEED
+    )
+
+
+def _shuffle_shards_sql(n_shards: int, seed: int) -> str:
+    return f"""
+        WITH r AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5_number_upper(
+                           CAST({seed} AS VARCHAR) || '-' || CAST(doc_id AS VARCHAR)
+                       ), doc_id
+                   ) - 1 AS pos
+            FROM documents
+        )
+        SELECT doc_id, CAST(pos % {n_shards} AS BIGINT) AS shard,
+               CAST(pos AS BIGINT) AS pos
+        FROM r
+    """
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 120, 90
 
 
@@ -2882,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_score": _q_quality_score,
         "doc_domain_cap": _q_doc_domain_cap,
         "doc_chunks": _q_doc_chunks,
+        "doc_shuffle_shards": _q_doc_shuffle_shards,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_trigram_counts": _q_doc_trigram_counts,
@@ -4650,6 +4683,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_domain_cap": _domain_cap_sql(DOMAIN_CAP_K),
         "doc_chunks": _chunks_sql(CHUNK_SIZE, CHUNK_STRIDE),
+        "doc_shuffle_shards": _shuffle_shards_sql(SHUFFLE_N_SHARDS, SHUFFLE_SEED),
         "embedding_kcenter": _kcenter_sql(KCENTER_K),
         "embedding_covariance": """
             WITH q AS (

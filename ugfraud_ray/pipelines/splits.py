@@ -274,3 +274,104 @@ def token_budget_sample(
         )
 
     return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def shuffle_shards(
+    ds: "ray.data.Dataset",
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Deterministic global shuffle for training order: rank every row
+    by (md5-low64(f"{seed}-{id}"), id) and emit (id, shard, pos) with
+    shard = pos % n_shards — the reproducible interleaved shard
+    assignment a trainer reads back in pos order. Changing ``seed``
+    reshuffles; same seed + same ids => identical order on any cluster.
+
+    Distributed shape (the token_budget_sample two-level ordered scan,
+    NO global sort): rows land in RANGE buckets of the hash key (bucket
+    = high bits, so bucket order == hash order), each bucket ranks
+    locally, the driver prefix-sums <= n_buckets counts into offsets,
+    and a second streaming pass emits pos = offset + local rank. SQL
+    replay: ROW_NUMBER() OVER (ORDER BY md5_number_upper(...), id) - 1.
+    """
+    import ray
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.functions.collect import collect_table
+
+    nb = n_buckets or n_coarse_buckets()
+    shift = np.uint64(64 - int(nb - 1).bit_length() if nb > 1 else 64)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = _md5_low64([f"{seed}-{i}" for i in ids])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "_h": pa.array(h),
+                "_rb": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    def local_rank(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rb = int(g["_rb"][0].as_py())
+        order = np.lexsort((ids, h))
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "_rb": pa.array(np.full(len(ids), rb, dtype=np.int64)),
+                "_local": pa.array(inv),
+            }
+        )
+
+    ranked = (
+        ds.select_columns([id_col])
+        .map_batches(key_rows, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(local_rank, batch_format="pyarrow")
+        .materialize()  # id-only; read twice (counts, then finish)
+    )
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        rb, cnt = np.unique(
+            t["_rb"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"_rb": pa.array(rb), "_n": pa.array(cnt.astype(np.int64))}
+        )
+
+    ct = collect_table(ranked.map_batches(bucket_counts, batch_format="pyarrow"))
+    totals: dict = {}
+    for r, c in zip(ct["_rb"].to_pylist(), ct["_n"].to_pylist()):
+        totals[r] = totals.get(r, 0) + c
+    offsets: dict = {}
+    run = 0
+    for r in sorted(totals):
+        offsets[r] = run
+        run += totals[r]
+    keys = np.array(sorted(offsets), dtype=np.int64)
+    vals = np.array([offsets[k] for k in keys.tolist()], dtype=np.int64)
+    off_ref = ray.put((keys, vals))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(off_ref)
+        rb = t["_rb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = vals[np.searchsorted(keys, rb)] + t["_local"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "shard": pa.array(pos % n_shards),
+                "pos": pa.array(pos),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
