@@ -2570,6 +2570,34 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir))
 
 
+def _q_doc_duplicate_spans(sf_dir: str):
+    """Per-doc duplicated-substring fraction (text_analysis.
+    duplicate_spans, the Lee et al. 2022 dedup measurement on the
+    winnowing fingerprint grid): n_shared of n_fp fingerprints occur in
+    another doc; dup_frac is one exact-int float division. The oracle
+    nests the bit-exact doc_fingerprints chain and counts df >= 2."""
+    from ugfraud_ray.pipelines.text_analysis import duplicate_spans
+
+    return duplicate_spans(_docs(sf_dir))
+
+
+def _duplicate_spans_sql() -> str:
+    return f"""
+        WITH fps AS ({_fingerprints_sql()}),
+        df AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp),
+        agg AS (
+            SELECT f.doc_id, COUNT(*) AS n_fp,
+                   SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+            FROM fps f JOIN df d ON d.fp = f.fp
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, CAST(n_fp AS BIGINT) AS n_fp,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(n_shared AS DOUBLE) / n_fp AS dup_frac
+        FROM agg
+    """
+
+
 def _q_ann_ivf(sf_dir: str):
     from ugfraud_ray.pipelines.similarity import ivf_topk
 
@@ -2915,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_cap": _q_doc_domain_cap,
         "doc_chunks": _q_doc_chunks,
         "doc_shuffle_shards": _q_doc_shuffle_shards,
+        "doc_duplicate_spans": _q_doc_duplicate_spans,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_trigram_counts": _q_doc_trigram_counts,
@@ -4684,6 +4713,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_domain_cap": _domain_cap_sql(DOMAIN_CAP_K),
         "doc_chunks": _chunks_sql(CHUNK_SIZE, CHUNK_STRIDE),
         "doc_shuffle_shards": _shuffle_shards_sql(SHUFFLE_N_SHARDS, SHUFFLE_SEED),
+        "doc_duplicate_spans": _duplicate_spans_sql(),
         "embedding_kcenter": _kcenter_sql(KCENTER_K),
         "embedding_covariance": """
             WITH q AS (

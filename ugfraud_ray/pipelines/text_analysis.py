@@ -1381,3 +1381,131 @@ def chunk_documents(
     return docs.select_columns([id_col, key]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def duplicate_spans(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 8,
+    approx_docs: int | None = None,
+    local_vocab_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Per-document duplicated-substring signal (the Lee et al. 2022
+    "Deduplicating Training Data" measurement, on the winnowing grid):
+    of each doc's :func:`fingerprints`, how many also occur in ANOTHER
+    document. Output (doc_id, n_fp, n_shared, dup_frac) — ints plus ONE
+    float division of two exact ints (identical bits both sides).
+
+    Shape (the rarity_scores gate): fingerprint once (materialized —
+    id+fp ints only, never text), per-block uniqued (fp, df) partials,
+    then either a driver-merged fp->df broadcast probe (corpus hint
+    below the threshold) or a distributed groupby-sum + hash join above
+    it; either way ONE doc-keyed groupby-sum finishes. A fingerprint is
+    emitted once per doc, so df(fp) = COUNT(*) = distinct docs.
+    """
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    fp = (
+        fingerprints(docs, key=key, id_col=id_col, k=k, window=window)
+        .materialize()
+    )
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(
+            t["fp"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"fp": pa.array(uniq), "df": pa.array(counts.astype(np.int64))}
+        )
+
+    partials = fp.map_batches(df_partial, batch_format="pyarrow")
+
+    if n_docs <= local_vocab_threshold:
+        pt = collect_table(partials)
+        vals_, inv = np.unique(
+            pt["fp"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        tot = np.zeros(len(vals_), dtype=np.int64)
+        np.add.at(tot, inv, pt["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+        ref = ray.put((vals_, tot))
+
+        def probe(t: pa.Table) -> pa.Table:
+            vals, tot = ray.get(ref)
+            fpv = t["fp"].to_numpy(zero_copy_only=False)
+            shared = (tot[np.searchsorted(vals, fpv)] >= 2).astype(np.int64)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            uid, inv = np.unique(ids, return_inverse=True)
+            nf = np.bincount(inv).astype(np.int64)
+            ns = np.zeros(len(uid), dtype=np.int64)
+            np.add.at(ns, inv, shared)
+            return pa.table(
+                {
+                    id_col: pa.array(uid),
+                    "n_fp": pa.array(nf),
+                    "n_shared": pa.array(ns),
+                }
+            )
+
+        summed = (
+            fp.map_batches(probe, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(
+                Sum("n_fp", alias_name="n_fp"),
+                Sum("n_shared", alias_name="n_shared"),
+            )
+        )
+    else:
+        from ugfraud_ray.stages.graph_build import join_partitions
+
+        df_tab = partials.groupby("fp").aggregate(Sum("df", alias_name="df"))
+        joined = fp.join(
+            df_tab,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("fp",),
+        )
+
+        def part(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            shared = (
+                t["df"].to_numpy(zero_copy_only=False).astype(np.int64) >= 2
+            ).astype(np.int64)
+            uid, inv = np.unique(ids, return_inverse=True)
+            nf = np.bincount(inv).astype(np.int64)
+            ns = np.zeros(len(uid), dtype=np.int64)
+            np.add.at(ns, inv, shared)
+            return pa.table(
+                {
+                    id_col: pa.array(uid),
+                    "n_fp": pa.array(nf),
+                    "n_shared": pa.array(ns),
+                }
+            )
+
+        summed = (
+            joined.map_batches(part, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(
+                Sum("n_fp", alias_name="n_fp"),
+                Sum("n_shared", alias_name="n_shared"),
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nf = t["n_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_fp": pa.array(nf),
+                "n_shared": pa.array(ns),
+                "dup_frac": pa.array(ns / nf),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
