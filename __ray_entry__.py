@@ -2026,6 +2026,16 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
 
+def _q_events_changepoint(sf_dir: str):
+    """Per-type CUSUM changepoint (events.changepoints): the day
+    maximizing the integer-scaled CUSUM deviation |m*S_i - i*S_m| of
+    the daily-count prefix sums (ties earliest). All-integer; SQL
+    replays with SUM/ROW_NUMBER windows."""
+    from ugfraud_ray.pipelines.events import changepoints
+
+    return changepoints(_events(sf_dir))
+
+
 def _q_events_hourly_profile(sf_dir: str):
     """Hour-of-week seasonality fold (events.hourly_profile): per-block
     folded-key np.unique partials, one <=168 x types groupby."""
@@ -2958,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_interarrival": _q_events_interarrival,
         "events_hourly_profile": _q_events_hourly_profile,
+        "events_changepoint": _q_events_changepoint,
         "events_windowed": _q_events_windowed,
         "events_asof_last_error": _q_events_asof,
         "events_funnel": _q_events_funnel,
@@ -5654,6 +5665,26 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2, 3
+        """,
+        "events_changepoint": """
+            WITH d AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, day,
+                       SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS S,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+                       SUM(n) OVER (PARTITION BY event_type) AS tot,
+                       COUNT(*) OVER (PARTITION BY event_type) AS m
+                FROM d
+            )
+            SELECT event_type, day, CAST(ABS(m * S - i * tot) AS BIGINT) AS stat
+            FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY ABS(m * S - i * tot) DESC, day
+            ) = 1
         """,
         "events_interarrival": """
             WITH g AS (

@@ -1441,3 +1441,72 @@ def hourly_profile(events: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby(["dow", "hour", "event_type"])
         .aggregate(Sum("n", alias_name="n_events"))
     )
+
+
+def changepoints(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-type CUSUM changepoint over the daily event-count series:
+    for each event_type, the day maximizing |m*S_i - i*S_m| (the
+    integer-scaled CUSUM deviation of the prefix sums S over the m
+    ACTIVE days, ties to the earliest day). All-integer, so the SQL
+    window replay is bit-exact. Output (event_type, day, stat) — day is
+    the epoch day of the strongest level shift, the ops-monitoring
+    "when did this metric change" question.
+
+    Shape: per-block (type, day, n) np.unique partials -> ONE tiny
+    groupby-sum (cardinality <= types x days at any corpus size) ->
+    per-type prefix-scan kernel over that aggregate. The scan input is
+    days-sized, not events-sized, so per-type map_groups is fine.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        days = us // 86_400_000_000
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        key = days * len(types) + inv
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uq % len(types)]),
+                "day": pa.array(uq // len(types)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    daily = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        s = np.cumsum(n)
+        m = len(day)
+        i = np.arange(1, m + 1, dtype=np.int64)
+        stat = np.abs(m * s - i * s[-1])
+        best = int(np.argmax(stat))  # np.argmax = first max = earliest day
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+                "day": pa.array([int(day[best])], pa.int64()),
+                "stat": pa.array([int(stat[best])], pa.int64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(scan, batch_format="pyarrow")
