@@ -156,6 +156,12 @@ def bench_pipelines(sf_dir: str) -> dict:
     language_id(docs).count()
     q["doc_text_analysis"] = time.perf_counter() - t0
 
+    from ugfraud_ray.pipelines.text_analysis import chunk_documents
+
+    t0 = time.perf_counter()
+    out["n_chunks"] = chunk_documents(docs, size=1024, stride=768).count()
+    q["doc_chunking"] = time.perf_counter() - t0
+
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.perf_counter()
     brute_force_topk(emb, query_ids=list(range(5)), k=10).count()
