@@ -2245,6 +2245,29 @@ def _docs(sf_dir: str):
     )
 
 
+def _q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (text_analysis.normalize_text):
+    NFC -> lower -> \\s+ collapse -> edge-space trim, one zero-copy
+    Arrow pass; both sides bind utf8proc/RE2 so the replay is
+    byte-identical."""
+    from ugfraud_ray.pipelines.text_analysis import normalize_text
+
+    return normalize_text(_docs(sf_dir))
+
+
+def _q_doc_lm_surprisal(sf_dir: str):
+    """Per-doc trigram-LM surprisal (text_analysis.lm_surprisal): the
+    KenLM-perplexity quality signal with log2-quantized EXACT integer
+    surprisal — bitlen(total model mass) - bitlen(trigram count), both
+    sides via integer bit length (DuckDB length(bin(n))); trigram
+    identity is md5-low64 of w1||chr(31)||w2||chr(31)||w3 and the model
+    is grouped by hash on BOTH sides, so the replay is bit-exact even
+    under collision."""
+    from ugfraud_ray.pipelines.text_analysis import lm_surprisal
+
+    return lm_surprisal(_docs(sf_dir))
+
+
 def _q_doc_trigram_counts(sf_dir: str):
     """Corpus trigram LM counts with n >= 2 (text_analysis.trigram_counts):
     lexsort run partials, coarse-bucket merge; trigrams never cross a
@@ -3055,6 +3078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_oov_rate": _q_doc_oov,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
+        "doc_normalize": _q_doc_normalize,
+        "doc_lm_surprisal": _q_doc_lm_surprisal,
         # --- rows-only by design (no SQL oracle) ---
         "ann_ivf_topk": _q_ann_ivf,
         "msf_edges": _q_msf,
@@ -6115,6 +6140,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN s ON s.r = CAST(floor((n.cnt - 1) * qs.q) AS BIGINT)
         """,
         # POSIX-ASCII classes match pyarrow count_substring_regex (both RE2)
+        "doc_normalize": r"""
+            WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '\s+', ' ', 'g'), ' ') AS norm_text
+                FROM documents
+            )
+            SELECT doc_id, norm_text,
+                   CAST(norm_text <> text AS BIGINT) AS changed,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+            FROM n
+        """,
+        "doc_lm_surprisal": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(a[1:len(a)-2]) AS w1,
+                       unnest(a[2:len(a)-1]) AS w2,
+                       unnest(a[3:len(a)]) AS w3
+                FROM arr WHERE len(a) >= 3
+            ),
+            t2 AS (
+                SELECT doc_id, w1, w2, w3 FROM tri
+                WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+            ),
+            model AS (
+                SELECT w1, w2, w3, COUNT(*) AS n
+                FROM t2 GROUP BY w1, w2, w3
+                HAVING COUNT(*) >= 2
+            ),
+            tot AS (
+                SELECT length(bin(CAST(SUM(n) AS BIGINT))) AS bt FROM model
+            ),
+            modelh AS (
+                SELECT md5_number_upper(w1 || chr(31) || w2 || chr(31) || w3)
+                           AS h,
+                       SUM(n) AS nh
+                FROM model GROUP BY 1
+            ),
+            m2 AS (
+                SELECT h,
+                       (SELECT bt FROM tot)
+                           - length(bin(CAST(nh AS BIGINT))) AS surp
+                FROM modelh
+            ),
+            probe AS (
+                SELECT doc_id,
+                       md5_number_upper(w1 || chr(31) || w2 || chr(31) || w3)
+                           AS h,
+                       COUNT(*) AS c
+                FROM t2 GROUP BY doc_id, 2
+            ),
+            j AS (
+                SELECT p.doc_id, p.c,
+                       CASE WHEN m.h IS NULL THEN 0 ELSE p.c END AS hc,
+                       COALESCE(p.c * m.surp, 0) AS s
+                FROM probe p LEFT JOIN m2 m ON m.h = p.h
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_trigrams,
+                   CAST(SUM(hc) AS BIGINT) AS n_hit,
+                   CAST(SUM(s) AS BIGINT) AS surprisal_sum
+            FROM j GROUP BY doc_id
+        """,
         "doc_trigram_counts": r"""
             WITH arr AS (
                 SELECT regexp_split_to_array(lower(text), '\s+') AS a

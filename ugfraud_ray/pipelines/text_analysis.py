@@ -1509,3 +1509,289 @@ def duplicate_spans(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def normalize_text(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Canonical text normalization (the first stage of every web-text
+    curation recipe; no reference analog — the reference's only text
+    scalar is md5, `UGFraud/Utils/helper.py`): Unicode NFC, lowercase,
+    collapse every whitespace run to one space, trim edge spaces.
+    Returns (id_col, norm_text, changed, n_chars_norm).
+
+    ``utf8_lower`` / ``replace_substring_regex`` / ``utf8_trim`` are
+    utf8proc/RE2 Arrow kernels, the same libraries DuckDB's ``lower`` /
+    ``regexp_replace`` / ``trim`` bind, so the SQL replay is
+    byte-identical (oracle-verified, both SFs). NFC goes through
+    ``unicodedata.normalize`` — pyarrow's ``utf8_normalize(form="NFC")``
+    does NOT compose (it leaves e + U+0301 decomposed, unlike DuckDB's
+    ``nfc_normalize``) — applied ONLY to the non-ASCII minority behind a
+    vectorized ``string_is_ascii`` fast path (NFC is the identity on
+    ASCII), so the Python work is bounded by the non-ASCII row count.
+    ``n_chars_norm`` counts codepoints (== DuckDB ``length``).
+    """
+    import unicodedata
+
+    def f(t: pa.Table) -> pa.Table:
+        orig = pc.cast(t[key], pa.string())
+        col = orig
+        mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+        if not mask.all():
+            arr = np.asarray(col.to_pylist(), dtype=object)
+            for i in np.flatnonzero(~mask):
+                if arr[i] is not None:
+                    arr[i] = unicodedata.normalize("NFC", arr[i])
+            col = pa.array(arr, pa.string())
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(col), r"\s+", " "),
+            characters=" ",
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "norm_text": norm,
+                "changed": pc.cast(pc.not_equal(norm, orig), pa.int64()),
+                "n_chars_norm": pc.cast(pc.utf8_length(norm), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def lm_surprisal(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    approx_docs: int | None = None,
+    local_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Per-document n-gram-LM surprisal scoring (the KenLM-perplexity
+    quality signal of CCNet/RedPajama recipes, log2-quantized so every
+    number is an EXACT integer; no reference analog). The corpus
+    trigram model is :func:`trigram_counts` (n >= min_count); each
+    document's trigrams probe it and accumulate
+
+        surprisal(tri) = bitlen(total_model_mass) - bitlen(n_tri)
+
+    — the integer bit-length difference IS floor-log2 surprisal, exact
+    on both sides (DuckDB: ``length(bin(n))``), so no float/log appears
+    anywhere. Returns (id_col, n_trigrams, n_hit, surprisal_sum); docs
+    with no trigram (< 3 tokens) emit no row. High mean surprisal or a
+    low hit rate = text the corpus LM finds improbable.
+
+    Trigram identity is the repo-wide md5-low64 convention over
+    ``w1\\x1fw2\\x1fw3`` (== DuckDB ``md5_number_upper(w1 || chr(31) ||
+    ...)``); the model is grouped BY HASH on both sides, so even a
+    collision replays identically. Scale shape: probe partials
+    run-compress per (doc, trigram) with one lexsort (md5 only on the
+    compressed rows); below the gate the (h, surp) model — vocabulary-
+    sized, not corpus-sized — broadcasts once via ``ray.put`` and docs
+    aggregate fully inside their own block (zero shuffles); above it,
+    model and probe rows union into ONE h-bucketed shuffle (the
+    minhash_agreement no-chained-join pattern), per-bucket searchsorted
+    join, then a single (doc_id) groupby-sum.
+    """
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    model = trigram_counts(
+        docs,
+        key=key,
+        min_count=min_count,
+        approx_docs=approx_docs,
+        local_threshold=local_threshold,
+    )
+
+    def model_hash(t: pa.Table) -> pa.Table:
+        w1 = t["w1"].to_numpy(zero_copy_only=False)
+        w2 = t["w2"].to_numpy(zero_copy_only=False)
+        w3 = t["w3"].to_numpy(zero_copy_only=False)
+        h = _md5_low64([f"{a}\x1f{b}\x1f{c}" for a, b, c in zip(w1, w2, w3)])
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "n": pa.array(t["n"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            }
+        )
+
+    hashed = model.map_batches(model_hash, batch_format="pyarrow")
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        ok = (rows[:-2] == rows[1:-1]) & (rows[1:-1] == rows[2:])
+        r = rows[:-2][ok]
+        w1, w2, w3 = flat[:-2][ok], flat[1:-1][ok], flat[2:][ok]
+        order = np.lexsort((w3, w2, w1, r))
+        r, w1, w2, w3 = r[order], w1[order], w2[order], w3[order]
+        if len(r):
+            change = (
+                (r[1:] != r[:-1])
+                | (w1[1:] != w1[:-1])
+                | (w2[1:] != w2[:-1])
+                | (w3[1:] != w3[:-1])
+            )
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            cnt = np.diff(np.append(starts, len(r))).astype(np.int64)
+        else:
+            starts = np.zeros(0, dtype=np.int64)
+            cnt = np.zeros(0, dtype=np.int64)
+        h = _md5_low64(
+            [
+                f"{a}\x1f{b}\x1f{c}"
+                for a, b, c in zip(w1[starts], w2[starts], w3[starts])
+            ]
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[r[starts]]),
+                "h": pa.array(h.view(np.int64)),
+                "c": pa.array(cnt),
+            }
+        )
+
+    def _group_model(h: np.ndarray, n: np.ndarray, bt: int):
+        """(sorted unique h, surp) with n summed per hash group."""
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        if len(h):
+            starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+            nh = np.add.reduceat(n, starts)
+            hu = h[starts]
+        else:
+            hu = h
+            nh = n
+        # frexp exponent == bit length, exact for nh < 2^53
+        surp = np.int64(bt) - np.frexp(nh.astype(np.float64))[1].astype(np.int64)
+        return hu, surp
+
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+
+    if n_docs <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        mt = collect_table(hashed)
+        n_arr = mt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bt = int(n_arr.sum(dtype=np.int64)).bit_length() if len(n_arr) else 0
+        hu, surp = _group_model(
+            mt["h"].to_numpy(zero_copy_only=False).astype(np.int64), n_arr, bt
+        )
+        mref = ray.put((hu, surp))
+
+        def score_block(t: pa.Table, _mref=mref) -> pa.Table:
+            hu, surp = ray.get(_mref)
+            p = probe_partial(t)
+            ids = p[id_col].to_numpy(zero_copy_only=False)
+            h = p["h"].to_numpy(zero_copy_only=False)
+            c = p["c"].to_numpy(zero_copy_only=False)
+            if len(hu):
+                idx = np.minimum(np.searchsorted(hu, h), len(hu) - 1)
+                hit = hu[idx] == h
+                s_term = np.where(hit, c * surp[idx], 0)
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+                s_term = np.zeros(len(h), dtype=np.int64)
+            uid, inv = np.unique(ids, return_inverse=True)
+            n_tri = np.zeros(len(uid), dtype=np.int64)
+            n_hit = np.zeros(len(uid), dtype=np.int64)
+            s_sum = np.zeros(len(uid), dtype=np.int64)
+            np.add.at(n_tri, inv, c)
+            np.add.at(n_hit, inv, np.where(hit, c, 0))
+            np.add.at(s_sum, inv, s_term)
+            return pa.table(
+                {
+                    id_col: pa.array(uid),
+                    "n_trigrams": pa.array(n_tri),
+                    "n_hit": pa.array(n_hit),
+                    "surprisal_sum": pa.array(s_sum),
+                }
+            )
+
+        return docs.select_columns([id_col, key]).map_batches(
+            score_block, batch_format="pyarrow"
+        )
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nb = n_coarse_buckets(None)
+    # vocabulary-sized (never corpus-sized): pin it so the scalar total
+    # and the bucketed join don't rebuild the trigram lineage twice
+    hashed = hashed.materialize()
+    bt = int(hashed.sum("n", ignore_nulls=True) or 0).bit_length()
+
+    def tag_model(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_cb": pa.array((h.view(np.uint64) % np.uint64(nb)).astype(np.int64)),
+                "kind": pa.array(np.zeros(len(h), dtype=np.int64)),
+                id_col: pa.array(np.full(len(h), -1, dtype=np.int64)),
+                "h": t["h"],
+                "v": t["n"],
+            }
+        )
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        p = probe_partial(t)
+        h = p["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_cb": pa.array((h.view(np.uint64) % np.uint64(nb)).astype(np.int64)),
+                "kind": pa.array(np.ones(len(h), dtype=np.int64)),
+                id_col: p[id_col],
+                "h": p["h"],
+                "v": p["c"],
+            }
+        )
+
+    tagged = hashed.map_batches(tag_model, batch_format="pyarrow").union(
+        docs.select_columns([id_col, key]).map_batches(
+            tag_probe, batch_format="pyarrow"
+        )
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = kind == 0
+        hu, surp = _group_model(h[m], v[m], bt)
+        ph, pc_, pid = h[~m], v[~m], ids[~m]
+        if len(hu):
+            idx = np.minimum(np.searchsorted(hu, ph), len(hu) - 1)
+            hit = hu[idx] == ph
+            s_term = np.where(hit, pc_ * surp[idx], 0)
+        else:
+            hit = np.zeros(len(ph), dtype=bool)
+            s_term = np.zeros(len(ph), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(pid),
+                "n_trigrams": pa.array(pc_),
+                "n_hit": pa.array(np.where(hit, pc_, 0)),
+                "surprisal_sum": pa.array(s_term),
+            }
+        )
+
+    return (
+        tagged.groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_trigrams", alias_name="n_trigrams"),
+            Sum("n_hit", alias_name="n_hit"),
+            Sum("surprisal_sum", alias_name="surprisal_sum"),
+        )
+    )
