@@ -2222,6 +2222,20 @@ def _q_events_hll_users(sf_dir: str):
     return hll_distinct_per_group(ev, "event_type", "user_id")
 
 
+def _q_events_heavy_hitters(sf_dir: str):
+    """Count-min-sketch heavy hitters (sketches.cms_heavy_hitters):
+    4 x 2048 integer grid, md5-low64(f"{j}-{key}") % w bucketing,
+    estimate = min over rows — one-sided (n_cms >= n_exact always).
+    Exact top-20 users sit next to their CMS estimate; hash, grid and
+    min all replay bit-exactly in SQL (everything integer)."""
+    from ugfraud_ray.pipelines.sketches import cms_heavy_hitters
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    return cms_heavy_hitters(ev, key_col="user_id", d=4, w=2048, topk=20)
+
+
 def _q_seeded_sample(sf_dir: str):
     """O5/J4 deterministic hash-based sampling (reference versions are
     unseeded random.sample — the engine's is partition-parallel and
@@ -2997,6 +3011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_hll_users": _q_events_hll_users,
+        "events_heavy_hitters": _q_events_heavy_hitters,
         "events_topk_per_user": _q_events_topk,
         # --- relational / splits ---
         "lineitem_pricing_summary": _q_pricing_summary,
@@ -5941,6 +5956,30 @@ def oracle_sql() -> dict[str, str]:
         # register sum, and the float estimator (see _hll_sql docstring
         # for the three parity tricks this rests on)
         "events_hll_users": _hll_sql(),
+        "events_heavy_hitters": """
+            WITH counts AS (
+                SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+            ),
+            cells AS (
+                SELECT r.j,
+                       md5_number_upper(CAST(r.j AS VARCHAR) || '-'
+                           || CAST(c.user_id AS VARCHAR)) % 2048 AS b,
+                       SUM(c.n) AS cell
+                FROM counts c CROSS JOIN range(0, 4) AS r(j)
+                GROUP BY r.j, b
+            ),
+            top AS (
+                SELECT user_id, n FROM counts
+                ORDER BY n DESC, user_id LIMIT 20
+            )
+            SELECT t.user_id,
+                   CAST(t.n AS BIGINT) AS n_exact,
+                   CAST(MIN(c.cell) AS BIGINT) AS n_cms
+            FROM top t JOIN cells c
+              ON c.b = md5_number_upper(CAST(c.j AS VARCHAR) || '-'
+                           || CAST(t.user_id AS VARCHAR)) % 2048
+            GROUP BY t.user_id, t.n
+        """,
         # range join: native BETWEEN-style interval predicate on the
         # same hour windows the engine derives then probes by broadcast
         "events_incident_join": """

@@ -158,3 +158,111 @@ def hll_distinct_per_group(
             "approx": pa.array(ests, pa.float64()),
         }
     )
+
+
+def cms_heavy_hitters(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 2048,
+    topk: int = 20,
+) -> "ray.data.Dataset":
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a d x w integer grid where row j buckets a key by md5-low64 of
+    ``f"{j}-{key}"`` mod w (== DuckDB ``md5_number_upper(CAST(j AS
+    VARCHAR) || '-' || CAST(key AS VARCHAR)) % w``), cells summed;
+    estimate(key) = min over j of its d cells — never below the true
+    count. Returns the exact top-`topk` keys (n DESC, key ASC) with
+    (key, n_exact, n_cms): the one-sided CMS error is directly visible
+    against the exact count, and the whole readout — hash, grid, min —
+    replays bit-exactly in SQL (everything is integer).
+
+    Scale shape: per-key counts from per-block ``np.unique`` partials +
+    ONE groupby-sum (|keys|-sized, never event-sized; materialized once
+    and reused by the grid pass and the top-k pass). The grid partials
+    reduce to <= d*w rows per block whatever the block size and merge
+    by Sum — commutative and associative, so safe under Ray's block
+    arrival order — and the collected grid is d*w ints total: THE
+    sketch is the state that would stream at 100 TB, the exact counts
+    exist here only because the heavy-hitter readout wants ground
+    truth next to the estimate. Top-k = per-block top-k partials +
+    driver merge of <= topk rows per block (no global sort).
+    """
+    from ray.data.aggregate import Sum
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {key_col: pa.array(uk), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        events.select_columns([key_col])
+        .map_batches(key_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # |keys|-sized, reused by the grid + top-k passes
+    )
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        js, bs, cs = [], [], []
+        for j in range(d):
+            h = _md5_low64([f"{j}-{v}" for v in k])
+            b = (h % np.uint64(w)).astype(np.int64)
+            grid = np.zeros(w, dtype=np.int64)
+            np.add.at(grid, b, n)
+            nz = np.flatnonzero(grid)
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            bs.append(nz)
+            cs.append(grid[nz])
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js) if js else np.zeros(0, np.int64)),
+                "b": pa.array(np.concatenate(bs) if bs else np.zeros(0, np.int64)),
+                "cell": pa.array(np.concatenate(cs) if cs else np.zeros(0, np.int64)),
+            }
+        )
+
+    cells = collect_table(
+        counts.map_batches(cms_partial, batch_format="pyarrow")
+        .groupby(["j", "b"])
+        .aggregate(Sum("cell", alias_name="cell"))
+    )
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[
+        cells["j"].to_numpy(zero_copy_only=False),
+        cells["b"].to_numpy(zero_copy_only=False),
+    ] = cells["cell"].to_numpy(zero_copy_only=False)
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((k, -n))[:topk]
+        return pa.table({key_col: pa.array(k[sel]), "n": pa.array(n[sel])})
+
+    cand = collect_table(counts.map_batches(topk_partial, batch_format="pyarrow"))
+    k = cand[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = cand["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.lexsort((k, -n))[:topk]
+    k, n = k[sel], n[sel]
+
+    est = np.empty(len(k), dtype=np.int64)
+    for i, key in enumerate(k):
+        cells_i = [
+            grid[j, int(_md5_low64([f"{j}-{key}"])[0] % np.uint64(w))]
+            for j in range(d)
+        ]
+        est[i] = min(cells_i)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                key_col: pa.array(k),
+                "n_exact": pa.array(n),
+                "n_cms": pa.array(est),
+            }
+        )
+    )
