@@ -565,20 +565,38 @@ def _kmeans_sql(k: int, iters: int, grid: int = 1000, cgrid: int = 1000, shift: 
 
 
 def _kmeans_ctes(
-    k: int, iters: int, grid: int = 1000, cgrid: int = 1000, shift: int = 8
+    k: int,
+    iters: int,
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+    prefix: str = "",
+    dim_lo: int | None = None,
+    dim_hi: int | None = None,
 ) -> tuple[list, int]:
-    """The kmeans CTE chain (shared with the semdedup oracle); returns
-    (ctes, final) where a{final} is the final (vec_id, cluster, d2)
-    assignment relation."""
+    """The kmeans CTE chain (shared with the semdedup and PQ oracles);
+    returns (ctes, final) where {prefix}a{final} is the final
+    (vec_id, cluster, d2) assignment relation. ``prefix`` namespaces
+    every CTE so several chains can coexist in one statement (PQ runs
+    one per subspace); ``dim_lo``/``dim_hi`` restrict the quantized
+    matrix to a contiguous dim slice (PQ subspace)."""
+    p = prefix
+    dim_where = (
+        f"WHERE dim >= {dim_lo} AND dim < {dim_hi}"
+        if dim_lo is not None
+        else ""
+    )
     ctes = [
-        f"""q AS (
-            SELECT vec_id,
-                   generate_subscripts(embedding, 1) - 1 AS dim,
-                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {grid} + 0.5)
-                        AS BIGINT) + {shift * grid} AS q
-            FROM embeddings
+        f"""{p}q AS (
+            SELECT vec_id, dim, q FROM (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {grid} + 0.5)
+                            AS BIGINT) + {shift * grid} AS q
+                FROM embeddings
+            ) {dim_where}
         )""",
-        f"""seeds AS (
+        f"""{p}seeds AS (
             SELECT vec_id,
                    row_number() OVER (
                        ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id
@@ -586,46 +604,95 @@ def _kmeans_ctes(
             FROM embeddings
             QUALIFY cluster < {k}
         )""",
-        f"""c0 AS (
+        f"""{p}c0 AS (
             SELECT s.cluster, q.dim, CAST(q.q AS HUGEINT) * {cgrid} AS c
-            FROM seeds s JOIN q ON s.vec_id = q.vec_id
+            FROM {p}seeds s JOIN {p}q q ON s.vec_id = q.vec_id
         )""",
     ]
     for i in range(1, iters + 2):
-        prev = f"c{i - 1}"
+        prev = f"{p}c{i - 1}"
         ctes.append(
-            f"""d{i} AS (
+            f"""{p}d{i} AS (
             SELECT q.vec_id, c.cluster,
                    SUM((CAST(q.q AS HUGEINT) * {cgrid} - c.c)
                        * (CAST(q.q AS HUGEINT) * {cgrid} - c.c)) AS d2
-            FROM q JOIN {prev} c ON q.dim = c.dim
+            FROM {p}q q JOIN {prev} c ON q.dim = c.dim
             GROUP BY q.vec_id, c.cluster
         )"""
         )
         ctes.append(
-            f"""a{i} AS (
-            SELECT vec_id, cluster, d2 FROM d{i}
+            f"""{p}a{i} AS (
+            SELECT vec_id, cluster, d2 FROM {p}d{i}
             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
         )"""
         )
         if i <= iters:
             ctes.append(
-                f"""cm{i} AS (
+                f"""{p}cm{i} AS (
             SELECT a.cluster, q.dim,
                    (SUM(CAST(q.q AS HUGEINT)) * {2 * cgrid} + COUNT(*))
                        // (2 * COUNT(*)) AS c
-            FROM a{i} a JOIN q ON a.vec_id = q.vec_id
+            FROM {p}a{i} a JOIN {p}q q ON a.vec_id = q.vec_id
             GROUP BY a.cluster, q.dim
         )"""
             )
             ctes.append(
-                f"""c{i} AS (
+                f"""{p}c{i} AS (
             SELECT p.cluster, p.dim, COALESCE(m.c, p.c) AS c
-            FROM {prev} p LEFT JOIN cm{i} m
+            FROM {prev} p LEFT JOIN {p}cm{i} m
                 ON m.cluster = p.cluster AND m.dim = p.dim
         )"""
             )
     return ctes, iters + 1
+
+
+PQ_M = 4
+PQ_K = 8
+PQ_ITERS = 2
+
+
+def _q_embedding_pq(sf_dir: str):
+    """Product quantization (similarity.product_quantize, Jegou et al.
+    2011): m contiguous subspaces, one exact-integer kmeans codebook
+    each (the shared _kmeans_fit chain), codes = per-subspace argmin
+    (ties to the lowest codeword both sides), d2 = exact integer total
+    squared reconstruction error. The oracle runs m prefixed copies of
+    the kmeans CTE chain over dim slices and joins them on vec_id."""
+    from ugfraud_ray.pipelines.similarity import product_quantize
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return product_quantize(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+
+
+def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
+    """PQ oracle: m prefixed kmeans chains over contiguous dim slices,
+    joined on vec_id; code_s = subspace cluster, d2 = sum of subspace
+    assignment distances."""
+    dsub = dim // m
+    ctes: list[str] = []
+    final = None
+    for s in range(m):
+        c, final = _kmeans_ctes(
+            k, iters, prefix=f"s{s}_", dim_lo=s * dsub, dim_hi=(s + 1) * dsub
+        )
+        ctes.extend(c)
+    joins = "".join(
+        f" JOIN s{s}_a{final} t{s} ON t{s}.vec_id = t0.vec_id"
+        for s in range(1, m)
+    )
+    codes = ", ".join(
+        f"CAST(t{s}.cluster AS BIGINT) AS code_{s}" for s in range(m)
+    )
+    d2 = " + ".join(f"t{s}.d2" for s in range(m))
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT t0.vec_id, {codes}, CAST({d2} AS BIGINT) AS d2
+        FROM s0_a{final} t0{joins}"""
+    )
 
 
 def _q_embedding_covariance(sf_dir: str):
@@ -2981,6 +3048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "embedding_label_affinity": _q_embedding_label_affinity,
         "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_pq": _q_embedding_pq,
         "embedding_semdedup": _q_embedding_semdedup,
         "embedding_kcenter": _q_embedding_kcenter,
         "embedding_covariance": _q_embedding_covariance,
@@ -4758,6 +4826,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm nb ON nb.label = pr.label_b
         """,
         "embedding_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "embedding_pq": _pq_sql(PQ_M, PQ_K, PQ_ITERS),
         "embedding_semdedup": _semdedup_sql(
             KMEANS_K, KMEANS_ITERS, *SEMDEDUP_SIM2
         ),

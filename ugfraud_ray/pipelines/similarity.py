@@ -1184,3 +1184,75 @@ def pca_project(
     return emb.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow"
     )
+
+
+def product_quantize(
+    emb: "ray.data.Dataset",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+) -> "ray.data.Dataset":
+    """Product quantization (Jegou, Douze & Schmid 2011, the IVF-PQ ANN
+    index workhorse): split the embedding into ``m`` contiguous
+    subspaces, Lloyd-fit a ``k``-codeword codebook per subspace with the
+    repo's exact-integer :func:`kmeans` chain (same deterministic
+    md5-rank seeding, same half-up integer re-centering), then assign
+    every vector its m codes. Returns
+    Dataset(id_col, code_0..code_{m-1}, d2) where d2 is the EXACT
+    integer squared reconstruction error (sum of per-subspace
+    assignment distances on the 1/(grid*cgrid) lattice) — the
+    compression-loss readout, m*log2(k) bits per vector.
+
+    Everything stays integer, so the SQL oracle replays the full m-fold
+    chain bit-exactly (argmin ties to the lowest codeword on both
+    sides). Scale shape: m small fits (each iters+1 streaming passes
+    over a dsub-wide slice; the codebooks are m*k*dsub ints broadcast
+    once via ``ray.put``), then ONE assignment pass; nothing
+    corpus-sized ever materializes.
+    """
+    first = emb.take(1)[0][vec_col]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    src = emb.select_columns([id_col, vec_col])
+
+    codebooks = []
+    for s in range(m):
+        lo = s * dsub
+
+        def slice_s(t: pa.Table, _lo=lo) -> pa.Table:
+            v = _vecs_from_column(t[vec_col], t.num_rows)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "sub": pa.array(v[:, _lo : _lo + dsub].tolist()),
+                }
+            )
+
+        sliced = src.map_batches(slice_s, batch_format="pyarrow")
+        codebooks.append(
+            _kmeans_fit(sliced, k, iters, id_col, "sub", grid, cgrid, shift)
+        )
+    cref = ray.put(np.stack(codebooks))  # m x k x dsub ints
+
+    def assign(t: pa.Table, _cref=cref) -> pa.Table:
+        C = ray.get(_cref)
+        q = _quantize_block(t, vec_col, grid, shift)
+        cols = {id_col: t[id_col]}
+        d2tot = np.zeros(t.num_rows, dtype=np.int64)
+        for s in range(m):
+            d2 = _dist2(q[:, s * dsub : (s + 1) * dsub], C[s], cgrid)
+            code = np.argmin(d2, axis=1) if t.num_rows else np.zeros(0, np.int64)
+            cols[f"code_{s}"] = pa.array(code.astype(np.int64))
+            if t.num_rows:
+                d2tot += d2[np.arange(len(code)), code]
+        cols["d2"] = pa.array(d2tot)
+        return pa.table(cols)
+
+    return src.map_batches(assign, batch_format="pyarrow")
