@@ -1451,6 +1451,25 @@ def _q_doc_contamination(sf_dir: str):
     return contamination_check(corpus, bench, pct=CONTAM_PCT)
 
 
+BLOOM_MBITS = 1 << 16
+BLOOM_NH = 2
+
+
+def _q_doc_bloom_contamination(sf_dir: str):
+    """Bloom-filter decontamination probe (contamination.
+    bloom_contamination): Kirsch-Mitzenmacher double-hashed bit
+    positions over the shared 64-bit shingle chain; exact overlap sits
+    next to the bloom overlap so false positives are visible (n_bloom
+    >= n_overlap always). Whole chain integer -> bit-exact SQL."""
+    from ugfraud_ray.pipelines.contamination import bloom_contamination
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    bench = docs.filter(expr=f"doc_id < {CONTAM_BENCH_DOCS}")
+    corpus = docs.filter(expr=f"doc_id >= {CONTAM_BENCH_DOCS}")
+    return bloom_contamination(corpus, bench, mbits=BLOOM_MBITS, nh=BLOOM_NH)
+
+
 def _q_doc_splits(sf_dir: str):
     """Deterministic train/valid/test assignment (pipelines/splits.py):
     md5-low64(id) % mod bucket ranges — stable across runs and cluster
@@ -3069,6 +3088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": _q_doc_packing,
         "doc_pii_redact": _q_doc_pii_redact,
         "doc_contamination": _q_doc_contamination,
+        "doc_bloom_contamination": _q_doc_bloom_contamination,
         # --- event-stream kernels ---
         "events_sessions": _q_events_sessions,
         "events_interarrival": _q_events_interarrival,
@@ -5504,6 +5524,53 @@ def oracle_sql() -> dict[str, str]:
                                  >= {CONTAM_PCT} * a.n_shingles
                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM documents doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+            WHERE doc.doc_id >= {CONTAM_BENCH_DOCS}
+        """,
+        "doc_bloom_contamination": f"""
+            WITH {_shingle_ctes()},
+            dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+            bench AS (
+                SELECT DISTINCT sh FROM dsh WHERE doc_id < {CONTAM_BENCH_DOCS}
+            ),
+            bits AS (
+                SELECT DISTINCT
+                       (CAST(sh AS HUGEINT) // 4294967296
+                        + r.j * (CAST(sh AS HUGEINT) % 4294967296))
+                           % {BLOOM_MBITS} AS b
+                FROM bench CROSS JOIN range(0, {BLOOM_NH}) AS r(j)
+            ),
+            probe AS (
+                SELECT doc_id, sh FROM dsh WHERE doc_id >= {CONTAM_BENCH_DOCS}
+            ),
+            pb AS (
+                SELECT doc_id, sh,
+                       (CAST(sh AS HUGEINT) // 4294967296
+                        + r.j * (CAST(sh AS HUGEINT) % 4294967296))
+                           % {BLOOM_MBITS} AS b
+                FROM probe CROSS JOIN range(0, {BLOOM_NH}) AS r(j)
+            ),
+            hit AS (
+                SELECT p.doc_id, p.sh,
+                       MIN(CASE WHEN t.b IS NULL THEN 0 ELSE 1 END) AS inb
+                FROM pb p LEFT JOIN bits t ON t.b = p.b
+                GROUP BY p.doc_id, p.sh
+            ),
+            ex AS (
+                SELECT d.doc_id,
+                       COUNT(*) AS n_shingles,
+                       SUM(CASE WHEN be.sh IS NOT NULL THEN 1 ELSE 0 END)
+                           AS n_overlap
+                FROM probe d LEFT JOIN bench be ON be.sh = d.sh
+                GROUP BY d.doc_id
+            ),
+            bl AS (SELECT doc_id, SUM(inb) AS n_bloom FROM hit GROUP BY doc_id)
+            SELECT doc.doc_id,
+                   CAST(COALESCE(e.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(e.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(COALESCE(b.n_bloom, 0) AS BIGINT) AS n_bloom
+            FROM documents doc
+            LEFT JOIN ex e ON e.doc_id = doc.doc_id
+            LEFT JOIN bl b ON b.doc_id = doc.doc_id
             WHERE doc.doc_id >= {CONTAM_BENCH_DOCS}
         """,
         "doc_splits": f"""

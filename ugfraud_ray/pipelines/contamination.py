@@ -95,3 +95,96 @@ def contamination_check(
         concurrency=actor_pool_size(concurrency),
         batch_format="pyarrow",
     )
+
+
+def _bloom_bits(sh: np.ndarray, nh: int, mbits: int) -> np.ndarray:
+    """(len(sh), nh) bit positions via Kirsch-Mitzenmacher double
+    hashing over the 64-bit shingle hash: bit_j = (hi32 + j*lo32) %
+    mbits — pure uint64 arithmetic (hi32 + j*lo32 < 2^33 + nh*2^32,
+    no wraparound), so DuckDB HUGEINT replays it exactly."""
+    hi = sh >> np.uint64(32)
+    lo = sh & np.uint64(0xFFFFFFFF)
+    return np.stack(
+        [(hi + np.uint64(j) * lo) % np.uint64(mbits) for j in range(nh)], axis=1
+    )
+
+
+class BloomScorer:
+    """Actor-pool stage: the bloom bitset AND the exact benchmark set
+    fetched once per actor; per doc reports the exact overlap next to
+    the bloom-filter overlap so the one-sided error (false positives,
+    never false negatives) is directly visible."""
+
+    def __init__(self, state_ref, key, id_col, ngram, nh, mbits):
+        self.bloom, self.bench = ray.get(state_ref)
+        self.key = key
+        self.id_col = id_col
+        self.ngram = ngram
+        self.nh = nh
+        self.mbits = mbits
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_sh = np.empty(t.num_rows, dtype=np.int64)
+        n_ov = np.empty(t.num_rows, dtype=np.int64)
+        n_bl = np.empty(t.num_rows, dtype=np.int64)
+        for i, text in enumerate(t[self.key].to_pylist()):
+            sh = np.unique(_shingle_hashes(text, self.ngram))
+            n_sh[i] = len(sh)
+            if not len(sh):
+                n_ov[i] = n_bl[i] = 0
+                continue
+            if len(self.bench):
+                idx = np.searchsorted(self.bench, sh)
+                idx[idx == len(self.bench)] = 0
+                n_ov[i] = int((self.bench[idx] == sh).sum())
+            else:
+                n_ov[i] = 0
+            bits = _bloom_bits(sh, self.nh, self.mbits)
+            n_bl[i] = int(self.bloom[bits].all(axis=1).sum())
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "n_shingles": pa.array(n_sh),
+                "n_overlap": pa.array(n_ov),
+                "n_bloom": pa.array(n_bl),
+            }
+        )
+
+
+def bloom_contamination(
+    docs: "ray.data.Dataset",
+    bench_docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    mbits: int = 1 << 16,
+    nh: int = 2,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Bloom-filter decontamination probe (Bloom 1970; bit derivation =
+    Kirsch-Mitzenmacher 2006 double hashing over the shared 64-bit
+    shingle chain). Returns (id, n_shingles, n_overlap, n_bloom) per
+    corpus doc with the invariant n_bloom >= n_overlap — a Bloom filter
+    has NO false negatives, so n_bloom - n_overlap is the measured
+    false-positive mass at this (mbits, nh, |bench|) operating point.
+
+    Why next to the exact broadcast probe (:func:`contamination_check`):
+    the exact set costs 8 bytes per benchmark shingle; the bitset costs
+    mbits bits TOTAL whatever the benchmark size, and per-block bitsets
+    merge by OR (commutative, associative, idempotent) — the shape that
+    survives when the "benchmark" is a whole held-out corpus. Here the
+    bitset is built from the collected benchmark shingle set (tiny by
+    definition in the eval-suite case); everything — shingle hash, bit
+    positions, min-over-j membership — replays bit-exactly in SQL.
+    """
+    sh = benchmark_shingles(bench_docs, key=key, ngram=ngram)
+    bloom = np.zeros(mbits, dtype=bool)
+    if len(sh):
+        bloom[_bloom_bits(sh, nh, mbits).reshape(-1).astype(np.int64)] = True
+    state_ref = ray.put((bloom, sh))
+    return docs.map_batches(
+        BloomScorer,
+        fn_constructor_args=(state_ref, key, id_col, ngram, nh, mbits),
+        concurrency=actor_pool_size(concurrency),
+        batch_format="pyarrow",
+    )
