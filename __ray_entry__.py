@@ -2112,6 +2112,23 @@ def _q_events_sessions(sf_dir: str):
     return sessionize(_events(sf_dir), gap_minutes=30)
 
 
+EWMA_NUM, EWMA_DEN, EWMA_SCALE = 9, 10, 1000
+
+
+def _q_events_ewma(sf_dir: str):
+    """Integer-exact EWMA of per-type daily counts (events.ewma_daily):
+    e_t = (num*e_{t-1} + (den-num)*n_t*scale) // den on the 1/scale
+    fixed-point lattice; the oracle walks the identical recurrence with
+    a recursive CTE. Stateful streaming decay in distributed form: the
+    recursion input is days-sized, never events-sized."""
+    from ugfraud_ray.pipelines.events import ewma_daily
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    return ewma_daily(ev, num=EWMA_NUM, den=EWMA_DEN, scale=EWMA_SCALE)
+
+
 def _q_events_changepoint(sf_dir: str):
     """Per-type CUSUM changepoint (events.changepoints): the day
     maximizing the integer-scaled CUSUM deviation |m*S_i - i*S_m| of
@@ -3094,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _q_events_interarrival,
         "events_hourly_profile": _q_events_hourly_profile,
         "events_changepoint": _q_events_changepoint,
+        "events_ewma": _q_events_ewma,
         "events_windowed": _q_events_windowed,
         "events_asof_last_error": _q_events_asof,
         "events_funnel": _q_events_funnel,
@@ -5841,6 +5859,33 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2, 3
+        """,
+        "events_ewma": f"""
+            WITH RECURSIVE d AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       ) AS rn
+                FROM events GROUP BY 1, 2
+            ),
+            ew AS (
+                SELECT event_type, day, n, rn,
+                       CAST(n * {EWMA_SCALE} AS HUGEINT) AS e
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.event_type, d.day, d.n, d.rn,
+                       ({EWMA_NUM} * ew.e
+                        + {EWMA_DEN - EWMA_NUM} * d.n * {EWMA_SCALE})
+                           // {EWMA_DEN}
+                FROM ew JOIN d
+                  ON d.event_type = ew.event_type AND d.rn = ew.rn + 1
+            )
+            SELECT event_type, day, CAST(n AS BIGINT) AS n,
+                   CAST(e AS BIGINT) AS ewma_scaled
+            FROM ew
         """,
         "events_changepoint": """
             WITH d AS (

@@ -56,3 +56,48 @@ def test_changepoints_match_naive(ray_session):
     a_day = by["a"][1]
     base = int(np.datetime64("2024-01-01").astype("datetime64[D]").astype(int))
     assert a_day == base + 9
+
+
+def test_ewma_matches_naive_recursion(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.events import ewma_daily
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for typ in ["a", "b"]:
+        for day in range(20):
+            for _ in range(int(rng.integers(0, 6))):
+                rows.append((typ, day))
+    t = pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows]),
+            "ts": pa.array(
+                np.array([r[1] * 86_400_000_000 + 7 for r in rows], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = (
+        ewma_daily(ray.data.from_arrow(t).repartition(4), num=3, den=4, scale=100)
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    # naive mirror
+    import collections
+
+    daily = collections.Counter(rows)
+    for typ in ["a", "b"]:
+        days = sorted(d for (tt, d) in daily if tt == typ)
+        prev = None
+        for d in days:
+            n = daily[(typ, d)]
+            prev = n * 100 if prev is None else (3 * prev + 1 * n * 100) // 4
+            row = out[(out.event_type == typ) & (out.day == d)]
+            assert len(row) == 1
+            assert int(row.n.iloc[0]) == n
+            assert int(row.ewma_scaled.iloc[0]) == prev

@@ -1510,3 +1510,92 @@ def changepoints(events: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return daily.groupby("event_type").map_groups(scan, batch_format="pyarrow")
+
+
+def ewma_daily(
+    events: "ray.data.Dataset",
+    num: int = 9,
+    den: int = 10,
+    scale: int = 1000,
+) -> "ray.data.Dataset":
+    """Integer-exact EWMA smoothing of the per-type daily event-count
+    series — the streaming decay metric (alerting baselines, trend
+    monitors) in stateful-recursion form:
+
+        e_1 = n_1 * scale
+        e_t = (num * e_{t-1} + (den - num) * n_t * scale) // den
+
+    i.e. alpha = 1 - num/den on a 1/scale fixed-point lattice with
+    floor division (all terms non-negative, so numpy ``//`` and DuckDB
+    ``//`` agree). Everything integer -> the SQL replay is a recursive
+    CTE walking the same recurrence bit-exactly. Returns the FULL
+    smoothed series (event_type, day, n, ewma_scaled).
+
+    Shape: same as :func:`changepoints` — per-block (type, day, n)
+    ``np.unique`` partials, ONE tiny groupby-sum bounded by types x
+    days at any corpus size, then a per-type O(days) scan (the
+    recursion is inherently sequential per key, but its input is
+    days-sized, never events-sized).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        us = (
+            t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        days = us // 86_400_000_000
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        key = days * len(types) + inv
+        uq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[uq % len(types)]),
+                "day": pa.array(uq // len(types)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    daily = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        day = g["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        e = np.empty(len(n), dtype=np.int64)
+        prev = 0
+        for i in range(len(n)):  # O(days) per type, never O(events)
+            prev = (
+                n[i] * scale
+                if i == 0
+                else (num * prev + (den - num) * n[i] * scale) // den
+            )
+            e[i] = prev
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    np.repeat(np.asarray([g["event_type"][0].as_py()]), len(day))
+                ),
+                "day": pa.array(day),
+                "n": pa.array(n),
+                "ewma_scaled": pa.array(e),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(scan, batch_format="pyarrow")
