@@ -1538,6 +1538,18 @@ def _q_doc_source_rollup(sf_dir: str):
     return source_quality_rollup(docs)
 
 
+def _q_doc_source_coverage(sf_dir: str):
+    """Token-mass Lorenz/coverage curve by source (curation.
+    source_coverage): sources ranked (n_tokens DESC, source ASC) with
+    cumulative token mass — all integers, SQL window replay."""
+    from ugfraud_ray.pipelines.curation import source_coverage
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return source_coverage(docs)
+
+
 def _q_doc_token_count(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import token_counts
 
@@ -3196,6 +3208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_boilerplate": _q_doc_boilerplate,
         "doc_source_rollup": _q_doc_source_rollup,
+        "doc_source_coverage": _q_doc_source_coverage,
         "doc_oov_rate": _q_doc_oov,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -5668,6 +5681,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        "doc_source_coverage": r"""
+            WITH per AS (
+                SELECT source,
+                       SUM(CASE WHEN TRIM(text) = '' THEN 0
+                           ELSE LEN(regexp_split_to_array(TRIM(text), '\s+'))
+                           END) AS n_tokens
+                FROM documents GROUP BY source
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rnk,
+                   source,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+                        AS BIGINT) AS cum_tokens
+            FROM per
         """,
         "doc_source_rollup": r"""
             SELECT source,

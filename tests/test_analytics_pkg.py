@@ -211,3 +211,29 @@ def test_trigram_counts_paths_and_mirror(ray_session):
     assert loc.equals(dist)
     got = {(r.w1, r.w2, r.w3): r.n for r in loc.itertuples(index=False)}
     assert got == {("a", "b", "c"): 4}
+
+
+def test_source_coverage_lorenz(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.curation import source_coverage
+
+    texts = (
+        ["a b c d e"] * 4       # src0: 20 tokens
+        + ["w x"] * 3           # src1: 6 tokens
+        + ["solo"]              # src2: 1 token
+        + [""]                  # src3: 0 tokens (empty doc)
+        + ["t1 t2 t3"] * 2      # src4: 6 tokens (ties src1; name order)
+    )
+    srcs = ["s0"] * 4 + ["s1"] * 3 + ["s2"] + ["s3"] + ["s11"] * 2
+    ds = ray.data.from_arrow(
+        pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+    ).repartition(3)
+    out = source_coverage(ds).to_pandas().sort_values("rnk")
+    assert list(out["source"]) == ["s0", "s1", "s11", "s2", "s3"]
+    assert list(out["n_tokens"]) == [20, 6, 6, 1, 0]
+    assert list(out["cum_tokens"]) == [20, 26, 32, 33, 33]
+    assert list(out["rnk"]) == [1, 2, 3, 4, 5]

@@ -315,3 +315,74 @@ def domain_cap(
             lambda t: t.drop_columns(["qsel"]), batch_format="pyarrow"
         )
     )
+
+
+def source_coverage(
+    docs: "ray.data.Dataset", key: str = "text", source_col: str = "source"
+) -> "ray.data.Dataset":
+    """Token-mass coverage curve by source (the Lorenz-curve curation
+    diagnostic: "how concentrated is the corpus — what share of tokens
+    do the top-k sources contribute?"). Returns one row per source,
+    ranked by (n_tokens DESC, source ASC):
+    (rnk, source, n_tokens, cum_tokens) — cum_tokens/total at rank k is
+    the coverage of the k heaviest sources. All integers, so the SQL
+    window replay (ROW_NUMBER + SUM OVER the same ordering) is exact.
+
+    Shape: per-block (source, tokens) integer partials -> ONE grouped
+    sum bounded by the source domain -> the ranked prefix scan runs on
+    the sources-sized aggregate at the driver (never corpus-sized).
+    Token rule = whitespace split, empties dropped — identical to
+    :func:`text_analysis.source_quality_rollup`.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        n_tok = np.array(
+            [len(s.split()) for s in t[key].to_pylist()], dtype=np.int64
+        )
+        order = np.argsort(src, kind="stable")
+        src, n_tok = src[order], n_tok[order]
+        if len(src):
+            change = src[1:] != src[:-1]
+            starts = np.flatnonzero(np.concatenate([[True], change]))
+            sums = np.add.reduceat(n_tok, starts)
+            u = src[starts]
+        else:
+            starts = np.zeros(0, np.int64)
+            sums = np.zeros(0, np.int64)
+            u = src
+        return pa.table(
+            {
+                "source": pa.array(u.tolist(), pa.string()),
+                "k": pa.array(sums),
+            }
+        )
+
+    agg = (
+        docs.select_columns([source_col, key])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("k", alias_name="n_tokens"))
+    )
+    from ugfraud_ray.functions.collect import collect_table
+
+    t = collect_table(agg)
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    k = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # (n_tokens DESC, source ASC): stable sort by source, then stable
+    # sort by -k (np.lexsort rejects object keys)
+    o1 = np.argsort(src, kind="stable")
+    o2 = np.argsort(-k[o1], kind="stable")
+    order = o1[o2]
+    src, k = src[order], k[order]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(np.arange(1, len(k) + 1, dtype=np.int64)),
+                "source": pa.array(src.tolist(), pa.string()),
+                "n_tokens": pa.array(k),
+                "cum_tokens": pa.array(np.cumsum(k).astype(np.int64)),
+            }
+        )
+    )
