@@ -2432,6 +2432,32 @@ def _q_doc_incremental_dedup(sf_dir: str):
     )
 
 
+def _q_doc_incremental_minhash(sf_dir: str):
+    """Continuous-crawl NEAR-dedup (dedup.incremental_minhash_dedup):
+    even doc_ids = snapshot, odd = new batch; a new doc drops when it
+    shares an LSH band bucket with a snapshot doc or a lower-id new
+    doc (the SemDeDup-style greedy at candidate granularity). The
+    decision is a per-bucket predicate — no candidate pair ever
+    materializes."""
+    from ugfraud_ray.pipelines.dedup import incremental_minhash_dedup
+
+    docs = _docs(sf_dir)
+
+    def _parity(rem: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(ids % 2 == rem))
+
+        return f
+
+    corpus = docs.map_batches(_parity(0), batch_format="pyarrow")
+    new = docs.map_batches(_parity(1), batch_format="pyarrow")
+    n = docs.count()
+    return incremental_minhash_dedup(
+        corpus, new, approx_corpus=n, approx_new=n
+    )
+
+
 def _q_doc_rarity(sf_dir: str):
     """Integer-exact per-doc rarity (text_analysis.rarity_scores):
     sum over token occurrences of (1e9 // corpus-df). No floats/log —
@@ -3109,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_duplicate_spans": _q_doc_duplicate_spans,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
@@ -6471,6 +6498,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
             GROUP BY w1, w2, w3
             HAVING COUNT(*) >= 2
+        """,
+        "doc_incremental_minhash": f"""
+            WITH {_minhash_cand_ctes(source="documents")},
+            hc AS (
+                SELECT DISTINCT nb.doc_id
+                FROM buck nb JOIN buck cb
+                  ON cb.band = nb.band AND cb.bucket = nb.bucket
+                     AND cb.doc_id % 2 = 0
+                WHERE nb.doc_id % 2 = 1
+            ),
+            hp AS (
+                SELECT DISTINCT nb.doc_id
+                FROM buck nb JOIN buck pb
+                  ON pb.band = nb.band AND pb.bucket = nb.bucket
+                     AND pb.doc_id % 2 = 1 AND pb.doc_id < nb.doc_id
+                WHERE nb.doc_id % 2 = 1
+            )
+            SELECT d.doc_id,
+                   CAST(hc.doc_id IS NOT NULL AS BIGINT) AS has_corpus_cand,
+                   CAST(hp.doc_id IS NOT NULL AS BIGINT) AS has_prior_cand,
+                   CAST(hc.doc_id IS NULL AND hp.doc_id IS NULL AS BIGINT)
+                       AS kept
+            FROM documents d
+            LEFT JOIN hc ON hc.doc_id = d.doc_id
+            LEFT JOIN hp ON hp.doc_id = d.doc_id
+            WHERE d.doc_id % 2 = 1
         """,
         "doc_incremental_dedup": """
             WITH n AS (

@@ -67,3 +67,57 @@ def test_append_edges_with_new_vertices(tmp_path, ray_session):
     comp = dict(zip(out["vid"], out["s0"]))
     assert comp[6] == 0.0 and comp[7] == 0.0 and len(comp) == 8
     eng.shutdown()
+
+
+def test_incremental_minhash_dedup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = {
+        0: base,                                   # corpus
+        2: "completely different snapshot text with many other words",
+        1: base + " extra",                        # new, near-dups corpus 0
+        3: "fresh new content nothing like anything else in here at all",
+        5: "fresh new content nothing like anything else in here at all",  # dup of 3 (lower new id)
+        7: "yet another brand new unique document with its own words",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def par(rem):
+        def f(tb):
+            i = tb["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return tb.filter(pa.array(i % 2 == rem))
+
+        return f
+
+    def run(**kw):
+        out = incremental_minhash_dedup(
+            ds.map_batches(par(0), batch_format="pyarrow"),
+            ds.map_batches(par(1), batch_format="pyarrow"),
+            approx_corpus=3,
+            approx_new=3,
+            **kw,
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    out = run()
+    assert list(out["doc_id"]) == [1, 3, 5, 7]
+    by = {int(r.doc_id): r for r in out.itertuples()}
+    assert by[1].has_corpus_cand == 1 and by[1].kept == 0
+    assert by[3].kept == 1
+    assert by[5].has_prior_cand == 1 and by[5].kept == 0  # dup of new doc 3
+    assert by[7].kept == 1
+    # forced distributed path agrees bit-exactly
+    out2 = run(local_threshold=0)
+    assert out.equals(out2.sort_values("doc_id").reset_index(drop=True))

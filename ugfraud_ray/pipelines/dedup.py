@@ -137,12 +137,21 @@ class _MinHasher:
     relative to the token stream, so md5-per-token amortizes to
     md5-per-distinct-token)."""
 
-    def __init__(self, num_perm: int, ngram: int, seed: int, id_col: str, key: str):
+    def __init__(
+        self,
+        num_perm: int,
+        ngram: int,
+        seed: int,
+        id_col: str,
+        key: str,
+        extra_cols: tuple = (),
+    ):
         self.num_perm = num_perm
         self.ngram = ngram
         self.seed = seed
         self.id_col = id_col
         self.key = key
+        self.extra_cols = tuple(extra_cols)
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
         self.b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
@@ -178,14 +187,70 @@ class _MinHasher:
             else:
                 vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) & _MASK64
                 sigs[i] = _mix64(vals).min(axis=1)
-        return pa.table(
-            {
-                self.id_col: pa.array(ids),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
-                ),
-            }
-        )
+        cols = {
+            self.id_col: pa.array(ids),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).astype(np.uint64)), self.num_perm
+            ),
+        }
+        # opt-in passthrough columns (e.g. a corpus/new kind tag)
+        for c in self.extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+
+def minhash_band_rows(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    concurrency: int = 4,
+    extra_cols: tuple = (),
+) -> "ray.data.Dataset":
+    """(id, band, bucket[, *extra_cols]) LSH band rows: shingle ->
+    minhash (actor pool, constants in __init__) -> FNV-rolled per-band
+    bucket key. The shared front half of every banded-LSH operator
+    (candidates, dedup, agreement, incremental); ``extra_cols`` ride
+    along through the signature stage and the xbands row expansion."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = docs.map_batches(
+        _MinHasher,
+        fn_constructor_args=(num_perm, ngram, seed, id_col, key, extra_cols),
+        batch_format="pyarrow",
+        concurrency=actor_pool_size(concurrency),
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, -1)
+        out_id = np.repeat(ids, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        bucket = np.empty(n * bands, dtype=np.uint64)
+        for bdx in range(bands):
+            seg = sig[:, bdx * rows_per_band : (bdx + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = (acc * np.uint64(1099511628211) + seg[:, j]) & _MASK64
+            bucket[bdx::bands] = _mix64(acc)
+        cols = {
+            id_col: pa.array(out_id),
+            "band": pa.array(band_idx),
+            "bucket": pa.array(bucket.view(np.int64)),
+        }
+        # passthrough columns survive the xbands row expansion
+        for c in extra_cols:
+            cols[c] = pa.array(
+                np.repeat(t[c].to_numpy(zero_copy_only=False), bands)
+            )
+        return pa.table(cols)
+
+    return sigs.map_batches(band_rows, batch_format="pyarrow")
 
 
 def minhash_lsh_candidates(
@@ -204,38 +269,16 @@ def minhash_lsh_candidates(
     bucket key -> ONE groupby(band, bucket) -> per-group pair emission
     -> exact pair dedup.
     """
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-
-    sigs = docs.map_batches(
-        _MinHasher,
-        fn_constructor_args=(num_perm, ngram, seed, id_col, key),
-        batch_format="pyarrow",
-        concurrency=actor_pool_size(concurrency),
+    banded = minhash_band_rows(
+        docs,
+        key=key,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        ngram=ngram,
+        seed=seed,
+        concurrency=concurrency,
     )
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        sig = np.asarray(t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, -1)
-        out_id = np.repeat(ids, bands)
-        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
-        bucket = np.empty(n * bands, dtype=np.uint64)
-        for bdx in range(bands):
-            seg = sig[:, bdx * rows_per_band : (bdx + 1) * rows_per_band]
-            acc = np.zeros(n, dtype=np.uint64)
-            for j in range(rows_per_band):
-                acc = (acc * np.uint64(1099511628211) + seg[:, j]) & _MASK64
-            bucket[bdx::bands] = _mix64(acc)
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "band": pa.array(band_idx),
-                "bucket": pa.array(bucket.view(np.int64)),
-            }
-        )
-
-    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
     # ONE shuffle over coarse buckets (a per-(band,bucket) map_groups
     # pays Python dispatch per LSH bucket — tens of thousands of them);
     # within a coarse bucket the per-bucket pair emission is a numpy
@@ -1037,3 +1080,165 @@ def minhash_agreement(
         .groupby("_cb")
         .map_groups(zip_compare, batch_format="pyarrow")
     )
+
+
+def incremental_minhash_dedup(
+    corpus: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    local_threshold: int = 5_000_000,
+    approx_corpus: int | None = None,
+    approx_new: int | None = None,
+) -> "ray.data.Dataset":
+    """Continuous-crawl NEAR-dedup: the LSH sibling of
+    :func:`incremental_exact_dedup`. A new-batch doc drops when it
+    shares any LSH band bucket with (a) a snapshot doc or (b) a
+    lower-id doc of its own batch — the SemDeDup-style "no earlier
+    candidate neighbour" greedy (same keep rule as
+    ``similarity.semdedup``), at candidate granularity (what a
+    production MinhashLSH index check approximates). Returns one row
+    per new doc: (id, has_corpus_cand, has_prior_cand, kept).
+
+    Scale shape: the decision is a PER-BUCKET predicate — "does this
+    bucket hold any corpus row / any lower new id" — so NO candidate
+    pair ever materializes: band rows (kind-tagged) take ONE
+    (band, bucket)-keyed coarse shuffle, each group emits per-new-doc
+    boolean partials, and a (doc_id) groupby-max ORs them. Below the
+    gate the lexsort-run kernel runs driver-local on the collected
+    band rows (bands x docs, bounded) — identical results,
+    parity-tested by forcing local_threshold=0.
+    """
+    from ray.data.aggregate import Max
+
+    def _tag(kind_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    key: t[key],
+                    "kind": pa.array(np.full(t.num_rows, kind_val, np.int64)),
+                }
+            )
+
+        return f
+
+    # ONE MinHasher pool over the kind-tagged union — two separate
+    # actor pools in a single union DAG can grab every CPU and starve
+    # the downstream tasks (the fixed-pool deadlock regime)
+    tagged = corpus.map_batches(_tag(0), batch_format="pyarrow").union(
+        new.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    allb = minhash_band_rows(
+        tagged,
+        key=key,
+        id_col=id_col,
+        num_perm=num_perm,
+        bands=bands,
+        ngram=ngram,
+        seed=seed,
+        extra_cols=("kind",),
+    )
+
+    def flags_sorted(
+        ids: np.ndarray, band: np.ndarray, bucket: np.ndarray, kind: np.ndarray
+    ):
+        """Per-new-doc (id, c_flag, p_flag) from lexsorted-run segments."""
+        order = np.lexsort((ids, bucket, band))
+        ids, band, bucket, kind = (
+            ids[order],
+            band[order],
+            bucket[order],
+            kind[order],
+        )
+        if not len(ids):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        change = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+        seg = np.concatenate([[0], np.cumsum(change)]).astype(np.int64)
+        nseg = seg[-1] + 1
+        anyc = np.zeros(nseg, dtype=bool)
+        np.logical_or.at(anyc, seg, kind == 0)
+        minnew = np.full(nseg, np.iinfo(np.int64).max, dtype=np.int64)
+        newm = kind == 1
+        np.minimum.at(minnew, seg[newm], ids[newm])
+        c = anyc[seg[newm]].astype(np.int64)
+        p = (ids[newm] > minnew[seg[newm]]).astype(np.int64)
+        return ids[newm], c, p
+
+    n_c = approx_corpus if approx_corpus is not None else corpus.count()
+    n_n = approx_new if approx_new is not None else new.count()
+    n_rows = (n_c + n_n) * bands
+
+    if n_rows <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(allb)
+        ids, c, p = flags_sorted(
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["band"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["kind"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        u, inv = np.unique(ids, return_inverse=True)
+        cc = np.zeros(len(u), dtype=np.int64)
+        pp = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(cc, inv, c)
+        np.maximum.at(pp, inv, p)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(u),
+                    "has_corpus_cand": pa.array(cc),
+                    "has_prior_cand": pa.array(pp),
+                    "kept": pa.array(((cc == 0) & (pp == 0)).astype(np.int64)),
+                }
+            )
+        )
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nbk = np.uint64(n_coarse_buckets(n_rows))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cb_ = (band * np.uint64(0x9E3779B97F4A7C15) ^ bucket) % nbk
+        return t.append_column("_cb", pa.array(cb_.astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        ids, c, p = flags_sorted(
+            g[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["band"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["kind"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return pa.table(
+            {id_col: pa.array(ids), "c": pa.array(c), "p": pa.array(p)}
+        )
+
+    agg = (
+        allb.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "has_corpus_cand": pa.array(c),
+                "has_prior_cand": pa.array(p),
+                "kept": pa.array(((c == 0) & (p == 0)).astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
