@@ -1413,6 +1413,36 @@ def _q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
 
 
+def _q_doc_dsir(sf_dir: str):
+    """DSIR importance weights (curation.dsir_weights): hashed
+    unigram+bigram buckets, target = lang='en', raw = whole corpus;
+    per-bucket weight is the exact integer bit-length difference
+    bitlen(n_t+1)-bitlen(n_r+1) (== DuckDB length(bin(..))). The model
+    is fixed-size (65536 counters) so the only shuffle is a tiny bucket
+    groupby — scale-independent."""
+    from ugfraud_ray.pipelines.curation import dsir_weights
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    return dsir_weights(docs)
+
+
+def _q_doc_line_dedup(sf_dir: str):
+    """Corpus-wide duplicate-LINE removal (dedup.line_dedup) — the
+    C4/CCNet paragraph-dedup shape: a line occurring more than once in
+    the whole corpus survives only at its first (doc_id, line_no)
+    occurrence. Line identity is md5-low64 (== DuckDB md5_number_upper,
+    collision-stable replay); the winner key MIN(doc_id*2^21 + line_no)
+    is integer and order-free. Text never shuffles below the gate: the
+    duplicate-family map broadcasts and each source batch decides and
+    reassembles its own docs (vectorized pc.binary_join)."""
+    from ugfraud_ray.pipelines.dedup import line_dedup
+
+    docs = _docs(sf_dir)
+    return line_dedup(docs, approx_docs=docs.count())
+
+
 def _q_doc_pii_redact(sf_dir: str):
     """PII scrub (pipelines/redact.py): email -> IPv4 -> phone RE2 chain,
     vectorized pc.replace_substring_regex per batch; patterns shared
@@ -3111,6 +3141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreview_pairs": _q_coreview_pairs,
         "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "doc_dsir_weights": _q_doc_dsir,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_minhash_agreement": _q_minhash_agreement,
@@ -5765,6 +5797,78 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN TRIM(text) = '' THEN 0
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
             FROM documents
+        """,
+        # DSIR: feature buckets = md5_number_upper % 65536 over unigrams and
+        # chr(31)-packed bigrams; weights are exact integer bit-lengths
+        # (length(bin(n)) == the engine's frexp exponent).
+        "doc_dsir_weights": r"""
+            WITH arr AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ),
+            uni AS (
+                SELECT doc_id, lang, unnest(a) AS w FROM arr
+            ),
+            u2 AS (
+                SELECT doc_id, lang,
+                       CAST(md5_number_upper(w) % 65536 AS BIGINT) AS b
+                FROM uni WHERE w <> ''
+            ),
+            big AS (
+                SELECT doc_id, lang,
+                       unnest(a[1:len(a)-1]) AS w1,
+                       unnest(a[2:len(a)]) AS w2
+                FROM arr WHERE len(a) >= 2
+            ),
+            b2 AS (
+                SELECT doc_id, lang,
+                       CAST(md5_number_upper(w1 || chr(31) || w2) % 65536 AS BIGINT) AS b
+                FROM big WHERE w1 <> '' AND w2 <> ''
+            ),
+            feat AS (SELECT * FROM u2 UNION ALL SELECT * FROM b2),
+            model AS (
+                SELECT b,
+                       LENGTH(BIN(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                                       + 1 AS BIGINT)))
+                       - LENGTH(BIN(CAST(COUNT(*) + 1 AS BIGINT))) AS w
+                FROM feat GROUP BY b
+            )
+            SELECT f.doc_id,
+                   COUNT(*) AS n_features,
+                   CAST(SUM(m.w) AS BIGINT) AS dsir_weight
+            FROM feat f JOIN model m ON f.b = m.b
+            GROUP BY f.doc_id
+        """,
+        # line identity = md5_number_upper (the engine's md5-low64) so the
+        # grouping is collision-stable on both sides; the first-occurrence
+        # winner is MIN(doc_id * 2^21 + line_no) — integer, order-free.
+        "doc_line_dedup": """
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+            ),
+            L AS (
+                SELECT doc_id,
+                       unnest(arr) AS line,
+                       unnest(generate_series(0, len(arr) - 1)) AS ln
+                FROM ls
+            ),
+            fam AS (
+                SELECT md5_number_upper(line) AS h,
+                       MIN(doc_id * 2097152 + ln) AS mp,
+                       COUNT(*) AS n
+                FROM L GROUP BY 1
+            )
+            SELECT L.doc_id,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN fam.n = 1 OR L.doc_id * 2097152 + L.ln = fam.mp
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   COALESCE(string_agg(
+                       CASE WHEN fam.n = 1 OR L.doc_id * 2097152 + L.ln = fam.mp
+                            THEN L.line END,
+                       chr(10) ORDER BY L.ln), '') AS text_dedup
+            FROM L JOIN fam ON md5_number_upper(L.line) = fam.h
+            GROUP BY L.doc_id
         """,
         "doc_quality": r"""
             SELECT doc_id,

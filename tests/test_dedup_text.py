@@ -727,3 +727,70 @@ def test_minhash_agreement_paths_agree_and_bound(ray_session):
     full = loc[(loc.id_a == 1) & (loc.id_b == 3)]
     assert len(full) == 1 and int(full.n_agree.iloc[0]) == 64
     assert (loc.n_agree <= 64).all() and (loc.n_agree >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (C4 / CCNet paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+def _naive_line_dedup(ids, texts):
+    """Python mirror: keep a duplicated line only at its first
+    (doc_id, line_no) occurrence."""
+    seen_first = {}
+    for d, txt in sorted(zip(ids, texts)):
+        for i, line in enumerate(txt.split("\n")):
+            seen_first.setdefault(line, (d, i))
+    out = {}
+    for d, txt in zip(ids, texts):
+        lines = txt.split("\n")
+        kept = [l for i, l in enumerate(lines) if seen_first[l] == (d, i)]
+        out[d] = (len(lines), len(kept), "\n".join(kept))
+    return out
+
+
+def _line_corpus():
+    boiler = "subscribe to our newsletter"
+    texts = [
+        f"unique first line zero\n{boiler}\ntail zero",
+        f"{boiler}\nunique line one\n{boiler}",  # within-doc repeat too
+        "all original here\nnothing shared",
+        "",  # empty doc = one empty line
+        "\n",  # two empty lines; '' duplicates doc 3's line
+        f"tail zero\n{boiler}",  # cross-doc dup of doc 0's lines
+    ]
+    ids = list(range(len(texts)))
+    return ids, texts
+
+
+def _run_line_dedup(local_threshold):
+    from ugfraud_ray.pipelines.dedup import line_dedup
+
+    ids, texts = _line_corpus()
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    got = (
+        line_dedup(ds, approx_docs=len(ids), local_threshold=local_threshold)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return ids, texts, got
+
+
+def test_line_dedup_local_matches_naive(ray_session):
+    ids, texts, got = _run_line_dedup(local_threshold=10**6)
+    want = _naive_line_dedup(ids, texts)
+    assert list(got["doc_id"]) == ids
+    for _, r in got.iterrows():
+        nl, nk, td = want[r["doc_id"]]
+        assert (r["n_lines"], r["n_kept"], r["text_dedup"]) == (nl, nk, td)
+
+
+def test_line_dedup_distributed_path_agrees(ray_session):
+    ids, texts, got = _run_line_dedup(local_threshold=0)  # force union-bucket path
+    want = _naive_line_dedup(ids, texts)
+    for _, r in got.iterrows():
+        nl, nk, td = want[r["doc_id"]]
+        assert (r["n_lines"], r["n_kept"], r["text_dedup"]) == (nl, nk, td)

@@ -1,0 +1,74 @@
+"""DSIR importance weights vs a naive Python mirror."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _low64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _naive_dsir(ids, texts, langs, nbuckets, target="en"):
+    ct = np.zeros(nbuckets, dtype=np.int64)
+    cr = np.zeros(nbuckets, dtype=np.int64)
+    feats = {}
+    for d, txt, lg in zip(ids, texts, langs):
+        toks = [w for w in txt.lower().split() if w]
+        bs = [_low64(w) % nbuckets for w in toks] + [
+            _low64(f"{a}\x1f{b}") % nbuckets for a, b in zip(toks, toks[1:])
+        ]
+        feats[d] = bs
+        for b in bs:
+            cr[b] += 1
+            if lg == target:
+                ct[b] += 1
+    w = np.array(
+        [int(t + 1).bit_length() - int(r + 1).bit_length() for t, r in zip(ct, cr)]
+    )
+    return {
+        d: (len(bs), int(sum(w[b] for b in bs))) for d, bs in feats.items() if bs
+    }
+
+
+def test_dsir_weights_match_naive(ray_session):
+    from ugfraud_ray.pipelines.curation import dsir_weights
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox",
+        "zorro zorro zorro",
+        "",          # zero tokens -> no row
+        "   ",       # whitespace only -> no row
+        "single",
+        "la rapida volpe marrone salta sopra il cane pigro",
+    ]
+    langs = ["en", "en", "en", "en", "it", "en", "it"]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+            }
+        )
+    ).repartition(3)
+    nb = 64  # tiny bucket count to force collisions
+    got = (
+        dsir_weights(ds, nbuckets=nb)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _naive_dsir(ids, texts, langs, nb)
+    assert list(got["doc_id"]) == sorted(want)
+    for _, r in got.iterrows():
+        nf, wt = want[r["doc_id"]]
+        assert (r["n_features"], r["dsir_weight"]) == (nf, wt)

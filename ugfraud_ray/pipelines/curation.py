@@ -386,3 +386,108 @@ def source_coverage(
             }
         )
     )
+
+
+def _dsir_feature_buckets(
+    t: pa.Table, key: str, nbuckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, row_idx) for DSIR's hashed unigram+bigram features.
+
+    Tokenization is the repo-wide lowered ``\\s+`` split with empties
+    dropped; bigrams never cross a document boundary. Feature identity
+    is md5-low64 (== DuckDB ``md5_number_upper``), bigrams over
+    ``w1\\x1fw2`` — the lm_surprisal convention — reduced mod nbuckets.
+    """
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+    from ugfraud_ray.pipelines.text_analysis import _explode_tokens
+
+    flat, rows = _explode_tokens(t, key)
+    uh = _md5_low64(list(flat)) % np.uint64(nbuckets)
+    adj = rows[:-1] == rows[1:] if len(rows) else np.zeros(0, dtype=bool)
+    w1, w2, brows = flat[:-1][adj], flat[1:][adj], rows[:-1][adj]
+    bh = _md5_low64([f"{a}\x1f{b}" for a, b in zip(w1, w2)]) % np.uint64(nbuckets)
+    return (
+        np.concatenate([uh, bh]).astype(np.int64),
+        np.concatenate([rows, brows]),
+    )
+
+
+def dsir_weights(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    nbuckets: int = 65536,
+) -> "ray.data.Dataset":
+    """DSIR data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    log2-quantized so every number is an EXACT integer. Features are
+    hashed unigrams+bigrams in ``nbuckets`` buckets; the target
+    distribution is the subset ``target_col == target_value`` and the
+    raw distribution is the whole corpus. Per bucket
+
+        w[b] = bitlen(n_target[b] + 1) - bitlen(n_raw[b] + 1)
+
+    (bit-length difference == floor-log2 likelihood ratio, exact on
+    both sides: DuckDB ``length(bin(n))``), and a document's weight is
+    the sum of w over its feature OCCURRENCES. Output (id_col,
+    n_features, dsir_weight); docs with zero tokens emit nothing.
+    High (less negative) weight = looks like the target set.
+
+    Scale shape: the model is FIXED-SIZE (nbuckets counters) whatever
+    the corpus — per-block bincount partials collapse into one tiny
+    bucket groupby, the merged table broadcasts once via ``ray.put``,
+    and the scoring pass aggregates inside each source batch. Zero
+    corpus-sized shuffles at any scale; no gate needed.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = docs.select_columns([id_col, key, target_col])
+
+    def model_partial(t: pa.Table) -> pa.Table:
+        b, rows = _dsir_feature_buckets(t, key, nbuckets)
+        is_t = pc.equal(t[target_col], target_value).to_numpy(zero_copy_only=False)
+        cr = np.bincount(b, minlength=nbuckets)
+        ct = np.bincount(b[is_t[rows]], minlength=nbuckets)
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {
+                "b": pa.array(nz.astype(np.int64)),
+                "ct": pa.array(ct[nz].astype(np.int64)),
+                "cr": pa.array(cr[nz].astype(np.int64)),
+            }
+        )
+
+    model = (
+        cols.map_batches(model_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("ct", alias_name="ct"), Sum("cr", alias_name="cr"))
+    )
+    mt = collect_table(model)  # bounded: <= nbuckets rows by construction
+    w = np.zeros(nbuckets, dtype=np.int64)
+    bs = mt["b"].to_numpy(zero_copy_only=False)
+    ct = mt["ct"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cr = mt["cr"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # frexp exponent == bit length, exact < 2^53
+    w[bs] = np.frexp(ct + 1.0)[1].astype(np.int64) - np.frexp(cr + 1.0)[1].astype(np.int64)
+    w_ref = ray.put(w)
+
+    def score(t: pa.Table) -> pa.Table:
+        wv = ray.get(w_ref)
+        b, rows = _dsir_feature_buckets(t, key, nbuckets)
+        nr = len(t)
+        nf = np.bincount(rows, minlength=nr).astype(np.int64)
+        ws = np.zeros(nr, dtype=np.int64)
+        np.add.at(ws, rows, wv[b])
+        nz = nf > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[nz]),
+                "n_features": pa.array(nf[nz]),
+                "dsir_weight": pa.array(ws[nz]),
+            }
+        )
+
+    return cols.map_batches(score, batch_format="pyarrow")
