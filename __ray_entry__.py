@@ -828,6 +828,21 @@ def _q_ktruss(sf_dir: str):
     return ktruss(general_edges(sf_dir).materialize(), k=TRUSS_K)
 
 
+def _q_powerlaw_alpha(sf_dir: str):
+    """Hill power-law exponent of the general graph's total-degree tail
+    (graphstats.powerlaw_alpha, Clauset et al. 2009). Distributed
+    endpoint-count partials + two tiny groupbys; only the
+    distinct-degree histogram reaches the driver, summed in
+    ascending-degree order. 9-decimal rounding on both sides; the
+    log-sum is a few hundred terms so reassociation noise is ~1e-15,
+    far inside the rounding grid."""
+    from ugfraud_ray.pipelines.graphstats import powerlaw_alpha
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    e, _, _n = number_int_vertices(general_edges(sf_dir))
+    return powerlaw_alpha(e, dmin=2)
+
+
 def _q_degree_histogram(sf_dir: str):
     """Total-degree histogram of the general graph (graphstats.py):
     dense bincount partials -> one driver bincount; the power-law
@@ -1886,6 +1901,94 @@ def _q_coreview_pairs(sf_dir: str):
     )
 
 
+def _tagged_monthly_edges(sf_dir: str) -> "ray.data.Dataset":
+    """(month:int64 = months-since-epoch, src, dst) review edges tagged
+    by order month — shared input of the monthly snapshot + churn
+    queries. Same broadcast-below / hash-join-above gate as
+    review_graph_monthly."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    from ugfraud_ray.functions.collect import collect_table
+
+    def month_col(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = od.astype("datetime64[M]").astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "src": t["o_custkey"], "month": pa.array(m)}
+        )
+
+    om = orders.map_batches(month_col, batch_format="pyarrow")
+    if orders.count() > MONTHLY_JOIN_THRESHOLD:
+        from ugfraud_ray.stages.graph_build import join_partitions
+
+        joined = lineitem.join(
+            om, join_type="inner", on=("l_orderkey",), num_partitions=join_partitions()
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "month": t["month"],
+                    "src": t["src"],
+                    "dst": pc.add(t["l_partkey"], PART_OFFSET),
+                }
+            )
+
+        return joined.map_batches(project, batch_format="pyarrow")
+
+    ot = collect_table(om)
+    ok = ot["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    oc = ot["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mo = ot["month"].to_numpy(zero_copy_only=False).astype(np.int64)
+    size = int(ok.max()) + 1 if len(ok) else 1
+    cust = np.full(size, -1, dtype=np.int64)
+    mon = np.full(size, -1, dtype=np.int64)
+    cust[ok], mon[ok] = oc, mo
+    map_ref = ray.put((cust, mon))
+
+    def project_bcast(t: pa.Table) -> pa.Table:
+        cu, mn = ray.get(map_ref)
+        lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        safe = np.minimum(lo, len(cu) - 1)
+        keep = (lo < len(cu)) & (cu[safe] >= 0)
+        tk = t.filter(pa.array(keep))
+        los = lo[keep]
+        return pa.table(
+            {
+                "month": pa.array(mn[los]),
+                "src": pa.array(cu[los]),
+                "dst": pc.add(tk["l_partkey"], PART_OFFSET),
+            }
+        )
+
+    return lineitem.map_batches(project_bcast, batch_format="pyarrow")
+
+
+def _q_monthly_churn(sf_dir: str):
+    """Crawl-delta edge churn (graphstats.edge_churn): distinct review
+    edges added / removed / carried over between consecutive order
+    months. One edge-hash coarse-bucket shuffle above the gate; only
+    the month list broadcasts."""
+    from ugfraud_ray.pipelines.graphstats import edge_churn
+
+    tagged = _tagged_monthly_edges(sf_dir)
+    out = edge_churn(tagged, month_col="month")
+    m = out["month"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+    return pa.table(
+        {
+            "month": pa.array(np.datetime_as_string(m).tolist(), pa.string()),
+            "n_added": out["n_added"],
+            "n_removed": out["n_removed"],
+            "n_common": out["n_common"],
+        }
+    )
+
+
 def _q_review_graph_monthly(sf_dir: str):
     """Temporal graph snapshots: the review graph bucketed by order
     month — per month the edge count, distinct active users, and the
@@ -2152,6 +2255,17 @@ def _q_events_sessions(sf_dir: str):
     from ugfraud_ray.pipelines.events import sessionize
 
     return sessionize(_events(sf_dir), gap_minutes=30)
+
+
+def _q_events_cooccurrence(sf_dir: str):
+    """Session-level event-type co-occurrence support
+    (events.type_cooccurrence): distinct (type_a < type_b) pairs per
+    30-min gap session, counted corpus-wide. The SQL oracle nests the
+    exact events_sessions chain; partials are bounded by |types|^2 per
+    block so the merge groupby is tiny."""
+    from ugfraud_ray.pipelines.events import type_cooccurrence
+
+    return type_cooccurrence(_events(sf_dir), gap_minutes=30)
 
 
 EWMA_NUM, EWMA_DEN, EWMA_SCALE = 9, 10, 1000
@@ -3138,6 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_phrase_search": _q_doc_phrase_search,
         "doc_quality_above_median": _q_doc_quality_above_median,
         "review_graph_monthly": _q_review_graph_monthly,
+        "review_graph_churn": _q_monthly_churn,
         "coreview_pairs": _q_coreview_pairs,
         "svd_user_probs": _q_svd_user_probs,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -3179,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_contamination": _q_doc_bloom_contamination,
         # --- event-stream kernels ---
         "events_sessions": _q_events_sessions,
+        "events_type_cooccurrence": _q_events_cooccurrence,
         "events_interarrival": _q_events_interarrival,
         "events_hourly_profile": _q_events_hourly_profile,
         "events_changepoint": _q_events_changepoint,
@@ -3250,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dist": _q_sssp,
         "embedding_quantize": _q_embedding_quantize,
         "degree_histogram": _q_degree_histogram,
+        "graph_powerlaw_alpha": _q_powerlaw_alpha,
         "link_reciprocity": _q_link_reciprocity,
         "ktruss_edges": _q_ktruss,
         "graph_assortativity": _q_assortativity,
@@ -4541,6 +4658,50 @@ def oracle_sql() -> dict[str, str]:
             FROM pu p JOIN (SELECT * FROM top WHERE rn = 1) t USING (month)
             GROUP BY p.month
         """,
+        # churn between consecutive months over DISTINCT (src, dst) edges;
+        # month index j is dense-ranked so "previous snapshot" = j-1
+        "review_graph_churn": """
+            WITH e AS (
+                SELECT DISTINCT strftime(o.o_orderdate, '%Y-%m') AS month,
+                       o.o_custkey AS src, l.l_partkey AS dst
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            mi AS (
+                SELECT month, ROW_NUMBER() OVER (ORDER BY month) - 1 AS j
+                FROM (SELECT DISTINCT month FROM e) t
+            ),
+            em AS (SELECT e.src, e.dst, mi.j FROM e JOIN mi USING (month)),
+            mx AS (SELECT MAX(j) AS mj FROM mi),
+            added AS (
+                SELECT a.j, COUNT(*) AS n FROM em a
+                WHERE a.j > 0 AND NOT EXISTS (
+                    SELECT 1 FROM em b
+                    WHERE b.src = a.src AND b.dst = a.dst AND b.j = a.j - 1)
+                GROUP BY a.j
+            ),
+            common AS (
+                SELECT a.j, COUNT(*) AS n FROM em a
+                WHERE a.j > 0 AND EXISTS (
+                    SELECT 1 FROM em b
+                    WHERE b.src = a.src AND b.dst = a.dst AND b.j = a.j - 1)
+                GROUP BY a.j
+            ),
+            removed AS (
+                SELECT a.j + 1 AS j, COUNT(*) AS n FROM em a, mx
+                WHERE a.j + 1 <= mx.mj AND NOT EXISTS (
+                    SELECT 1 FROM em b
+                    WHERE b.src = a.src AND b.dst = a.dst AND b.j = a.j + 1)
+                GROUP BY a.j + 1
+            )
+            SELECT mi.month,
+                   COALESCE(ad.n, 0) AS n_added,
+                   COALESCE(rm.n, 0) AS n_removed,
+                   COALESCE(cm.n, 0) AS n_common
+            FROM mi LEFT JOIN added ad ON mi.j = ad.j
+                    LEFT JOIN removed rm ON mi.j = rm.j
+                    LEFT JOIN common cm ON mi.j = cm.j
+            WHERE mi.j > 0
+        """,
         "doc_quality_above_median": """
             WITH f AS (
                 SELECT doc_id,
@@ -5103,6 +5264,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(d AS BIGINT) AS degree, COUNT(*) AS n_vertices
             FROM deg GROUP BY d
+        """,
+        "graph_powerlaw_alpha": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            deg AS (
+                SELECT vid, COUNT(*) AS d
+                FROM (SELECT src AS vid FROM g UNION ALL SELECT dst FROM g)
+                GROUP BY vid
+            ),
+            h AS (SELECT d, COUNT(*) AS c FROM deg WHERE d >= 2 GROUP BY d)
+            SELECT CAST(2 AS BIGINT) AS dmin,
+                   CAST(SUM(c) AS BIGINT) AS n_tail,
+                   ROUND(1.0 + SUM(c) / SUM(c * ln(d / 2.0)), 9) AS alpha
+            FROM h
         """,
         "link_reciprocity": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),
@@ -6011,6 +6185,34 @@ def oracle_sql() -> dict[str, str]:
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        # nests the exact events_sessions break chain, then counts
+        # sessions containing both types of each (a < b) pair
+        "events_type_cooccurrence": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_type,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            ), dt AS (
+                SELECT DISTINCT user_id, sid, event_type FROM s
+            )
+            SELECT a.event_type AS type_a,
+                   b.event_type AS type_b,
+                   COUNT(*) AS n_sessions
+            FROM dt a JOIN dt b
+              ON a.user_id = b.user_id AND a.sid = b.sid
+                 AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "events_hourly_profile": """
             SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,

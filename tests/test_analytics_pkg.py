@@ -237,3 +237,61 @@ def test_source_coverage_lorenz(ray_session):
     assert list(out["n_tokens"]) == [20, 6, 6, 1, 0]
     assert list(out["cum_tokens"]) == [20, 26, 32, 33, 33]
     assert list(out["rnk"]) == [1, 2, 3, 4, 5]
+
+
+def test_powerlaw_alpha_matches_numpy(ray_session):
+    """Hill estimator vs a direct numpy mirror on a planted graph."""
+    from ugfraud_ray.pipelines.graphstats import powerlaw_alpha
+
+    rng = np.random.default_rng(7)
+    # heavy-tailed degrees: a few hubs, many leaves
+    src = rng.zipf(1.8, size=4000) % 97
+    dst = (rng.zipf(1.8, size=4000) % 89) + 100
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src.astype(np.int64)), "dst": pa.array(dst.astype(np.int64))})
+    ).repartition(5)
+    got = powerlaw_alpha(ds, dmin=3).to_pandas()
+
+    deg = np.bincount(np.concatenate([src, dst + 0]).astype(np.int64))
+    deg = deg[deg > 0]
+    tail = deg[deg >= 3]
+    alpha = 1.0 + len(tail) / np.sum(np.log(tail / 3.0))
+    assert int(got["n_tail"].iloc[0]) == len(tail)
+    assert abs(float(got["alpha"].iloc[0]) - round(alpha, 9)) < 1e-9
+    assert int(got["dmin"].iloc[0]) == 3
+
+
+def test_edge_churn_local_and_bucketed_match_naive(ray_session):
+    from ugfraud_ray.pipelines.graphstats import edge_churn
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    months = rng.integers(0, 7, size=n)      # 7 snapshots, some edges repeat
+    src = rng.integers(0, 40, size=n)
+    dst = rng.integers(100, 160, size=n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "month": pa.array(months.astype(np.int64)),
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+            }
+        )
+    ).repartition(4)
+
+    def naive():
+        per_m = {m: set() for m in range(7)}
+        for m, s, d in zip(months, src, dst):
+            per_m[m].add((s, d))
+        out = []
+        ms = sorted(per_m)
+        for prev, cur in zip(ms, ms[1:]):
+            a, b = per_m[prev], per_m[cur]
+            out.append((cur, len(b - a), len(a - b), len(a & b)))
+        return out
+
+    want = naive()
+    for thresh in (10**6, 0):  # driver-local and forced bucketed paths
+        got = edge_churn(ds, local_threshold=thresh).to_pandas()
+        rows = list(zip(got["month"], got["n_added"], got["n_removed"], got["n_common"]))
+        assert rows == want, f"threshold={thresh}"

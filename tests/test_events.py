@@ -490,3 +490,48 @@ def test_interarrival_matches_pandas_and_bucketed_path(ray_session):
     assert (local["min_gap_us"].to_numpy() == want["min"].to_numpy()).all()
     assert (local["max_gap_us"].to_numpy() == want["max"].to_numpy()).all()
     assert (local["sum_gap_us"].to_numpy() == want["sum"].to_numpy()).all()
+
+
+def test_type_cooccurrence_matches_naive_and_bucketed(ray_session):
+    from ugfraud_ray.pipelines.events import type_cooccurrence
+
+    t = _synth_events(n=1500, n_users=19, seed=41)
+    ds = ray.data.from_arrow(t).repartition(4)
+    local = (
+        type_cooccurrence(ds, gap_minutes=30)
+        .to_pandas()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        type_cooccurrence(ds, gap_minutes=30, local_threshold=0)
+        .to_pandas()
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
+
+    # naive mirror: assign sessions per user with the sessionize rule,
+    # then count sessions containing both types of each pair
+    df = t.to_pandas()
+    df["us"] = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    df = df.sort_values(["user_id", "us", "event_id"])
+    gap = 30 * 60 * 1_000_000
+    from collections import defaultdict
+
+    sess_types = defaultdict(set)
+    sid = 0
+    prev = None
+    for u, us, et in zip(df["user_id"], df["us"], df["event_type"]):
+        if prev is None or u != prev[0] or us - prev[1] > gap:
+            sid += 1
+        sess_types[sid].add(et)
+        prev = (u, us)
+    want = defaultdict(int)
+    for types in sess_types.values():
+        ts_sorted = sorted(types)
+        for i in range(len(ts_sorted)):
+            for j in range(i + 1, len(ts_sorted)):
+                want[(ts_sorted[i], ts_sorted[j])] += 1
+    got = {(r.type_a, r.type_b): r.n_sessions for r in local.itertuples()}
+    assert got == dict(want)

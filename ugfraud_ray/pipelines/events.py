@@ -1599,3 +1599,107 @@ def ewma_daily(
         )
 
     return daily.groupby("event_type").map_groups(scan, batch_format="pyarrow")
+
+
+def _cooccur_block(
+    user: np.ndarray, ts_us: np.ndarray, eid: np.ndarray, et: list, gap_us: int
+) -> pa.Table:
+    """Per-block partial of session type co-occurrence: distinct
+    event-type pairs (a < b lexicographically) per gap-break session,
+    counted across the block's sessions. Pair enumeration is pure
+    numpy index arithmetic — no Python loop over sessions."""
+    order = np.lexsort((eid, ts_us, user))
+    user, ts_us = user[order], ts_us[order]
+    ets = np.asarray(et, dtype=object)[order]
+    empty = pa.table(
+        {
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_sessions": pa.array([], pa.int64()),
+        }
+    )
+    if len(user) == 0:
+        return empty
+    new_user = np.concatenate([[True], np.diff(user) != 0])
+    brk = new_user | np.concatenate([[True], np.diff(ts_us) > gap_us])
+    sid = np.cumsum(brk)
+    codes, inv = np.unique(ets, return_inverse=True)
+    # distinct (session, type); np.unique sorts, so codes ascend per session
+    st = np.unique(sid * np.int64(len(codes)) + inv)
+    s_of = st // len(codes)
+    c_of = (st % len(codes)).astype(np.int64)
+    run_start = np.concatenate([[True], np.diff(s_of) != 0])
+    starts = np.flatnonzero(run_start)
+    lens = np.diff(np.append(starts, len(s_of)))
+    local = np.arange(len(s_of)) - np.repeat(starts, lens)
+    total = int(local.sum())
+    if total == 0:
+        return empty
+    second = np.repeat(np.arange(len(s_of)), local)
+    within = np.arange(total) - np.repeat(np.cumsum(local) - local, local)
+    first = np.repeat(np.repeat(starts, lens), local) + within
+    key = c_of[first] * np.int64(len(codes)) + c_of[second]
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table(
+        {
+            "type_a": pa.array(codes[uk // len(codes)], pa.string()),
+            "type_b": pa.array(codes[uk % len(codes)], pa.string()),
+            "n_sessions": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def type_cooccurrence(
+    events: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Event-type co-occurrence support over gap-based sessions — the
+    market-basket association readout (Agrawal et al. 1993 support
+    counting) on the clickstream: (type_a, type_b, n_sessions) where
+    type_a < type_b lexicographically and n_sessions counts sessions
+    containing BOTH types. Sessions follow ``sessionize``'s exact
+    gap-break rule (ties by (ts, event_id)), so the SQL oracle nests
+    the same session chain.
+
+    Same user-colocation contract as ``sessionize``: driver-local
+    below ``local_threshold`` events, otherwise ONE user-hash coarse
+    bucket shuffle running the identical kernel per bucket; partials
+    are bounded by |types|^2 per block, merged by a tiny groupby-sum.
+    """
+    from ray.data.aggregate import Sum
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = events.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+    def extract(t) -> tuple:
+        return (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+            t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["event_type"].to_pylist(),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        return ray.data.from_arrow(_cooccur_block(*extract(t), gap_us))
+
+    nb = np.uint64(n_coarse_buckets(n))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(lambda g: _cooccur_block(*extract(g), gap_us), batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+    )

@@ -310,3 +310,211 @@ def temporal_degree_snapshots(tagged: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return per_user.groupby("month").map_groups(per_month, batch_format="pyarrow")
+
+
+def powerlaw_alpha(edges: "ray.data.Dataset", dmin: int = 2) -> pa.Table:
+    """Hill maximum-likelihood estimate of the degree-distribution
+    power-law exponent over the total-degree tail d >= dmin
+    (Clauset-Shalizi-Newman 2009 eq. 3.1 for discrete dmin-anchored
+    tails): alpha = 1 + n / sum(ln(d_i / dmin)). The scale-free slope
+    is THE summary statistic of a crawl-snapshot web graph.
+
+    One row: (dmin, n_tail, alpha). Fully distributed: per-block
+    endpoint bincount partials -> (vid) groupby-sum -> per-block degree
+    histogram partials -> (degree) groupby-sum; only the
+    distinct-degree histogram (hundreds of rows on any real graph)
+    lands on the driver, where the log-sum runs in ascending-degree
+    order. Works on vid-numbered edges; degree-0 vertices are
+    naturally absent.
+    """
+    from ray.data.aggregate import Sum
+
+    def endpoint_counts(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [
+                t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ]
+        )
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"vid": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    deg = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(endpoint_counts, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("c", alias_name="d"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    hist = collect_table(
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("degree")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    d = hist["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = hist["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(d)
+    d, c = d[order], c[order]
+    tail = d >= dmin
+    n = int(c[tail].sum())
+    slog = float(np.sum(c[tail] * np.log(d[tail] / float(dmin))))
+    alpha = 1.0 + n / slog
+    return pa.table(
+        {
+            "dmin": pa.array([int(dmin)], pa.int64()),
+            "n_tail": pa.array([n], pa.int64()),
+            "alpha": pa.array([round(alpha, 9)], pa.float64()),
+        }
+    )
+
+
+def _churn_block(
+    src: np.ndarray, dst: np.ndarray, j: np.ndarray, n_months: int
+) -> pa.Table:
+    """Per-bucket transition counts over one edge-hash bucket (every
+    month of an edge lands in the same bucket). Rows are deduped to
+    distinct (src, dst, month-index), then consecutive-month membership
+    is read off neighbouring rows of the lexsorted stream — no per-edge
+    Python loop."""
+    order = np.lexsort((j, dst, src))
+    src, dst, j = src[order], dst[order], j[order]
+    keep = np.ones(len(j), dtype=bool)
+    keep[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]) | (j[1:] != j[:-1])
+    src, dst, j = src[keep], dst[keep], j[keep]
+    same_prev = np.zeros(len(j), dtype=bool)
+    same_prev[1:] = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1]) & (j[1:] == j[:-1] + 1)
+    same_next = np.zeros(len(j), dtype=bool)
+    same_next[:-1] = same_prev[1:]
+    a = np.zeros(n_months, dtype=np.int64)
+    r = np.zeros(n_months, dtype=np.int64)
+    c = np.zeros(n_months, dtype=np.int64)
+    pos = j > 0
+    np.add.at(c, j[pos & same_prev], 1)
+    np.add.at(a, j[pos & ~same_prev], 1)
+    drop = (~same_next) & (j + 1 < n_months)
+    np.add.at(r, j[drop] + 1, 1)
+    jj = np.arange(n_months, dtype=np.int64)
+    return pa.table(
+        {"j": pa.array(jj), "a": pa.array(a), "r": pa.array(r), "c": pa.array(c)}
+    )
+
+
+def edge_churn(
+    tagged: "ray.data.Dataset",
+    month_col: str = "month",
+    local_threshold: int = 2_000_000,
+    approx_rows: int | None = None,
+) -> pa.Table:
+    """Snapshot-to-snapshot edge churn of a temporal graph — the
+    crawl-delta analytic: for each consecutive pair of snapshot keys
+    (integer ``month_col``) report how many DISTINCT edges were added,
+    removed, and carried over versus the previous snapshot. Output
+    (month, n_added, n_removed, n_common), one row per snapshot after
+    the first, months with no change included as zeros.
+
+    Scale shape: per-block distinct (month, src, dst) partials, then
+    ONE edge-hash coarse-bucket shuffle so every month of an edge is
+    co-located, transition flags read off neighbouring rows of the
+    per-bucket lexsorted stream, and a months-sized counter merge.
+    The snapshot-key list (<= a few hundred) is the only broadcast.
+    Below ``local_threshold`` rows the identical kernel runs
+    driver-local.
+    """
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    ds = tagged.select_columns([month_col, "src", "dst"])
+
+    def extract(t: pa.Table):
+        return (
+            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t[month_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        m = np.unique(t[month_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"m": pa.array(m)})
+
+    months = np.unique(
+        collect_table(ds.map_batches(month_partial, batch_format="pyarrow"))["m"]
+        .to_numpy(zero_copy_only=False)
+    )
+    n_m = len(months)
+
+    def finish(tab: pa.Table) -> pa.Table:
+        js = tab["j"].to_numpy(zero_copy_only=False)
+        a = np.zeros(n_m, dtype=np.int64)
+        r = np.zeros(n_m, dtype=np.int64)
+        c = np.zeros(n_m, dtype=np.int64)
+        np.add.at(a, js, tab["a"].to_numpy(zero_copy_only=False))
+        np.add.at(r, js, tab["r"].to_numpy(zero_copy_only=False))
+        np.add.at(c, js, tab["c"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                month_col: pa.array(months[1:]),
+                "n_added": pa.array(a[1:]),
+                "n_removed": pa.array(r[1:]),
+                "n_common": pa.array(c[1:]),
+            }
+        )
+
+    n = approx_rows if approx_rows is not None else ds.count()
+    if n_m < 2:
+        return pa.table(
+            {
+                month_col: pa.array([], pa.int64()),
+                "n_added": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "n_common": pa.array([], pa.int64()),
+            }
+        )
+    midx_ref = ray.put(months)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        s, d, m = extract(t)
+        j = np.searchsorted(ray.get(midx_ref), m)
+        key = np.stack([s, d, j], axis=1)
+        u = np.unique(key, axis=0)
+        nb_ = np.uint64(n_coarse_buckets(n))
+        h = u[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ u[:, 1].astype(
+            np.uint64
+        ) * np.uint64(0xC2B2AE3D27D4EB4F)
+        h ^= h >> np.uint64(29)
+        return pa.table(
+            {
+                "src": pa.array(u[:, 0]),
+                "dst": pa.array(u[:, 1]),
+                "j": pa.array(u[:, 2]),
+                "_cb": pa.array((h % nb_).astype(np.int64)),
+            }
+        )
+
+    if n <= local_threshold:
+        t = collect_table(ds)
+        s, d, m = extract(t)
+        j = np.searchsorted(months, m)
+        return finish(_churn_block(s, d, j, n_m))
+
+    from ray.data.aggregate import Sum
+
+    per_bucket = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: _churn_block(
+                g["src"].to_numpy(zero_copy_only=False),
+                g["dst"].to_numpy(zero_copy_only=False),
+                g["j"].to_numpy(zero_copy_only=False),
+                n_m,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("j")
+        .aggregate(Sum("a", alias_name="a"), Sum("r", alias_name="r"), Sum("c", alias_name="c"))
+    )
+    return finish(collect_table(per_bucket))
