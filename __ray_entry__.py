@@ -347,6 +347,26 @@ def _q_sssp(sf_dir: str):
     return out.select_columns(["id", "dist"])
 
 
+def _q_bowtie(sf_dir: str):
+    """Broder bow-tie decomposition of the directed general graph
+    (scc.bowtie_decomposition): core = largest SCC, 'out' = forward
+    reach, 'in' = backward reach, 'other' = tendrils + disconnected.
+    SCC + two seeded directed BFS engine passes + one vid-bucketed
+    flag-OR classify; the SQL oracle nests the transitive-closure SCC
+    chain and reads reach straight off the closure."""
+    from ugfraud_ray.pipelines.scc import bowtie_decomposition
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    out = bowtie_decomposition(e, n, _scratch("bowtie"), P=4)
+    out = unmap_vids(out, vmap, vid_col="vid", out_col="id")
+    return out.select_columns(["id", "cls"])
+
+
 def _q_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED general graph
     (pipelines/scc.py, FW-BW coloring rounds); scc id = min member id."""
@@ -1426,6 +1446,15 @@ def _q_doc_exact_dedup(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
+
+
+def _q_doc_gopher(sf_dir: str):
+    """Gopher quality gate (text_analysis.gopher_rules): all seven
+    predicates are exact integer cross-multiplications — no float or
+    division on either side. Pure per-batch Arrow pass, zero shuffles."""
+    from ugfraud_ray.pipelines.text_analysis import gopher_rules
+
+    return gopher_rules(_docs(sf_dir))
 
 
 def _q_doc_dsir(sf_dir: str):
@@ -3237,6 +3266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangles,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "strongly_connected_components": _q_scc,
+        "graph_bowtie": _q_bowtie,
         "label_propagation": _q_labelprop,
         # --- dedup family ---
         "doc_minhash_dedup": _q_minhash_dedup,
@@ -3258,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_line_dedup": _q_doc_line_dedup,
         "doc_dsir_weights": _q_doc_dsir,
+        "doc_gopher_rules": _q_doc_gopher,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_minhash_agreement": _q_minhash_agreement,
@@ -5180,6 +5211,42 @@ def oracle_sql() -> dict[str, str]:
             FROM walk w1 JOIN walk w2 ON w2.a = w1.b AND w2.b = w1.a
             GROUP BY w1.a
         """,
+        # bow-tie classes read off the same transitive closure as the SCC
+        # oracle: core = largest SCC (ties to min id), out/in = closure
+        # rows from/to any core member
+        "graph_bowtie": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            walk(a, b) AS (
+                SELECT vid, vid FROM v
+                UNION
+                SELECT w.a, g.dst FROM walk w JOIN g ON g.src = w.b
+            ),
+            scc AS (
+                SELECT w1.a AS id, MIN(w1.b) AS scc
+                FROM walk w1 JOIN walk w2 ON w2.a = w1.b AND w2.b = w1.a
+                GROUP BY w1.a
+            ),
+            core AS (
+                SELECT scc FROM (
+                    SELECT scc, COUNT(*) AS c FROM scc GROUP BY scc
+                    ORDER BY c DESC, scc ASC LIMIT 1
+                )
+            ),
+            cm AS (SELECT id FROM scc WHERE scc = (SELECT scc FROM core)),
+            fwd AS (SELECT DISTINCT w.b AS id FROM walk w JOIN cm ON w.a = cm.id),
+            bwd AS (SELECT DISTINCT w.a AS id FROM walk w JOIN cm ON w.b = cm.id)
+            SELECT v.vid AS id,
+                   CASE WHEN v.vid IN (SELECT id FROM cm) THEN 'core'
+                        WHEN v.vid IN (SELECT id FROM fwd) THEN 'out'
+                        WHEN v.vid IN (SELECT id FROM bwd) THEN 'in'
+                        ELSE 'other' END AS cls
+            FROM v
+        """,
         # two chained BFS frontiers; v1 = min id among the farthest
         "graph_diameter": f"""
             WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
@@ -5971,6 +6038,59 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN TRIM(text) = '' THEN 0
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
             FROM documents
+        """,
+        # Gopher gate: every ratio threshold is cross-multiplied so both
+        # sides compare exact integers; word length is codepoints (LENGTH)
+        "doc_gopher_rules": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE w <> '') AS n_words,
+                       COALESCE(SUM(LENGTH(w)) FILTER (WHERE w <> ''), 0) AS tot_chars,
+                       COUNT(*) FILTER (WHERE regexp_matches(w, '[a-z]')) AS n_alpha,
+                       COUNT(DISTINCT w) FILTER (
+                           WHERE w IN ('the','be','to','of','and','that','have','with')
+                       ) AS n_stop
+                FROM tok GROUP BY doc_id
+            ),
+            ln AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_lines,
+                       COUNT(*) FILTER (
+                           WHERE l LIKE '%...' OR l LIKE '%…') AS n_ell,
+                       COUNT(*) FILTER (
+                           WHERE l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%') AS n_bul
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents) GROUP BY doc_id
+            ),
+            hs AS (
+                SELECT doc_id,
+                       LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS n_hash
+                FROM documents
+            )
+            SELECT tk.doc_id,
+                   CAST(tk.n_words AS BIGINT) AS n_words,
+                   CAST(tk.n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+                   CAST(3 * tk.n_words <= tk.tot_chars
+                        AND tk.tot_chars <= 10 * tk.n_words AS BIGINT) AS r_mean_word_len,
+                   CAST(5 * tk.n_alpha >= 4 * tk.n_words AS BIGINT) AS r_alpha,
+                   CAST(tk.n_stop >= 2 AS BIGINT) AS r_stop,
+                   CAST(10 * ln.n_ell <= 3 * ln.n_lines AS BIGINT) AS r_ellipsis,
+                   CAST(10 * ln.n_bul <= 9 * ln.n_lines AS BIGINT) AS r_bullet,
+                   CAST(10 * hs.n_hash <= tk.n_words AS BIGINT) AS r_hash,
+                   CAST(tk.n_words BETWEEN 50 AND 100000
+                        AND 3 * tk.n_words <= tk.tot_chars
+                        AND tk.tot_chars <= 10 * tk.n_words
+                        AND 5 * tk.n_alpha >= 4 * tk.n_words
+                        AND tk.n_stop >= 2
+                        AND 10 * ln.n_ell <= 3 * ln.n_lines
+                        AND 10 * ln.n_bul <= 9 * ln.n_lines
+                        AND 10 * hs.n_hash <= tk.n_words AS BIGINT) AS keep
+            FROM tk JOIN ln USING (doc_id) JOIN hs USING (doc_id)
         """,
         # DSIR: feature buckets = md5_number_upper % 65536 over unigrams and
         # chr(31)-packed bigrams; weights are exact integer bit-lengths

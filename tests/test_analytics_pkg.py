@@ -295,3 +295,75 @@ def test_edge_churn_local_and_bucketed_match_naive(ray_session):
         got = edge_churn(ds, local_threshold=thresh).to_pandas()
         rows = list(zip(got["month"], got["n_added"], got["n_removed"], got["n_common"]))
         assert rows == want, f"threshold={thresh}"
+
+
+def test_gopher_rules_hand_cases(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import gopher_rules
+
+    good = "the words flow and have that calm shape with " + " ".join(
+        f"word{i}" for i in range(60)
+    )
+    texts = [
+        good,                                   # passes everything
+        "short text",                           # fails word count + stopwords
+        good + "\nfirst…\nsecond...\nthird...", # >30% ellipsis lines? 3 of 4 lines
+        good + " " + "#" * 40,                  # hash symbols vs words
+        "- a\n- b\n- c",                        # all bullet lines
+        ("xx " * 60) + "the be",                # mean word len ok, alpha ok, stop=2
+    ]
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    got = gopher_rules(ds, min_words=10).to_pandas().sort_values("doc_id")
+    g = {r.doc_id: r for r in got.itertuples()}
+    assert g[0].keep == 1
+    assert g[1].r_word_count == 0 and g[1].r_stop == 0 and g[1].keep == 0
+    assert g[2].r_ellipsis == 0 and g[2].keep == 0
+    assert g[3].r_hash == 0 and g[3].keep == 0
+    assert g[4].r_bullet == 0 and g[4].keep == 0
+    assert g[5].r_stop == 1 and g[5].r_alpha == 1
+
+
+def test_bowtie_matches_networkx(ray_session, tmp_path):
+    import networkx as nx
+
+    from ugfraud_ray.pipelines.scc import bowtie_decomposition
+
+    rng = np.random.default_rng(5)
+    n = 120
+    # planted core cycle 0..19, plus random sparse edges
+    core = [(i, (i + 1) % 20) for i in range(20)]
+    rand = list(zip(rng.integers(0, n, 300), rng.integers(0, n, 300)))
+    edges = [(int(a), int(b)) for a, b in core + rand if a != b]
+    g = nx.DiGraph(edges)
+    g.add_nodes_from(range(n))
+    sccs = list(nx.strongly_connected_components(g))
+    core_set = max(sccs, key=lambda s: (len(s), -min(s)))
+    out_set = set()
+    in_set = set()
+    for c in core_set:
+        out_set |= nx.descendants(g, c)
+        in_set |= nx.ancestors(g, c)
+    want = {}
+    for v in range(n):
+        if v in core_set:
+            want[v] = "core"
+        elif v in out_set:
+            want[v] = "out"
+        elif v in in_set:
+            want[v] = "in"
+        else:
+            want[v] = "other"
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = bowtie_decomposition(ds, n, str(tmp_path / "bt"), P=2).to_pandas()
+    gmap = dict(zip(got["vid"], got["cls"]))
+    assert gmap == want

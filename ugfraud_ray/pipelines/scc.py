@@ -231,3 +231,127 @@ def strongly_connected_components(
     return ray.data.from_arrow(
         pa.table({"vid": pa.array(out_vid[order]), "scc": pa.array(out_scc[order])})
     )
+
+
+def bowtie_decomposition(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    P: int = 4,
+    local_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Broder bow-tie decomposition of a directed web graph (Broder et
+    al. 2000, "Graph structure in the Web"): Dataset(vid, cls) with
+    cls in {'core', 'in', 'out', 'other'} — CORE is the LARGEST SCC
+    (ties to the smallest scc id), OUT is forward-reachable from the
+    core, IN reaches the core, OTHER is tendrils + disconnected mass.
+
+    Composition of engine passes: SCC (FW-BW coloring), then TWO
+    multi-source directed BFS sweeps (forward layout and reversed
+    layout) seeded with the core members, then ONE flag-OR classify
+    pass: the three (vid, flag-bit) streams union into a vid-bucketed
+    groupby — no per-vertex driver array in the classify step. The
+    core-seed vid list ships once to the P shard actors via ``ray.put``
+    (the engine's documented O(core) broadcast footprint, same as its
+    degree tables). Top-1 SCC selection is per-block partials + a tiny
+    driver merge — no global sort.
+    """
+    from ray.data.aggregate import Count
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.pipelines.bfs import bfs_hops
+
+    comp = strongly_connected_components(
+        edges, n_vertices, os.path.join(layout_dir, "scc"), P=P,
+        local_threshold=local_threshold,
+    ).materialize()
+    sizes = comp.groupby("scc").aggregate(Count(alias_name="c"))
+
+    def top1(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["scc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        best = np.lexsort((s, -c))[0]
+        return pa.table({"scc": pa.array(s[best : best + 1]), "c": pa.array(c[best : best + 1])})
+
+    cand = collect_table(sizes.map_batches(top1, batch_format="pyarrow"))
+    cs = cand["scc"].to_numpy(zero_copy_only=False)
+    cc = cand["c"].to_numpy(zero_copy_only=False)
+    core_id = int(cs[np.lexsort((cs, -cc))[0]])
+
+    core_members = collect_table(
+        comp.filter(lambda r: r["scc"] == core_id).select_columns(["vid"])
+    )["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    fwd, _ = bfs_hops(
+        edges, n_vertices, core_members, os.path.join(layout_dir, "fwd"),
+        P=P, max_iters=256, directed=True,
+    )
+    rev = edges.select_columns(["src", "dst"]).map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+        batch_format="pyarrow",
+    )
+    bwd, _ = bfs_hops(
+        rev, n_vertices, core_members, os.path.join(layout_dir, "bwd"),
+        P=P, max_iters=256, directed=True,
+    )
+
+    CORE, FWD, BWD = 4, 2, 1
+
+    def flag_rows(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vid": t["vid"],
+                    "flag": pa.array(np.full(len(t), flag, dtype=np.int64)),
+                }
+            )
+
+        return f
+
+    core_flags = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "flag": pa.array(
+                    np.where(
+                        t["scc"].to_numpy(zero_copy_only=False) == core_id, CORE, 0
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tagged = core_flags.union(
+        fwd.map_batches(flag_rows(FWD), batch_format="pyarrow"),
+        bwd.map_batches(flag_rows(BWD), batch_format="pyarrow"),
+    )
+
+    nb = np.uint64(n_coarse_buckets(n_vertices))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["vid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def classify(g: pa.Table) -> pa.Table:
+        v = g["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fl = g["flag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, fl = v[order], fl[order]
+        first = np.ones(len(v), dtype=bool)
+        first[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(first)
+        agg = np.bitwise_or.reduceat(fl, starts) if len(starts) else fl[:0]
+        names = np.array(["other", "in", "out", "out", "core", "core", "core", "core"], dtype=object)
+        return pa.table(
+            {
+                "vid": pa.array(v[starts]),
+                "cls": pa.array(names[agg], pa.string()),
+            }
+        )
+
+    return (
+        tagged.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(classify, batch_format="pyarrow")
+    )

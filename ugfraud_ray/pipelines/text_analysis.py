@@ -1795,3 +1795,101 @@ def lm_surprisal(
             Sum("surprisal_sum", alias_name="surprisal_sum"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> "ray.data.Dataset":
+    """Gopher repetition/quality gate (Rae et al. 2021, table A1) with
+    every predicate an EXACT integer comparison — ratio thresholds are
+    cross-multiplied so no float or division appears on either side:
+
+    - r_word_count:   min_words <= n_words <= max_words
+    - r_mean_word_len: 3*n_words <= total word chars <= 10*n_words
+    - r_alpha:        >= 80% of words contain an [a-z] letter
+                      (5*n_alpha >= 4*n_words)
+    - r_stop:         >= 2 DISTINCT Gopher stopwords present
+    - r_ellipsis:     <= 30% of lines end with '...' or '…'
+                      (10*n_ellipsis <= 3*n_lines)
+    - r_bullet:       <= 90% of lines start with '-', '*' or '•'
+                      (10*n_bullet <= 9*n_lines)
+    - r_hash:         '#' symbols per word <= 0.1 (10*n_hash <= n_words)
+    - keep:           all of the above
+
+    Tokenization is the repo-wide lowered ``\\s+`` split; word length is
+    codepoints (== DuckDB LENGTH). One vectorized Arrow pass per batch,
+    zero shuffles at any scale; every doc emits a row (zero-token docs
+    fail r_word_count). Flags are int64 0/1.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        nr = t.num_rows
+        col = pc.utf8_lower(pc.utf8_trim_whitespace(t[key]))
+        lists = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(lists)
+        lens_per_row = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(nr), lens_per_row)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.bincount(rows[nonempty], minlength=nr).astype(np.int64)
+        tot_chars = np.zeros(nr, dtype=np.int64)
+        np.add.at(tot_chars, rows[nonempty], wlen[nonempty])
+        alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(zero_copy_only=False)
+        n_alpha = np.bincount(rows[nonempty & alpha], minlength=nr).astype(np.int64)
+        n_stop = np.zeros(nr, dtype=np.int64)
+        for sw in GOPHER_STOPWORDS:
+            hit = pc.equal(flat, sw).to_numpy(zero_copy_only=False)
+            present = np.bincount(rows[hit], minlength=nr) > 0
+            n_stop += present
+        # line-shape rules over the exact '\n' split
+        lines = pc.split_pattern(t[key], "\n")
+        lflat = pc.list_flatten(lines)
+        llens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        lrows = np.repeat(np.arange(nr), llens)
+        n_lines = np.bincount(lrows, minlength=nr).astype(np.int64)
+        ell = pc.or_(
+            pc.ends_with(lflat, "..."), pc.ends_with(lflat, "…")
+        ).to_numpy(zero_copy_only=False)
+        n_ell = np.bincount(lrows[ell], minlength=nr).astype(np.int64)
+        bul = pc.or_(
+            pc.or_(pc.starts_with(lflat, "-"), pc.starts_with(lflat, "*")),
+            pc.starts_with(lflat, "•"),
+        ).to_numpy(zero_copy_only=False)
+        n_bul = np.bincount(lrows[bul], minlength=nr).astype(np.int64)
+        n_hash = (
+            pc.utf8_length(t[key]).to_numpy(zero_copy_only=False).astype(np.int64)
+            - pc.utf8_length(
+                pc.replace_substring(t[key], "#", "")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        r_wc = ((n_words >= min_words) & (n_words <= max_words)).astype(np.int64)
+        r_mwl = ((3 * n_words <= tot_chars) & (tot_chars <= 10 * n_words)).astype(np.int64)
+        r_alpha = (5 * n_alpha >= 4 * n_words).astype(np.int64)
+        r_stop = (n_stop >= 2).astype(np.int64)
+        r_ell = (10 * n_ell <= 3 * n_lines).astype(np.int64)
+        r_bul = (10 * n_bul <= 9 * n_lines).astype(np.int64)
+        r_hash = (10 * n_hash <= n_words).astype(np.int64)
+        keep = r_wc & r_mwl & r_alpha & r_stop & r_ell & r_bul & r_hash
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(n_words),
+                "r_word_count": pa.array(r_wc),
+                "r_mean_word_len": pa.array(r_mwl),
+                "r_alpha": pa.array(r_alpha),
+                "r_stop": pa.array(r_stop),
+                "r_ellipsis": pa.array(r_ell),
+                "r_bullet": pa.array(r_bul),
+                "r_hash": pa.array(r_hash),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
