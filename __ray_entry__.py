@@ -1415,6 +1415,45 @@ def _q_ppr(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
 
 
+def _q_spam_mass(sf_dir: str):
+    """TrustRank spam mass (pagerank.spam_mass): global PageRank minus
+    the trusted-seed personalized PageRank, as a fraction of PageRank.
+    Both rank vectors round to the 9-decimal grid BEFORE the ratio so
+    engine and oracle divide identical doubles; the combine is one
+    vid-bucketed union groupby. Seeds/damping/iters match the
+    pagerank + personalized_pagerank queries, whose CTE chains the
+    oracle nests."""
+    from ugfraud_ray.pipelines.pagerank import pagerank, personalized_pagerank, spam_mass
+    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    pr, _ = pagerank(
+        e, n, _scratch("sm_pr"), P=4, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None
+    )
+    vt = vmap.to_pandas()
+    seeds = vt.loc[vt["id"] % PPR_SEED_MOD == 0, "vid"].to_numpy()
+    tr, _ = personalized_pagerank(
+        e, n, seeds, _scratch("sm_tr"), P=4, damping=PR_DAMPING,
+        max_iters=PPR_ITERS, tol=None,
+    )
+    out = spam_mass(pr, tr, n)
+    ids = vt.sort_values("vid")["id"].to_numpy()
+    ids_ref = ray.put(ids)
+
+    def unmap(t: pa.Table) -> pa.Table:
+        m = ray.get(ids_ref)
+        return pa.table(
+            {
+                "id": pa.array(m[t["vid"].to_numpy(zero_copy_only=False)]),
+                "pr": t["pr"],
+                "tr": t["tr"],
+                "spam_mass": t["spam_mass"],
+            }
+        )
+
+    return out.map_batches(unmap, batch_format="pyarrow")
+
+
 def _q_auc(sf_dir: str):
     """A10/J3 evaluate: AUC of rating as a spam score over review edges.
 
@@ -3409,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_scores": _q_linkpred,
         "linkpred_extended": _q_linkpred_extended,
         "personalized_pagerank": _q_ppr,
+        "graph_spam_mass": _q_spam_mass,
         "auc_rating_label": _q_auc,
         "doc_term_redact": _q_doc_term_redact,
         "doc_splits": _q_doc_splits,
@@ -5571,6 +5611,75 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p0.iter < {PR_ITERS}
             )
             SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
+        # nests BOTH verified rank chains; ranks round to the 9-grid
+        # BEFORE the ratio so both sides divide identical doubles
+        "graph_spam_mass": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+            outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM g GROUP BY src),
+            pr AS (
+                SELECT vid, 1.0 / (SELECT n FROM nn) AS rank, 0 AS iter FROM v
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr p2
+                           LEFT JOIN outdeg o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) / (SELECT n FROM nn),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank / o.d) AS s
+                    FROM pr p JOIN g e ON e.src = p.vid JOIN outdeg o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PR_ITERS}
+            ),
+            seeds AS (SELECT vid FROM v WHERE vid % {PPR_SEED_MOD} = 0),
+            ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+            tr AS (
+                SELECT v.vid,
+                       CASE WHEN s.vid IS NOT NULL
+                            THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank,
+                       0 AS iter
+                FROM v LEFT JOIN seeds s ON s.vid = v.vid
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING})
+                           * (CASE WHEN s.vid IS NOT NULL
+                                   THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM tr p2
+                           LEFT JOIN outdeg o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) * (CASE WHEN s.vid IS NOT NULL
+                                 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END),
+                       p0.iter + 1
+                FROM v
+                LEFT JOIN seeds s ON s.vid = v.vid
+                CROSS JOIN (SELECT DISTINCT iter FROM tr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank / o.d) AS s
+                    FROM tr p JOIN g e ON e.src = p.vid JOIN outdeg o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PPR_ITERS}
+            ),
+            prf AS (SELECT vid, ROUND(rank, 9) AS pr FROM pr WHERE iter = {PR_ITERS}),
+            trf AS (SELECT vid, ROUND(rank, 9) AS tr FROM tr WHERE iter = {PPR_ITERS})
+            SELECT prf.vid AS id, prf.pr, trf.tr,
+                   ROUND((prf.pr - trf.tr) / prf.pr, 9) AS spam_mass
+            FROM prf JOIN trf USING (vid)
         """,
         "contracted_graph": f"""
             WITH re AS ({_SQL_REVIEW_EDGES})

@@ -367,3 +367,34 @@ def test_bowtie_matches_networkx(ray_session, tmp_path):
     got = bowtie_decomposition(ds, n, str(tmp_path / "bt"), P=2).to_pandas()
     gmap = dict(zip(got["vid"], got["cls"]))
     assert gmap == want
+
+
+def test_spam_mass_matches_numpy(ray_session, tmp_path):
+    """Planted link-spam ring gets high spam mass; trusted seed low."""
+    from ugfraud_ray.pipelines.pagerank import pagerank, personalized_pagerank, spam_mass
+
+    # trusted cluster 0-4 interlinked; spam ring 10-14 linking to 15
+    edges = [(i, j) for i in range(5) for j in range(5) if i != j]
+    edges += [(i, 15) for i in range(10, 15)] + [(15, i) for i in range(10, 15)]
+    edges += [(0, 10)]  # weak path from trusted side
+    n = 16
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    pr, _ = pagerank(ds, n, str(tmp_path / "pr"), P=2, max_iters=8, tol=None)
+    tr, _ = personalized_pagerank(
+        ds, n, np.array([0, 1, 2, 3, 4]), str(tmp_path / "tr"), P=2, max_iters=8, tol=None
+    )
+    out = spam_mass(pr, tr, n).to_pandas().sort_values("vid").reset_index(drop=True)
+    assert len(out) == n
+    prv = np.round(pr.to_pandas().sort_values("vid")["rank"].to_numpy(), 9)
+    trv = np.round(tr.to_pandas().sort_values("vid")["rank"].to_numpy(), 9)
+    want = np.round((prv - trv) / prv, 9)
+    assert np.allclose(out["spam_mass"].to_numpy(), want, atol=1e-12)
+    # the spam hub keeps far more untrusted mass than the trusted seed
+    assert out.loc[15, "spam_mass"] > out.loc[0, "spam_mass"]

@@ -209,3 +209,75 @@ def personalized_pagerank(
     out = eng.result_dataset().rename_columns({"s0": "rank"}).materialize()
     eng.shutdown()
     return out, eng.metrics
+
+
+def spam_mass(
+    pr: "ray.data.Dataset",
+    tr: "ray.data.Dataset",
+    n_vertices: int,
+) -> "ray.data.Dataset":
+    """TrustRank spam mass (Gyongyi et al. 2004, "Combating Web Spam
+    with TrustRank" §5): given global PageRank ``pr`` and seeded
+    personalized/TrustRank ``tr`` — both Dataset(vid, rank) over the
+    same vertex set — emit (vid, pr, tr, spam_mass) where
+    spam_mass = (pr - tr) / pr, the fraction of a page's rank that does
+    NOT flow from the trusted seeds. High spam mass + high pr = the
+    classic link-spam candidate.
+
+    Both inputs are rounded to the repo's 9-decimal grid BEFORE the
+    ratio (their individually-verified values), so the division runs on
+    identical doubles on the engine and oracle sides. The combine is
+    ONE vid-bucketed union groupby — no driver-side vertex array.
+    """
+    import pyarrow.compute as _pc
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    def tag(which: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vid": t["vid"],
+                    "rank": _pc.round(t["rank"], ndigits=9),
+                    "which": pa.array(np.full(len(t), which, dtype=np.int64)),
+                }
+            )
+
+        return f
+
+    tagged = pr.map_batches(tag(0), batch_format="pyarrow").union(
+        tr.map_batches(tag(1), batch_format="pyarrow")
+    )
+    nb = np.uint64(n_coarse_buckets(n_vertices))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["vid"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        v = g["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = g["rank"].to_numpy(zero_copy_only=False)
+        w = g["which"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, v))
+        v, r, w = v[order], r[order], w[order]
+        # exactly two rows per vid (w=0 then w=1)
+        if len(v) % 2 or not ((v[::2] == v[1::2]).all() and (w[::2] == 0).all()):
+            raise ValueError("spam_mass: inputs do not cover the same vertex set")
+        prv, trv = r[::2], r[1::2]
+        sm = np.round((prv - trv) / prv, 9)
+        return pa.table(
+            {
+                "vid": pa.array(v[::2]),
+                "pr": pa.array(prv),
+                "tr": pa.array(trv),
+                "spam_mass": pa.array(sm),
+            }
+        )
+
+    return (
+        tagged.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(combine, batch_format="pyarrow")
+    )
