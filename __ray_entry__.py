@@ -1487,6 +1487,40 @@ def _q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix (text_analysis.lang_confusion):
+    heuristic prediction vs the labeled lang column; |langs|^2-bounded
+    pair partials, one tiny groupby. Oracle nests the full langid SQL
+    replay."""
+    from ugfraud_ray.pipelines.text_analysis import lang_confusion
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    return lang_confusion(docs)
+
+
+def _q_source_dup_rate(sf_dir: str):
+    """Per-source exact-duplication rate (dedup.source_dup_rate):
+    which feed contributes the copies exact_dedup would drop."""
+    from ugfraud_ray.pipelines.dedup import source_dup_rate
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    return source_dup_rate(docs, approx_docs=docs.count())
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth (text_analysis.vocab_growth):
+    cumulative token occurrences and distinct vocabulary at 10 doc-id
+    thresholds; first-occurrence via one vocabulary groupby-min, all
+    readouts K-counter partials."""
+    from ugfraud_ray.pipelines.text_analysis import vocab_growth
+
+    return vocab_growth(_docs(sf_dir))
+
+
 def _q_doc_gopher(sf_dir: str):
     """Gopher quality gate (text_analysis.gopher_rules): all seven
     predicates are exact integer cross-multiplications — no float or
@@ -3328,6 +3362,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "doc_dsir_weights": _q_doc_dsir,
         "doc_gopher_rules": _q_doc_gopher,
+        "doc_lang_confusion": _q_lang_confusion,
+        "doc_source_dup_rate": _q_source_dup_rate,
+        "doc_vocab_growth": _q_vocab_growth,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_minhash_agreement": _q_minhash_agreement,
@@ -6147,6 +6184,43 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN TRIM(text) = '' THEN 0
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
             FROM documents
+        """,
+        "doc_lang_confusion": f"""
+            WITH li AS ({_lang_id_sql()})
+            SELECT d.lang, li.lang_pred, COUNT(*) AS n_docs
+            FROM documents d JOIN li USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        # text identity = md5_number_upper (the engine's md5-low64);
+        # a doc is a dup iff a smaller-id copy exists anywhere
+        "doc_source_dup_rate": """
+            WITH h AS (
+                SELECT doc_id, source, md5_number_upper(text) AS th FROM documents
+            ),
+            f AS (SELECT th, MIN(doc_id) AS keeper FROM h GROUP BY th)
+            SELECT h.source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN h.doc_id <> f.keeper THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dups
+            FROM h JOIN f USING (th)
+            GROUP BY h.source
+        """,
+        "doc_vocab_growth": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                FROM documents
+            ),
+            t2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+            mx AS (SELECT MAX(doc_id) AS m FROM documents),
+            ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+            th AS (SELECT k, (SELECT m FROM mx) * k // 10 AS t FROM ks),
+            fd AS (SELECT w, MIN(doc_id) AS fdoc FROM t2 GROUP BY w)
+            SELECT CAST(th.k AS BIGINT) AS k,
+                   CAST(th.t AS BIGINT) AS threshold_doc,
+                   (SELECT COUNT(*) FROM t2 WHERE t2.doc_id <= th.t) AS n_tokens,
+                   (SELECT COUNT(*) FROM fd WHERE fd.fdoc <= th.t) AS n_distinct
+            FROM th
         """,
         # Gopher gate: every ratio threshold is cross-multiplied so both
         # sides compare exact integers; word length is codepoints (LENGTH)

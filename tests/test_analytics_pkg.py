@@ -398,3 +398,45 @@ def test_spam_mass_matches_numpy(ray_session, tmp_path):
     assert np.allclose(out["spam_mass"].to_numpy(), want, atol=1e-12)
     # the spam hub keeps far more untrusted mass than the trusted seed
     assert out.loc[15, "spam_mass"] > out.loc[0, "spam_mass"]
+
+
+def test_source_dup_rate_planted(ray_session):
+    from ugfraud_ray.pipelines.dedup import source_dup_rate
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb"]
+    srcs = ["s1", "s1", "s2", "s2", "s1", "s2"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(srcs),
+            }
+        )
+    ).repartition(3)
+    got = source_dup_rate(ds, approx_docs=6).to_pandas().set_index("source")
+    # keepers: doc0 (aaa), doc1 (bbb), doc3 (ccc)
+    # s1 docs {0,1,4}: dup = 4          -> 1 dup of 3
+    # s2 docs {2,3,5}: dups = 2, 5      -> 2 dups of 3
+    assert got.loc["s1", "n_docs"] == 3 and got.loc["s1", "n_dups"] == 1
+    assert got.loc["s2", "n_docs"] == 3 and got.loc["s2", "n_dups"] == 2
+
+
+def test_vocab_growth_naive(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import vocab_growth
+
+    texts = ["a b c", "a b d", "e", "", "a f g h"]
+    ids = [10, 20, 30, 40, 50]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(2)
+    got = vocab_growth(ds, n_checkpoints=5).to_pandas()
+    # thresholds: 10,20,30,40,50
+    toks = {i: t.split() for i, t in zip(ids, texts)}
+    for k, th in enumerate([10, 20, 30, 40, 50], start=1):
+        n_tok = sum(len(v) for i, v in toks.items() if i <= th)
+        vocab = set().union(*[set(v) for i, v in toks.items() if i <= th])
+        row = got[got["k"] == k].iloc[0]
+        assert row["threshold_doc"] == th
+        assert row["n_tokens"] == n_tok
+        assert row["n_distinct"] == len(vocab)

@@ -1476,3 +1476,91 @@ def line_dedup(
         return _join_kept_lines(ids[order], keep[order], flat, id_col)
 
     return decided.groupby(id_col).map_groups(reassemble, batch_format="pyarrow")
+
+
+def source_dup_rate(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    approx_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-source exact-duplication rate — the curation diagnostic that
+    tells you WHICH feed is flooding the corpus with copies: (source,
+    n_docs, n_dups) where a doc is a dup iff its text hash has a
+    smaller-id copy anywhere in the corpus (exact_dedup's keep-min
+    rule, so n_dups == docs exact_dedup would drop, attributed to the
+    source that contributed them).
+
+    Text identity is md5-low64 (== DuckDB md5_number_upper). Scale
+    shape: per-block uniqued (h, source, min_doc, n) partials — never
+    raw text — into ONE h-coarse-bucket shuffle whose kernel resolves
+    global keepers with lexsort/reduceat (no per-hash groups), then a
+    source-sized groupby-sum.
+    """
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _md5_low64(t[key].to_pylist()).view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        order = np.lexsort((ids, src, h))
+        h, ids, src = h[order], ids[order], src[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (h[1:] != h[:-1]) | (src[1:] != src[:-1])
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(h))).astype(np.int64)
+        return pa.table(
+            {
+                "h": pa.array(h[starts]),
+                "source": pa.array(src[starts].tolist(), pa.string()),
+                "min_doc": pa.array(ids[starts]),
+                "n": pa.array(n),
+            }
+        )
+
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+    nb = np.uint64(n_coarse_buckets(n_docs))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        md = g["min_doc"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((md, h))
+        h, src, md, n = h[order], src[order], md[order], n[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(first)
+        gidx = np.cumsum(first) - 1
+        keeper_pos = starts[gidx]  # row of the global min_doc per hash
+        is_keeper_row = np.arange(len(h)) == keeper_pos
+        dups = n - is_keeper_row.astype(np.int64)
+        order2 = np.argsort(src, kind="stable")
+        s2, n2, d2 = src[order2], n[order2], dups[order2]
+        f2 = np.ones(len(s2), dtype=bool)
+        f2[1:] = s2[1:] != s2[:-1]
+        st2 = np.flatnonzero(f2)
+        return pa.table(
+            {
+                "source": pa.array(s2[f2].tolist(), pa.string()),
+                "n_docs": pa.array(np.add.reduceat(n2, st2) if len(st2) else n2[:0]),
+                "n_dups": pa.array(np.add.reduceat(d2, st2) if len(st2) else d2[:0]),
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, key, source_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(resolve, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_dups", alias_name="n_dups"))
+    )

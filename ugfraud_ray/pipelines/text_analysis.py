@@ -1893,3 +1893,137 @@ def gopher_rules(
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def lang_confusion(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """Language-ID evaluation confusion matrix: (lang, lang_pred,
+    n_docs) comparing the heuristic :class:`LanguageID` prediction
+    against the labeled ``label_col``. Per-batch pair-count partials
+    (bounded by |langs|^2) merged by one tiny groupby — the actor pool
+    keeps the marker tables loaded once per actor.
+    """
+    from ray.data.aggregate import Sum
+
+    class _Conf(LanguageID):
+        def __init__(self, key: str, id_col: str, label_col: str):
+            super().__init__(key, id_col)
+            self.label_col = label_col
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = super().__call__(t)
+            lab = np.asarray(t[self.label_col].to_pylist(), dtype=object)
+            pred = np.asarray(out["lang_pred"].to_pylist(), dtype=object)
+            pair = np.char.add(np.char.add(lab.astype(str), "\x1f"), pred.astype(str))
+            u, c = np.unique(pair, return_counts=True)
+            labs = [s.split("\x1f")[0] for s in u]
+            preds = [s.split("\x1f")[1] for s in u]
+            return pa.table(
+                {
+                    "lang": pa.array(labs, pa.string()),
+                    "lang_pred": pa.array(preds, pa.string()),
+                    "n_docs": pa.array(c.astype(np.int64)),
+                }
+            )
+
+    return (
+        docs.select_columns([id_col, key, label_col])
+        .map_batches(
+            _Conf,
+            fn_constructor_args=(key, id_col, label_col),
+            batch_format="pyarrow",
+            concurrency=actor_pool_size(concurrency),
+        )
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def vocab_growth(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> pa.Table:
+    """Heaps'-law vocabulary-growth curve (Heaps 1978): at doc-id
+    thresholds t_k = max_id * k / K, report cumulative token
+    occurrences and cumulative DISTINCT vocabulary (tokens whose first
+    occurrence doc <= t_k). Sublinear growth of n_distinct in n_tokens
+    is the expected natural-text shape; a flattening curve diagnoses a
+    crawl that has stopped contributing new vocabulary.
+
+    Output (k, threshold_doc, n_tokens, n_distinct), all int64 exact.
+    Scale shape: token first-occurrence via per-block uniqued
+    (token, min_doc) partials + ONE vocabulary groupby-min; both
+    readouts are K-counter partials — only 2K integers merge on the
+    driver.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    mx = docs.max(id_col)
+    ths = np.array([(mx * k) // n_checkpoints for k in range(1, n_checkpoints + 1)],
+                   dtype=np.int64)
+    th_ref = ray.put(ths)
+
+    def occ_partial(t: pa.Table) -> pa.Table:
+        th = ray.get(th_ref)
+        flat, rows = _explode_tokens(t, key)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        counts = np.array([(ids <= x).sum() for x in th], dtype=np.int64)
+        return pa.table(
+            {"k": pa.array(np.arange(1, len(th) + 1, dtype=np.int64)),
+             "n": pa.array(counts)}
+        )
+
+    occ = collect_table(
+        docs.map_batches(occ_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        order = np.lexsort((ids, flat))
+        f, d = flat[order], ids[order]
+        first = np.ones(len(f), dtype=bool)
+        first[1:] = f[1:] != f[:-1]
+        return pa.table(
+            {"token": pa.array(f[first], pa.string()), "fdoc": pa.array(d[first])}
+        )
+
+    fd = docs.map_batches(first_partial, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Min("fdoc", alias_name="fdoc"))
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        th = ray.get(th_ref)
+        f = t["fdoc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.array([(f <= x).sum() for x in th], dtype=np.int64)
+        return pa.table(
+            {"k": pa.array(np.arange(1, len(th) + 1, dtype=np.int64)),
+             "n": pa.array(counts)}
+        )
+
+    dist = collect_table(
+        fd.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ko = np.argsort(occ["k"].to_numpy(zero_copy_only=False))
+    kd = np.argsort(dist["k"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "k": pa.array(np.arange(1, n_checkpoints + 1, dtype=np.int64)),
+            "threshold_doc": pa.array(ths),
+            "n_tokens": pa.array(occ["n"].to_numpy(zero_copy_only=False)[ko].astype(np.int64)),
+            "n_distinct": pa.array(dist["n"].to_numpy(zero_copy_only=False)[kd].astype(np.int64)),
+        }
+    )
