@@ -715,6 +715,93 @@ def _pq_sql(m: int, k: int, iters: int, dim: int = 64) -> str:
     )
 
 
+IVFPQ_KC = 4
+IVFPQ_NPROBE = 2
+IVFPQ_K = 10
+
+
+def _q_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ ANN composite (similarity.ivf_pq_topk, Jegou et al. 2011
+    §IV): exact-integer coarse kmeans cells, nprobe probed cells per
+    query, candidates ranked by the integer ADC distance against their
+    PQ codewords — the billion-vector ANN shape, fully SQL-replayable
+    unlike the float IVF variant. Ties (d2, vec_id)."""
+    from ugfraud_ray.pipelines.similarity import ivf_pq_topk
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ivf_pq_topk(
+        emb, query_ids=list(range(5)), k=IVFPQ_K, kc=IVFPQ_KC,
+        nprobe=IVFPQ_NPROBE, m=PQ_M, kpq=PQ_K, iters=PQ_ITERS,
+    )
+
+
+def _ivfpq_sql(
+    qids: list[int], k: int, kc: int, nprobe: int, m: int, kpq: int,
+    iters: int, dim: int = 64, cgrid: int = 1000,
+) -> str:
+    """IVF-PQ oracle: the coarse kmeans chain (prefix cv_) + m PQ
+    chains (prefix s{{s}}_), then probe cells per query and the ADC
+    ranking — all on the integer lattice."""
+    dsub = dim // m
+    ctes, final = _kmeans_ctes(kc, iters, prefix="cv_")
+    for s in range(m):
+        c, _ = _kmeans_ctes(
+            kpq, iters, prefix=f"s{s}_", dim_lo=s * dsub, dim_hi=(s + 1) * dsub
+        )
+        ctes.extend(c)
+    in_list = ", ".join(str(q) for q in qids)
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, cluster AS code FROM s{s}_a{final}"
+        for s in range(m)
+    )
+    cbs = " UNION ALL ".join(
+        f"SELECT {s} AS s, cluster AS code, dim, c FROM s{s}_c{iters}"
+        for s in range(m)
+    )
+    ctes.append(f"qv AS (SELECT vec_id AS qid, dim, q FROM cv_q WHERE vec_id IN ({in_list}))")
+    ctes.append(
+        f"""probe AS (
+            SELECT qid, cluster FROM (
+                SELECT qv.qid, c.cluster,
+                       SUM((CAST(qv.q AS HUGEINT) * {cgrid} - c.c)
+                           * (CAST(qv.q AS HUGEINT) * {cgrid} - c.c)) AS d2
+                FROM qv JOIN cv_c{iters} c ON c.dim = qv.dim
+                GROUP BY qv.qid, c.cluster
+                QUALIFY row_number() OVER (
+                    PARTITION BY qv.qid ORDER BY d2, c.cluster) <= {nprobe}
+            )
+        )"""
+    )
+    ctes.append(f"codes AS ({codes})")
+    ctes.append(f"cbs AS ({cbs})")
+    ctes.append(
+        f"""adc AS (
+            SELECT pr.qid, ca.vec_id,
+                   SUM((CAST(qv.q AS HUGEINT) * {cgrid} - cb.c)
+                       * (CAST(qv.q AS HUGEINT) * {cgrid} - cb.c)) AS d2
+            FROM probe pr
+            JOIN cv_a{final} ca ON ca.cluster = pr.cluster AND ca.vec_id <> pr.qid
+            JOIN codes cd ON cd.vec_id = ca.vec_id
+            JOIN cbs cb ON cb.s = cd.s AND cb.code = cd.code
+            JOIN qv ON qv.qid = pr.qid AND qv.dim = cb.dim
+            GROUP BY pr.qid, ca.vec_id
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT qid AS query_id, vec_id AS neighbor_id,
+               CAST(d2 AS BIGINT) AS d2,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY d2, vec_id) AS BIGINT) AS rnk
+        FROM adc
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) <= {k}"""
+    )
+
+
 def _q_embedding_covariance(sf_dir: str):
     """Upper-triangle covariance of the quantized embedding matrix
     (similarity.embedding_covariance): per-block d x d int64 matmul
@@ -3377,6 +3464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_affinity": _q_embedding_label_affinity,
         "embedding_kmeans": _q_embedding_kmeans,
         "embedding_pq": _q_embedding_pq,
+        "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "embedding_semdedup": _q_embedding_semdedup,
         "embedding_kcenter": _q_embedding_kcenter,
         "embedding_covariance": _q_embedding_covariance,
@@ -5206,6 +5294,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
         "embedding_pq": _pq_sql(PQ_M, PQ_K, PQ_ITERS),
+        "ann_ivf_pq_topk": _ivfpq_sql(
+            list(range(5)), IVFPQ_K, IVFPQ_KC, IVFPQ_NPROBE, PQ_M, PQ_K, PQ_ITERS
+        ),
         "embedding_semdedup": _semdedup_sql(
             KMEANS_K, KMEANS_ITERS, *SEMDEDUP_SIM2
         ),

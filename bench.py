@@ -162,6 +162,16 @@ def bench_pipelines(sf_dir: str) -> dict:
     out["n_chunks"] = chunk_documents(docs, size=1024, stride=768).count()
     q["doc_chunking"] = time.perf_counter() - t0
 
+    from ugfraud_ray.pipelines.dedup import line_dedup
+    from ugfraud_ray.pipelines.text_analysis import gopher_rules
+
+    t0 = time.perf_counter()
+    line_dedup(docs, approx_docs=docs.count()).count()
+    q["doc_line_dedup"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    gopher_rules(docs).count()
+    q["doc_gopher_rules"] = time.perf_counter() - t0
+
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.perf_counter()
     brute_force_topk(emb, query_ids=list(range(5)), k=10).count()

@@ -88,3 +88,68 @@ def test_pq_rejects_indivisible_dim(ray_session):
 
     with pytest.raises(ValueError):
         product_quantize(_ds(_rand(n=10, dim=6)), m=4, k=2, iters=1)
+
+
+def test_ivf_pq_topk_matches_naive(ray_session):
+    """Full IVF-PQ composite vs a direct numpy mirror of the same
+    integer chain (coarse kmeans -> probe -> ADC ranking)."""
+    from ugfraud_ray.pipelines.similarity import (
+        _dist2,
+        _kmeans_fit,
+        _quantize_block,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, m = 60, 8, 2
+    vecs = np.round(rng.normal(size=(n, dim)), 3).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = (
+        ivf_pq_topk(ds, query_ids=[0, 1, 2], k=5, kc=3, nprobe=2, m=m, kpq=4, iters=2)
+        .to_pandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+
+    # naive mirror using the same fit helpers on the same data
+    grid, cgrid, shift = 1000, 1000, 8
+    C = _kmeans_fit(ds, 3, 2, "vec_id", "embedding", grid, cgrid, shift)
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "sub": pa.array(vecs[:, s * dsub : (s + 1) * dsub].tolist()),
+            }
+        )
+        books.append(
+            _kmeans_fit(ray.data.from_arrow(sub), 4, 2, "vec_id", "sub", grid, cgrid, shift)
+        )
+    q = _quantize_block(t, "embedding", grid, shift)
+    cell = np.argmin(_dist2(q, C, cgrid), axis=1)
+    codes = np.stack(
+        [
+            np.argmin(_dist2(q[:, s * dsub : (s + 1) * dsub], books[s], cgrid), axis=1)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    for qid in [0, 1, 2]:
+        dc = _dist2(q[qid : qid + 1], C, cgrid)[0]
+        pr = np.argsort(dc, kind="stable")[:2]
+        cand = np.flatnonzero(np.isin(cell, pr) & (np.arange(n) != qid))
+        adc = np.stack(
+            [_dist2(q[qid : qid + 1, s * dsub : (s + 1) * dsub], books[s], cgrid)[0] for s in range(m)]
+        )
+        d2 = np.array([int(sum(adc[s, codes[c, s]] for s in range(m))) for c in cand])
+        sel = np.lexsort((cand, d2))[:5]
+        sub = got[got["query_id"] == qid]
+        assert list(sub["neighbor_id"]) == [int(c) for c in cand[sel]]
+        assert list(sub["d2"]) == [int(x) for x in d2[sel]]

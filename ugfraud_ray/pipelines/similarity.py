@@ -1256,3 +1256,149 @@ def product_quantize(
         return pa.table(cols)
 
     return src.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_pq_topk(
+    emb: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    kc: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    kpq: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+) -> "ray.data.Dataset":
+    """IVF-PQ approximate nearest neighbours (Jegou et al. 2011 §IV —
+    the billion-vector ANN shape): coarse-quantize the corpus with the
+    exact-integer :func:`kmeans` chain, probe the ``nprobe`` closest
+    coarse cells per query, and rank ONLY the probed cells' vectors by
+    the asymmetric PQ distance (query against each candidate's
+    reconstructed codeword, the classic ADC table lookup). Everything
+    stays on the integer lattice, so unlike the float IVF variant this
+    composite is fully SQL-replayable — ties break (d2, vec_id).
+
+    Returns (query_id, neighbor_id, d2, rnk), self-matches excluded.
+
+    Scale shape: coarse centroids (kc x dim ints) and PQ codebooks
+    (m x kpq x dsub ints) broadcast once; ONE corpus pass assigns the
+    coarse cell + PQ codes per batch, keeps only probed-cell rows, and
+    emits per-block top-k partials; the driver merges
+    <= blocks x queries x k rows. The ADC tables are queries x m x kpq
+    integers — independent of corpus size.
+    """
+    first = emb.take(1)[0][vec_col]
+    dim = len(first)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    src = emb.select_columns([id_col, vec_col])
+
+    # coarse codebook over the full dim range
+    C = _kmeans_fit(src, kc, iters, id_col, vec_col, grid, cgrid, shift)
+
+    # PQ codebooks per contiguous subspace
+    books = []
+    for s in range(m):
+        lo = s * dsub
+
+        def slice_s(t: pa.Table, _lo=lo) -> pa.Table:
+            v = _vecs_from_column(t[vec_col], t.num_rows)
+            return pa.table(
+                {id_col: t[id_col], "sub": pa.array(v[:, _lo : _lo + dsub].tolist())}
+            )
+
+        books.append(
+            _kmeans_fit(
+                src.map_batches(slice_s, batch_format="pyarrow"),
+                kpq, iters, id_col, "sub", grid, cgrid, shift,
+            )
+        )
+    B = np.stack(books)  # m x kpq x dsub
+
+    # query vectors (tiny): quantize, probe cells, build ADC tables
+    qset = set(int(q) for q in query_ids)
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, list(qset))))
+
+    qt = collect_table(src.map_batches(pick_queries, batch_format="pyarrow"))
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(q_ids)
+    qt = qt.take(pa.array(order))
+    q_ids = q_ids[order]
+    qq = _quantize_block(qt, vec_col, grid, shift)  # nq x dim ints
+    dc = _dist2(qq, C, cgrid)  # nq x kc
+    # nprobe smallest cells, ties to lowest cluster id
+    probe = np.argsort(dc, axis=1, kind="stable")[:, :nprobe]
+    adc = np.zeros((len(q_ids), m, kpq), dtype=np.int64)
+    for s in range(m):
+        adc[:, s, :] = _dist2(qq[:, s * dsub : (s + 1) * dsub], B[s], cgrid)
+    bc = ray.put((q_ids, probe, adc, C, B))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, pr, ad, Cm, Bm = ray.get(bc)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _quantize_block(t, vec_col, grid, shift)
+        cell = np.argmin(_dist2(q, Cm, cgrid), axis=1)
+        codes = np.empty((len(ids), m), dtype=np.int64)
+        for s in range(m):
+            codes[:, s] = np.argmin(
+                _dist2(q[:, s * dsub : (s + 1) * dsub], Bm[s], cgrid), axis=1
+            )
+        out_q, out_n, out_d = [], [], []
+        for qi_idx in range(len(qi)):
+            cand = np.isin(cell, pr[qi_idx]) & (ids != qi[qi_idx])
+            if not cand.any():
+                continue
+            cids = ids[cand]
+            d2 = np.zeros(len(cids), dtype=np.int64)
+            for s in range(m):
+                d2 += ad[qi_idx, s, codes[cand, s]]
+            sel = np.lexsort((cids, d2))[:k]
+            out_q.append(np.full(len(sel), qi[qi_idx], dtype=np.int64))
+            out_n.append(cids[sel])
+            out_d.append(d2[sel])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "d2": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    parts = collect_table(src.map_batches(local_topk, batch_format="pyarrow"))
+    qv = parts["query_id"].to_numpy(zero_copy_only=False)
+    nv = parts["neighbor_id"].to_numpy(zero_copy_only=False)
+    dv = parts["d2"].to_numpy(zero_copy_only=False)
+    rows = {"query_id": [], "neighbor_id": [], "d2": [], "rnk": []}
+    for qid in np.unique(qv):
+        mask = qv == qid
+        sel = np.lexsort((nv[mask], dv[mask]))[:k]
+        rows["query_id"].extend([qid] * len(sel))
+        rows["neighbor_id"].extend(nv[mask][sel].tolist())
+        rows["d2"].extend(dv[mask][sel].tolist())
+        rows["rnk"].extend(range(1, len(sel) + 1))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "d2": pa.array(rows["d2"], pa.int64()),
+                "rnk": pa.array(rows["rnk"], pa.int64()),
+            }
+        )
+    )
