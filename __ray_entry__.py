@@ -2457,6 +2457,29 @@ def _q_events_cooccurrence(sf_dir: str):
     return type_cooccurrence(_events(sf_dir), gap_minutes=30)
 
 
+def _q_events_transitions(sf_dir: str):
+    """First-order Markov transition counts (events.type_transitions):
+    consecutive same-user event-type pairs ordered by (ts, event_id);
+    |types|^2-bounded partials under the sessionize co-location
+    contract."""
+    from ugfraud_ray.pipelines.events import type_transitions
+
+    return type_transitions(_events(sf_dir))
+
+
+LATE_DELAY_US = 3_600_000_000  # 1h watermark trail
+
+
+def _q_events_late(sf_dir: str):
+    """Watermark late-arrival accounting (events.late_events): arrival
+    order = event_id, watermark = running max event-time minus 1h; the
+    running max is an order-preserving range-bucket two-level prefix
+    scan (no global sort)."""
+    from ugfraud_ray.pipelines.events import late_events
+
+    return late_events(_events(sf_dir), delay_us=LATE_DELAY_US)
+
+
 EWMA_NUM, EWMA_DEN, EWMA_SCALE = 9, 10, 1000
 
 
@@ -3490,6 +3513,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- event-stream kernels ---
         "events_sessions": _q_events_sessions,
         "events_type_cooccurrence": _q_events_cooccurrence,
+        "events_type_transitions": _q_events_transitions,
+        "events_late": _q_events_late,
         "events_interarrival": _q_events_interarrival,
         "events_hourly_profile": _q_events_hourly_profile,
         "events_changepoint": _q_events_changepoint,
@@ -6579,6 +6604,33 @@ def oracle_sql() -> dict[str, str]:
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "events_type_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS nxt
+                FROM events
+            )
+            SELECT event_type AS type_from, nxt AS type_to, COUNT(*) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "events_late": f"""
+            WITH o AS (
+                SELECT event_type, epoch_us(ts) AS us,
+                       MAX(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS wm
+                FROM events
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN wm IS NOT NULL AND us + {LATE_DELAY_US} < wm
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM o GROUP BY event_type
         """,
         # nests the exact events_sessions break chain, then counts
         # sessions containing both types of each (a < b) pair

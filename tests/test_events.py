@@ -535,3 +535,52 @@ def test_type_cooccurrence_matches_naive_and_bucketed(ray_session):
                 want[(ts_sorted[i], ts_sorted[j])] += 1
     got = {(r.type_a, r.type_b): r.n_sessions for r in local.itertuples()}
     assert got == dict(want)
+
+
+def test_type_transitions_matches_pandas(ray_session):
+    from ugfraud_ray.pipelines.events import type_transitions
+
+    t = _synth_events(n=1200, n_users=17, seed=77)
+    ds = ray.data.from_arrow(t).repartition(4)
+    local = (
+        type_transitions(ds)
+        .to_pandas().sort_values(["type_from", "type_to"]).reset_index(drop=True)
+    )
+    dist = (
+        type_transitions(ds, local_threshold=0)
+        .to_pandas().sort_values(["type_from", "type_to"]).reset_index(drop=True)
+    )
+    assert local.equals(dist)
+    df = t.to_pandas()
+    df["us"] = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    df = df.sort_values(["user_id", "us", "event_id"])
+    df["nxt"] = df.groupby("user_id")["event_type"].shift(-1)
+    want = (
+        df.dropna(subset=["nxt"]).groupby(["event_type", "nxt"]).size().to_dict()
+    )
+    got = {(r.type_from, r.type_to): r.n for r in local.itertuples()}
+    assert got == want
+
+
+def test_late_events_planted(ray_session):
+    from ugfraud_ray.pipelines.events import late_events
+
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    h = 3_600_000_000
+    # arrival order = event_id; event 2 arrives after an event 3h newer
+    us = np.array([0, 3 * h, 1 * h, 4 * h, 3 * h - 1], dtype=np.int64) + base
+    # lateness with delay=1h: e2 (1h < 3h-1h) LATE; e4 (3h-1 + 1h < 4h? 4h-1<4h) LATE
+    types = ["a", "a", "b", "a", "b"]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(5, dtype=np.int64)),
+            "ts": pa.array(us.astype("datetime64[us]")),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    got = (
+        late_events(ray.data.from_arrow(t).repartition(3), delay_us=h, n_buckets=4)
+        .to_pandas().set_index("event_type")
+    )
+    assert got.loc["a", "n_events"] == 3 and got.loc["a", "n_late"] == 0
+    assert got.loc["b", "n_events"] == 2 and got.loc["b", "n_late"] == 2

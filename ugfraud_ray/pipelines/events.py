@@ -1703,3 +1703,153 @@ def type_cooccurrence(
         .groupby(["type_a", "type_b"])
         .aggregate(Sum("n_sessions", alias_name="n_sessions"))
     )
+
+
+def type_transitions(
+    events: "ray.data.Dataset",
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-user event-type transition counts — the first-order Markov
+    readout of the clickstream: (type_from, type_to, n) over
+    consecutive events of the same user ordered by (ts, event_id).
+    Same user-colocation contract as ``sessionize``; partials are
+    bounded by |types|^2 per block, merged by one tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = events.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+    def block(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1] if len(u) else np.zeros(0, dtype=bool)
+        a, b = et[:-1][same], et[1:][same]
+        if not len(a):
+            return pa.table(
+                {
+                    "type_from": pa.array([], pa.string()),
+                    "type_to": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pair = np.char.add(np.char.add(a.astype(str), "\x1f"), b.astype(str))
+        uq, c = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "type_from": pa.array([s.split("\x1f")[0] for s in uq], pa.string()),
+                "type_to": pa.array([s.split("\x1f")[1] for s in uq], pa.string()),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        return ray.data.from_arrow(block(t))
+
+    nb = np.uint64(n_coarse_buckets(n))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(block, batch_format="pyarrow")
+        .groupby(["type_from", "type_to"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def late_events(
+    events: "ray.data.Dataset",
+    delay_us: int = 3_600_000_000,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Watermark late-arrival accounting (the streaming-ingest QA
+    readout): with arrival order = event_id and a watermark trailing
+    the running max event-time by ``delay_us``, an event is LATE iff
+    its event-time + delay < the max event-time of any EARLIER arrival.
+    Output (event_type, n_events, n_late).
+
+    Scale shape: the running max is a two-level prefix scan — events
+    hash into event-id RANGE buckets (order-preserving), pass 1 reduces
+    each bucket to its max event-time (one tiny groupby), the driver
+    prefix-maxes the <= n_buckets values into carry-ins, and pass 2
+    flags lateness inside each bucket with its carry-in broadcast. No
+    global sort, nothing corpus-sized on the driver.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = events.select_columns(["event_id", "ts", "event_type"])
+    lo = ds.min("event_id")
+    hi = ds.max("event_id")
+    span = max(hi - lo + 1, 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((eid - lo) * n_buckets) // span
+        return t.append_column("_rb", pa.array(b.astype(np.int64)))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    maxes = collect_table(
+        bucketed.map_batches(
+            lambda t: pa.table(
+                {
+                    "_rb": t["_rb"],
+                    "us": pa.array(
+                        t["ts"].to_numpy(zero_copy_only=False)
+                        .astype("datetime64[us]").astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_rb")
+        .aggregate(Max("us", alias_name="mx"))
+    )
+    rb = maxes["_rb"].to_numpy(zero_copy_only=False)
+    mx = maxes["mx"].to_numpy(zero_copy_only=False)
+    carry = np.full(n_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    carry[rb] = mx
+    carry = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(carry)[:-1]))
+    carry_ref = ray.put(carry)
+
+    def flag(g: pa.Table) -> pa.Table:
+        cr = ray.get(carry_ref)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        b = int(g["_rb"][0].as_py())
+        order = np.argsort(eid, kind="stable")
+        us_o, et_o = us[order], et[order]
+        run = np.concatenate(([cr[b]], np.maximum.accumulate(us_o)[:-1]))
+        late = us_o + delay_us < run
+        uq, inv = np.unique(et_o, return_inverse=True)
+        n_ev = np.bincount(inv).astype(np.int64)
+        n_late = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(n_late, inv[late], 1)
+        return pa.table(
+            {
+                "event_type": pa.array(uq.tolist(), pa.string()),
+                "n_events": pa.array(n_ev),
+                "n_late": pa.array(n_late),
+            }
+        )
+
+    return (
+        bucketed.groupby("_rb")
+        .map_groups(flag, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_late", alias_name="n_late"))
+    )
