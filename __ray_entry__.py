@@ -1574,6 +1574,16 @@ def _q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
 
 
+def _q_quality_dedup(sf_dir: str):
+    """Quality-aware near-dedup (curation.quality_dedup): keep the
+    best-quality doc of each MinHash-LSH cluster (argmax exact-integer
+    qsel, ties min id) instead of the min-id doc. Reuses the verified
+    LSH+CC chain; only multi-doc families broadcast."""
+    from ugfraud_ray.pipelines.curation import quality_dedup
+
+    return quality_dedup(_docs(sf_dir))
+
+
 def _q_lang_confusion(sf_dir: str):
     """Language-ID confusion matrix (text_analysis.lang_confusion):
     heuristic prediction vs the labeled lang column; |langs|^2-bounded
@@ -3473,6 +3483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_weights": _q_doc_dsir,
         "doc_gopher_rules": _q_doc_gopher,
         "doc_lang_confusion": _q_lang_confusion,
+        "doc_quality_dedup": _q_quality_dedup,
         "doc_source_dup_rate": _q_source_dup_rate,
         "doc_vocab_growth": _q_vocab_growth,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -4159,6 +4170,60 @@ def _minhash_dedup_sql() -> str:
     """
 
 
+def _quality_dedup_sql() -> str:
+    """SQL replica of ``curation.quality_dedup``: the bit-exact LSH+CC
+    cluster chain, the domain_cap integer quality key, and the packed
+    (qsel, -doc_id) argmax winner per multi-doc cluster (2^40 pack,
+    same bound as the engine)."""
+    return rf"""
+        WITH RECURSIVE {_minhash_cand_ctes()},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION
+          SELECT id_b, id_a FROM cand
+        ),
+        walk(vid, comp) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+        ),
+        comps AS (SELECT vid, MIN(comp) AS comp FROM walk GROUP BY vid),
+        cl AS (
+          SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster
+          FROM documents d LEFT JOIN comps c ON c.vid = d.doc_id
+        ),
+        ccq AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS nc,
+                 CAST(length(regexp_extract_all(text, '[\t\n\x0b\x0c\r ]')) AS BIGINT) AS nsp,
+                 CAST(length(regexp_extract_all(text, '[!-/:-@\[-`{{-~]')) AS BIGINT) AS npu
+          FROM documents
+        ),
+        qs AS (
+          SELECT doc_id,
+                 ((LEAST(nc, 500) * 51 * GREATEST(nc, 1)
+                   + (17 * GREATEST(nc, 1)
+                      - LEAST(ABS(100 * nsp - 17 * GREATEST(nc, 1)),
+                              17 * GREATEST(nc, 1))) * 1500
+                   + (GREATEST(nc, 1) - LEAST(5 * npu, GREATEST(nc, 1))) * 25500)
+                  * 2000000 + 25500 * GREATEST(nc, 1))
+                 // (2 * 25500 * GREATEST(nc, 1)) AS qsel
+          FROM ccq
+        ),
+        j AS (SELECT cl.doc_id, cl.cluster, qs.qsel FROM cl JOIN qs USING (doc_id)),
+        w AS (
+          SELECT cluster, COUNT(*) AS n,
+                 MAX(qsel * 1099511627776 + (1099511627776 - 1 - doc_id)) AS pack
+          FROM j GROUP BY cluster
+        )
+        SELECT j.doc_id, j.cluster, CAST(j.qsel AS BIGINT) AS qsel,
+               CAST(CASE WHEN w.n = 1
+                         OR j.doc_id = (1099511627776 - 1 - (w.pack % 1099511627776))
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM j JOIN w USING (cluster)
+    """
+
+
 def _ngram_jaccard_sql() -> str:
     """SQL replica of ``_q_ngram_jaccard`` (``minhash_lsh_candidates`` +
     ``ngram_jaccard_pairs``): exact Jaccard over each doc's DISTINCT
@@ -4582,6 +4647,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_edges, CAST(SUM(wt) AS BIGINT) AS total_weight FROM msf
         """,
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
         "doc_mixture_report": _mixture_report_sql(),
         "doc_source_diversity": _source_diversity_sql(),

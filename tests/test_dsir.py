@@ -72,3 +72,30 @@ def test_dsir_weights_match_naive(ray_session):
     for _, r in got.iterrows():
         nf, wt = want[r["doc_id"]]
         assert (r["n_features"], r["dsir_weight"]) == (nf, wt)
+
+
+def test_quality_dedup_keeps_best_quality(ray_session):
+    """Planted near-dup family: winner is the best-qsel doc, not the
+    min id; singletons always kept."""
+    from ugfraud_ray.pipelines.curation import _quality_selkey, quality_dedup
+
+    base = " ".join(f"tok{i}" for i in range(80))
+    # docs 0/1/2 near-dups; doc 1 has cleaner text (higher quality key)
+    texts = [
+        base + " !!!! #### %%%% ^^^^ &&&& ****",   # punct-heavy
+        base + " tail words here",                 # clean
+        base + " ;;;; @@@@ ???? <<<< >>>> ~~~~",   # punct-heavy
+        "completely different content entirely",   # singleton
+    ]
+    ids = [0, 1, 2, 3]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = quality_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    qs = _quality_selkey(t)
+    assert (got["qsel"].to_numpy() == qs).all()
+    fam = got[got["cluster"] == got.loc[0, "cluster"]]
+    assert len(fam) == 3, "docs 0-2 should cluster together"
+    best = fam.sort_values(["qsel", "doc_id"], ascending=[False, True]).iloc[0]
+    assert best["doc_id"] == 1 and best["kept"] == 1
+    assert fam[fam["doc_id"] != 1]["kept"].sum() == 0
+    assert got.loc[3, "kept"] == 1  # singleton

@@ -491,3 +491,137 @@ def dsir_weights(
         )
 
     return cols.map_batches(score, batch_format="pyarrow")
+
+
+_QD_PACK = 1 << 40  # qsel <= 3e6, so qsel*2^40 < 3.4e18 < 2^63; doc_id must be < 2^40
+
+
+def quality_dedup(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Quality-aware near-dedup — keep the BEST document of each
+    MinHash-LSH near-dup cluster instead of the first: the real
+    curation policy when duplicates differ in extraction quality
+    (SemDeDup/FineWeb keep-best variant of the keep-min rule).
+    Output (doc_id, cluster, qsel, kept) where qsel is the exact
+    integer quality selection key (``_quality_selkey``, the 1e-6-grid
+    rational) and kept = 1 iff the doc maximizes (qsel, -doc_id) in its
+    cluster — singleton clusters are always kept.
+
+    Scale shape: reuses the verified LSH+CC cluster chain; clusters and
+    quality keys zip in ONE doc-bucketed union shuffle of integer rows
+    (text never shuffles); winners come from cluster-keyed Max over a
+    packed (qsel, -doc) key, and only multi-doc families broadcast —
+    the same O(colliding docs) footprint as the LSH cluster map itself.
+    """
+    from ray.data.aggregate import Count, Max
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_dedup
+
+    clusters = minhash_lsh_dedup(
+        docs, key=key, id_col=id_col, num_perm=num_perm,
+        bands=bands, ngram=ngram, seed=seed,
+    )
+
+    def q_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.max() >= _QD_PACK:
+            raise ValueError("quality_dedup: doc_id >= 2^40 overflows the packed key")
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "val": pa.array(_quality_selkey(t, key)),
+                "kind": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "val": t["cluster"],
+                "kind": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    tagged = clusters.map_batches(c_rows, batch_format="pyarrow").union(
+        docs.select_columns([id_col, key]).map_batches(q_rows, batch_format="pyarrow")
+    )
+    nb = np.uint64(n_coarse_buckets())
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def zip_rows(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = g["kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((kind, ids))
+        ids, val, kind = ids[order], val[order], kind[order]
+        if len(ids) % 2 or not ((ids[::2] == ids[1::2]).all() and (kind[::2] == 0).all()):
+            raise ValueError("quality_dedup: cluster and quality streams disagree")
+        return pa.table(
+            {
+                id_col: pa.array(ids[::2]),
+                "cluster": pa.array(val[::2]),
+                "qsel": pa.array(val[1::2]),
+            }
+        )
+
+    joined = (
+        tagged.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(zip_rows, batch_format="pyarrow")
+        .materialize()  # integer triplets only; reused by winners + flags
+    )
+
+    def pack_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["qsel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": t["cluster"],
+                "pack": pa.array(q * np.int64(_QD_PACK) + (np.int64(_QD_PACK) - 1 - ids)),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    fams = (
+        joined.map_batches(pack_rows, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Max("pack", alias_name="pack"), Count(alias_name="n"))
+        .filter(lambda r: r["n"] > 1)
+    )
+    ft = collect_table(fams)
+    fc = ft["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fw = (np.int64(_QD_PACK) - 1 - (ft["pack"].to_numpy(zero_copy_only=False) % _QD_PACK)).astype(np.int64)
+    order = np.argsort(fc)
+    fam_ref = ray.put((fc[order], fw[order]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        fcs, fws = ray.get(fam_ref)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(fcs, cl), 0, max(len(fcs) - 1, 0))
+        hit = (fcs[pos] == cl) if len(fcs) else np.zeros(len(cl), dtype=bool)
+        kept = (~hit | (ids == (fws[pos] if len(fcs) else ids))).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": t["cluster"],
+                "qsel": t["qsel"],
+                "kept": pa.array(kept),
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow")
