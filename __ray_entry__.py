@@ -1574,6 +1574,23 @@ def _q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
 
 
+MIX_SEED = 3
+
+
+def _q_interleave_mixture(sf_dir: str):
+    """Mixture-interleave schedule (splits.interleave_mixture): per-doc
+    integer schedule key so (sched_key, source, id) order interleaves
+    sources proportionally to weights (srcN weighted N%3+1). Per-source
+    rank via the hash-range two-level scan; all integers."""
+    from ugfraud_ray.pipelines.splits import interleave_mixture
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    weights = {f"src{i}": i % 3 + 1 for i in range(20)}
+    return interleave_mixture(docs, weights, seed=MIX_SEED)
+
+
 def _q_quality_dedup(sf_dir: str):
     """Quality-aware near-dedup (curation.quality_dedup): keep the
     best-quality doc of each MinHash-LSH cluster (argmax exact-integer
@@ -3484,6 +3501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_rules": _q_doc_gopher,
         "doc_lang_confusion": _q_lang_confusion,
         "doc_quality_dedup": _q_quality_dedup,
+        "doc_interleave_mixture": _q_interleave_mixture,
         "doc_source_dup_rate": _q_source_dup_rate,
         "doc_vocab_growth": _q_vocab_growth,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -6366,6 +6384,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN TRIM(text) = '' THEN 0
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
             FROM documents
+        """,
+        "doc_interleave_mixture": f"""
+            WITH r AS (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5_number_upper(
+                               '{MIX_SEED}-' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) - 1 AS src_rank,
+                       CAST(SUBSTR(source, 4) AS BIGINT) % 3 + 1 AS w
+                FROM documents
+            )
+            SELECT doc_id, source,
+                   CAST(src_rank AS BIGINT) AS src_rank,
+                   CAST((src_rank * 1000000) // w AS BIGINT) AS sched_key
+            FROM r
         """,
         "doc_lang_confusion": f"""
             WITH li AS ({_lang_id_sql()})

@@ -58,3 +58,48 @@ def test_shuffle_shards_seed_changes_order(ray_session):
     p1, _ = _run(ids, 4, 1)
     p2, _ = _run(ids, 4, 2)
     assert (p1 != p2).any()
+
+
+def test_interleave_mixture_proportional_and_exact(ray_session):
+    import hashlib
+
+    from ugfraud_ray.pipelines.splits import interleave_mixture
+
+    n = 300
+    srcs = [f"s{i % 3}" for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array(srcs),
+        }
+    )
+    w = {"s0": 1, "s1": 2, "s2": 4}
+    got = (
+        interleave_mixture(ray.data.from_arrow(t).repartition(4), w, seed=9)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def low64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+    # naive per-source rank by (hash, id)
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for i, s in zip(range(n), srcs):
+        by_src[s].append((low64(f"9-{i}"), i))
+    rank = {}
+    for s, lst in by_src.items():
+        for r, (_, i) in enumerate(sorted(lst)):
+            rank[i] = r
+    assert (got["src_rank"].to_numpy() == np.array([rank[i] for i in range(n)])).all()
+    want_key = np.array(
+        [(rank[i] * 1_000_000) // w[srcs[i]] for i in range(n)], dtype=np.int64
+    )
+    assert (got["sched_key"].to_numpy() == want_key).all()
+    # proportionality: in the first 120 schedule slots, s2 appears ~4x s0
+    order = got.sort_values(["sched_key", "source", "doc_id"]).head(140)
+    c = order["source"].value_counts()
+    assert c["s2"] > c["s1"] > c["s0"]

@@ -375,3 +375,129 @@ def shuffle_shards(
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def interleave_mixture(
+    docs: "ray.data.Dataset",
+    weights: dict[str, int],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Deterministic mixture-interleave schedule: assign every document
+    a schedule key so that streaming the corpus in (sched_key, source,
+    id) order interleaves sources PROPORTIONALLY to their integer
+    ``weights`` (weight 2 appears twice as densely as weight 1) — the
+    data-mixing schedule of multi-source LLM training, reproducible on
+    any cluster. Within a source the order is the seeded hash shuffle
+    (md5-low64(f"{seed}-{id}"), id); the key is
+
+        sched_key = (src_rank * scale) // weight[source]
+
+    — all integers, so the SQL replay is exact. Output (id_col,
+    source, src_rank, sched_key); unknown sources get weight 1.
+
+    Scale shape: the per-source rank is the shuffle_shards two-level
+    scan run per (source, hash-range bucket) — local ranks + a driver
+    prefix over |sources| x n_buckets counts. No global sort; the
+    schedule key is emitted in one streaming pass.
+    """
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.functions.collect import collect_table
+
+    nb = n_coarse_buckets()
+    shift = np.uint64(64 - int(nb - 1).bit_length() if nb > 1 else 64)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = _md5_low64([f"{seed}-{i}" for i in ids])
+        return pa.table(
+            {
+                id_col: t[id_col],
+                source_col: t[source_col],
+                "_h": pa.array(h),
+                "_rb": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    def local_rank(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(g[source_col].to_pylist(), dtype=object)
+        h = g["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rb = int(g["_rb"][0].as_py())
+        # local rank WITHIN each source of this bucket, in (h, id) order
+        order = np.lexsort((ids, h, src))
+        s_o = src[order]
+        first = np.ones(len(s_o), dtype=bool)
+        first[1:] = s_o[1:] != s_o[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(s_o)))
+        local = np.arange(len(s_o)) - np.repeat(starts, lens)
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = local
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                source_col: pa.array(src.tolist(), pa.string()),
+                "_rb": pa.array(np.full(len(ids), rb, dtype=np.int64)),
+                "_local": pa.array(inv),
+            }
+        )
+
+    ranked = (
+        docs.select_columns([id_col, source_col])
+        .map_batches(key_rows, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(local_rank, batch_format="pyarrow")
+        .materialize()  # (id, source, rb, local) ints+source only
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        rb = t["_rb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), rb.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                source_col: pa.array([s.split("\x1f")[0] for s in u], pa.string()),
+                "_rb": pa.array([int(s.split("\x1f")[1]) for s in u], pa.int64()),
+                "_n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    ct = collect_table(ranked.map_batches(counts, batch_format="pyarrow"))
+    tot: dict = {}
+    for s, r, c in zip(
+        ct[source_col].to_pylist(), ct["_rb"].to_pylist(), ct["_n"].to_pylist()
+    ):
+        tot[(s, r)] = tot.get((s, r), 0) + c
+    offsets: dict = {}
+    run: dict = {}
+    for s, r in sorted(tot):
+        offsets[(s, r)] = run.get(s, 0)
+        run[s] = run.get(s, 0) + tot[(s, r)]
+    import ray as _ray
+
+    oref = _ray.put((offsets, dict(weights)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        offs, w = _ray.get(oref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        rb = t["_rb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        loc = t["_local"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.array(
+            [offs[(s, r)] for s, r in zip(src, rb)], dtype=np.int64
+        ) + loc
+        wv = np.array([int(w.get(s, 1)) for s in src], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                source_col: pa.array(src.tolist(), pa.string()),
+                "src_rank": pa.array(rank),
+                "sched_key": pa.array((rank * scale) // wv),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
