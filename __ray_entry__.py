@@ -2507,6 +2507,15 @@ def _q_events_late(sf_dir: str):
     return late_events(_events(sf_dir), delay_us=LATE_DELAY_US)
 
 
+def _q_events_bursts(sf_dir: str):
+    """Per-user burst detection (events.burst_stats): max events in any
+    event-anchored 1h window — the rate-limit readout. Two
+    searchsorteds per user run; co-location contract."""
+    from ugfraud_ray.pipelines.events import burst_stats
+
+    return burst_stats(_events(sf_dir), window_us=LATE_DELAY_US)
+
+
 EWMA_NUM, EWMA_DEN, EWMA_SCALE = 9, 10, 1000
 
 
@@ -3544,6 +3553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_cooccurrence": _q_events_cooccurrence,
         "events_type_transitions": _q_events_transitions,
         "events_late": _q_events_late,
+        "events_bursts": _q_events_bursts,
         "events_interarrival": _q_events_interarrival,
         "events_hourly_profile": _q_events_hourly_profile,
         "events_changepoint": _q_events_changepoint,
@@ -6704,6 +6714,20 @@ def oracle_sql() -> dict[str, str]:
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "events_bursts": f"""
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events
+            ), b AS (
+                SELECT user_id,
+                       COUNT(*) OVER (
+                           PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN CURRENT ROW AND {LATE_DELAY_US} FOLLOWING
+                       ) AS c
+                FROM o
+            )
+            SELECT user_id, COUNT(*) AS n_events, CAST(MAX(c) AS BIGINT) AS max_burst
+            FROM b GROUP BY user_id
         """,
         "events_type_transitions": """
             WITH o AS (

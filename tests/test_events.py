@@ -584,3 +584,27 @@ def test_late_events_planted(ray_session):
     )
     assert got.loc["a", "n_events"] == 3 and got.loc["a", "n_late"] == 0
     assert got.loc["b", "n_events"] == 2 and got.loc["b", "n_late"] == 2
+
+
+def test_burst_stats_matches_naive(ray_session):
+    from ugfraud_ray.pipelines.events import burst_stats
+
+    t = _synth_events(n=900, n_users=11, seed=3)
+    ds = ray.data.from_arrow(t).repartition(3)
+    W = 3_600_000_000
+    local = burst_stats(ds, window_us=W).to_pandas().set_index("user_id").sort_index()
+    dist = (
+        burst_stats(ds, window_us=W, local_threshold=0)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert local.equals(dist)
+    df = t.to_pandas()
+    df["us"] = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    for uid, g in df.groupby("user_id"):
+        tv = np.sort(g["us"].to_numpy())
+        burst = max(
+            int(np.searchsorted(tv, x + W, side="right") - np.searchsorted(tv, x, side="left"))
+            for x in tv
+        )
+        assert local.loc[uid, "n_events"] == len(tv)
+        assert local.loc[uid, "max_burst"] == burst

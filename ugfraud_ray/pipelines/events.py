@@ -1853,3 +1853,74 @@ def late_events(
         .groupby("event_type")
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("n_late", alias_name="n_late"))
     )
+
+
+def burst_stats(
+    events: "ray.data.Dataset",
+    window_us: int = 3_600_000_000,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-user burst detection — the rate-limit / bot-burst readout:
+    (user_id, n_events, max_burst) where max_burst is the largest
+    number of the user's events inside any window [t, t + window_us]
+    anchored at an event. max_burst > N is exactly "more than N events
+    in some sliding window". Vectorized two-searchsorted per user run;
+    same co-location contract as ``sessionize``.
+    """
+
+    ds = events.select_columns(["user_id", "ts", "event_id"])
+
+    def block(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, us, u))
+        u, us = u[order], us[order]
+        if len(u) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "max_burst": pa.array([], pa.int64()),
+                }
+            )
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(u))
+        uids = u[starts]
+        bursts = np.empty(len(uids), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            tv = us[s:e]
+            hi = np.searchsorted(tv, tv + window_us, side="right")
+            lo = np.searchsorted(tv, tv, side="left")
+            bursts[i] = int((hi - lo).max())
+        return pa.table(
+            {
+                "user_id": pa.array(uids),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "max_burst": pa.array(bursts),
+            }
+        )
+
+    try:
+        n = ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        return ray.data.from_arrow(block(t))
+
+    nb = np.uint64(n_coarse_buckets(n))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(block, batch_format="pyarrow")
+    )
