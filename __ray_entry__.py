@@ -1574,6 +1574,16 @@ def _q_doc_exact_dedup(sf_dir: str):
     return exact_dedup(docs, key="text", id_col="doc_id", approx_rows=docs.count())
 
 
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets (curation.ppl_buckets):
+    integer mean-surprisal key, exact 25/75-percentile cut points
+    (power-of-two q so the float rank == the SQL integer division)."""
+    from ugfraud_ray.pipelines.curation import ppl_buckets
+
+    docs = _docs(sf_dir)
+    return ppl_buckets(docs, approx_docs=docs.count())
+
+
 MIX_SEED = 3
 
 
@@ -3511,6 +3521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_confusion": _q_lang_confusion,
         "doc_quality_dedup": _q_quality_dedup,
         "doc_interleave_mixture": _q_interleave_mixture,
+        "doc_ppl_buckets": _q_ppl_buckets,
         "doc_source_dup_rate": _q_source_dup_rate,
         "doc_vocab_growth": _q_vocab_growth,
         "doc_simhash_pairs": _q_simhash_pairs,
@@ -7357,6 +7368,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(hc) AS BIGINT) AS n_hit,
                    CAST(SUM(s) AS BIGINT) AS surprisal_sum
             FROM j GROUP BY doc_id
+        """,
+        # nests the exact surprisal chain; cut points are the order
+        # statistics at ranks (n-1)//4 and 3*(n-1)//4 (power-of-two q)
+        "doc_ppl_buckets": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(a[1:len(a)-2]) AS w1,
+                       unnest(a[2:len(a)-1]) AS w2,
+                       unnest(a[3:len(a)]) AS w3
+                FROM arr WHERE len(a) >= 3
+            ),
+            t2 AS (
+                SELECT doc_id, w1, w2, w3 FROM tri
+                WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+            ),
+            model AS (
+                SELECT w1, w2, w3, COUNT(*) AS n
+                FROM t2 GROUP BY w1, w2, w3
+                HAVING COUNT(*) >= 2
+            ),
+            tot AS (
+                SELECT length(bin(CAST(SUM(n) AS BIGINT))) AS bt FROM model
+            ),
+            modelh AS (
+                SELECT md5_number_upper(w1 || chr(31) || w2 || chr(31) || w3)
+                           AS h,
+                       SUM(n) AS nh
+                FROM model GROUP BY 1
+            ),
+            m2 AS (
+                SELECT h,
+                       (SELECT bt FROM tot)
+                           - length(bin(CAST(nh AS BIGINT))) AS surp
+                FROM modelh
+            ),
+            probe AS (
+                SELECT doc_id,
+                       md5_number_upper(w1 || chr(31) || w2 || chr(31) || w3)
+                           AS h,
+                       COUNT(*) AS c
+                FROM t2 GROUP BY doc_id, 2
+            ),
+            j AS (
+                SELECT p.doc_id, p.c, COALESCE(p.c * m.surp, 0) AS s
+                FROM probe p LEFT JOIN m2 m ON m.h = p.h
+            ),
+            per AS (
+                SELECT doc_id,
+                       CAST(SUM(c) AS BIGINT) AS n_tri,
+                       CAST(SUM(s) AS BIGINT) AS ssum
+                FROM j GROUP BY doc_id
+            ),
+            k AS (SELECT doc_id, (ssum * 1000) // n_tri AS ppl_key FROM per),
+            rk AS (
+                SELECT ppl_key, ROW_NUMBER() OVER (ORDER BY ppl_key) - 1 AS r
+                FROM k
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM k),
+            c1 AS (SELECT ppl_key AS v FROM rk, nn WHERE r = (n - 1) // 4),
+            c2 AS (SELECT ppl_key AS v FROM rk, nn WHERE r = (3 * (n - 1)) // 4)
+            SELECT doc_id, CAST(ppl_key AS BIGINT) AS ppl_key,
+                   CASE WHEN ppl_key <= (SELECT v FROM c1) THEN 'head'
+                        WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM k
         """,
         "doc_trigram_counts": r"""
             WITH arr AS (

@@ -99,3 +99,32 @@ def test_quality_dedup_keeps_best_quality(ray_session):
     assert best["doc_id"] == 1 and best["kept"] == 1
     assert fam[fam["doc_id"] != 1]["kept"].sum() == 0
     assert got.loc[3, "kept"] == 1  # singleton
+
+
+def test_ppl_buckets_naive(ray_session):
+    """Bucket boundaries are exact 25/75 order statistics of the
+    integer mean-surprisal key; mirror with a direct computation."""
+    from ugfraud_ray.pipelines.curation import ppl_buckets
+    from ugfraud_ray.pipelines.text_analysis import lm_surprisal
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for _ in range(40)
+    ] + ["too short", ""]  # excluded (<3 tokens)
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(3)
+    got = ppl_buckets(ds, approx_docs=len(ids)).to_pandas().set_index("doc_id")
+    sc = lm_surprisal(ds, approx_docs=len(ids)).to_pandas()
+    key = ((sc["surprisal_sum"].to_numpy() * 1000) // sc["n_trigrams"].to_numpy()).astype(np.int64)
+    srt = np.sort(key)
+    n = len(srt)
+    t1, t2 = srt[(n - 1) // 4], srt[(3 * (n - 1)) // 4]
+    for did, k in zip(sc["doc_id"], key):
+        want = "head" if k <= t1 else ("middle" if k <= t2 else "tail")
+        assert got.loc[did, "bucket"] == want
+        assert got.loc[did, "ppl_key"] == k
+    assert 41 not in got.index and 40 not in got.index

@@ -625,3 +625,56 @@ def quality_dedup(
         )
 
     return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def ppl_buckets(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    approx_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    split the corpus into 'head' / 'middle' / 'tail' by the per-doc
+    mean LM surprisal — head = looks most like the corpus LM, tail =
+    least. The LM is the engine's integer-exact trigram surprisal
+    (:func:`text_analysis.lm_surprisal`); the per-doc key is
+    surprisal_sum * 1000 // n_trigrams (1e-3 grid, exact), and the cut
+    points are the EXACT 25th/75th-percentile order statistics
+    (rank floor((n-1)q), q a power-of-two fraction so the float rank
+    equals the SQL integer division exactly). Docs with < 3 tokens emit
+    nothing (the surprisal contract). Output (id_col, ppl_key, bucket).
+
+    Scale shape: surprisal is the verified fixed-vocab chain; the key
+    dataset is integer pairs (materialized once, no text); thresholds
+    come from the histogram+refine exact-quantile pass — never a full
+    sort; bucketing is one streaming map.
+    """
+    from ugfraud_ray.functions.quantiles import exact_quantiles
+    from ugfraud_ray.pipelines.text_analysis import lm_surprisal
+
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+    sc = lm_surprisal(docs, key=key, id_col=id_col, approx_docs=n_docs)
+
+    def to_key(t: pa.Table) -> pa.Table:
+        ss = t["surprisal_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t["n_trigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], "ppl_key": pa.array((ss * 1000) // nt)}
+        )
+
+    keys = sc.map_batches(to_key, batch_format="pyarrow").materialize()
+    qs = exact_quantiles(keys, "ppl_key", [0.25, 0.75], approx_rows=n_docs)
+    t1, t2 = int(qs[0][1]), int(qs[1][1])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t["ppl_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.where(k <= t1, "head", np.where(k <= t2, "middle", "tail"))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "ppl_key": t["ppl_key"],
+                "bucket": pa.array(b.tolist(), pa.string()),
+            }
+        )
+
+    return keys.map_batches(bucket, batch_format="pyarrow")
