@@ -440,3 +440,22 @@ def test_vocab_growth_naive(ray_session):
         assert row["threshold_doc"] == th
         assert row["n_tokens"] == n_tok
         assert row["n_distinct"] == len(vocab)
+
+
+def test_powerlaw_alpha_degenerate_tail_fails_loudly(ray_session):
+    import pytest as _pytest
+
+    from ugfraud_ray.pipelines.graphstats import powerlaw_alpha
+
+    # directed cycle: every vertex has total degree exactly 2 == dmin
+    n = 12
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.arange(n, dtype=np.int64)),
+                "dst": pa.array((np.arange(n, dtype=np.int64) + 1) % n),
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="degenerate degree tail"):
+        powerlaw_alpha(ds, dmin=2)

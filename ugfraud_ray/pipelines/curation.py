@@ -532,8 +532,10 @@ def quality_dedup(
 
     def q_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and ids.max() >= _QD_PACK:
-            raise ValueError("quality_dedup: doc_id >= 2^40 overflows the packed key")
+        if len(ids) and (ids.max() >= _QD_PACK or ids.min() < 0):
+            raise ValueError(
+                "quality_dedup: doc_id outside [0, 2^40) breaks the packed key"
+            )
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -554,13 +556,9 @@ def quality_dedup(
     tagged = clusters.map_batches(c_rows, batch_format="pyarrow").union(
         docs.select_columns([id_col, key]).map_batches(q_rows, batch_format="pyarrow")
     )
-    nb = np.uint64(n_coarse_buckets())
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = v * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+    bucketize = bucket_by_int_col(id_col, n_coarse_buckets())
 
     def zip_rows(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

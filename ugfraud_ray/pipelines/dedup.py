@@ -1272,8 +1272,10 @@ def _explode_lines(t: pa.Table, key: str, id_col: str):
 
 
 def _line_pack_key(ids: np.ndarray, line_no: np.ndarray) -> np.ndarray:
-    if len(ids) and ids.max() >= (1 << 42):
-        raise ValueError("line_dedup: doc_id >= 2^42; packed key overflows")
+    if len(ids) and (ids.max() >= (1 << 42) or ids.min() < 0):
+        # negative ids would collide with the distributed path's -1
+        # family-row sentinel and break the MIN packed-key ordering
+        raise ValueError("line_dedup: doc_id outside [0, 2^42) breaks the packed key")
     return ids * np.int64(_LINE_PACK) + line_no
 
 

@@ -1688,13 +1688,9 @@ def type_cooccurrence(
         t = collect_table(ds)
         return ray.data.from_arrow(_cooccur_block(*extract(t), gap_us))
 
-    nb = np.uint64(n_coarse_buckets(n))
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = u * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+    bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -1754,13 +1750,9 @@ def type_transitions(
         t = collect_table(ds)
         return ray.data.from_arrow(block(t))
 
-    nb = np.uint64(n_coarse_buckets(n))
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = u * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+    bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
@@ -1792,8 +1784,10 @@ def late_events(
     from ray.data.aggregate import Max, Sum
 
     ds = events.select_columns(["event_id", "ts", "event_type"])
-    lo = ds.min("event_id")
-    hi = ds.max("event_id")
+    from ray.data.aggregate import Min as _Min, Max as _Max
+
+    bounds = ds.aggregate(_Min("event_id", alias_name="lo"), _Max("event_id", alias_name="hi"))
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(hi - lo + 1, 1)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -1801,7 +1795,9 @@ def late_events(
         b = ((eid - lo) * n_buckets) // span
         return t.append_column("_rb", pa.array(b.astype(np.int64)))
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # materialized once (ids + ts + type, no payloads): the per-bucket
+    # max pass and the final flag groupby both reuse it
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
     maxes = collect_table(
         bucketed.map_batches(
             lambda t: pa.table(
@@ -1911,13 +1907,9 @@ def burst_stats(
         t = collect_table(ds)
         return ray.data.from_arrow(block(t))
 
-    nb = np.uint64(n_coarse_buckets(n))
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = u * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+    bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")

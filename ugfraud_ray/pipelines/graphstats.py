@@ -363,6 +363,13 @@ def powerlaw_alpha(edges: "ray.data.Dataset", dmin: int = 2) -> pa.Table:
     tail = d >= dmin
     n = int(c[tail].sum())
     slog = float(np.sum(c[tail] * np.log(d[tail] / float(dmin))))
+    if slog == 0.0:
+        # empty tail or every tail degree == dmin: the Hill MLE is
+        # undefined; fail loudly rather than emit inf/NaN silently
+        raise ValueError(
+            f"powerlaw_alpha: degenerate degree tail (n_tail={n}, all "
+            f"degrees == dmin={dmin}); no power-law exponent is defined"
+        )
     alpha = 1.0 + n / slog
     return pa.table(
         {
@@ -425,9 +432,12 @@ def edge_churn(
     Below ``local_threshold`` rows the identical kernel runs
     driver-local.
     """
-    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets, pair_hash_bucket
 
-    ds = tagged.select_columns([month_col, "src", "dst"])
+    # one materialization (three int columns, no text): the month scan,
+    # the row count and the distinct/bucket kernel all reuse it instead
+    # of re-executing the caller's (possibly join-backed) lineage
+    ds = tagged.select_columns([month_col, "src", "dst"]).materialize()
 
     def extract(t: pa.Table):
         return (
@@ -480,17 +490,14 @@ def edge_churn(
         j = np.searchsorted(ray.get(midx_ref), m)
         key = np.stack([s, d, j], axis=1)
         u = np.unique(key, axis=0)
-        nb_ = np.uint64(n_coarse_buckets(n))
-        h = u[:, 0].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ u[:, 1].astype(
-            np.uint64
-        ) * np.uint64(0xC2B2AE3D27D4EB4F)
-        h ^= h >> np.uint64(29)
         return pa.table(
             {
                 "src": pa.array(u[:, 0]),
                 "dst": pa.array(u[:, 1]),
                 "j": pa.array(u[:, 2]),
-                "_cb": pa.array((h % nb_).astype(np.int64)),
+                "_cb": pa.array(
+                    pair_hash_bucket(u[:, 0], u[:, 1], n_coarse_buckets(n))
+                ),
             }
         )
 

@@ -248,13 +248,9 @@ def spam_mass(
     tagged = pr.map_batches(tag(0), batch_format="pyarrow").union(
         tr.map_batches(tag(1), batch_format="pyarrow")
     )
-    nb = np.uint64(n_coarse_buckets(n_vertices))
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        v = t["vid"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = v * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+    bucketize = bucket_by_int_col("vid", n_coarse_buckets(n_vertices))
 
     def combine(g: pa.Table) -> pa.Table:
         v = g["vid"].to_numpy(zero_copy_only=False).astype(np.int64)

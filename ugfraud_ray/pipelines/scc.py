@@ -239,6 +239,7 @@ def bowtie_decomposition(
     layout_dir: str,
     P: int = 4,
     local_threshold: int = 2_000_000,
+    max_bfs_iters: int = 256,
 ) -> "ray.data.Dataset":
     """Broder bow-tie decomposition of a directed web graph (Broder et
     al. 2000, "Graph structure in the Web"): Dataset(vid, cls) with
@@ -281,18 +282,27 @@ def bowtie_decomposition(
         comp.filter(lambda r: r["scc"] == core_id).select_columns(["vid"])
     )["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
 
-    fwd, _ = bfs_hops(
-        edges, n_vertices, core_members, os.path.join(layout_dir, "fwd"),
-        P=P, max_iters=256, directed=True,
-    )
+    def _reach(e, tag):
+        out, metrics = bfs_hops(
+            e, n_vertices, core_members, os.path.join(layout_dir, tag),
+            P=P, max_iters=max_bfs_iters, directed=True,
+        )
+        if metrics and metrics[-1].get("delta", 0.0) > 0.0:
+            # the frontier was still advancing at the cap: classifying
+            # now would silently mislabel >max_bfs_iters-hop vertices
+            raise RuntimeError(
+                f"bowtie_decomposition: {tag} reachability BFS did not "
+                f"converge within max_bfs_iters={max_bfs_iters} — raise it "
+                "(bounded by the graph's directed eccentricity from the core)"
+            )
+        return out
+
+    fwd = _reach(edges, "fwd")
     rev = edges.select_columns(["src", "dst"]).map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
         batch_format="pyarrow",
     )
-    bwd, _ = bfs_hops(
-        rev, n_vertices, core_members, os.path.join(layout_dir, "bwd"),
-        P=P, max_iters=256, directed=True,
-    )
+    bwd = _reach(rev, "bwd")
 
     CORE, FWD, BWD = 4, 2, 1
 
@@ -325,13 +335,9 @@ def bowtie_decomposition(
         bwd.map_batches(flag_rows(BWD), batch_format="pyarrow"),
     )
 
-    nb = np.uint64(n_coarse_buckets(n_vertices))
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        v = t["vid"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = v * np.uint64(0x9E3779B97F4A7C15)
-        h ^= h >> np.uint64(29)
-        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+    bucketize = bucket_by_int_col("vid", n_coarse_buckets(n_vertices))
 
     def classify(g: pa.Table) -> pa.Table:
         v = g["vid"].to_numpy(zero_copy_only=False).astype(np.int64)

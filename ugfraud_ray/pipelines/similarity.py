@@ -1346,11 +1346,16 @@ def ivf_pq_topk(
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         q = _quantize_block(t, vec_col, grid, shift)
         cell = np.argmin(_dist2(q, Cm, cgrid), axis=1)
-        codes = np.empty((len(ids), m), dtype=np.int64)
-        for s in range(m):
-            codes[:, s] = np.argmin(
-                _dist2(q[:, s * dsub : (s + 1) * dsub], Bm[s], cgrid), axis=1
-            )
+        # PQ-code only rows some query probes (~nprobe/kc of the block);
+        # unprobed rows never rank, so their codes would be wasted work
+        probed = np.isin(cell, np.unique(pr))
+        codes = np.zeros((len(ids), m), dtype=np.int64)
+        if probed.any():
+            qp = q[probed]
+            for s in range(m):
+                codes[probed, s] = np.argmin(
+                    _dist2(qp[:, s * dsub : (s + 1) * dsub], Bm[s], cgrid), axis=1
+                )
         out_q, out_n, out_d = [], [], []
         for qi_idx in range(len(qi)):
             cand = np.isin(cell, pr[qi_idx]) & (ids != qi[qi_idx])
