@@ -1264,6 +1264,38 @@ def _q_pagerank(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
 
 
+KATZ_ALPHA = 0.05
+KATZ_ITERS = 8
+
+
+def _q_katz_centrality(sf_dir: str):
+    """Katz centrality (pipelines/katz.py): x' = 1 + alpha * sum of
+    in-neighbour scores for KATZ_ITERS fixed supersteps on the directed
+    general graph — GANG's `x <- p + c A x` power iteration (reference
+    Detector/GANG.py:114-137) with p = 1, c = alpha. The oracle replays
+    the recursion as a recursive CTE (the PageRank oracle's shape minus
+    degree normalization and the dangling channel); 9-decimal readout
+    both sides."""
+    from ugfraud_ray.pipelines.katz import katz_centrality
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    e, vmap, n = number_int_vertices(general_edges(sf_dir))
+    scores, _ = katz_centrality(
+        e, n, _scratch("katz"), P=4, alpha=KATZ_ALPHA, iters=KATZ_ITERS
+    )
+    out = unmap_vids(scores, vmap, vid_col="vid", out_col="id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        r = np.round(t["katz"].to_numpy(zero_copy_only=False), 9)
+        return pa.table({"id": t["id"], "katz": pa.array(r)})
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "katz"])
+
+
 def _contracted_inputs(sf_dir: str):
     """Review graph contracted to (customer nation, part brand) groups —
     the testdata instantiation of the url->host host-graph contraction
@@ -3486,6 +3518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- core superstep engine + graph build ---
         "pagerank": _q_pagerank,
+        "katz_centrality": _q_katz_centrality,
         "speagle_scores": _q_speagle,
         "review_edges": _q_review_edges,
         "connected_components": _q_components,
@@ -5869,6 +5902,32 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p0.iter < {PR_ITERS}
             )
             SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
+        # the PageRank CTE's shape minus degree normalization and the
+        # dangling channel: x' = beta + alpha * sum of in-neighbours
+        "katz_centrality": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            kz AS (
+                SELECT vid, CAST(1.0 AS DOUBLE) AS x, 0 AS iter FROM v
+                UNION ALL
+                SELECT v.vid,
+                       1.0 + {KATZ_ALPHA} * COALESCE(m.s, 0),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM kz) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.x) AS s
+                    FROM kz p JOIN g e ON e.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {KATZ_ITERS}
+            )
+            SELECT vid AS id, ROUND(x, 9) AS katz FROM kz WHERE iter = {KATZ_ITERS}
         """,
         # nests BOTH verified rank chains; ranks round to the 9-grid
         # BEFORE the ratio so both sides divide identical doubles

@@ -1037,3 +1037,45 @@ def test_coreness_both_paths_match_naive_sweep(ray_session):
     dist = coreness(ds, n, approx_edges=None).to_pandas()
     got_dist = dict(zip(dist["id"].astype(int), dist["coreness"].astype(int)))
     assert got_dist == want
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (pipelines/katz.py)
+# ---------------------------------------------------------------------------
+
+
+def _katz_oracle(src, dst, n, alpha=0.05, beta=1.0, iters=8):
+    x = np.full(n, beta, dtype=np.float64)
+    for _ in range(iters):
+        agg = np.bincount(dst, weights=x[src], minlength=n)
+        x = beta + alpha * agg
+    return x
+
+
+def test_katz_matches_dense_oracle(tmp_path):
+    from ugfraud_ray.pipelines.katz import katz_centrality
+
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=11)
+    src, dst, n = _graph(spec)
+    got, metrics = katz_centrality(
+        _edges_ds(src, dst), n, str(tmp_path / "katz"), P=2, alpha=0.05, iters=8
+    )
+    gp = got.to_pandas().sort_values("vid")
+    want = _katz_oracle(src, dst, n, alpha=0.05, iters=8)
+    np.testing.assert_allclose(gp["katz"].to_numpy(), want, atol=1e-12)
+    assert len(metrics) == 8
+    # the prestige ranking must differ from uniform: some vertex gained
+    assert gp["katz"].max() > 1.0
+
+
+def test_katz_hub_split_identical(tmp_path):
+    from ugfraud_ray.pipelines.katz import katz_centrality
+
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=11, zipf_a=2.0)
+    src, dst, n = _graph(spec)
+    a, _ = katz_centrality(_edges_ds(src, dst), n, str(tmp_path / "a"), P=2, iters=6)
+    b, _ = katz_centrality(
+        _edges_ds(src, dst), n, str(tmp_path / "b"), P=3, iters=6, hub_threshold=5
+    )
+    pa_, pb = a.to_pandas().sort_values("vid"), b.to_pandas().sort_values("vid")
+    np.testing.assert_allclose(pa_["katz"].to_numpy(), pb["katz"].to_numpy(), atol=1e-12)
