@@ -514,6 +514,117 @@ def _q_embedding_semdedup(sf_dir: str):
     )
 
 
+OUTLIER_TOPN = 10
+KNN_NN = 3
+
+
+def _q_embedding_outliers(sf_dir: str):
+    """Per-cluster embedding outliers (similarity.cluster_outliers): the
+    OUTLIER_TOPN vectors farthest from their assigned kmeans centroid per
+    cluster, ranked by the exact integer d2 (DESC, vec_id ASC) — the
+    kmeans chain's data-cleaning readout. Per-block top-n partials + one
+    tiny groupby finish; no global sort. The oracle is the kmeans CTE
+    chain + one ROW_NUMBER window."""
+    from ugfraud_ray.pipelines.similarity import cluster_outliers
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return cluster_outliers(emb, k=KMEANS_K, iters=KMEANS_ITERS, topn=OUTLIER_TOPN)
+
+
+def _q_embedding_knn(sf_dir: str):
+    """Cluster-local kNN graph (similarity.knn_graph): kmeans-partition,
+    then inside each cluster every vector links to its KNN_NN nearest
+    neighbours by exact integer squared L2 on the signed 1/grid
+    quantization (ties: lower d2 then lower id) — all-pairs work never
+    crosses clusters (the SemDeDup contract). The oracle nests the
+    kmeans chain + within-cluster HUGEINT pair distances + one window."""
+    from ugfraud_ray.pipelines.similarity import knn_graph
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return knn_graph(emb, k=KMEANS_K, iters=KMEANS_ITERS, nn=KNN_NN)
+
+
+def _outliers_sql(
+    k: int, iters: int, topn: int, grid: int = 1000, cgrid: int = 1000, shift: int = 8
+) -> str:
+    """cluster_outliers oracle: the kmeans assignment chain + one
+    ROW_NUMBER window over the exact integer d2."""
+    ctes, final = _kmeans_ctes(k, iters, grid, cgrid, shift)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT CAST(cluster AS BIGINT) AS cluster, vec_id,
+               CAST(d2 AS BIGINT) AS d2, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (
+                       PARTITION BY cluster ORDER BY d2 DESC, vec_id
+                   ) AS rnk
+            FROM a{final}
+        ) WHERE rnk <= {topn}"""
+    )
+
+
+def _knn_sql(
+    k: int, iters: int, nn: int, grid: int = 1000, cgrid: int = 1000, shift: int = 8
+) -> str:
+    """knn_graph oracle: the kmeans assignment chain, signed-grid
+    pairwise HUGEINT distances within each cluster (both orientations of
+    each i<j pair), one ROW_NUMBER window per vector."""
+    ctes, final = _kmeans_ctes(k, iters, grid, cgrid, shift)
+    ctes = list(ctes) + [
+        f"""qs AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {grid} + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings
+        )""",
+        """nrm AS (
+            SELECT vec_id, SUM(CAST(q AS HUGEINT) * q) AS n2
+            FROM qs GROUP BY vec_id
+        )""",
+        f"""dots AS (
+            SELECT a.vec_id AS i, b.vec_id AS j,
+                   SUM(CAST(qa.q AS HUGEINT) * qb.q) AS s
+            FROM a{final} a
+            JOIN a{final} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            JOIN qs qa ON qa.vec_id = a.vec_id
+            JOIN qs qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+            GROUP BY a.vec_id, b.vec_id
+        )""",
+        """pd AS (
+            SELECT d.i AS vec_id, d.j AS nbr_id,
+                   ni.n2 + nj.n2 - 2 * d.s AS d2
+            FROM dots d
+            JOIN nrm ni ON ni.vec_id = d.i JOIN nrm nj ON nj.vec_id = d.j
+            UNION ALL
+            SELECT d.j, d.i, ni.n2 + nj.n2 - 2 * d.s
+            FROM dots d
+            JOIN nrm ni ON ni.vec_id = d.i JOIN nrm nj ON nj.vec_id = d.j
+        )""",
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT vec_id, nbr_id, CAST(d2 AS BIGINT) AS d2,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT vec_id, nbr_id, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, nbr_id
+                   ) AS rnk
+            FROM pd
+        ) WHERE rnk <= {nn}"""
+    )
+
+
 def _semdedup_sql(
     k: int,
     iters: int,
@@ -3568,6 +3679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "embedding_label_affinity": _q_embedding_label_affinity,
         "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_outliers": _q_embedding_outliers,
+        "embedding_knn": _q_embedding_knn,
         "embedding_pq": _q_embedding_pq,
         "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "embedding_semdedup": _q_embedding_semdedup,
@@ -5456,6 +5569,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN nrm nb ON nb.label = pr.label_b
         """,
         "embedding_kmeans": _kmeans_sql(KMEANS_K, KMEANS_ITERS),
+        "embedding_outliers": _outliers_sql(KMEANS_K, KMEANS_ITERS, OUTLIER_TOPN),
+        "embedding_knn": _knn_sql(KMEANS_K, KMEANS_ITERS, KNN_NN),
         "embedding_pq": _pq_sql(PQ_M, PQ_K, PQ_ITERS),
         "ann_ivf_pq_topk": _ivfpq_sql(
             list(range(5)), IVFPQ_K, IVFPQ_KC, IVFPQ_NPROBE, PQ_M, PQ_K, PQ_ITERS

@@ -1407,3 +1407,164 @@ def ivf_pq_topk(
             }
         )
     )
+
+
+def cluster_outliers(
+    emb: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 2,
+    topn: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+) -> "ray.data.Dataset":
+    """Per-cluster embedding outliers: the topn vectors FARTHEST from
+    their assigned k-means centroid, per cluster — the data-cleaning
+    readout of the kmeans chain (mislabeled / off-manifold candidates).
+    Returns Dataset(cluster, id, d2, rnk) with rnk 1..topn ordered by
+    (d2 DESC, id ASC).
+
+    Exactness: d2 is :func:`kmeans`'s exact integer squared distance,
+    so the selection key is an integer and the SQL replay (the kmeans
+    CTE chain + one ROW_NUMBER window) is bit-identical.
+
+    Scale shape: the assignment pass streams; top-n per cluster is a
+    merge semilattice, so each block emits at most k*topn partial rows
+    and ONE tiny groupby(cluster) finishes — no global sort, the corpus
+    never concentrates.
+
+    Reference analog: fBox's per-degree percentile outlier cut
+    (/root/reference Detector/fBox.py:72-98) — same shape (grouped
+    order-statistic readout), embedding domain.
+    """
+    assigned = kmeans(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        grid=grid, cgrid=cgrid, shift=shift,
+    )
+
+    def topn_block(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = t["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(0, dtype=np.int64)
+        for c in np.unique(cl):
+            m = np.flatnonzero(cl == c)
+            order = np.lexsort((ids[m], -d2[m]))[:topn]
+            keep = np.concatenate([keep, m[order]])
+        return pa.table(
+            {"cluster": pa.array(cl[keep]), id_col: pa.array(ids[keep]),
+             "d2": pa.array(d2[keep])}
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = g["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -d2))[:topn]
+        return pa.table(
+            {
+                "cluster": g["cluster"].take(pa.array(order)),
+                id_col: pa.array(ids[order]),
+                "d2": pa.array(d2[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        assigned.map_batches(topn_block, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def knn_graph(
+    emb: "ray.data.Dataset",
+    k: int = 4,
+    iters: int = 2,
+    nn: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1000,
+    cgrid: int = 1000,
+    shift: int = 8,
+) -> "ray.data.Dataset":
+    """Cluster-local k-nearest-neighbour graph: kmeans-partition the
+    embeddings (the SemDeDup small-cluster contract), then inside each
+    cluster connect every vector to its nn nearest neighbours by EXACT
+    integer squared L2 distance on the signed 1/grid quantization
+    (ties: lower d2, then lower neighbour id). Returns
+    Dataset(id_col, nbr_id, d2, rnk) — the input graph for knn-based
+    curation (graph clustering over embeddings, label smoothing,
+    connectivity diagnostics).
+
+    Like semdedup, all-pairs work never crosses clusters: the kernel is
+    ONE O(|cluster|^2 dim) int64 matmul per cluster, and the (k x dim)
+    centroid matrix is the only broadcast. Vectors in singleton
+    clusters emit no rows (both sides). int64 bounds are guarded the
+    same way (fallback to exact Python ints past 2^62).
+
+    Reference analog: none (UGFraud has no embedding ops); next to
+    ann_topk (query-vs-corpus) this is the corpus-vs-corpus variant.
+    """
+    src = emb.select_columns([id_col, vec_col])
+    C = _kmeans_fit(emb, k, iters, id_col, vec_col, grid, cgrid, shift)
+    cref = ray.put(C)
+
+    def assign(t: pa.Table, _cref=cref) -> pa.Table:
+        Cm = ray.get(_cref)
+        q = _quantize_block(t, vec_col, grid, shift)
+        a = np.argmin(_dist2(q, Cm, cgrid), axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "q": pa.array((q - shift * grid).tolist()),
+            }
+        )
+
+    assigned = src.map_batches(assign, batch_format="pyarrow")
+
+    def local_knn(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.array(g["q"].to_pylist(), dtype=np.int64)[order]
+        n = len(ids)
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "nbr_id": pa.array([], pa.int64()),
+             "d2": pa.array([], pa.int64()), "rnk": pa.array([], pa.int64())}
+        )
+        if n <= 1:
+            return empty
+        qmax = int(np.abs(q).max(initial=0))
+        dim = q.shape[1]
+        if dim * qmax * qmax * 4 < 2**62:
+            S = q @ q.T
+            n2 = (q * q).sum(axis=1)
+            D = n2[:, None] + n2[None, :] - 2 * S
+        else:  # pragma: no cover - same guard as semdedup's overflow path
+            qo = q.astype(object)
+            S = qo @ qo.T
+            n2 = (qo * qo).sum(axis=1)
+            D = (n2[:, None] + n2[None, :] - 2 * S).astype(object)
+        take = min(nn, n - 1)
+        out_src, out_nbr, out_d2, out_rnk = [], [], [], []
+        for i in range(n):
+            row = D[i].astype(np.int64) if D.dtype == object else D[i]
+            key = np.lexsort((ids, row))
+            key = key[key != i][:take]
+            out_src.append(np.full(take, ids[i]))
+            out_nbr.append(ids[key])
+            out_d2.append(row[key])
+            out_rnk.append(np.arange(1, take + 1, dtype=np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_src)),
+                "nbr_id": pa.array(np.concatenate(out_nbr)),
+                "d2": pa.array(np.concatenate(out_d2).astype(np.int64)),
+                "rnk": pa.array(np.concatenate(out_rnk)),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(local_knn, batch_format="pyarrow")
