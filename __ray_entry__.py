@@ -3297,6 +3297,19 @@ def _q_bpe_token_count(sf_dir: str):
     return bpe_token_counts(_docs(sf_dir))
 
 
+def _q_tokenizer_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (text_analysis.tokenizer_fertility):
+    BPE pretokens per whitespace word, exact integer sums per lang with
+    one mirrored ROUND(t/w, 9) readout — the multilingual token-budget
+    diagnostic next to doc_bpe_token_count."""
+    from ugfraud_ray.pipelines.text_analysis import tokenizer_fertility
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return tokenizer_fertility(docs)
+
+
 def _q_fingerprints(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import fingerprints
 
@@ -3700,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
         "doc_bpe_token_count": _q_bpe_token_count,
+        "doc_tokenizer_fertility": _q_tokenizer_fertility,
         "doc_fingerprints": _q_fingerprints,
         "doc_packing": _q_doc_packing,
         "doc_pii_redact": _q_doc_pii_redact,
@@ -3863,6 +3877,30 @@ def _bpe_count_sql() -> str:
         SELECT doc_id,
                CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
         FROM documents
+    """
+
+
+def _fertility_sql() -> str:
+    """tokenizer_fertility oracle: the shared _BPE_RE pretokenizer and
+    '\\S+' word counts summed per language; the single float is one
+    mirrored ROUND(t/w, 9) (0.0 for word-free groups both sides)."""
+    from ugfraud_ray.pipelines.text_analysis import _BPE_RE
+
+    pat = _BPE_RE.replace("'", "''")
+    return f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(w) AS BIGINT) AS n_words,
+               CASE WHEN SUM(w) = 0 THEN 0.0
+                    ELSE ROUND(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9)
+               END AS fertility
+        FROM (
+            SELECT lang,
+                   length(regexp_extract_all(text, '{pat}')) AS bpe,
+                   length(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents
+        ) GROUP BY lang
     """
 
 
@@ -7302,6 +7340,7 @@ def oracle_sql() -> dict[str, str]:
         # str.split() on the ASCII corpora the driver tables contain
         "doc_lang_id": _lang_id_sql(),
         "doc_bpe_token_count": _bpe_count_sql(),
+        "doc_tokenizer_fertility": _fertility_sql(),
         # same tokenizer as doc_top_tokens; "common" = df·100 > pct·N
         # (integer compare, no float idf) excluded from ranking; ties in
         # tf break token-ascending (binary collation == numpy '<U' on

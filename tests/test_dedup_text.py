@@ -794,3 +794,42 @@ def test_line_dedup_distributed_path_agrees(ray_session):
     for _, r in got.iterrows():
         nl, nk, td = want[r["doc_id"]]
         assert (r["n_lines"], r["n_kept"], r["text_dedup"]) == (nl, nk, td)
+
+
+def test_tokenizer_fertility_matches_python_oracle(ray_session):
+    import re
+
+    from ugfraud_ray.pipelines.text_analysis import _BPE_RE, tokenizer_fertility
+
+    texts = [
+        ("en", "Hello world!  it's 2026..."),
+        ("en", "don't stop, we've   got 99 problems"),
+        ("de", "Straßen und Plätze, überall"),
+        ("de", ""),
+        ("xx", "   "),  # whitespace-only: n_words 0 for the group
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array([l for l, _ in texts]),
+                "text": pa.array([s for _, s in texts]),
+            }
+        )
+    ).repartition(3)
+    got = tokenizer_fertility(ds).to_pandas().set_index("lang").sort_index()
+
+    pat = re.compile(_BPE_RE)
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for l, s in texts:
+        agg[l][0] += 1
+        agg[l][1] += len(pat.findall(s))
+        agg[l][2] += len(s.split())
+    for l, (nd, nt, nw) in agg.items():
+        row = got.loc[l]
+        assert row["n_docs"] == nd
+        assert row["n_bpe_tokens"] == nt
+        assert row["n_words"] == nw
+        want_f = round(nt / nw, 9) if nw else 0.0
+        assert abs(row["fertility"] - want_f) < 1e-12

@@ -2027,3 +2027,64 @@ def vocab_growth(
             "n_distinct": pa.array(dist["n"].to_numpy(zero_copy_only=False)[kd].astype(np.int64)),
         }
     )
+
+
+def tokenizer_fertility(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    lang_col: str = "lang",
+) -> "ray.data.Dataset":
+    """Per-language tokenizer fertility: BPE pretokens per whitespace
+    word — the multilingual tokenizer-budget diagnostic (a language
+    whose fertility is 2x pays 2x the context window for the same
+    text). Returns (lang, n_docs, n_bpe_tokens, n_words, fertility)
+    with fertility = round(tokens/words, 9) and 0.0 for empty groups.
+
+    Both counts are single vectorized RE2 kernels (the shared _BPE_RE
+    pretokenizer and '\\S+' words); per-block partials collapse to one
+    row per language before the |langs|-sized groupby — the corpus
+    never shuffles. Reference analog: none (UGFraud is monolingual);
+    this is the corpus-budget sibling of bpe_token_counts.
+    """
+    from ray.data.aggregate import Sum
+
+    src = docs.select_columns([lang_col, key])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bpe = pc.cast(pc.count_substring_regex(t[key], _BPE_RE), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        w = pc.cast(pc.count_substring_regex(t[key], r"\S+"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        langs = np.asarray(t[lang_col].to_pylist(), dtype=object)
+        uniq, inv = np.unique(langs.astype(str), return_inverse=True)
+        nd = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        nt = np.bincount(inv, weights=bpe, minlength=len(uniq)).astype(np.int64)
+        nw = np.bincount(inv, weights=w, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(uniq.tolist(), pa.string()),
+                "nd": pa.array(nd),
+                "nt": pa.array(nt),
+                "nw": pa.array(nw),
+            }
+        )
+
+    agg = (
+        src.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("nd", alias_name="n_docs"),
+            Sum("nt", alias_name="n_bpe_tokens"),
+            Sum("nw", alias_name="n_words"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = t["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = t["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fert = np.where(nw > 0, np.round(nt / np.maximum(nw, 1), 9), 0.0)
+        return t.append_column("fertility", pa.array(fert))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
