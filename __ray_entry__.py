@@ -2732,6 +2732,19 @@ def _q_events_retention(sf_dir: str):
     return retention_cohorts(_events(sf_dir))
 
 
+ROLLING_WINDOW_DAYS = 7
+
+
+def _q_events_rolling_active(sf_dir: str):
+    """Trailing-7-day distinct active users per present day
+    (events.rolling_active_users): distinct (user, day) pairs expand to
+    the days they credit, dedupe inside user-colocated buckets, counts
+    sum exactly; windows anchor at days present in the stream."""
+    from ugfraud_ray.pipelines.events import rolling_active_users
+
+    return rolling_active_users(_events(sf_dir), window_days=ROLLING_WINDOW_DAYS)
+
+
 def _q_events_hourly_users(sf_dir: str):
     """Distinct active users per tumbling hour (events.windowed_unique_users):
     distinct-pair in-map partials, exact coarse-bucket distinct count."""
@@ -3733,6 +3746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_last_error": _q_events_asof,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_rolling_active": _q_events_rolling_active,
         "events_hll_users": _q_events_hll_users,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "events_topk_per_user": _q_events_topk,
@@ -7080,6 +7094,19 @@ def oracle_sql() -> dict[str, str]:
         # integer week index = epoch_us // week; offset relative to the
         # user's first-event week; COUNT(DISTINCT) mirrors the engine's
         # user-bucketed exact partials
+        # windows anchor at present days only; day = integer epoch-day
+        "events_rolling_active": f"""
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events
+            ),
+            d AS (SELECT DISTINCT day FROM p)
+            SELECT d.day, COUNT(DISTINCT p.user_id) AS n_users
+            FROM d JOIN p
+              ON p.day BETWEEN d.day - {ROLLING_WINDOW_DAYS - 1} AND d.day
+            GROUP BY d.day
+        """,
         "events_retention": """
             WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
             w AS (

@@ -608,3 +608,25 @@ def test_burst_stats_matches_naive(ray_session):
         )
         assert local.loc[uid, "n_events"] == len(tv)
         assert local.loc[uid, "max_burst"] == burst
+
+
+def test_rolling_active_users_matches_pandas_and_bucketed_path(ray_session):
+    from ugfraud_ray.pipelines.events import rolling_active_users
+
+    t = _synth_events(n=1500, n_users=29, seed=41)
+    ds = ray.data.from_arrow(t).repartition(5)
+    day = (
+        t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        // 86_400_000_000
+    )
+    df = pd.DataFrame({"user": t["user_id"].to_numpy(), "day": day})
+    pairs = df.drop_duplicates()
+    want = {}
+    for d in sorted(pairs["day"].unique()):
+        want[d] = pairs[(pairs["day"] >= d - 6) & (pairs["day"] <= d)]["user"].nunique()
+
+    got = rolling_active_users(ds, window_days=7).to_pandas()
+    assert dict(zip(got["day"].astype(int), got["n_users"].astype(int))) == want
+
+    forced = rolling_active_users(ds, window_days=7, local_threshold=0).to_pandas()
+    assert dict(zip(forced["day"].astype(int), forced["n_users"].astype(int))) == want

@@ -1916,3 +1916,128 @@ def burst_stats(
         .groupby("_cb")
         .map_groups(block, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling active users (trailing-window distinct count per day)
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _rolling_block(user: np.ndarray, day: np.ndarray, window: int) -> pa.Table:
+    """Distinct users per trailing-window day within ONE user-colocated
+    bucket: each distinct (user, day0) pair credits window days
+    day0..day0+window-1; (user, w) pairs dedupe inside the bucket, so
+    per-w counts sum exactly across buckets (users are disjoint)."""
+    if len(user) == 0:
+        return pa.table(
+            {"day": pa.array([], pa.int64()), "nu": pa.array([], pa.int64())}
+        )
+    pairs = np.unique(user * np.int64(1 << 21) + day)
+    w = np.repeat(pairs, window) + np.tile(
+        np.arange(window, dtype=np.int64), len(pairs)
+    )
+    w = np.unique(w)  # (user, window-day) distinct
+    wd = w & np.int64((1 << 21) - 1)
+    uw, cnt = np.unique(wd, return_counts=True)
+    return pa.table({"day": pa.array(uw), "nu": pa.array(cnt.astype(np.int64))})
+
+
+def rolling_active_users(
+    events: "ray.data.Dataset",
+    window_days: int = 7,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """WAU-style rolling activity: for every day present in the stream,
+    the count of distinct users with at least one event in the trailing
+    ``window_days`` window [day-window+1, day]. Returns
+    Dataset(day, n_users) with day = integer epoch-day (epoch_us // 1
+    day), the retention_cohorts convention.
+
+    Exactness: days pack into 21 bits next to the user id, every count
+    is an integer, and the user-colocation contract (sessionize's) makes
+    per-bucket distinct counts sum exactly. Scale shape: per-block
+    work collapses to distinct (user, day) pairs; ONE user-hash bucket
+    shuffle; the final table is days-sized. Days not present in the
+    stream emit no row (the SQL replay anchors windows at present days
+    only).
+
+    Reference analog: none (UGFraud never parses dates, SURVEY §2.8);
+    this is the product-analytics readout next to retention_cohorts.
+    """
+    ds = events.select_columns(["user_id", "ts"])
+
+    def extract(t) -> tuple:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // _US_PER_DAY
+        )
+        return u, d
+
+    def present_days(t: pa.Table) -> pa.Table:
+        _, d = extract(t)
+        return pa.table({"day": pa.array(np.unique(d))})
+
+    days = collect_table(
+        ds.map_batches(present_days, batch_format="pyarrow").groupby("day").count()
+    )
+    present = np.sort(days["day"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    from ray.data.aggregate import Sum
+
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        out = _rolling_block(*extract(t), window=window_days)
+        summed = out.to_pandas().groupby("day", as_index=False)["nu"].sum()
+        keep = summed[summed["day"].isin(present)]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array(keep["day"].to_numpy().astype(np.int64)),
+                    "n_users": pa.array(keep["nu"].to_numpy().astype(np.int64)),
+                }
+            )
+        )
+
+    nb = np.uint64(n_coarse_buckets(n))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u, d = extract(t)
+        h = u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "d": pa.array(d),
+                "_cb": pa.array((h % nb).astype(np.int64)),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _rolling_block(
+            g["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["d"].to_numpy(zero_copy_only=False).astype(np.int64),
+            window=window_days,
+        )
+
+    pref = ray.put(present)
+
+    def keep_present(t: pa.Table, _p=pref) -> pa.Table:
+        p = ray.get(_p)
+        d = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(d, p)))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(kernel, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("nu", alias_name="n_users"))
+        .map_batches(keep_present, batch_format="pyarrow")
+    )
