@@ -3696,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_growth": _q_vocab_growth,
         "doc_simhash_pairs": _q_simhash_pairs,
         "doc_ngram_jaccard": _q_ngram_jaccard,
+        "graph_mirror_pairs": _q_graph_mirror_pairs,
         "doc_minhash_agreement": _q_minhash_agreement,
         "embedding_neardup": _q_embedding_neardup,
         # --- ANN / embeddings ---
@@ -4461,6 +4462,112 @@ def _quality_dedup_sql() -> str:
     """
 
 
+MIRROR_OFFSET = 2_000_000
+MIRROR_JACCARD = 0.5
+
+
+def _q_graph_mirror_pairs(sf_dir: str):
+    """Mirror-host detection: structural near-dup over the review link
+    graph. Each vertex's distinct out-link set renders as a document
+    (graphstats.adjacency_docs), mirrors are PLANTED deterministically
+    (every src % 5 == 0 gains a copy at src + MIRROR_OFFSET; src % 10
+    == 0 copies drop their smallest dst — near-miss mirrors), then the
+    bit-exact minhash-LSH chain + exact shingle Jaccard recover pairs
+    with jaccard >= MIRROR_JACCARD. The SQL replays the adjacency
+    assembly, the planting, and the full LSH chain."""
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    from ugfraud_ray.pipelines.graphstats import adjacency_docs
+    from ugfraud_ray.pipelines.testdata_graph import review_edges
+
+    adj = adjacency_docs(review_edges(sf_dir).select_columns(["src", "dst"]))
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t["text"].to_pylist()
+        m_ids, m_txt = [], []
+        for i, s in zip(ids, texts):
+            if i % 5 == 0:
+                if i % 10 == 0:
+                    parts = s.split(" ", 1)
+                    s = parts[1] if len(parts) > 1 else ""
+                m_ids.append(i + MIRROR_OFFSET)
+                m_txt.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, np.array(m_ids, dtype=np.int64)])),
+                "text": pa.array(texts + m_txt, pa.string()),
+            }
+        )
+
+    docs = adj.map_batches(plant, batch_format="pyarrow").materialize()
+    cands = minhash_lsh_candidates(docs)
+    out = ngram_jaccard_pairs(docs, cands, threshold=MIRROR_JACCARD)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "jaccard": pa.array(
+                    np.round(t["jaccard"].to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _mirror_pairs_sql() -> str:
+    """graph_mirror_pairs oracle: adjacency string_agg + the planting
+    rules + the bit-exact LSH chain + the exact-Jaccard tail, filtered
+    at the detection threshold."""
+    from ugfraud_ray.pipelines.testdata_graph import PART_OFFSET
+
+    return rf"""
+        WITH e AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_partkey + {PART_OFFSET} AS dst
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        adj AS (
+            SELECT src AS doc_id,
+                   string_agg(CAST(dst AS VARCHAR), ' ' ORDER BY dst) AS text
+            FROM e GROUP BY src
+        ),
+        mir AS (
+            SELECT doc_id + {MIRROR_OFFSET} AS doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN
+                            CASE WHEN text LIKE '% %'
+                                 THEN regexp_replace(text, '^\S+\s', '')
+                                 ELSE '' END
+                        ELSE text END AS text
+            FROM adj WHERE doc_id % 5 = 0
+        ),
+        adjdocs AS (SELECT * FROM adj UNION ALL SELECT * FROM mir),
+        {_minhash_cand_ctes(source="adjdocs")},
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.id_a
+          JOIN shd b ON b.doc_id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT c.id_a, c.id_b,
+                   ROUND(CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0) = 0
+                              THEN 0.0
+                              ELSE CAST(COALESCE(i.i, 0) AS DOUBLE)
+                                   / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0))
+                         END, 9) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            LEFT JOIN sz sa ON sa.doc_id = c.id_a
+            LEFT JOIN sz sb ON sb.doc_id = c.id_b
+        ) WHERE jaccard >= {MIRROR_JACCARD}
+    """
+
+
 def _ngram_jaccard_sql() -> str:
     """SQL replica of ``_q_ngram_jaccard`` (``minhash_lsh_candidates`` +
     ``ngram_jaccard_pairs``): exact Jaccard over each doc's DISTINCT
@@ -4918,6 +5025,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sums
         """,
         "doc_ngram_jaccard": _ngram_jaccard_sql(),
+        "graph_mirror_pairs": _mirror_pairs_sql(),
         "doc_minhash_agreement": f"""
             WITH {_minhash_cand_ctes()}
             SELECT c.id_a, c.id_b,

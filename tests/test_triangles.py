@@ -286,3 +286,76 @@ def test_triangles_per_vertex_both_paths_match_networkx(ray_session):
     dist = triangles_per_vertex(ds, local_threshold=0).to_pandas()
     got_dist = dict(zip(dist["id"].astype(int), dist["triangles"].astype(int)))
     assert got_dist == want
+
+
+def test_adjacency_docs_matches_naive_and_bucketed_path(ray_session):
+    from ugfraud_ray.pipelines.graphstats import adjacency_docs
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 40, size=300).astype(np.int64)
+    dst = rng.integers(100, 160, size=300).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(6)
+
+    want = {}
+    for s in np.unique(src):
+        ds_ = np.unique(dst[src == s])
+        want[int(s)] = " ".join(str(x) for x in ds_)
+
+    got = adjacency_docs(ds).to_pandas()
+    assert dict(zip(got["doc_id"].astype(int), got["text"])) == want
+
+    forced = adjacency_docs(ds, local_threshold=0).to_pandas()
+    assert dict(zip(forced["doc_id"].astype(int), forced["text"])) == want
+
+
+def test_adjacency_docs_guards_wide_ids(ray_session):
+    from ugfraud_ray.pipelines.graphstats import adjacency_docs
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array([1 << 31], pa.int64()), "dst": pa.array([5], pa.int64())})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="31 bits"):
+        adjacency_docs(ds).materialize()
+
+
+def test_mirror_pairs_recover_planted_mirrors(ray_session):
+    """Planted exact mirrors must come back at jaccard 1.0 via the LSH
+    chain over adjacency docs (the graph_mirror_pairs composition)."""
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    from ugfraud_ray.pipelines.graphstats import adjacency_docs
+
+    rng = np.random.default_rng(13)
+    src = np.repeat(np.arange(20, dtype=np.int64), 6)
+    dst = rng.integers(1000, 1100, size=len(src)).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    adj = adjacency_docs(ds)
+    t = pa.concat_tables(ray.get(adj.to_arrow_refs()))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    planted = [(int(i), int(i) + 500) for i in ids if i % 4 == 0]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    list(ids) + [b for _, b in planted], pa.int64()
+                ),
+                "text": pa.array(
+                    texts + [texts[list(ids).index(a)] for a, _ in planted],
+                    pa.string(),
+                ),
+            }
+        )
+    ).materialize()
+    out = ngram_jaccard_pairs(docs, minhash_lsh_candidates(docs), threshold=0.5)
+    got = {
+        (int(a), int(b)): j
+        for a, b, j in zip(
+            out.to_pandas()["id_a"], out.to_pandas()["id_b"], out.to_pandas()["jaccard"]
+        )
+    }
+    for a, b in planted:
+        assert got.get((a, b)) == 1.0

@@ -525,3 +525,74 @@ def edge_churn(
         .aggregate(Sum("a", alias_name="a"), Sum("r", alias_name="r"), Sum("c", alias_name="c"))
     )
     return finish(collect_table(per_bucket))
+
+
+def adjacency_docs(
+    edges: "ray.data.Dataset", local_threshold: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Render each vertex's DISTINCT out-neighbour set as a document:
+    (doc_id = src, text = ascending dst ids space-joined) — the input
+    shape for structural near-dup over a link graph (mirror-host
+    detection: hosts serving the same page set have near-identical
+    out-link sets, so text-dedup machinery applies verbatim).
+
+    Scale shape: per-block distinct (src,dst) partials packed into one
+    int64 (loud guard at 2^31 per endpoint), ONE src-keyed coarse-bucket
+    shuffle, per-bucket lexsorted run assembly (event_paths' shape).
+    Reference analog: user_data's {user: [reviews]} grouping
+    (/root/reference Utils/helper.py:123-167) rendered as text.
+    """
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    ds = edges.select_columns(["src", "dst"])
+
+    def pack(t: pa.Table) -> np.ndarray:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (
+            s.min() < 0 or d.min() < 0 or s.max() >= 1 << 31 or d.max() >= 1 << 31
+        ):
+            raise ValueError("adjacency_docs: endpoint ids must fit in 31 bits")
+        return (s << np.int64(32)) | d
+
+    def assemble(packed: np.ndarray) -> pa.Table:
+        u = np.unique(packed)
+        src = (u >> np.int64(32)).astype(np.int64)
+        dst = (u & np.int64(0xFFFFFFFF)).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(src) != 0]))
+        ends = np.append(starts[1:], len(src))
+        texts = [
+            " ".join(str(x) for x in dst[a:b]) for a, b in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(src[starts]),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(assemble(pack(collect_table(ds))))
+
+    nb = np.uint64(n_coarse_buckets(n))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = np.unique(pack(t))
+        h = (p >> np.int64(32)).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return pa.table(
+            {"p": pa.array(p), "_cb": pa.array((h % nb).astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: assemble(g["p"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            batch_format="pyarrow",
+        )
+    )
