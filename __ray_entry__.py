@@ -3250,6 +3250,48 @@ def _domain_cap_sql(k: int) -> str:
     return _DOMAIN_CAP_SQL_TMPL.replace("%K%", str(k))
 
 
+def _q_quality_percentile(sf_dir: str):
+    """Global quality rank transform (curation.quality_percentile):
+    exact percentile rank of the integer quality key via the
+    order-preserving two-level bucket scan (no global sort); pct_rank
+    mirrors ROW_NUMBER() OVER (ORDER BY qsel, doc_id) both sides."""
+    from ugfraud_ray.pipelines.curation import quality_percentile
+
+    return quality_percentile(_docs(sf_dir))
+
+
+_QUALITY_PCT_SQL = """
+    WITH c AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(length(regexp_extract_all(text, '[\t\n\x0b\x0c\r ]')) AS BIGINT) AS nsp,
+               CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS BIGINT) AS npu
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               LEAST(nc, 500) * 51 * GREATEST(nc, 1)
+                 + (17 * GREATEST(nc, 1)
+                    - LEAST(ABS(100 * nsp - 17 * GREATEST(nc, 1)),
+                            17 * GREATEST(nc, 1))) * 1500
+                 + (GREATEST(nc, 1) - LEAST(5 * npu, GREATEST(nc, 1))) * 25500
+                 AS n,
+               25500 * GREATEST(nc, 1) AS d
+        FROM c
+    ), r AS (
+        SELECT doc_id, (n * 2000000 + d) // (2 * d) AS qsel FROM q
+    ), p AS (
+        SELECT doc_id, qsel,
+               row_number() OVER (ORDER BY qsel, doc_id) - 1 AS pos,
+               COUNT(*) OVER () AS nn
+        FROM r
+    )
+    SELECT doc_id, CAST(qsel AS BIGINT) AS qsel,
+           CASE WHEN nn <= 1 THEN 0.0
+                ELSE ROUND(CAST(pos AS DOUBLE) / (nn - 1), 9) END AS pct_rank
+    FROM p
+"""
+
+
 def _q_quality_score(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import quality_score
 
@@ -3680,6 +3722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_pmi": _q_doc_bigram_pmi,
         "doc_phrase_search": _q_doc_phrase_search,
         "doc_quality_above_median": _q_doc_quality_above_median,
+        "doc_quality_percentile": _q_quality_percentile,
         "review_graph_monthly": _q_review_graph_monthly,
         "review_graph_churn": _q_monthly_churn,
         "coreview_pairs": _q_coreview_pairs,
@@ -5334,6 +5377,7 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN common cm ON mi.j = cm.j
             WHERE mi.j > 0
         """,
+        "doc_quality_percentile": _QUALITY_PCT_SQL,
         "doc_quality_above_median": """
             WITH f AS (
                 SELECT doc_id,

@@ -70,3 +70,47 @@ def test_domain_cap_small_sources_keep_everything(ray_session):
     df = _mkdocs(n=10, seed=2)  # 7 sources, each has <= 2 docs < k
     got = _run(df, k=5)
     assert len(got) == 10 and (got["rnk"] <= 2).all()
+
+
+def test_quality_percentile_matches_naive_rank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ugfraud_ray.pipelines.curation import _quality_selkey, quality_percentile
+
+    texts = [
+        "a good clean sentence with words.",
+        "x",
+        "!!!! ???? ;;;;",
+        "normal text goes here, twice. normal text goes here.",
+        "",
+        "    spaced     out     tokens    ",
+        "word " * 200,
+    ]
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    got = quality_percentile(ds, n_buckets=4).to_pandas().sort_values("doc_id")
+
+    q = _quality_selkey(t)
+    order = np.lexsort((ids, q))
+    pos = np.empty(len(ids), dtype=np.int64)
+    pos[order] = np.arange(len(ids))
+    want = np.round(pos / (len(ids) - 1), 9)
+    np.testing.assert_allclose(got["pct_rank"].to_numpy(), want, atol=0)
+    assert got["qsel"].tolist() == q.tolist()
+
+
+def test_quality_percentile_singleton_is_zero(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ugfraud_ray.pipelines.curation import quality_percentile
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([7]), "text": pa.array(["only doc"])})
+    )
+    got = quality_percentile(ds).to_pandas()
+    assert got["pct_rank"].tolist() == [0.0]

@@ -676,3 +676,107 @@ def ppl_buckets(
         )
 
     return keys.map_batches(bucket, batch_format="pyarrow")
+
+
+def quality_percentile(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    key: str = "text",
+    n_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Rank-normalized quality: every doc's exact global percentile rank
+    under the integer quality key (:func:`_quality_selkey`), pct_rank =
+    round(pos / (n-1), 9) with pos = ROW_NUMBER by (qsel ASC, id ASC) -
+    1 — the quantile-transform a curation pipeline uses to make quality
+    thresholds corpus-independent ("keep the top 30%" instead of "keep
+    quality > 0.62").
+
+    Distributed shape (shuffle_shards' two-level ordered scan, NO
+    global sort): qsel is bounded on the 1e6 grid, so bucket =
+    qsel * nb // 1_000_001 is ORDER-PRESERVING; buckets rank locally by
+    (qsel, id), the driver prefix-sums <= nb counts into offsets, and a
+    second pass emits the global position. Every rank quantity is an
+    integer; the single float division is mirrored in the SQL replay.
+
+    Reference analog: scale_value's min-max normalization
+    (/root/reference Utils/helper.py:66-86) — this is its
+    outlier-immune rank-based sibling.
+    """
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    nb = n_buckets or n_coarse_buckets()
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        q = _quality_selkey(t, key=key)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "qsel": pa.array(q),
+                "_rb": pa.array(q * nb // 1_000_001),
+            }
+        )
+
+    def local_rank(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = g["qsel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rb = int(g["_rb"][0].as_py())
+        order = np.lexsort((ids, q))
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "qsel": pa.array(q),
+                "_rb": pa.array(np.full(len(ids), rb, dtype=np.int64)),
+                "_local": pa.array(inv),
+            }
+        )
+
+    ranked = (
+        docs.select_columns([id_col, key])
+        .map_batches(key_rows, batch_format="pyarrow")
+        .groupby("_rb")
+        .map_groups(local_rank, batch_format="pyarrow")
+        .materialize()  # id+key ints only; read twice (counts, then finish)
+    )
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        rb, cnt = np.unique(
+            t["_rb"].to_numpy(zero_copy_only=False).astype(np.int64), return_counts=True
+        )
+        return pa.table({"_rb": pa.array(rb), "_n": pa.array(cnt.astype(np.int64))})
+
+    ct = collect_table(ranked.map_batches(bucket_counts, batch_format="pyarrow"))
+    totals: dict = {}
+    for r, c in zip(ct["_rb"].to_pylist(), ct["_n"].to_pylist()):
+        totals[r] = totals.get(r, 0) + c
+    offsets: dict = {}
+    run = 0
+    for r in sorted(totals):
+        offsets[r] = run
+        run += totals[r]
+    n_total = run
+    keys_arr = np.array(sorted(offsets), dtype=np.int64)
+    vals_arr = np.array([offsets[k] for k in keys_arr.tolist()], dtype=np.int64)
+    off_ref = ray.put((keys_arr, vals_arr, n_total))
+
+    def finish(t: pa.Table, _o=off_ref) -> pa.Table:
+        keys_arr, vals_arr, n = ray.get(_o)
+        rb = t["_rb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = vals_arr[np.searchsorted(keys_arr, rb)] + t["_local"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pct = (
+            np.round(pos / (n - 1), 9)
+            if n > 1
+            else np.zeros(len(pos), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "qsel": t["qsel"],
+                "pct_rank": pa.array(pct),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
