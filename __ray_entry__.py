@@ -2836,6 +2836,18 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_winsorize(sf_dir: str):
+    """Per-type winsorized clipping (events.winsorize_per_type): both
+    cut points are exact floor((n-1)*q) order statistics on the 1e-4
+    integer value grid (one shared grouped-quantile pass), clip is a
+    streaming broadcast pass, and the de-grid division is the same
+    IEEE chain as the SQL CAST(..)/10000.0."""
+    from ugfraud_ray.pipelines.events import winsorize_per_type
+
+    ev = _events(sf_dir)
+    return winsorize_per_type(ev, 0.05, 0.95, approx_rows=ev.count())
+
+
 def _q_events_zscore(sf_dir: str):
     """Two-pass per-group feature normalization: moment partials in-map,
     tiny (mu, sd) table broadcast into a second streaming pass
@@ -2953,6 +2965,18 @@ def _q_doc_lm_surprisal(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import lm_surprisal
 
     return lm_surprisal(_docs(sf_dir))
+
+
+def _q_doc_ngram_novelty(sf_dir: str):
+    """Per-doc trigram novelty (text_analysis.ngram_novelty): fraction
+    of a doc's distinct trigrams first seen (min doc_id) in that doc.
+    Trigram identity is the shared md5-low64 chr(31)-packed key, so
+    engine and SQL merge collisions identically; firsts resolve on the
+    driver below the corpus gate / in ONE h-bucketed shuffle above;
+    novelty is the pinned floor(x*1e9+0.5)/1e9 readout."""
+    from ugfraud_ray.pipelines.text_analysis import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir))
 
 
 def _q_doc_trigram_counts(sf_dir: str):
@@ -3767,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,
+        "doc_ngram_novelty": _q_doc_ngram_novelty,
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
         "doc_bpe_token_count": _q_bpe_token_count,
@@ -3829,6 +3854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_zscore": _q_events_zscore,
         "events_robust_zscore": _q_events_robust_zscore,
+        "events_winsorized": _q_events_winsorize,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -7392,6 +7418,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS robust_z
             FROM dev JOIN mad USING (event_type)
         """,
+        "events_winsorized": """
+            WITH q AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qq
+              FROM events
+            ), ranked AS (
+              SELECT event_type, qq,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qq) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM q
+            ), lo AS (
+              SELECT event_type, qq AS cl FROM ranked
+              WHERE rk = CAST(FLOOR((n - 1) * 0.05) AS BIGINT)
+            ), hi AS (
+              SELECT event_type, qq AS ch FROM ranked
+              WHERE rk = CAST(FLOOR((n - 1) * 0.95) AS BIGINT)
+            )
+            SELECT q.event_id, q.event_type,
+                   CAST(LEAST(GREATEST(q.qq, lo.cl), hi.ch) AS DOUBLE) / 10000.0
+                     AS value_w
+            FROM q JOIN lo USING (event_type) JOIN hi USING (event_type)
+        """,
         "events_top_anomalies": """
             WITH q AS (
               SELECT event_id, event_type,
@@ -7829,6 +7877,47 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "doc_ngram_novelty": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS a
+                FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(a[1:len(a)-2]) AS w1,
+                       unnest(a[2:len(a)-1]) AS w2,
+                       unnest(a[3:len(a)]) AS w3
+                FROM arr WHERE len(a) >= 3
+            ),
+            t2 AS (
+                SELECT doc_id, w1, w2, w3 FROM tri
+                WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+            ),
+            pairs AS (
+                SELECT DISTINCT doc_id,
+                       md5_number_upper(w1 || chr(31) || w2 || chr(31) || w3)
+                           AS h
+                FROM t2
+            ),
+            firsts AS (
+                SELECT h, MIN(doc_id) AS first_doc FROM pairs GROUP BY h
+            ),
+            tot AS (
+                SELECT doc_id, COUNT(*) AS n_tri_distinct
+                FROM pairs GROUP BY doc_id
+            ),
+            nov AS (
+                SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+                FROM firsts GROUP BY first_doc
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_tri_distinct AS BIGINT) AS n_tri_distinct,
+                   CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+                   FLOOR(CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+                         / CAST(t.n_tri_distinct AS DOUBLE)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS novelty
+            FROM tot t LEFT JOIN nov n USING (doc_id)
         """,
         "doc_trigram_counts": r"""
             WITH arr AS (

@@ -459,3 +459,49 @@ def test_powerlaw_alpha_degenerate_tail_fails_loudly(ray_session):
     )
     with _pytest.raises(ValueError, match="degenerate degree tail"):
         powerlaw_alpha(ds, dmin=2)
+
+
+def test_ngram_novelty_matches_naive_both_paths(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import ngram_novelty
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts, ids = [], []
+    for d in range(60):
+        n = int(rng.integers(0, 14))
+        texts.append(" ".join(vocab[int(i)] for i in rng.integers(0, 30, n)))
+        ids.append(d)
+    # docs 60/61: a fixed long doc and its verbatim repeat (zero novelty)
+    texts.append("w0 w1 w2 w3 w4 w5 w6")
+    ids.append(60)
+    texts.append(texts[60])
+    ids.append(61)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    # naive mirror
+    first: dict[tuple, int] = {}
+    per_doc: dict[int, set] = {}
+    for d, txt in zip(ids, texts):
+        toks = [w for w in txt.lower().split() if w]
+        tris = {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        if not tris:
+            continue
+        per_doc[d] = tris
+        for tri in tris:
+            first.setdefault(tri, d)  # ids ascend, so first write is min
+    want = {}
+    for d, tris in per_doc.items():
+        nov = sum(1 for tri in tris if first[tri] == d)
+        want[d] = (len(tris), nov, np.floor(nov / len(tris) * 1e9 + 0.5) / 1e9)
+
+    ds = ray.data.from_arrow(t).repartition(1)  # docs whole per row; 1 rp keeps order irrelevant anyway
+    for forced in (None, 0):  # local path / forced bucketed path
+        out = ngram_novelty(
+            ds, approx_docs=forced if forced is None else 10_000_000
+        ).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.n_tri_distinct), int(r.n_novel), float(r.novelty))
+            for r in out.itertuples()
+        }
+        assert got == want
+    assert want[61][1] == 0  # the verbatim repeat is zero-novel

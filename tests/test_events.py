@@ -630,3 +630,37 @@ def test_rolling_active_users_matches_pandas_and_bucketed_path(ray_session):
 
     forced = rolling_active_users(ds, window_days=7, local_threshold=0).to_pandas()
     assert dict(zip(forced["day"].astype(int), forced["n_users"].astype(int))) == want
+
+
+def test_winsorize_matches_naive_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import winsorize_per_type
+
+    t = _synth_events(n=900, seed=77)
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    # naive mirror on the same 1e-4 grid with the pinned rank rule
+    df = t.to_pandas()
+    df["qq"] = np.floor(df["value"].to_numpy() * 1e4 + 0.5).astype(np.int64)
+    want = {}
+    for k, g in df.groupby("event_type"):
+        v = np.sort(g["qq"].to_numpy())
+        n = v.size
+        cl = v[int(np.floor((n - 1) * 0.05))]
+        ch = v[int(np.floor((n - 1) * 0.95))]
+        for eid, qq in zip(g["event_id"], g["qq"]):
+            want[int(eid)] = float(min(max(qq, cl), ch)) / 10000.0
+
+    for forced_rows in (None, 10_000_000):  # local grouped-quantile path / distributed
+        out = winsorize_per_type(ds, 0.05, 0.95, approx_rows=forced_rows).to_pandas()
+        got = dict(zip(out["event_id"].astype(int), out["value_w"]))
+        assert got == want
+
+    # degenerate lo == hi: everything clips to the per-type median
+    med = winsorize_per_type(ds, 0.5, 0.5).to_pandas()
+    meds = {
+        k: np.sort(g["qq"].to_numpy())[int(np.floor((len(g) - 1) * 0.5))] / 10000.0
+        for k, g in df.groupby("event_type")
+    }
+    assert all(
+        med.loc[i, "value_w"] == meds[med.loc[i, "event_type"]] for i in med.index
+    )

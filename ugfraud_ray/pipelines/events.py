@@ -1286,6 +1286,74 @@ def robust_zscore_per_type(
     return q.map_batches(score, batch_format="pyarrow")
 
 
+def winsorize_per_type(
+    events: "ray.data.Dataset",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    approx_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """(event_id, event_type, value_w) — per-type winsorized clipping,
+    the outlier-capping sibling of ``robust_zscore_per_type``: each
+    value is clamped into [Q(lo_q), Q(hi_q)] of its own event_type,
+    where both cut points are EXACT floor((n−1)·q) order statistics on
+    the shared 1e-4 integer value grid (no interpolation, no
+    engine-flavored quantile — a SQL oracle replays the rank with
+    ROW_NUMBER). One grouped-quantile pass shared by BOTH cuts (the
+    histogram machinery batches all requested qs), then one streaming
+    clip pass with the dimension-sized per-type cut table broadcast;
+    the clipped integer divides back off the grid by ONE float
+    division, identical IEEE chain to CAST(.. AS DOUBLE)/10000.0.
+
+    No reference analog (reference normalizes with min/max
+    ``scale_value``, Utils/helper.py:74); this is the robust-scaling
+    variant a feature pipeline runs before z-scoring heavy-tailed
+    event values.
+    """
+    from ugfraud_ray.functions.quantiles import grouped_exact_quantiles
+
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qq = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"], "qq": pa.array(qq)}
+        )
+
+    q = events.map_batches(quant, batch_format="pyarrow").materialize()
+    n_rows = q.count() if approx_rows is None else approx_rows
+    cuts_t = grouped_exact_quantiles(q, "event_type", "qq", [lo_q, hi_q], approx_rows=n_rows)
+    kinds = cuts_t["event_type"].to_pylist()
+    qcol = cuts_t["q"].to_numpy(zero_copy_only=False)
+    vcol = cuts_t["value"].to_numpy(zero_copy_only=False)
+    cuts: dict[str, list[int]] = {}
+    for k, qv, cv in zip(kinds, qcol, vcol):
+        slot = cuts.setdefault(k, [0, 0])
+        if qv == lo_q:
+            slot[0] = int(cv)
+        if qv == hi_q:
+            slot[1] = int(cv)
+    cuts_ref = ray.put(cuts)
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        qq = t["qq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = t["event_type"].to_pylist()
+        lo = np.array([c[k][0] for k in kk], dtype=np.int64)
+        hi = np.array([c[k][1] for k in kk], dtype=np.int64)
+        w = np.minimum(np.maximum(qq, lo), hi)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_w": pa.array(w.astype(np.float64) / 10000.0),
+            }
+        )
+
+    return q.map_batches(clip, batch_format="pyarrow")
+
+
 def top_anomalies(
     scored: "ray.data.Dataset",
     k: int = 50,

@@ -2088,3 +2088,143 @@ def tokenizer_fertility(
         return t.append_column("fertility", pa.array(fert))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_novelty(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    approx_docs: int | None = None,
+    local_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """(doc_id, n_tri_distinct, n_novel, novelty) — per-document n-gram
+    novelty: the fraction of a doc's DISTINCT trigrams whose globally
+    FIRST occurrence (minimal doc_id over the corpus) is this doc. The
+    corpus-freshness curation signal next to ``vocab_growth``: a crawl
+    batch full of near-zero-novelty docs is re-crawled boilerplate.
+
+    Trigram identity is the shared md5-low64 of ``w1\\x1fw2\\x1fw3``
+    (``lm_surprisal``'s collision-stable key, == DuckDB
+    ``md5_number_upper`` over the chr(31)-packed triple), so engine and
+    SQL merge colliding trigrams identically. Docs are whole rows, so
+    per-batch np.unique gives exact per-doc distinct pairs with zero
+    shuffles; below the corpus gate the int pairs collect and one
+    driver lexsort resolves firsts, above it ONE h-bucketed coarse
+    shuffle co-locates every (doc, h) of a trigram and the per-bucket
+    kernel emits (doc, n_pairs, n_novel) partials into a tiny
+    (doc_id) grouped sum — the trigram vocabulary never lands on the
+    driver and nothing text-bearing ever shuffles. novelty =
+    floor(n_novel/n_tri_distinct·1e9 + 0.5)/1e9, the engine's pinned
+    9-grid readout.
+
+    No reference analog (reference is graph-only); novelty scoring per
+    Lee et al. 2022-style dedup diagnostics over the winnowing/trigram
+    grid family.
+    """
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, rows = _explode_tokens(t, key)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 3:
+            return empty
+        ok = (rows[:-2] == rows[1:-1]) & (rows[1:-1] == rows[2:])
+        if not ok.any():
+            return empty
+        r = rows[:-2][ok]
+        w1, w2, w3 = flat[:-2][ok], flat[1:-1][ok], flat[2:][ok]
+        h = _md5_low64(
+            [f"{a}\x1f{b}\x1f{c}" for a, b, c in zip(w1, w2, w3)]
+        ).view(np.int64)
+        # distinct on (doc, h) — the SQL DISTINCT is post-hash, so a
+        # within-doc trigram collision dedupes identically both sides
+        order = np.lexsort((h, r))
+        r, h = r[order], h[order]
+        keep = np.concatenate([[True], (r[1:] != r[:-1]) | (h[1:] != h[:-1])])
+        return pa.table(
+            {id_col: pa.array(ids[r[keep]]), "h": pa.array(h[keep])}
+        )
+
+    P = docs.select_columns([id_col, key]).map_batches(pairs, batch_format="pyarrow")
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+
+    def _counts(ids: np.ndarray, h: np.ndarray) -> pa.Table:
+        """(doc, n_pairs, n_novel) over one complete set of h-runs."""
+        order = np.lexsort((ids, h))
+        ids, h = ids[order], h[order]
+        first = np.concatenate([[True], h[1:] != h[:-1]])
+        u_tot, c_tot = np.unique(ids, return_counts=True)
+        u_nov, c_nov = np.unique(ids[first], return_counts=True)
+        nov = np.zeros(len(u_tot), dtype=np.int64)
+        nov[np.searchsorted(u_tot, u_nov)] = c_nov
+        return pa.table(
+            {
+                id_col: pa.array(u_tot),
+                "n_pairs": pa.array(c_tot.astype(np.int64)),
+                "n_novel": pa.array(nov),
+            }
+        )
+
+    if n_docs <= local_threshold:
+        from ugfraud_ray.functions.collect import collect_table
+
+        t = collect_table(P)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            grouped = ray.data.from_arrow(
+                pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "n_pairs": pa.array([], pa.int64()),
+                        "n_novel": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        else:
+            grouped = ray.data.from_arrow(_counts(ids, h))
+    else:
+        from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+        nb = np.uint64(n_coarse_buckets(None))
+
+        def bucketize(t: pa.Table) -> pa.Table:
+            hv = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return t.append_column("_cb", pa.array((hv % nb).astype(np.int64)))
+
+        def per_bucket(g: pa.Table) -> pa.Table:
+            ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = g["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _counts(ids, h)
+
+        grouped = (
+            P.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(per_bucket, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(
+                Sum("n_pairs", alias_name="n_pairs"),
+                Sum("n_novel", alias_name="n_novel"),
+            )
+        )
+
+    def fin(t: pa.Table) -> pa.Table:
+        tot = t["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nov = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = np.floor(nov.astype(np.float64) / tot.astype(np.float64) * 1e9 + 0.5) / 1e9
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tri_distinct": pa.array(tot),
+                "n_novel": pa.array(nov),
+                "novelty": pa.array(frac),
+            }
+        )
+
+    return grouped.map_batches(fin, batch_format="pyarrow")
