@@ -2836,6 +2836,18 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix
+    (events.type_entropy): (user, type, n) partials bound the shuffle
+    by users x types; entropy terms sum in (user, type) lexsorted order
+    and the SQL replays with SUM(.. ORDER BY event_type), so both sides
+    walk the same IEEE chain; 1e-9-grid readout."""
+    from ugfraud_ray.pipelines.events import type_entropy
+
+    ev = _events(sf_dir)
+    return type_entropy(ev, approx_rows=ev.count())
+
+
 def _q_events_winsorize(sf_dir: str):
     """Per-type winsorized clipping (events.winsorize_per_type): both
     cut points are exact floor((n-1)*q) order statistics on the 1e-4
@@ -2977,6 +2989,17 @@ def _q_doc_ngram_novelty(sf_dir: str):
     from ugfraud_ray.pipelines.text_analysis import ngram_novelty
 
     return ngram_novelty(_docs(sf_dir))
+
+
+def _q_doc_char_entropy(sf_dir: str):
+    """Per-doc codepoint Shannon entropy (text_analysis.char_entropy):
+    the gibberish/binary-junk gate signal. One zero-shuffle streaming
+    pass (docs are whole rows); entropy terms sum in (doc, codepoint)
+    order and the SQL orders its SUM by the char string (UTF-8 binary
+    collation == codepoint order) — identical IEEE chain, 1e-9 grid."""
+    from ugfraud_ray.pipelines.text_analysis import char_entropy
+
+    return char_entropy(_docs(sf_dir))
 
 
 def _q_doc_trigram_counts(sf_dir: str):
@@ -3792,6 +3815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,
         "doc_ngram_novelty": _q_doc_ngram_novelty,
+        "doc_char_entropy": _q_doc_char_entropy,
         "doc_lang_id": _q_lang_id,
         "doc_top_tokens": _q_top_tokens,
         "doc_bpe_token_count": _q_bpe_token_count,
@@ -3855,6 +3879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "events_robust_zscore": _q_events_robust_zscore,
         "events_winsorized": _q_events_winsorize,
+        "events_type_entropy": _q_events_type_entropy,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -7418,6 +7443,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS robust_z
             FROM dev JOIN mad USING (event_type)
         """,
+        "events_type_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            ), u AS (
+              SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot,
+                     COUNT(*) AS n_types
+              FROM c GROUP BY 1
+            ), h AS (
+              SELECT c.user_id,
+                     SUM(
+                       -(CAST(c.n AS DOUBLE) / CAST(u.tot AS DOUBLE))
+                       * ln(CAST(c.n AS DOUBLE) / CAST(u.tot AS DOUBLE))
+                       ORDER BY c.event_type
+                     ) AS hh
+              FROM c JOIN u USING (user_id) GROUP BY c.user_id
+            )
+            SELECT u.user_id, u.tot AS n_events,
+                   CAST(u.n_types AS BIGINT) AS n_types,
+                   CASE WHEN u.n_types = 1 THEN 0.0
+                        ELSE FLOOR(h.hh * 1000000000.0 + 0.5) / 1000000000.0
+                   END AS h_nats
+            FROM u JOIN h USING (user_id)
+        """,
         "events_winsorized": """
             WITH q AS (
               SELECT event_id, event_type,
@@ -7877,6 +7926,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "doc_char_entropy": r"""
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE text <> ''
+            ), cnt AS (
+                SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2
+            ), d AS (
+                SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+                       COUNT(*) AS n_distinct
+                FROM cnt GROUP BY 1
+            ), h AS (
+                SELECT cnt.doc_id,
+                       SUM(
+                         -(CAST(cnt.n AS DOUBLE) / CAST(d.n_chars AS DOUBLE))
+                         * ln(CAST(cnt.n AS DOUBLE) / CAST(d.n_chars AS DOUBLE))
+                         ORDER BY cnt.c
+                       ) AS hh
+                FROM cnt JOIN d USING (doc_id) GROUP BY 1
+            )
+            SELECT d.doc_id, d.n_chars,
+                   CAST(d.n_distinct AS BIGINT) AS n_distinct,
+                   CASE WHEN d.n_distinct = 1 THEN 0.0
+                        ELSE FLOOR(h.hh * 1000000000.0 + 0.5) / 1000000000.0
+                   END AS h_nats
+            FROM d JOIN h USING (doc_id)
         """,
         "doc_ngram_novelty": r"""
             WITH arr AS (

@@ -505,3 +505,41 @@ def test_ngram_novelty_matches_naive_both_paths(ray_session):
         }
         assert got == want
     assert want[61][1] == 0  # the verbatim repeat is zero-novel
+
+
+def test_char_entropy_matches_naive_incl_unicode(ray_session):
+    from collections import Counter
+
+    from ugfraud_ray.pipelines.text_analysis import char_entropy
+
+    texts = [
+        "aaaa",                      # single distinct char -> 0.0
+        "abab cdcd",                 # mixed ascii
+        "héllo wörld héé",           # multi-byte utf-8
+        "",                          # empty -> no row
+        "x",                         # one char
+        "the quick brown fox jumps", # natural-ish
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = char_entropy(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_chars), int(r.n_distinct), float(r.h_nats))
+        for r in out.itertuples()
+    }
+    want = {}
+    for d, s in enumerate(texts):
+        if not s:
+            continue
+        cnt = Counter(s)
+        n = len(s)
+        terms = sorted(cnt.items())  # codepoint order
+        h = -sum((c / n) * np.log(c / n) for _, c in terms)
+        hq = 0.0 if len(cnt) == 1 else float(np.floor(h * 1e9 + 0.5) / 1e9)
+        want[d] = (n, len(cnt), hq)
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][:2] == want[d][:2], (d, got[d], want[d])
+        assert abs(got[d][2] - want[d][2]) < 2e-9, (d, got[d], want[d])
+    assert got[0][2] == 0.0

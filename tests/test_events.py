@@ -664,3 +664,29 @@ def test_winsorize_matches_naive_both_paths(ray_session):
     assert all(
         med.loc[i, "value_w"] == meds[med.loc[i, "event_type"]] for i in med.index
     )
+
+
+def test_type_entropy_matches_naive_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import type_entropy
+
+    t = _synth_events(n=1200, n_users=25, seed=5)
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    df = t.to_pandas()
+    want = {}
+    for u, g in df.groupby("user_id"):
+        cnt = g.groupby("event_type").size().sort_index()
+        p = cnt.to_numpy() / cnt.sum()
+        h = 0.0 if len(cnt) == 1 else float(np.floor(-(p * np.log(p)).sum() * 1e9 + 0.5) / 1e9)
+        want[int(u)] = (int(cnt.sum()), int(len(cnt)), h)
+
+    for forced in (None, 10_000_000):
+        out = type_entropy(ds, approx_rows=forced).to_pandas()
+        got = {
+            int(r.user_id): (int(r.n_events), int(r.n_types), float(r.h_nats))
+            for r in out.itertuples()
+        }
+        assert got.keys() == want.keys()
+        for u in want:
+            assert got[u][:2] == want[u][:2]
+            assert abs(got[u][2] - want[u][2]) < 1e-9, (u, got[u], want[u])

@@ -2109,3 +2109,113 @@ def rolling_active_users(
         .aggregate(Sum("nu", alias_name="n_users"))
         .map_batches(keep_present, batch_format="pyarrow")
     )
+
+
+def _entropy_block(user: np.ndarray, kind: np.ndarray, n: np.ndarray) -> pa.Table:
+    """(user_id, n_events, n_types, h_nats) over one complete-user set
+    of (user, type, count) partials. h = -sum_k (n_k/n) ln(n_k/n) with
+    per-type terms summed in (user, type) lexsorted order; the SQL
+    replay lists its terms in the same ORDER BY so the IEEE sum chain
+    matches term for term."""
+    order = np.lexsort((kind, user))
+    user, kind, n = user[order], kind[order], n[order].astype(np.int64)
+    # collapse duplicate (user, type) partial rows from different blocks
+    same = np.concatenate(
+        [[False], (user[1:] == user[:-1]) & (kind[1:] == kind[:-1])]
+    )
+    starts = np.flatnonzero(~same)
+    n = np.add.reduceat(n, starts)
+    user, kind = user[starts], kind[starts]
+    ustarts = np.flatnonzero(
+        np.concatenate([[True], user[1:] != user[:-1]])
+    )
+    tot = np.add.reduceat(n, ustarts)
+    n_types = np.diff(np.append(ustarts, len(user))).astype(np.int64)
+    p = n.astype(np.float64) / np.repeat(tot, n_types).astype(np.float64)
+    terms = -(p * np.log(p))
+    h = np.add.reduceat(terms, ustarts)
+    h[n_types == 1] = 0.0  # -1·ln(1) is -0.0; pin the sign
+    return pa.table(
+        {
+            "user_id": pa.array(user[ustarts]),
+            "n_events": pa.array(tot),
+            "n_types": pa.array(n_types),
+            "h_nats": pa.array(np.floor(h * 1e9 + 0.5) / 1e9),
+        }
+    )
+
+
+def type_entropy(
+    events: "ray.data.Dataset",
+    local_threshold: int = 2_000_000,
+    approx_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """(user_id, n_events, n_types, h_nats) — Shannon entropy of each
+    user's event-type distribution, the behavioral-diversity signal a
+    bot/abuse pipeline thresholds on (single-type hammering scores 0,
+    uniform organic mixes score ln(n_types)).
+
+    Scale shape: per-block np.unique collapses events to (user, type,
+    count) partials bounded by users x types, so the only shuffle is the
+    dimension-sized partial table — driver-merged below the event gate,
+    ONE user-hash coarse-bucket shuffle above it (the sessionize
+    co-location contract). Entropy terms sum in (user, type) lexsorted
+    order and the SQL replay's window sum runs ORDER BY the same key,
+    so both sides walk the identical IEEE chain; readout on the pinned
+    1e-9 grid.
+
+    Reference analog: none (UGFraud priors use per-user rating stats,
+    Utils/helper.py; this is the categorical-diversity sibling).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, u))
+        u, k = u[order], k[order]
+        same = np.concatenate([[False], (u[1:] == u[:-1]) & (k[1:] == k[:-1])])
+        starts = np.flatnonzero(~same)
+        cnt = np.diff(np.append(starts, len(u))).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "event_type": pa.array(k[starts]),
+                "n": pa.array(cnt),
+            }
+        )
+
+    P = events.select_columns(["user_id", "event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    n_rows = events.count() if approx_rows is None else approx_rows
+
+    if n_rows <= local_threshold:
+        t = collect_table(P)
+        return ray.data.from_arrow(
+            _entropy_block(
+                t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["event_type"].to_numpy(zero_copy_only=False),
+                t["n"].to_numpy(zero_copy_only=False),
+            )
+        )
+
+    nb = np.uint64(n_coarse_buckets(n_rows))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _entropy_block(
+            g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["event_type"].to_numpy(zero_copy_only=False),
+            g["n"].to_numpy(zero_copy_only=False),
+        )
+
+    return (
+        P.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

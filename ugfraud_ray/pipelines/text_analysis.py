@@ -2228,3 +2228,88 @@ def ngram_novelty(
         )
 
     return grouped.map_batches(fin, batch_format="pyarrow")
+
+
+def char_entropy(
+    docs: "ray.data.Dataset", key: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_distinct, h_nats) — Shannon entropy of each
+    document's codepoint distribution, the gibberish/binary-junk
+    detector a web-text gate thresholds on (natural language sits
+    ~2.5-4.5 nats; base64 blobs and key-mash noise spike toward
+    ln(alphabet), repeated-char spam collapses toward 0).
+
+    Docs are whole rows, so the whole operator is ONE zero-shuffle
+    streaming pass: per batch, codepoints come off the raw UTF-8 buffer
+    (all-ASCII batches are a single np.frombuffer view over the Arrow
+    data buffer; the non-ASCII minority decodes via utf-32 per doc —
+    normalize_text's bounded-Python contract), then per-doc char runs
+    resolve with one lexsort + reduceat. Entropy terms sum in
+    (doc, codepoint) order; the SQL replay orders its SUM by the char
+    string, and UTF-8 binary collation == codepoint order, so both
+    sides walk the identical IEEE chain; 1e-9-grid readout. Empty docs
+    emit no row (mirrored by text <> '' in the SQL — DuckDB's
+    string_split('','') yields [''], not []).
+
+    Reference analog: none (SURVEY §2.8 — md5 is the reference's only
+    text scalar); standard corpus-filtering heuristic alongside
+    gopher_rules.
+    """
+
+    def f(t: pa.Table) -> pa.Table:
+        col = pc.cast(t[key], pa.large_utf8()).combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+        if mask.all():
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            cps = data[off[0] : off[-1]].astype(np.int64)
+            doc_of = np.repeat(np.arange(len(ids)), np.diff(off))
+        else:
+            parts, owners = [], []
+            for i, s in enumerate(col.to_pylist()):
+                if s:
+                    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                    parts.append(cp.astype(np.int64))
+                    owners.append(np.full(len(cp), i, dtype=np.int64))
+            if parts:
+                cps = np.concatenate(parts)
+                doc_of = np.concatenate(owners)
+            else:
+                cps = np.zeros(0, dtype=np.int64)
+                doc_of = np.zeros(0, dtype=np.int64)
+        if len(cps) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "h_nats": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((cps, doc_of))
+        d, c = doc_of[order], cps[order]
+        runs = np.flatnonzero(
+            np.concatenate([[True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])])
+        )
+        n = np.diff(np.append(runs, len(d))).astype(np.int64)
+        d = d[runs]
+        dstarts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        tot = np.add.reduceat(n, dstarts)
+        n_distinct = np.diff(np.append(dstarts, len(d))).astype(np.int64)
+        p = n.astype(np.float64) / np.repeat(tot, n_distinct).astype(np.float64)
+        terms = -(p * np.log(p))
+        h = np.add.reduceat(terms, dstarts)
+        h[n_distinct == 1] = 0.0
+        return pa.table(
+            {
+                id_col: pa.array(ids[d[dstarts]]),
+                "n_chars": pa.array(tot),
+                "n_distinct": pa.array(n_distinct),
+                "h_nats": pa.array(np.floor(h * 1e9 + 0.5) / 1e9),
+            }
+        )
+
+    return docs.select_columns([id_col, key]).map_batches(f, batch_format="pyarrow")
