@@ -1375,6 +1375,41 @@ def _q_pagerank(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
 
 
+def _q_weighted_pagerank(sf_dir: str):
+    """Weighted PageRank (pagerank.weighted_pagerank): transition
+    weight wr/W(src) with deterministic integer edge weights wr = 1 +
+    (src+dst) % 5 attached on ORIGINAL ids before vid numbering;
+    W(src) = out-strength via dense bincount partials (integer-exact in
+    float64). Per-edge w is the ONE division wr/W and the SQL writes
+    the same parenthesized CAST(wr AS DOUBLE)/W, so both sides multiply
+    rank by identical doubles; 9-decimal readout."""
+    from ugfraud_ray.pipelines.pagerank import weighted_pagerank
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    def add_wr(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("wr", pa.array(1 + (src + dst) % 5))
+
+    e0 = general_edges(sf_dir).map_batches(add_wr, batch_format="pyarrow")
+    e, vmap, n = number_int_vertices(e0)
+    ranks, _ = weighted_pagerank(
+        e.materialize(), n, _scratch("wpr"), P=4,
+        damping=PR_DAMPING, max_iters=PR_ITERS, tol=None,
+    )
+    out = unmap_vids(ranks, vmap, vid_col="vid", out_col="id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        r = np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
+        return pa.table({"id": t["id"], "wrank": pa.array(r)})
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "wrank"])
+
+
 KATZ_ALPHA = 0.05
 KATZ_ITERS = 8
 
@@ -3745,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- core superstep engine + graph build ---
         "pagerank": _q_pagerank,
         "katz_centrality": _q_katz_centrality,
+        "weighted_pagerank": _q_weighted_pagerank,
         "speagle_scores": _q_speagle,
         "review_edges": _q_review_edges,
         "connected_components": _q_components,
@@ -6272,6 +6308,47 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p0.iter < {PR_ITERS}
             )
             SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
+        # the PageRank CTE with out-strength normalization: the
+        # transition weight is the parenthesized (CAST(wr)/sw) so the
+        # engine's precomputed per-edge double multiplies identically
+        "weighted_pagerank": f"""
+            WITH RECURSIVE g0 AS ({_SQL_GENERAL_EDGES}),
+            g AS (SELECT src, dst, 1 + (src + dst) % 5 AS wr FROM g0),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+            st AS (
+                SELECT src, SUM(CAST(wr AS DOUBLE)) AS sw FROM g GROUP BY src
+            ),
+            pr AS (
+                SELECT vid, 1.0 / (SELECT n FROM nn) AS rank, 0 AS iter FROM v
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr p2
+                           LEFT JOIN st o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) / (SELECT n FROM nn),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid,
+                           SUM(p.rank * (CAST(e.wr AS DOUBLE) / o.sw)) AS s
+                    FROM pr p JOIN g e ON e.src = p.vid
+                    JOIN st o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PR_ITERS}
+            )
+            SELECT vid AS id, ROUND(rank, 9) AS wrank
+            FROM pr WHERE iter = {PR_ITERS}
         """,
         # the PageRank CTE's shape minus degree normalization and the
         # dangling channel: x' = beta + alpha * sum of in-neighbours

@@ -1079,3 +1079,58 @@ def test_katz_hub_split_identical(tmp_path):
     )
     pa_, pb = a.to_pandas().sort_values("vid"), b.to_pandas().sort_values("vid")
     np.testing.assert_allclose(pa_["katz"].to_numpy(), pb["katz"].to_numpy(), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (pagerank.weighted_pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _wpr_oracle(src, dst, wr, n, d=0.85, iters=10):
+    W = np.bincount(src, weights=wr.astype(np.float64), minlength=n)
+    w = wr.astype(np.float64) / W[src]
+    x = np.full(n, 1.0 / n)
+    dangling = W == 0
+    for _ in range(iters):
+        dang = x[dangling].sum()
+        agg = np.bincount(dst, weights=x[src] * w, minlength=n)
+        x = (1.0 - d) / n + d * agg + d * dang / n
+    return x
+
+
+def test_weighted_pagerank_matches_dense_oracle(tmp_path):
+    from ugfraud_ray.pipelines.pagerank import weighted_pagerank
+
+    spec = PagesSpec(n_users=60, n_prods=9, n_edges=180, seed=7)
+    src, dst, n = _graph(spec)
+    wr = (1 + (src + dst) % 5).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "wr": pa.array(wr)})
+    ).materialize()
+    got, metrics = weighted_pagerank(
+        ds, n, str(tmp_path / "wpr"), P=3, damping=0.85, max_iters=10, tol=None
+    )
+    gp = got.to_pandas().sort_values("vid")
+    want = _wpr_oracle(src, dst, wr, n, d=0.85, iters=10)
+    np.testing.assert_allclose(gp["rank"].to_numpy(), want, atol=1e-12)
+    assert abs(gp["rank"].sum() - 1.0) < 1e-9  # stochastic: mass conserved
+    # uniform weights == plain pagerank (sanity of the normalization)
+    ones = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "wr": pa.array(np.ones(len(src), dtype=np.int64)),
+            }
+        )
+    ).materialize()
+    got_u, _ = weighted_pagerank(
+        ones, n, str(tmp_path / "wpr_u"), P=2, damping=0.85, max_iters=6, tol=None
+    )
+    pr_u, _ = pagerank(
+        _edges_ds(src, dst).materialize(), n, str(tmp_path / "pr_u"),
+        P=2, damping=0.85, max_iters=6, tol=None,
+    )
+    a = got_u.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = pr_u.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-12)
