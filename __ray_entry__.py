@@ -2276,6 +2276,18 @@ def _q_doc_mixture_report(sf_dir: str):
     return mixture_report(cur, meta)
 
 
+def _q_doc_split_leakage(sf_dir: str):
+    """Split-decontamination QA (curation.split_leakage): counts of
+    MinHash-LSH candidate near-dup pairs per (split_a, split_b) class
+    under the hashed train/valid/test assignment. Endpoint splits are
+    recomputed inline from the split hash so the only dataflow is the
+    shared bit-exact LSH chain + one <=9-row grouped sum; pair classes
+    order lexicographically == SQL LEAST/GREATEST."""
+    from ugfraud_ray.pipelines.curation import split_leakage
+
+    return split_leakage(_docs(sf_dir))
+
+
 def _q_doc_curation(sf_dir: str):
     """End-to-end curation flagship (pipelines/curation.curate):
     length gate -> exact dedup (min-id survivor) -> MinHash-LSH
@@ -3795,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "doc_minhash_dedup": _q_minhash_dedup,
         "doc_curation": _q_doc_curation,
+        "doc_split_leakage": _q_doc_split_leakage,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
         "doc_zipf_slope": _q_doc_zipf_slope,
@@ -5123,6 +5136,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
+        # nests the bit-exact LSH chain; endpoint splits replay the
+        # assign_splits md5 % 1000 rule; LEAST/GREATEST == the engine's
+        # lexicographic pair-class ordering
+        "doc_split_leakage": rf"""
+            WITH {_minhash_cand_ctes()},
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 100
+                              THEN 'test'
+                          WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 1000 < 200
+                              THEN 'valid'
+                          ELSE 'train' END AS split
+              FROM documents
+            ),
+            lab AS (
+              SELECT LEAST(sa.split, sb.split) AS split_a,
+                     GREATEST(sa.split, sb.split) AS split_b
+              FROM cand c
+              JOIN sp sa ON sa.doc_id = c.id_a
+              JOIN sp sb ON sb.doc_id = c.id_b
+            )
+            SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2
+        """,
         "doc_mixture_report": _mixture_report_sql(),
         "doc_source_diversity": _source_diversity_sql(),
         "doc_zipf_slope": f"""

@@ -114,3 +114,42 @@ def test_quality_percentile_singleton_is_zero(ray_session):
     )
     got = quality_percentile(ds).to_pandas()
     assert got["pct_rank"].tolist() == [0.0]
+
+
+def test_split_leakage_planted_identical_docs(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.curation import split_leakage
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 5
+    texts, ids = [], []
+    for d in range(40):  # unique fillers -> no candidate pairs
+        texts.append(f"filler doc {d} " + " ".join(f"tok{d}_{j}" for j in range(30)))
+        ids.append(d)
+    clones = [100, 101, 102]
+    for d in clones:  # planted identical trio -> 3 candidate pairs
+        texts.append(dup)
+        ids.append(d)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    out = split_leakage(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    got = {
+        (r.split_a, r.split_b): int(r.n_pairs)
+        for r in out.itertuples(index=False)
+    }
+
+    def split_of(i: int) -> str:
+        b = int(_md5_low64([str(i)])[0] % np.uint64(1000))
+        return "test" if b < 100 else ("valid" if b < 200 else "train")
+
+    want: dict[tuple, int] = {}
+    for i in range(3):
+        for j in range(i + 1, 3):
+            k = tuple(sorted((split_of(clones[i]), split_of(clones[j]))))
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    assert sum(got.values()) == 3

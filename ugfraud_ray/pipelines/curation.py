@@ -780,3 +780,87 @@ def quality_percentile(
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def split_leakage(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    key: str = "text",
+    buckets: dict[str, int] | None = None,
+    mod: int = 1000,
+) -> "ray.data.Dataset":
+    """(split_a, split_b, n_pairs) — decontamination QA for a hashed
+    train/valid/test split: how many MinHash-LSH candidate near-dup
+    pairs CROSS split boundaries. A healthy curated corpus has (near-)
+    zero off-diagonal mass; a big train/test cell means the eval set
+    leaks into training (Lee et al. 2022 / Gopher decontamination
+    rationale, applied to the corpus's own split instead of an external
+    benchmark — ``contamination.bloom_contamination`` covers that one).
+
+    Scale shape: the pair set comes from the shared bit-exact
+    ``dedup.minhash_lsh_candidates`` chain; each endpoint's split is
+    recomputed INLINE from the split hash (md5-low64(str(id)) % mod,
+    ``splits.assign_splits``'s rule), so classification adds ZERO
+    joins/shuffles on top of the LSH chain — per-batch uniqued
+    (split_a, split_b, n) partials into a <=|splits|^2-row grouped sum.
+    Pair-class order is lexicographic (split_a <= split_b), matching
+    SQL LEAST/GREATEST on the split names.
+    """
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    buckets = {"test": 100, "valid": 100} if buckets is None else buckets
+    if sum(buckets.values()) > mod:
+        raise ValueError("split buckets exceed mod")
+    names, bounds = [], []
+    acc = 0
+    for name, n in buckets.items():
+        acc += n
+        names.append(name)
+        bounds.append(acc)
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        b = (_md5_low64([str(i) for i in ids.tolist()]) % np.uint64(mod)).astype(
+            np.int64
+        )
+        out = np.full(len(b), "train", dtype=object)
+        lo = 0
+        for name, hi in zip(names, bounds):
+            out[(b >= lo) & (b < hi)] = name
+            lo = hi
+        return out
+
+    cands = minhash_lsh_candidates(docs, key=key, id_col=id_col)
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "split_a": pa.array([], pa.string()),
+                    "split_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        a = split_of(t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64))
+        b = split_of(t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64))
+        swap = a > b  # numpy object-str comparison == lexicographic LEAST
+        sa = np.where(swap, b, a)
+        sb = np.where(swap, a, b)
+        pairkey = np.char.add(np.char.add(sa.astype(str), "\x1f"), sb.astype(str))
+        u, cnt = np.unique(pairkey, return_counts=True)
+        parts = np.char.partition(u, "\x1f")
+        return pa.table(
+            {
+                "split_a": pa.array(parts[:, 0].astype(object), pa.string()),
+                "split_b": pa.array(parts[:, 2].astype(object), pa.string()),
+                "n_pairs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        cands.map_batches(classify, batch_format="pyarrow")
+        .groupby(["split_a", "split_b"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
