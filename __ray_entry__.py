@@ -3059,6 +3059,21 @@ def _q_doc_trigram_counts(sf_dir: str):
     return trigram_counts(_docs(sf_dir))
 
 
+SUBSTR_WINDOW = 8
+
+
+def _q_doc_substring_dedup(sf_dir: str):
+    """ExactSubstr dedup at token-window granularity
+    (dedup.substring_dedup, Lee et al. 2022): every repeated
+    SUBSTR_WINDOW-token sequence survives only at its min-packed first
+    occurrence; covered tokens are cut and survivors re-join with
+    single spaces. Window identity = md5-low64 of the chr(31)-joined
+    verbatim tokens, collision-exact vs the SQL replay."""
+    from ugfraud_ray.pipelines.dedup import substring_dedup
+
+    return substring_dedup(_docs(sf_dir), window=SUBSTR_WINDOW)
+
+
 def _q_doc_incremental_dedup(sf_dir: str):
     """Continuous-crawl dedup (dedup.incremental_exact_dedup): even
     doc_ids = corpus snapshot, odd = new batch; new docs drop if their
@@ -3861,6 +3876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_duplicate_spans": _q_doc_duplicate_spans,
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,
         "doc_ngram_novelty": _q_doc_ngram_novelty,
@@ -8040,6 +8056,56 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "doc_substring_dedup": rf"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t <> '') AS a
+                FROM documents
+            ),
+            occ AS (
+                SELECT doc_id, i - 1 AS i,
+                       md5_number_upper(
+                         array_to_string(a[i:i+{SUBSTR_WINDOW - 1}], chr(31))
+                       ) AS h
+                FROM tok, UNNEST(generate_series(1, len(a) - {SUBSTR_WINDOW - 1}))
+                     AS t(i)
+                WHERE len(a) >= {SUBSTR_WINDOW}
+            ),
+            fam AS (
+                SELECT h, MIN(doc_id * 2097152 + i) AS mp, COUNT(*) AS n
+                FROM occ GROUP BY h
+            ),
+            dup AS (
+                SELECT o.doc_id, o.i FROM occ o JOIN fam f USING (h)
+                WHERE f.n > 1 AND o.doc_id * 2097152 + o.i <> f.mp
+            ),
+            cover AS (
+                SELECT DISTINCT d.doc_id, p
+                FROM dup d, UNNEST(generate_series(d.i, d.i + {SUBSTR_WINDOW - 1}))
+                     AS g(p)
+            ),
+            toks AS (
+                SELECT doc_id, unnest(generate_series(1, len(a))) - 1 AS p,
+                       unnest(a) AS tokv
+                FROM tok
+            ),
+            kept AS (
+                SELECT t.doc_id, t.p, t.tokv FROM toks t
+                LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.p = t.p
+                WHERE c.doc_id IS NULL
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS nk,
+                       string_agg(tokv, ' ' ORDER BY p) AS txt
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(len(d.a) AS BIGINT) AS n_tokens,
+                   CAST(len(d.a) - COALESCE(g.nk, 0) AS BIGINT) AS n_removed,
+                   COALESCE(g.txt, '') AS text_dedup
+            FROM tok d LEFT JOIN agg g USING (doc_id)
         """,
         "doc_char_entropy": r"""
             WITH ch AS (

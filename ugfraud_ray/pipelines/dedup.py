@@ -27,6 +27,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -1565,4 +1566,325 @@ def source_dup_rate(
         .map_groups(resolve, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_dups", alias_name="n_dups"))
+    )
+
+
+def _explode_ws_tokens(t: pa.Table, key: str, id_col: str):
+    """(ids:int64 per doc-row, rows, flat_tokens:object) for the VERBATIM
+    whitespace tokenization (no lowercasing — dedup must reconstruct the
+    original tokens): split on \\s+, empties dropped. Mirrors DuckDB
+    ``list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')``.
+    """
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(pc.cast(t[key], pa.string()), r"\s+")
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(len(lens)), lens)
+    keep = flat != ""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, rows[keep], flat[keep]
+
+
+def _window_occurrences(rows: np.ndarray, flat: np.ndarray, window: int):
+    """(start_flat_idx, win_hash:int64, tok_pos:int64) of every in-doc
+    token window of length ``window``. Window identity = md5-low64 of
+    the chr(31)-joined tokens (the repo's collision-stable key)."""
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    n = len(flat)
+    if n < window:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    # token position within its doc
+    docstarts = np.flatnonzero(np.concatenate([[True], rows[1:] != rows[:-1]]))
+    base = np.repeat(docstarts, np.diff(np.append(docstarts, n)))
+    pos = np.arange(n, dtype=np.int64) - base
+    if pos.max() >= _LINE_PACK:
+        raise ValueError("substring_dedup: a document has >= 2^21 tokens")
+    same = rows[: n - window + 1] == rows[window - 1 :]
+    starts = np.flatnonzero(same).astype(np.int64)
+    if len(starts) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    acc = flat[starts].copy()
+    for k in range(1, window):
+        acc = acc + "\x1f"
+        acc = acc + flat[starts + k]
+    h = _md5_low64(acc.tolist()).view(np.int64)
+    return starts, h, pos[starts]
+
+
+def _cut_covered(
+    ids: np.ndarray,
+    rows: np.ndarray,
+    flat: np.ndarray,
+    dup_start_flat: np.ndarray,
+    window: int,
+    id_col: str,
+) -> pa.Table:
+    """Remove every token covered by a duplicated window occurrence and
+    reassemble: (doc_id, n_tokens, n_removed, text_dedup) for EVERY doc
+    row (empty docs emit n_tokens=0, text_dedup=''). Coverage via the
+    +1/-1 prefix trick over the flat token index — windows never cross
+    a doc boundary, so coverage stays inside the owning doc."""
+    import pyarrow.compute as pc
+
+    n = len(flat)
+    delta = np.zeros(n + window + 1, dtype=np.int64)
+    if len(dup_start_flat):
+        np.add.at(delta, dup_start_flat, 1)
+        np.add.at(delta, dup_start_flat + window, -1)
+    covered = np.cumsum(delta[:n]) > 0
+    keep = ~covered
+    n_rows = len(ids)
+    n_tok = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    n_kept = np.bincount(rows[keep], minlength=n_rows).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(n_kept)))
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(flat[keep], pa.large_string())
+    )
+    joined = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_removed": pa.array(n_tok - n_kept),
+            "text_dedup": pc.cast(joined, pa.string()),
+        }
+    )
+
+
+def substring_dedup(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    approx_docs: int | None = None,
+    local_threshold: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Exact substring deduplication at token-window granularity — the
+    ExactSubstr shape of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): every length-``window`` token
+    sequence that occurs more than once in the corpus survives only at
+    its FIRST occurrence (min doc_id * 2^21 + start, line_dedup's packed
+    winner); every other occurrence's tokens are cut from their doc and
+    the survivors re-join with single spaces (whitespace-normalizing,
+    documented). Overlapping duplicated windows merge into spans via a
+    +1/-1 coverage scan, so a long verbatim repeat is removed wholesale,
+    not window by window. Output: (doc_id, n_tokens, n_removed,
+    text_dedup) for EVERY document.
+
+    Window identity = md5-low64 of the chr(31)-joined VERBATIM tokens
+    (no lowercasing — reconstruction must preserve the original), ==
+    DuckDB md5_number_upper over array_to_string(slice, chr(31)), so
+    the SQL replay is collision-exact.
+
+    Scale shape (line_dedup's, one level up): pass 1 emits per-block
+    uniqued (h, min_pack, n) window partials — text never leaves its
+    block; only windows with corpus count > 1 form the duplicate map.
+    Below the doc gate the map broadcasts once and pass 2 decides +
+    cuts + reassembles INSIDE each source batch (zero shuffles). Above
+    it, the map comes from a hash groupby; decision runs in ONE
+    h-bucketed union shuffle emitting only the (doc, start) duplicate
+    occurrences (tokens do NOT ride the shuffle, unlike line_dedup —
+    windows are W-fold bigger than their text), and the cut runs in ONE
+    doc-bucketed union of source docs + their dup starts.
+
+    No reference analog (reference dedups whole records,
+    Fraudar.py:18-20).
+    """
+    from ray.data.aggregate import Min, Sum
+
+    if window < 2:
+        raise ValueError("substring_dedup needs window >= 2")
+
+    def fam_partial(t: pa.Table) -> pa.Table:
+        ids, rows, flat = _explode_ws_tokens(t, key, id_col)
+        starts, h, pos = _window_occurrences(rows, flat, window)
+        if len(starts) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "mp": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pack = _line_pack_key(ids[rows[starts]], pos)
+        order = np.argsort(h, kind="stable")
+        hs, ps = h[order], pack[order]
+        firsts = np.ones(len(hs), dtype=bool)
+        firsts[1:] = hs[1:] != hs[:-1]
+        fidx = np.flatnonzero(firsts)
+        n = np.diff(np.append(fidx, len(hs))).astype(np.int64)
+        mp = np.minimum.reduceat(ps, fidx)
+        return pa.table(
+            {"h": pa.array(hs[firsts]), "mp": pa.array(mp), "n": pa.array(n)}
+        )
+
+    src = docs.select_columns([id_col, key])
+    partials = src.map_batches(fam_partial, batch_format="pyarrow")
+    n_docs = approx_docs if approx_docs is not None else docs.count()
+
+    if n_docs <= local_threshold:
+        t = collect_table(partials)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        mp = t["mp"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        tot = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        mins = np.full(len(uh), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, mp)
+        dup = tot > 1
+        dup_ref = ray.put((uh[dup], mins[dup]))
+
+        def cut_batch(t: pa.Table) -> pa.Table:
+            dh, dmp = ray.get(dup_ref)
+            ids, rows, flat = _explode_ws_tokens(t, key, id_col)
+            starts, hh, pos = _window_occurrences(rows, flat, window)
+            if len(starts) and len(dh):
+                pack = _line_pack_key(ids[rows[starts]], pos)
+                at = np.clip(np.searchsorted(dh, hh), 0, len(dh) - 1)
+                is_dup = (dh[at] == hh) & (pack != dmp[at])
+                dup_starts = starts[is_dup]
+            else:
+                dup_starts = np.zeros(0, dtype=np.int64)
+            return _cut_covered(ids, rows, flat, dup_starts, window, id_col)
+
+        return src.map_batches(cut_batch, batch_format="pyarrow")
+
+    fam = (
+        partials.groupby("h")
+        .aggregate(Min("mp", alias_name="mp"), Sum("n", alias_name="n"))
+        .filter(lambda r: r["n"] > 1)
+    )
+
+    # --- decision shuffle: family rows + occurrence rows, keyed by h ---
+    def fam_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": t["h"],
+                "pack": t["mp"],
+                id_col: pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "i": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        ids, rows, flat = _explode_ws_tokens(t, key, id_col)
+        starts, h, pos = _window_occurrences(rows, flat, window)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "pack": pa.array(
+                    _line_pack_key(ids[rows[starts]], pos)
+                    if len(starts)
+                    else np.zeros(0, dtype=np.int64)
+                ),
+                id_col: pa.array(
+                    ids[rows[starts]] if len(starts) else np.zeros(0, dtype=np.int64)
+                ),
+                "i": pa.array(pos),
+            }
+        )
+
+    nb = n_coarse_buckets(n_docs)
+    union = fam.map_batches(fam_rows, batch_format="pyarrow").union(
+        src.map_batches(occ_rows, batch_format="pyarrow")
+    )
+
+    def bucketize_h(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(nb)).astype(np.int64))
+        )
+
+    def decide(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        is_fam = ids == -1
+        h = g["h"].to_numpy(zero_copy_only=False)
+        pack = g["pack"].to_numpy(zero_copy_only=False)
+        dh, dmp = h[is_fam], pack[is_fam]
+        order = np.argsort(dh, kind="stable")
+        dh, dmp = dh[order], dmp[order]
+        oh, op = h[~is_fam], pack[~is_fam]
+        if len(dh):
+            at = np.clip(np.searchsorted(dh, oh), 0, len(dh) - 1)
+            is_dup = (dh[at] == oh) & (op != dmp[at])
+        else:
+            is_dup = np.zeros(len(oh), dtype=bool)
+        return pa.table(
+            {
+                id_col: pa.array(ids[~is_fam][is_dup]),
+                "i": pa.array(
+                    g["i"].to_numpy(zero_copy_only=False)[~is_fam][is_dup]
+                ),
+            }
+        )
+
+    dupocc = (
+        union.map_batches(bucketize_h, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(decide, batch_format="pyarrow")
+    )
+
+    # --- cut shuffle: source docs + their dup starts, keyed by doc ---
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "i": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                key: pc.cast(t[key], pa.string()),
+            }
+        )
+
+    def occ_tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "i": t["i"],
+                key: pa.array([""] * t.num_rows, pa.string()),
+            }
+        )
+
+    union2 = src.map_batches(doc_rows, batch_format="pyarrow").union(
+        dupocc.map_batches(occ_tag, batch_format="pyarrow")
+    )
+
+    def bucketize_doc(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hh = d * np.uint64(0x9E3779B97F4A7C15)
+        hh ^= hh >> np.uint64(29)
+        return t.append_column(
+            "bucket", pa.array((hh % np.uint64(nb)).astype(np.int64))
+        )
+
+    def cut_bucket(g: pa.Table) -> pa.Table:
+        i = g["i"].to_numpy(zero_copy_only=False)
+        is_doc = i == -1
+        dt = g.filter(pa.array(is_doc))
+        ids, rows, flat = _explode_ws_tokens(dt, key, id_col)
+        od = g[id_col].to_numpy(zero_copy_only=False)[~is_doc]
+        oi = i[~is_doc]
+        if len(od):
+            # map (doc, tok_pos) -> flat index: docs present are exactly
+            # dt's rows; find each doc's first flat index
+            docstarts = np.flatnonzero(
+                np.concatenate([[True], rows[1:] != rows[:-1]])
+            )
+            doc_of_start = ids[rows[docstarts]] if len(docstarts) else ids[:0]
+            order = np.argsort(doc_of_start, kind="stable")
+            sdocs = doc_of_start[order]
+            sflat = docstarts[order]
+            at = np.searchsorted(sdocs, od)
+            dup_starts = sflat[at] + oi
+        else:
+            dup_starts = np.zeros(0, dtype=np.int64)
+        return _cut_covered(ids, rows, flat, dup_starts, window, id_col)
+
+    return (
+        union2.map_batches(bucketize_doc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cut_bucket, batch_format="pyarrow")
     )
