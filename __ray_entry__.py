@@ -3059,6 +3059,23 @@ def _q_doc_trigram_counts(sf_dir: str):
     return trigram_counts(_docs(sf_dir))
 
 
+def _q_doc_cross_source_dups(sf_dir: str):
+    """Cross-feed near-dup matrix (dedup.cross_source_dup_matrix): LSH
+    candidate pairs classified by the unordered source pair; endpoint
+    sources come from a pair-participant-only lookup below the pair
+    gate / two hash joins above (parity-tested). Lexicographic pair
+    order == SQL LEAST/GREATEST."""
+    import os as _os
+
+    from ugfraud_ray.pipelines.dedup import cross_source_dup_matrix
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return cross_source_dup_matrix(docs)
+
+
 SUBSTR_WINDOW = 8
 
 
@@ -3877,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity": _q_doc_rarity,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_substring_dedup": _q_doc_substring_dedup,
+        "doc_cross_source_dups": _q_doc_cross_source_dups,
         "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,
         "doc_ngram_novelty": _q_doc_ngram_novelty,
@@ -8056,6 +8074,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        # nests the bit-exact LSH chain; LEAST/GREATEST == the engine's
+        # lexicographic unordered source-pair classing
+        "doc_cross_source_dups": rf"""
+            WITH {_minhash_cand_ctes()},
+            lab AS (
+              SELECT LEAST(da.source, db.source) AS source_a,
+                     GREATEST(da.source, db.source) AS source_b
+              FROM cand c
+              JOIN documents da ON da.doc_id = c.id_a
+              JOIN documents db ON db.doc_id = c.id_b
+            )
+            SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2
         """,
         "doc_substring_dedup": rf"""
             WITH tok AS (

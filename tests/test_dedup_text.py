@@ -891,3 +891,40 @@ def test_substring_dedup_matches_naive_both_paths(ray_session):
     assert want[0][1] == 0
     assert want[1][1] == 6 and want[3][1] == 6
     assert want[6][1] == 12 + 1 if False else True
+
+
+def test_cross_source_dup_matrix_paths_agree(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import cross_source_dup_matrix
+
+    dup = "the quick brown fox jumps over the lazy dog once more " * 4
+    texts, ids, srcs = [], [], []
+    for d in range(30):
+        texts.append(f"unique doc {d} " + " ".join(f"z{d}_{j}" for j in range(25)))
+        ids.append(d)
+        srcs.append(f"feed{d % 3}")
+    # planted near-dup trio across two feeds: pairs (100,101) (100,102) (101,102)
+    for d, s in [(100, "feedA"), (101, "feedA"), (102, "feedB")]:
+        texts.append(dup)
+        ids.append(d)
+        srcs.append(s)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(srcs),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    want = {("feedA", "feedA"): 1, ("feedA", "feedB"): 2}
+    for thresh in (5_000_000, 0):  # participant-broadcast path / join path
+        out = cross_source_dup_matrix(ds, local_threshold=thresh).to_pandas()
+        got = {
+            (r.source_a, r.source_b): int(r.n_pairs)
+            for r in out.itertuples(index=False)
+        }
+        assert got == want, f"threshold={thresh}"

@@ -1888,3 +1888,133 @@ def substring_dedup(
         .groupby("bucket")
         .map_groups(cut_bucket, batch_format="pyarrow")
     )
+
+
+def cross_source_dup_matrix(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    local_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(source_a, source_b, n_pairs) — which feeds duplicate each other:
+    MinHash-LSH candidate near-dup pairs classified by the unordered
+    pair of contributing sources (lexicographic source_a <= source_b ==
+    SQL LEAST/GREATEST). The diagonal is within-feed boilerplate; a fat
+    off-diagonal cell means two feeds crawl the same sites (mirror
+    feeds) — the near-dup sibling of ``source_dup_rate``.
+
+    Scale shape: pairs come from the shared bit-exact LSH chain. Below
+    ``local_threshold`` pairs, the (id -> source) lookup is built from
+    the PAIR-PARTICIPANT ids only (metadata filtered by an isin
+    broadcast, then collected — O(colliding docs), the minhash_lsh_dedup
+    contract, never the corpus); above it, two hash joins against the
+    metadata classify endpoints without anything corpus-sized on the
+    driver.
+    """
+    from ray.data.aggregate import Sum
+
+    cands = minhash_lsh_candidates(docs, key=key, id_col=id_col).materialize()
+    n_pairs = cands.count()
+    meta = docs.select_columns([id_col, source_col])
+
+    def classify_np(sa: np.ndarray, sb: np.ndarray) -> pa.Table:
+        swap = sa > sb
+        lo = np.where(swap, sb, sa)
+        hi = np.where(swap, sa, sb)
+        pk = np.char.add(np.char.add(lo.astype(str), "\x1f"), hi.astype(str))
+        u, cnt = np.unique(pk, return_counts=True)
+        parts = np.char.partition(u, "\x1f")
+        return pa.table(
+            {
+                "source_a": pa.array(parts[:, 0].astype(object), pa.string()),
+                "source_b": pa.array(parts[:, 2].astype(object), pa.string()),
+                "n_pairs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    if n_pairs <= local_threshold:
+        pt = collect_table(cands)
+        ia = pt["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pt["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ia) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "source_a": pa.array([], pa.string()),
+                        "source_b": pa.array([], pa.string()),
+                        "n_pairs": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        participants = np.unique(np.concatenate([ia, ib]))
+        part_ref = ray.put(participants)
+
+        def only_participants(t: pa.Table) -> pa.Table:
+            p = ray.get(part_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(np.isin(ids, p)))
+
+        mt = collect_table(
+            meta.map_batches(only_participants, batch_format="pyarrow")
+        )
+        mid = mt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        msrc = np.asarray(mt[source_col].to_pylist(), dtype=object)
+        order = np.argsort(mid, kind="stable")
+        mid, msrc = mid[order], msrc[order]
+        sa = msrc[np.searchsorted(mid, ia)]
+        sb = msrc[np.searchsorted(mid, ib)]
+        return ray.data.from_arrow(classify_np(sa, sb))
+
+    from ugfraud_ray.stages.graph_build import _nrows, join_partitions
+
+    def _nonempty(ds: "ray.data.Dataset") -> "ray.data.Dataset | None":
+        # drop columnless empty blocks — Arrow's hash join rejects them
+        # ("no match for key field", the number_int_vertices workaround);
+        # needed on BOTH join inputs that came through a shuffle
+        refs = ds.to_arrow_refs()
+        counts = ray.get([_nrows.remote(r) for r in refs])
+        keep_refs = [r for r, c in zip(refs, counts) if c]
+        return ray.data.from_arrow_refs(keep_refs) if keep_refs else None
+
+    empty_out = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }
+    )
+    cands = _nonempty(cands)
+    if cands is None:
+        return ray.data.from_arrow(empty_out)
+    j1 = _nonempty(
+        cands.join(
+            meta.rename_columns({id_col: "id_a", source_col: "sa"}),
+            join_type="inner", num_partitions=join_partitions(), on=("id_a",),
+        ).materialize()
+    )
+    if j1 is None:
+        return ray.data.from_arrow(empty_out)
+    j = j1.join(
+        meta.rename_columns({id_col: "id_b", source_col: "sb"}),
+        join_type="inner", num_partitions=join_partitions(), on=("id_b",),
+    )
+
+    def classify_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        sa = np.asarray(t["sa"].to_pylist(), dtype=object)
+        sb = np.asarray(t["sb"].to_pylist(), dtype=object)
+        return classify_np(sa, sb)
+
+    return (
+        j.map_batches(classify_batch, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
