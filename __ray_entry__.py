@@ -3076,6 +3076,29 @@ def _q_doc_cross_source_dups(sf_dir: str):
     return cross_source_dup_matrix(docs)
 
 
+def _q_doc_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (pipelines/bpe.bpe_train, Sennrich et al.
+    2016): 16 merges learned from the word-frequency vocabulary —
+    distributed (word, n) aggregation, driver-resident merge loop
+    (vocabulary is dimension-sized by contract, min_count floors the
+    web-scale junk tail). Deterministic: exact integer pair counts,
+    ties by lexicographic (left, right). Iterative — not
+    SQL-expressible; value-verified by the naive-BPE pytest mirror and
+    the oracled doc_bpe_pair_counts side channel (its step-0 counts)."""
+    from ugfraud_ray.pipelines.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), n_merges=16)
+
+
+def _q_doc_bpe_pair_counts(sf_dir: str):
+    """Step-0 adjacent char-pair counts over word occurrences
+    (bpe.char_pair_counts): alphabet^2-bounded uniqued partials + one
+    tiny grouped sum — the oracled side channel of doc_bpe_merges."""
+    from ugfraud_ray.pipelines.bpe import char_pair_counts
+
+    return char_pair_counts(_docs(sf_dir))
+
+
 SUBSTR_WINDOW = 8
 
 
@@ -3895,6 +3918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_cross_source_dups": _q_doc_cross_source_dups,
+        "doc_bpe_merges": _q_doc_bpe_merges,
+        "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
         "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,
         "doc_ngram_novelty": _q_doc_ngram_novelty,
@@ -8088,6 +8113,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM lab GROUP BY 1, 2
+        """,
+        # doc_bpe_merges is iterative (no SQL oracle, rows-only);
+        # this is its step-0 side channel, fully replayed
+        "doc_bpe_pair_counts": r"""
+            WITH arr AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   t -> t <> '') AS a
+                FROM documents
+            ),
+            w AS (SELECT unnest(a) AS word FROM arr),
+            ch AS (
+                SELECT string_split(word, '') AS c FROM w
+                WHERE length(word) >= 2
+            ),
+            p AS (
+                SELECT unnest(c[1:len(c)-1]) AS left_sym,
+                       unnest(c[2:len(c)]) AS right_sym
+                FROM ch
+            )
+            SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
         """,
         "doc_substring_dedup": rf"""
             WITH tok AS (

@@ -168,6 +168,12 @@ def bench_pipelines(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     line_dedup(docs, approx_docs=docs.count()).count()
     q["doc_line_dedup"] = time.perf_counter() - t0
+
+    from ugfraud_ray.pipelines.dedup import substring_dedup
+
+    t0 = time.perf_counter()
+    substring_dedup(docs, window=8, approx_docs=docs.count()).count()
+    q["doc_substring_dedup"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     gopher_rules(docs).count()
     q["doc_gopher_rules"] = time.perf_counter() - t0
