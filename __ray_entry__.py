@@ -231,6 +231,18 @@ def _q_triangles_per_vertex(sf_dir: str):
     return triangles_per_vertex(general_edges(sf_dir))
 
 
+def _q_local_clustering(sf_dir: str):
+    """Per-vertex local clustering coefficient
+    (triangles.local_clustering): cc = 2*tri/(d*(d-1)) over the
+    canonical simple graph, d >= 2 only; nests the verified
+    triangles_per_vertex chain + distinct-neighbor degree, combined in
+    one vid-bucketed union (no driver vertex array); 1e-9 readout."""
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+    from ugfraud_ray.pipelines.triangles import local_clustering
+
+    return local_clustering(general_edges(sf_dir))
+
+
 def _q_transitivity(sf_dir: str):
     """Global clustering coefficient 3·triangles/wedges over the
     undirected simple general graph (pipelines/triangles.py): exact
@@ -3848,6 +3860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "katz_centrality": _q_katz_centrality,
         "weighted_pagerank": _q_weighted_pagerank,
+        "graph_local_clustering": _q_local_clustering,
         "speagle_scores": _q_speagle,
         "review_edges": _q_review_edges,
         "connected_components": _q_components,
@@ -5744,6 +5757,37 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM tri
             )
             SELECT id, COUNT(*) AS triangles FROM v GROUP BY id
+        """,
+        "graph_local_clustering": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g
+            ),
+            deg AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                GROUP BY id
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            v AS (
+                SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            t2 AS (SELECT id, COUNT(*) AS triangles FROM v GROUP BY id)
+            SELECT deg.id, deg.degree,
+                   CAST(COALESCE(t2.triangles, 0) AS BIGINT) AS triangles,
+                   FLOOR(2.0 * CAST(COALESCE(t2.triangles, 0) AS DOUBLE)
+                         / (CAST(deg.degree AS DOUBLE)
+                            * (CAST(deg.degree AS DOUBLE) - 1.0))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS cc
+            FROM deg LEFT JOIN t2 USING (id)
+            WHERE deg.degree >= 2
         """,
         "rich_club": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),

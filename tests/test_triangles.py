@@ -359,3 +359,43 @@ def test_mirror_pairs_recover_planted_mirrors(ray_session):
     }
     for a, b in planted:
         assert got.get((a, b)) == 1.0
+
+
+def test_local_clustering_matches_networkx(ray_session):
+    import networkx as nx
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.triangles import local_clustering
+
+    rng = np.random.default_rng(19)
+    src = rng.integers(0, 60, 400).astype(np.int64)
+    dst = rng.integers(0, 60, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(3)
+
+    G = nx.Graph()
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = {
+        v: (
+            G.degree(v),
+            nx.triangles(G, v),
+            np.floor(nx.clustering(G, v) * 1e9 + 0.5) / 1e9,
+        )
+        for v in G.nodes
+        if G.degree(v) >= 2
+    }
+    out = local_clustering(ds).to_pandas()
+    got = {
+        int(r.id): (int(r.degree), int(r.triangles), float(r.cc))
+        for r in out.itertuples(index=False)
+    }
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v][:2] == want[v][:2], (v, got[v], want[v])
+        assert abs(got[v][2] - want[v][2]) < 2e-9
