@@ -3102,6 +3102,18 @@ def _q_doc_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir), n_merges=16)
 
 
+def _q_doc_bpe_tokens_trained(sf_dir: str):
+    """Token counts under the TRAINED BPE tokenizer
+    (bpe.bpe_encode_counts over bpe_train's 16 merges): merge ranks
+    ship once per actor, encoding amortizes via the distinct-word
+    cache. Iterative tokenizer — rows-only; value-verified by the
+    naive-encode pytest mirror."""
+    from ugfraud_ray.pipelines.bpe import bpe_encode_counts, bpe_train
+
+    merges = bpe_train(_docs(sf_dir), n_merges=16)
+    return bpe_encode_counts(_docs(sf_dir), merges)
+
+
 def _q_doc_bpe_pair_counts(sf_dir: str):
     """Step-0 adjacent char-pair counts over word occurrences
     (bpe.char_pair_counts): alphabet^2-bounded uniqued partials + one
@@ -3932,6 +3944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_cross_source_dups": _q_doc_cross_source_dups,
         "doc_bpe_merges": _q_doc_bpe_merges,
+        "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
         "doc_incremental_minhash": _q_doc_incremental_minhash,
         "doc_trigram_counts": _q_doc_trigram_counts,

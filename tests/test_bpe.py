@@ -119,3 +119,47 @@ def test_char_pair_counts_matches_naive(ray_session):
         (r.left_sym, r.right_sym): int(r.n) for r in got.itertuples(index=False)
     }
     assert gmap == want
+
+
+def test_bpe_encode_counts_matches_naive(ray_session):
+    from ugfraud_ray.pipelines.bpe import bpe_encode_counts, bpe_train
+
+    wc = {"lower": 4, "lowest": 3, "low": 6, "aaaa": 5, "newer": 2}
+    ds = _docs_from_words(wc)
+    merges = bpe_train(ds, n_merges=8)
+    pairs = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+
+    def naive_encode(word: str) -> int:
+        ranks = {p: i for i, p in enumerate(pairs)}
+        sym = list(word)
+        while len(sym) >= 2:
+            ranked = [(ranks[p], p) for p in set(zip(sym, sym[1:])) if p in ranks]
+            if not ranked:
+                break
+            _, pr = min(ranked)
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pr:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    # encode a corpus containing trained and UNSEEN words
+    texts = ["lower lowest zzz", "aaaa aaa low", ""]
+    t = pa.table(
+        {"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)}
+    )
+    out = bpe_encode_counts(
+        ray.data.from_arrow(t).repartition(2), merges
+    ).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["n_tokens_bpe"].astype(int)))
+    want = {
+        d: sum(naive_encode(w) for w in tx.lower().split())
+        for d, tx in enumerate(texts)
+    }
+    assert got == want
+    assert got[2] == 0

@@ -230,3 +230,83 @@ def char_pair_counts(
         .groupby(["left_sym", "right_sym"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+class _BPEEncoder:
+    """Actor-pool encoder: merge ranks built once per actor in
+    ``__init__``; per-batch work encodes each DISTINCT word once and
+    reuses it via the word cache (Zipf does the amortizing)."""
+
+    def __init__(self, merge_rows: list[tuple[str, str]], key: str, id_col: str):
+        self.ranks = {pair: i for i, pair in enumerate(merge_rows)}
+        self.key = key
+        self.id_col = id_col
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        symbols = list(word)
+        while len(symbols) >= 2:
+            ranked = [
+                (self.ranks[p], p)
+                for p in set(zip(symbols, symbols[1:]))
+                if p in self.ranks
+            ]
+            if not ranked:
+                break
+            _, pair = min(ranked)
+            out, i = [], 0
+            while i < len(symbols):
+                if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == pair:
+                    out.append(symbols[i] + symbols[i + 1])
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = out
+        return len(symbols)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = pc.utf8_lower(pc.utf8_trim_whitespace(pc.cast(t[self.key], pa.string())))
+        lists = pc.split_pattern_regex(col, _TOKRE)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        keep = flat != ""
+        flat, rows = flat[keep], rows[keep]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        enc = np.fromiter(
+            (
+                self.cache.get(w) or self.cache.setdefault(w, self._encode_len(w))
+                for w in uniq.tolist()
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        per_tok = enc[inv]
+        n = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(n, rows, per_tok)
+        return pa.table({self.id_col: t[self.id_col], "n_tokens_bpe": pa.array(n)})
+
+
+def bpe_encode_counts(
+    docs: "ray.data.Dataset",
+    merges: pa.Table,
+    key: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens_bpe) — token counts under the TRAINED tokenizer
+    (``bpe_train``'s merge table applied in rank order, the standard
+    BPE encode; greedy left-to-right per merge, same semantics as
+    training so train-set words re-segment identically). The merge
+    table ships once per actor via ``fn_constructor_args``; scoring is
+    one streaming pass."""
+    from ugfraud_ray.functions.pools import actor_pool_size
+
+    merge_rows = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    return docs.select_columns([id_col, key]).map_batches(
+        _BPEEncoder,
+        fn_constructor_args=(merge_rows, key, id_col),
+        batch_format="pyarrow",
+        concurrency=actor_pool_size(concurrency),
+    )
