@@ -2895,6 +2895,16 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_attribution(sf_dir: str):
+    """First-touch attribution matrix (events.entry_attribution): every
+    event credited to its session's first event type under the exact
+    gap-break rule; |types|^2-bounded partials under the sessionize
+    co-location contract."""
+    from ugfraud_ray.pipelines.events import entry_attribution
+
+    return entry_attribution(_events(sf_dir))
+
+
 def _q_events_type_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix
     (events.type_entropy): (user, type, n) partials bound the shuffle
@@ -4014,6 +4024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_zscore": _q_events_robust_zscore,
         "events_winsorized": _q_events_winsorize,
         "events_type_entropy": _q_events_type_entropy,
+        "events_attribution": _q_events_attribution,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -7380,6 +7391,33 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        # nests the exact events_sessions gap-break chain + FIRST_VALUE
+        "events_attribution": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            ), x AS (
+                SELECT event_type,
+                       FIRST_VALUE(event_type) OVER (
+                           PARTITION BY user_id, sid ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS entry_type
+                FROM s
+            )
+            SELECT entry_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM x GROUP BY 1, 2
         """,
         "events_props": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

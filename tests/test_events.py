@@ -690,3 +690,29 @@ def test_type_entropy_matches_naive_both_paths(ray_session):
         for u in want:
             assert got[u][:2] == want[u][:2]
             assert abs(got[u][2] - want[u][2]) < 1e-9, (u, got[u], want[u])
+
+
+def test_entry_attribution_matches_pandas_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import entry_attribution
+
+    t = _synth_events(n=800, n_users=19, seed=41)
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    want: dict[tuple, int] = {}
+    for _, g in df.groupby("user_id"):
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = brk.cumsum()
+        for _, s in g.groupby(sid):
+            entry = s["event_type"].iloc[0]
+            for et in s["event_type"]:
+                want[(entry, et)] = want.get((entry, et), 0) + 1
+
+    for thresh in (1_000_000, 0):
+        out = entry_attribution(ds, local_threshold=thresh).to_pandas()
+        got = {
+            (r.entry_type, r.event_type): int(r.n_events)
+            for r in out.itertuples(index=False)
+        }
+        assert got == want, f"threshold={thresh}"

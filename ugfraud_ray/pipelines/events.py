@@ -2219,3 +2219,81 @@ def type_entropy(
         .groupby("_cb")
         .map_groups(kernel, batch_format="pyarrow")
     )
+
+
+def _attribution_block(u, ts_us, eid, et, gap_us: int) -> pa.Table:
+    """(entry_type, event_type, n_events) partials over complete-user
+    rows: sessions via the exact gap-break rule, every event attributed
+    to its session's FIRST event type ((ts, event_id) order)."""
+    if len(u) == 0:
+        return pa.table(
+            {
+                "entry_type": pa.array([], pa.string()),
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    et = np.asarray(et, dtype=object)
+    order = np.lexsort((eid, ts_us, u))
+    u, ts_us, et = u[order], ts_us[order], et[order]
+    brk = np.ones(len(u), dtype=bool)
+    brk[1:] = (u[1:] != u[:-1]) | ((ts_us[1:] - ts_us[:-1]) > gap_us)
+    starts = np.flatnonzero(brk)
+    slens = np.diff(np.append(starts, len(u)))
+    entry = np.repeat(et[starts], slens)
+    pk = np.char.add(np.char.add(entry.astype(str), "\x1f"), et.astype(str))
+    uq, cnt = np.unique(pk, return_counts=True)
+    parts = np.char.partition(uq, "\x1f")
+    return pa.table(
+        {
+            "entry_type": pa.array(parts[:, 0].astype(object), pa.string()),
+            "event_type": pa.array(parts[:, 2].astype(object), pa.string()),
+            "n_events": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def entry_attribution(
+    events: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """First-touch attribution matrix: (entry_type, event_type,
+    n_events) — every event credited to the type of its session's first
+    event (the marketing-attribution readout over ``sessionize``'s
+    exact gap-break sessions). Same user-colocation contract as
+    sessionize; |types|^2-bounded partials, one tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = events.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+    def extract(t) -> tuple:
+        return (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+            t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["event_type"].to_pylist(),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    if n is not None and n <= local_threshold:
+        t = collect_table(ds)
+        return ray.data.from_arrow(_attribution_block(*extract(t), gap_us))
+
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
+
+    bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: _attribution_block(*extract(g), gap_us),
+            batch_format="pyarrow",
+        )
+        .groupby(["entry_type", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
