@@ -1134,3 +1134,71 @@ def test_weighted_pagerank_matches_dense_oracle(tmp_path):
     a = got_u.to_pandas().sort_values("vid")["rank"].to_numpy()
     b = pr_u.to_pandas().sort_values("vid")["rank"].to_numpy()
     np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximal matching (pipelines/matching.py)
+# ---------------------------------------------------------------------------
+
+
+def _matching_naive(src, dst, n, rounds=30):
+    import numpy as np
+
+    edges = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    partner = {}
+    for _ in range(rounds):
+        if not active:
+            break
+        m = {}
+        for v in active:
+            nb = [u for u in adj[v] if u in active]
+            if nb:
+                m[v] = min(nb)
+        done = {v for v in active if v not in m}
+        matched = {v for v, u in m.items() if m.get(u) == v}
+        for v in matched:
+            partner[v] = m[v]
+        active -= matched | done
+    return partner
+
+
+def test_maximal_matching_local_engine_and_naive(tmp_path):
+    from ugfraud_ray.pipelines.matching import maximal_matching
+
+    rng = np.random.default_rng(31)
+    n = 80
+    src = rng.integers(0, n, 300).astype(np.int64)
+    dst = rng.integers(0, n, 300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _edges_ds(src, dst).materialize()
+
+    want = _matching_naive(src, dst, n)
+    want_pairs = sorted((v, u) for v, u in want.items() if v < u)
+
+    loc = maximal_matching(ds, n, approx_edges=len(src)).to_pandas()
+    got_loc = sorted(zip(loc["id"].astype(int), loc["partner"].astype(int)))
+    assert got_loc == want_pairs
+
+    eng = maximal_matching(
+        ds, n, approx_edges=None, P=3, layout_dir=str(tmp_path / "match")
+    ).to_pandas()
+    got_eng = sorted(zip(eng["id"].astype(int), eng["partner"].astype(int)))
+    assert got_eng == want_pairs
+
+    # matching is valid and maximal
+    used = set()
+    for a, b in got_loc:
+        assert a not in used and b not in used
+        used.update((a, b))
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())}
+    for a, b in pairs:
+        assert a in used or b in used, "not maximal"
