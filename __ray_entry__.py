@@ -1414,14 +1414,16 @@ def _q_pagerank(sf_dir: str):
 
 
 def _q_weighted_pagerank(sf_dir: str):
-    """Weighted PageRank (pagerank.weighted_pagerank): transition
-    weight wr/W(src) with deterministic integer edge weights wr = 1 +
+    """Weighted PageRank (contraction.weighted_pagerank — the host-rank
+    kernel applied to the UN-contracted graph): transition weight
+    wr·(1/W(src)) with deterministic integer edge weights wr = 1 +
     (src+dst) % 5 attached on ORIGINAL ids before vid numbering;
     W(src) = out-strength via dense bincount partials (integer-exact in
-    float64). Per-edge w is the ONE division wr/W and the SQL writes
-    the same parenthesized CAST(wr AS DOUBLE)/W, so both sides multiply
-    rank by identical doubles; 9-decimal readout."""
-    from ugfraud_ray.pipelines.pagerank import weighted_pagerank
+    float64). The per-edge w multiplies the broadcast INVERSE strength
+    and the SQL writes the same parenthesized CAST(wr AS DOUBLE) *
+    (1.0/W), so both sides multiply rank by identical doubles;
+    9-decimal readout."""
+    from ugfraud_ray.pipelines.contraction import weighted_pagerank
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
         number_int_vertices,
@@ -1436,7 +1438,7 @@ def _q_weighted_pagerank(sf_dir: str):
     e0 = general_edges(sf_dir).map_batches(add_wr, batch_format="pyarrow")
     e, vmap, n = number_int_vertices(e0)
     ranks, _ = weighted_pagerank(
-        e.materialize(), n, _scratch("wpr"), P=4,
+        e.materialize(), n, _scratch("wpr"), weight_col="wr", P=4,
         damping=PR_DAMPING, max_iters=PR_ITERS, tol=None,
     )
     out = unmap_vids(ranks, vmap, vid_col="vid", out_col="id")
@@ -6583,7 +6585,7 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
                 LEFT JOIN (
                     SELECT e.dst AS vid,
-                           SUM(p.rank * (CAST(e.wr AS DOUBLE) / o.sw)) AS s
+                           SUM(p.rank * (CAST(e.wr AS DOUBLE) * (1.0 / o.sw))) AS s
                     FROM pr p JOIN g e ON e.src = p.vid
                     JOIN st o ON o.src = p.vid
                     GROUP BY e.dst

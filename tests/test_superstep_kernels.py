@@ -1088,7 +1088,9 @@ def test_katz_hub_split_identical(tmp_path):
 
 def _wpr_oracle(src, dst, wr, n, d=0.85, iters=10):
     W = np.bincount(src, weights=wr.astype(np.float64), minlength=n)
-    w = wr.astype(np.float64) / W[src]
+    inv = np.zeros(n)
+    inv[W > 0] = 1.0 / W[W > 0]
+    w = wr.astype(np.float64) * inv[src]
     x = np.full(n, 1.0 / n)
     dangling = W == 0
     for _ in range(iters):
@@ -1099,7 +1101,7 @@ def _wpr_oracle(src, dst, wr, n, d=0.85, iters=10):
 
 
 def test_weighted_pagerank_matches_dense_oracle(tmp_path):
-    from ugfraud_ray.pipelines.pagerank import weighted_pagerank
+    from ugfraud_ray.pipelines.contraction import weighted_pagerank
 
     spec = PagesSpec(n_users=60, n_prods=9, n_edges=180, seed=7)
     src, dst, n = _graph(spec)
@@ -1108,7 +1110,8 @@ def test_weighted_pagerank_matches_dense_oracle(tmp_path):
         pa.table({"src": pa.array(src), "dst": pa.array(dst), "wr": pa.array(wr)})
     ).materialize()
     got, metrics = weighted_pagerank(
-        ds, n, str(tmp_path / "wpr"), P=3, damping=0.85, max_iters=10, tol=None
+        ds, n, str(tmp_path / "wpr"), weight_col="wr", P=3, damping=0.85,
+        max_iters=10, tol=None,
     )
     gp = got.to_pandas().sort_values("vid")
     want = _wpr_oracle(src, dst, wr, n, d=0.85, iters=10)
@@ -1125,7 +1128,8 @@ def test_weighted_pagerank_matches_dense_oracle(tmp_path):
         )
     ).materialize()
     got_u, _ = weighted_pagerank(
-        ones, n, str(tmp_path / "wpr_u"), P=2, damping=0.85, max_iters=6, tol=None
+        ones, n, str(tmp_path / "wpr_u"), weight_col="wr", P=2, damping=0.85,
+        max_iters=6, tol=None,
     )
     pr_u, _ = pagerank(
         _edges_ds(src, dst).materialize(), n, str(tmp_path / "pr_u"),

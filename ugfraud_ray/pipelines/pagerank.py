@@ -90,88 +90,6 @@ def attach_edge_weights(
     return edges.map_batches(add_w, batch_format="pyarrow"), outdeg_v
 
 
-@ray.remote
-def _wsum_block(block: pa.Table, src_col: str, w_col: str, n: int) -> np.ndarray:
-    src = block[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    w = block[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
-    return np.bincount(src, weights=w, minlength=n)
-
-
-@ray.remote
-def _wsum_merge(*parts: np.ndarray) -> np.ndarray:
-    out = parts[0].copy()
-    for p in parts[1:]:
-        out += p
-    return out
-
-
-def attach_normalized_weights(
-    edges: "ray.data.Dataset", n_vertices: int, weight_col: str = "wr"
-) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """edges(src, dst, wr) -> (edges + w = wr / W(src), strength table).
-
-    The weighted sibling of :func:`attach_edge_weights`: W(src) is the
-    out-STRENGTH (sum of raw edge weights), computed by dense
-    per-block ``np.bincount(weights=..)`` partials + tree reduce —
-    integer-valued weights sum exactly in float64 below 2^53. The
-    inverse-strength array broadcasts once; each batch's ``w`` is ONE
-    float division wr/W, the same expression the SQL replay writes as
-    ``CAST(wr AS DOUBLE) / W`` so both sides multiply rank by an
-    identical double per edge.
-    """
-    refs = [
-        _wsum_block.remote(b, "src", weight_col, n_vertices)
-        for b in edges.to_arrow_refs()
-    ]
-    while len(refs) > 1:
-        refs = [_wsum_merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)]
-    W = ray.get(refs[0]) if refs else np.zeros(n_vertices, dtype=np.float64)
-    lookup_ref = ray.put(W)
-
-    def add_w(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        wr = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        return t.append_column("w", pa.array(wr / lk[src]))
-
-    nz = W > 0
-    nz_ids = np.flatnonzero(nz)
-    strength_v = ray.data.from_arrow(
-        pa.table({"vid": pa.array(nz_ids), "outdeg": pa.array(W[nz])})
-    )
-    return edges.map_batches(add_w, batch_format="pyarrow"), strength_v
-
-
-def weighted_pagerank(
-    edges: "ray.data.Dataset",
-    n_vertices: int,
-    layout_dir: str,
-    weight_col: str = "wr",
-    P: int = 4,
-    damping: float = 0.85,
-    max_iters: int = 50,
-    tol: float | None = None,
-    hub_threshold: int | None = None,
-) -> tuple["ray.data.Dataset", list[dict]]:
-    """Weighted PageRank: x'_v = (1-d)/N + d·Σ x_u·(wr_uv/W_u) + d·dang/N.
-
-    Identical program to :class:`PageRankProgram` — only the per-edge
-    transition weight changes (wr/W instead of 1/outdeg), and dangling
-    = zero out-STRENGTH. The standard weighted-link formulation for
-    rating/anchor-count-weighted web graphs.
-    """
-    weighted, strength_v = attach_normalized_weights(edges, n_vertices, weight_col)
-    import ray.data as _rd
-
-    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() <= 1_000_000:
-        weighted = weighted.materialize()
-    layout = build_layout(
-        weighted, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold,
-        edge_cols=["w"], vertex_aux=strength_v,
-    )
-    return pagerank_on_layout(layout, damping=damping, max_iters=max_iters, tol=tol)
-
-
 def pagerank(
     edges: "ray.data.Dataset",
     n_vertices: int,
