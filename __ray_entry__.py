@@ -1286,6 +1286,58 @@ def _q_mis(sf_dir: str):
 MATCH_MAX_ROUNDS = 30
 
 
+def _matching_ctes() -> str:
+    """Shared recursive-CTE core replaying the handshake-matching
+    fixpoint (used by graph_matching and graph_matching_coarsen).
+    Statuses are monotone, so MATCH_MAX_ROUNDS full rounds == the
+    engine's early-stopped fixpoint."""
+    return f"""g AS ({_SQL_GENERAL_EDGES}),
+            e2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g),
+            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
+            v AS (SELECT DISTINCT src AS vid FROM sym),
+            mm AS (
+                SELECT vid, 0 AS st, CAST(-1 AS BIGINT) AS partner, 0 AS iter
+                FROM v
+                UNION ALL
+                SELECT w.vid,
+                       CASE
+                           WHEN cur.st <> 0 THEN cur.st
+                           WHEN na.mn IS NULL THEN 2
+                           WHEN pp.mp IS NOT NULL AND pp.mp = na.mn THEN 1
+                           ELSE 0
+                       END,
+                       CASE
+                           WHEN cur.st <> 0 THEN cur.partner
+                           WHEN na.mn IS NOT NULL AND pp.mp IS NOT NULL
+                                AND pp.mp = na.mn THEN na.mn
+                           ELSE CAST(-1 AS BIGINT)
+                       END,
+                       p0.iter + 1
+                FROM v w
+                CROSS JOIN (SELECT DISTINCT iter FROM mm) p0
+                JOIN mm cur ON cur.vid = w.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, MIN(p.vid) AS mn
+                    FROM mm p JOIN sym e ON e.src = p.vid
+                    WHERE p.st = 0 GROUP BY e.dst
+                ) na ON na.vid = w.vid
+                LEFT JOIN (
+                    SELECT e.dst AS vid, MIN(u.vid) AS mp
+                    FROM mm u
+                    JOIN (
+                        SELECT e2x.dst AS vid, MIN(q.vid) AS mn
+                        FROM mm q JOIN sym e2x ON e2x.src = q.vid
+                        WHERE q.st = 0 GROUP BY e2x.dst
+                    ) nu ON nu.vid = u.vid
+                    JOIN sym e ON e.src = u.vid
+                    WHERE u.st = 0 AND nu.mn = e.dst
+                    GROUP BY e.dst
+                ) pp ON pp.vid = w.vid
+                WHERE p0.iter < {MATCH_MAX_ROUNDS}
+            )"""
+
+
+
 def _q_graph_matching(sf_dir: str):
     """Greedy maximal matching (pipelines/matching.py): deterministic
     handshake rounds — each active vertex proposes to its MIN-vid
@@ -1307,6 +1359,29 @@ def _q_graph_matching(sf_dir: str):
     out = unmap_vids(m, vmap, vid_col="id", out_col="id")
     out = unmap_vids(out, vmap, vid_col="partner", out_col="partner")
     return out.select_columns(["id", "partner"])
+
+
+def _q_graph_matching_coarsen(sf_dir: str):
+    """One multilevel-coarsening step (matching.coarsen_by_matching):
+    matched pairs contract to their smaller endpoint, multi-edges
+    collapse to integer weights, self-loops drop. Nests the verified
+    matching fixpoint; vid numbering is order-preserving so the SQL
+    replays LEAST(vid, partner) on original ids."""
+    from ugfraud_ray.pipelines.matching import coarsen_by_matching, maximal_matching
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+
+    ge = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(ge)
+    e = e.materialize()
+    m = maximal_matching(e, n, max_rounds=MATCH_MAX_ROUNDS, approx_edges=ge.count())
+    cg = coarsen_by_matching(e, n, m, approx_edges=ge.count())
+    out = unmap_vids(cg, vmap, vid_col="src", out_col="src")
+    out = unmap_vids(out, vmap, vid_col="dst", out_col="dst")
+    return out.select_columns(["src", "dst", "weight"])
 
 
 BUTTERFLY_CAP = 1000
@@ -4025,6 +4100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coreness": _q_graph_coreness,
         "mis_members": _q_mis,
         "graph_matching": _q_graph_matching,
+        "graph_matching_coarsen": _q_graph_matching_coarsen,
         "graph_coloring": _q_coloring,
         "hyperball_nf": _q_hyperball,
         "random_walks": _q_random_walks,
@@ -6380,57 +6456,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vid AS id FROM mis WHERE iter = {MIS_MAX_ITERS} AND st = 1
         """,
-        # deterministic handshake-matching replay (MIS CTE's shape):
-        # statuses are monotone, so MATCH_MAX_ROUNDS full rounds reach
-        # the engine's fixpoint; the handshake needs only MIN combines
-        # (any proposer to w is an active neighbor, hence >= its min)
         "graph_matching": f"""
-            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
-            e2 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g),
-            sym AS (SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2),
-            v AS (SELECT DISTINCT src AS vid FROM sym),
-            mm AS (
-                SELECT vid, 0 AS st, CAST(-1 AS BIGINT) AS partner, 0 AS iter
-                FROM v
-                UNION ALL
-                SELECT w.vid,
-                       CASE
-                           WHEN cur.st <> 0 THEN cur.st
-                           WHEN na.mn IS NULL THEN 2
-                           WHEN pp.mp IS NOT NULL AND pp.mp = na.mn THEN 1
-                           ELSE 0
-                       END,
-                       CASE
-                           WHEN cur.st <> 0 THEN cur.partner
-                           WHEN na.mn IS NOT NULL AND pp.mp IS NOT NULL
-                                AND pp.mp = na.mn THEN na.mn
-                           ELSE CAST(-1 AS BIGINT)
-                       END,
-                       p0.iter + 1
-                FROM v w
-                CROSS JOIN (SELECT DISTINCT iter FROM mm) p0
-                JOIN mm cur ON cur.vid = w.vid
-                LEFT JOIN (
-                    SELECT e.dst AS vid, MIN(p.vid) AS mn
-                    FROM mm p JOIN sym e ON e.src = p.vid
-                    WHERE p.st = 0 GROUP BY e.dst
-                ) na ON na.vid = w.vid
-                LEFT JOIN (
-                    SELECT e.dst AS vid, MIN(u.vid) AS mp
-                    FROM mm u
-                    JOIN (
-                        SELECT e2x.dst AS vid, MIN(q.vid) AS mn
-                        FROM mm q JOIN sym e2x ON e2x.src = q.vid
-                        WHERE q.st = 0 GROUP BY e2x.dst
-                    ) nu ON nu.vid = u.vid
-                    JOIN sym e ON e.src = u.vid
-                    WHERE u.st = 0 AND nu.mn = e.dst
-                    GROUP BY e.dst
-                ) pp ON pp.vid = w.vid
-                WHERE p0.iter < {MATCH_MAX_ROUNDS}
-            )
+            WITH RECURSIVE {_matching_ctes()}
             SELECT vid AS id, partner FROM mm
             WHERE iter = {MATCH_MAX_ROUNDS} AND st = 1 AND vid < partner
+        """,
+        # nests the matching fixpoint: matched pairs contract to
+        # LEAST(vid, partner), multi-edges collapse, self-loops drop
+        "graph_matching_coarsen": f"""
+            WITH RECURSIVE {_matching_ctes()},
+            matched AS (
+                SELECT vid, partner FROM mm
+                WHERE iter = {MATCH_MAX_ROUNDS} AND st = 1
+            ),
+            gm AS (
+                SELECT v.vid AS id,
+                       COALESCE(LEAST(m.vid, m.partner), v.vid) AS gid
+                FROM v LEFT JOIN matched m ON m.vid = v.vid
+            ),
+            ce AS (
+                SELECT ga.gid AS src, gb.gid AS dst, COUNT(*) AS weight
+                FROM g
+                JOIN gm ga ON ga.id = g.src
+                JOIN gm gb ON gb.id = g.dst
+                WHERE ga.gid <> gb.gid
+                GROUP BY 1, 2
+            )
+            SELECT src, dst, CAST(weight AS BIGINT) AS weight FROM ce
         """,
         "review_butterflies": f"""
             WITH re AS ({_SQL_REVIEW_EDGES}),

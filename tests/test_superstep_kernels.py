@@ -1206,3 +1206,33 @@ def test_maximal_matching_local_engine_and_naive(tmp_path):
     pairs = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist())}
     for a, b in pairs:
         assert a in used or b in used, "not maximal"
+
+
+def test_coarsen_by_matching_naive(ray_session):
+    from ugfraud_ray.pipelines.matching import coarsen_by_matching, maximal_matching
+
+    rng = np.random.default_rng(77)
+    n = 50
+    src = rng.integers(0, n, 160).astype(np.int64)
+    dst = rng.integers(0, n, 160).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = _edges_ds(src, dst).materialize()
+    m = maximal_matching(ds, n, approx_edges=len(src))
+    mp = dict(zip(m.to_pandas()["id"], m.to_pandas()["partner"]))
+    g = {}
+    for a, b in mp.items():
+        g[a] = a
+        g[b] = a
+    want: dict[tuple, int] = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        gs, gd = g.get(s, s), g.get(d, d)
+        if gs != gd:
+            want[(gs, gd)] = want.get((gs, gd), 0) + 1
+    out = coarsen_by_matching(ds, n, m, approx_edges=len(src)).to_pandas()
+    got = {
+        (int(r.src), int(r.dst)): int(r.weight) for r in out.itertuples(index=False)
+    }
+    assert got == want
+    # contraction really merged something
+    assert len({*g.values()}) < len(g)

@@ -204,3 +204,45 @@ def maximal_matching(
             }
         )
     )
+
+
+def coarsen_by_matching(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    matched: "ray.data.Dataset",
+    approx_edges: int | None = None,
+) -> "ray.data.Dataset":
+    """One multilevel-coarsening step: contract every matched pair to
+    its smaller endpoint and collapse multi-edges to integer weights —
+    (src, dst, weight) on supervertex ids, self-loops dropped
+    (``contraction.contract_graph`` semantics).
+
+    The matched-pair table is at most V/2 rows and only the PARTNER
+    endpoints remap (winners keep their own id), so the broadcast here
+    is the (partner -> winner) array — the same
+    colliding-subset-broadcast contract as minhash_lsh_dedup; above a
+    broadcast gate ``contract_graph`` itself switches to hash joins.
+    """
+    from ugfraud_ray.pipelines.contraction import contract_graph
+
+    mt = collect_table(matched)
+    win = mt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    los = mt["partner"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(los, kind="stable")
+    win, los = win[order], los[order]
+    pair_ref = ray.put((los, win))
+
+    def assign(t: pa.Table) -> pa.Table:
+        lo, wn = ray.get(pair_ref)
+        v = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = v.copy()
+        if len(lo):
+            at = np.clip(np.searchsorted(lo, v), 0, len(lo) - 1)
+            hit = lo[at] == v
+            g[hit] = wn[at[hit]]
+        return pa.table({"id": pa.array(v), "gid": pa.array(g)})
+
+    gm = ray.data.range(n_vertices).map_batches(assign, batch_format="pyarrow")
+    return contract_graph(
+        edges, gm, approx_rows=approx_edges, map_rows=n_vertices
+    )
