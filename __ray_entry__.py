@@ -2998,6 +2998,17 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_validation(sf_dir: str):
+    """Ingest validation gate (stages/validate.py): per-rule violation
+    counts + the __valid__ pass-everything count over four vectorized
+    predicates (value cap, known type, props-JSON range, ts cutoff) —
+    one streaming pass, per-block partials, tiny (rule) grouped sum."""
+    from ugfraud_ray.stages.validate import standard_event_rules, validation_counts
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return validation_counts(ev, standard_event_rules())
+
+
 def _q_events_attribution(sf_dir: str):
     """First-touch attribution matrix (events.entry_attribution): every
     event credited to its session's first event type under the exact
@@ -4130,6 +4141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_winsorized": _q_events_winsorize,
         "events_type_entropy": _q_events_type_entropy,
         "events_attribution": _q_events_attribution,
+        "events_validation": _q_events_validation,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -7524,6 +7536,38 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_validation": """
+            SELECT rule, n FROM (
+              SELECT 'value_cap' AS rule,
+                     CAST(COUNT(*) FILTER (value > 100.0) AS BIGINT) AS n
+              FROM events
+              UNION ALL
+              SELECT 'known_type',
+                     CAST(COUNT(*) FILTER (event_type NOT IN
+                          ('click', 'signup', 'view', 'purchase')) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'props_k_range',
+                     CAST(COUNT(*) FILTER (
+                          COALESCE(CAST(regexp_extract(props, '"k": (-?\\d+)', 1)
+                                        AS BIGINT), -1) >= 90) AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'ts_cutoff',
+                     CAST(COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-29 00:00:00')
+                          AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT '__valid__',
+                     CAST(COUNT(*) FILTER (
+                          value <= 100.0
+                          AND event_type IN ('click', 'signup', 'view', 'purchase')
+                          AND COALESCE(CAST(regexp_extract(props, '"k": (-?\\d+)', 1)
+                                            AS BIGINT), -1) < 90
+                          AND ts < TIMESTAMP '2024-01-29 00:00:00') AS BIGINT)
+              FROM events
+            )
         """,
         # nests the exact events_sessions gap-break chain + FIRST_VALUE
         "events_attribution": """

@@ -716,3 +716,52 @@ def test_entry_attribution_matches_pandas_both_paths(ray_session):
             for r in out.itertuples(index=False)
         }
         assert got == want, f"threshold={thresh}"
+
+
+def test_validation_counts_and_quarantine(ray_session):
+    from ugfraud_ray.stages.validate import (
+        quarantine_split,
+        standard_event_rules,
+        validation_counts,
+    )
+
+    t = _synth_events(n=400, seed=3)
+    # plant violations: type 'error' is already unknown-type; push some values
+    v = t["value"].to_numpy(zero_copy_only=False).copy()
+    v[:7] = 500.0
+    t = t.set_column(4, "value", pa.array(v))
+    t = t.append_column("props", pa.array(['{"k": 95}'] * 5 + ['{"k": 1}'] * 395))
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    rules = standard_event_rules()
+    got = dict(
+        zip(
+            *(
+                lambda d: (d["rule"].tolist(), d["n"].astype(int).tolist())
+            )(validation_counts(ds, rules).to_pandas())
+        )
+    )
+    df = t.to_pandas()
+    known = {"click", "signup", "view", "purchase"}
+    m_val = df["value"] > 100.0
+    m_typ = ~df["event_type"].isin(known)
+    m_k = df["props"].str.extract(r'"k": (-?\d+)')[0].astype(float).fillna(-1) >= 90
+    m_ts = df["ts"] >= pd.Timestamp("2024-01-29")
+    want = {
+        "value_cap": int(m_val.sum()),
+        "known_type": int(m_typ.sum()),
+        "props_k_range": int(m_k.sum()),
+        "ts_cutoff": int(m_ts.sum()),
+        "__valid__": int((~(m_val | m_typ | m_k | m_ts)).sum()),
+    }
+    assert got == want
+    assert want["value_cap"] >= 7 and want["props_k_range"] == 5
+
+    good, bad = quarantine_split(ds, rules)
+    gdf, bdf = good.to_pandas(), bad.to_pandas()
+    assert len(gdf) == want["__valid__"]
+    assert len(gdf) + len(bdf) == len(df)
+    # first-rule attribution in rule-list order
+    first = bdf.set_index("event_id")["_bad_rule"]
+    for eid in df.loc[m_val, "event_id"]:
+        assert first[eid] == "value_cap"
