@@ -1525,6 +1525,73 @@ def _q_weighted_pagerank(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "wrank"])
 
 
+WARM_ITERS = 4
+WARM_CUTOFF = "1999-01-01"
+
+
+def _q_pagerank_incremental(sf_dir: str):
+    """Incremental rank maintenance (pagerank.pagerank_warm): ranks
+    converged on the pre-cutoff subgraph (orders before WARM_CUTOFF)
+    warm-start WARM_ITERS more supersteps on the FULL grown graph —
+    the monthly re-rank pattern. Same program arithmetic as pagerank
+    (warm == cold continuation bit-exactly on an unchanged graph,
+    pytest-pinned); vid numbering spans the full graph so grown-only
+    vertices start at the uniform fallback."""
+    from ugfraud_ray.pipelines.pagerank import pagerank, pagerank_warm
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
+    from ugfraud_ray.stages.graph_build import dedup_pairs
+
+    full = general_edges(sf_dir)
+    e, vmap, n = number_int_vertices(full)
+    e = e.materialize()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).materialize()
+    mod = int(orders.max("o_custkey")) + 1
+    cutoff = np.datetime64(WARM_CUTOFF, "us")
+
+    def project_base(t: pa.Table) -> pa.Table:
+        src = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) % mod
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        keep = (src != dst) & (od < cutoff)
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    base = dedup_pairs(
+        orders.map_batches(project_base, batch_format="pyarrow"),
+        approx_rows=orders.count(),
+    )
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"vid": t["id"], "id": t["vid"]})
+
+    fwd = vmap.map_batches(swap, batch_format="pyarrow")  # (vid=orig, id=vid)
+    base_v = unmap_vids(base, fwd, vid_col="src", out_col="src")
+    base_v = unmap_vids(base_v, fwd, vid_col="dst", out_col="dst").materialize()
+
+    r0, _ = pagerank(
+        base_v, n, _scratch("pri0"), P=4, damping=PR_DAMPING,
+        max_iters=PR_ITERS, tol=None,
+    )
+    warm, _ = pagerank_warm(
+        e, n, _scratch("priw"), r0, P=4, damping=PR_DAMPING,
+        max_iters=WARM_ITERS, tol=None,
+    )
+    out = unmap_vids(warm, vmap, vid_col="vid", out_col="id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        r = np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
+        return pa.table({"id": t["id"], "rank": pa.array(r)})
+
+    return out.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
+
+
 KATZ_ALPHA = 0.05
 KATZ_ITERS = 8
 
@@ -3997,6 +4064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_centrality": _q_katz_centrality,
         "weighted_pagerank": _q_weighted_pagerank,
         "graph_local_clustering": _q_local_clustering,
+        "pagerank_incremental": _q_pagerank_incremental,
         "speagle_scores": _q_speagle,
         "review_edges": _q_review_edges,
         "connected_components": _q_components,
@@ -6617,6 +6685,74 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p0.iter < {PR_ITERS}
             )
             SELECT vid AS id, ROUND(rank, 9) AS rank FROM pr WHERE iter = {PR_ITERS}
+        """,
+        # two chained recursions: pr0 converges on the pre-cutoff
+        # subgraph (dangling = zero BASE outdeg over the FULL vertex
+        # set), then pr continues WARM_ITERS steps on the full graph
+        # seeded from pr0 — the engine's warm-start arithmetic verbatim
+        "pagerank_incremental": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            gb AS (
+                SELECT DISTINCT o_custkey AS src,
+                       o_orderkey % (SELECT MAX(o_custkey) + 1 FROM orders) AS dst
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '{WARM_CUTOFF} 00:00:00'
+                  AND o_custkey <> o_orderkey % (SELECT MAX(o_custkey) + 1 FROM orders)
+            ),
+            v AS (
+                SELECT DISTINCT vid FROM (
+                    SELECT src AS vid FROM g UNION ALL SELECT dst FROM g
+                )
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+            ob AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM gb GROUP BY src),
+            pr0 AS (
+                SELECT vid, 1.0 / (SELECT n FROM nn) AS rank, 0 AS iter FROM v
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr0 p2
+                           LEFT JOIN ob o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) / (SELECT n FROM nn),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM pr0) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank / o.d) AS s
+                    FROM pr0 p JOIN gb e ON e.src = p.vid
+                    JOIN ob o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {PR_ITERS}
+            ),
+            oa AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM g GROUP BY src),
+            pr AS (
+                SELECT vid, rank, 0 AS iter FROM pr0 WHERE iter = {PR_ITERS}
+                UNION ALL
+                SELECT v.vid,
+                       (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * COALESCE(m.s, 0)
+                       + {PR_DAMPING} * (
+                           SELECT COALESCE(SUM(p2.rank), 0) FROM pr p2
+                           LEFT JOIN oa o2 ON p2.vid = o2.src
+                           WHERE o2.src IS NULL
+                       ) / (SELECT n FROM nn),
+                       p0.iter + 1
+                FROM v
+                CROSS JOIN (SELECT DISTINCT iter FROM pr) p0
+                LEFT JOIN (
+                    SELECT e.dst AS vid, SUM(p.rank / o.d) AS s
+                    FROM pr p JOIN g e ON e.src = p.vid
+                    JOIN oa o ON o.src = p.vid
+                    GROUP BY e.dst
+                ) m ON m.vid = v.vid
+                WHERE p0.iter < {WARM_ITERS}
+            )
+            SELECT vid AS id, ROUND(rank, 9) AS rank
+            FROM pr WHERE iter = {WARM_ITERS}
         """,
         # the PageRank CTE with out-strength normalization: the
         # transition weight is the parenthesized (CAST(wr)/sw) so the

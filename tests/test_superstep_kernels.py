@@ -1236,3 +1236,41 @@ def test_coarsen_by_matching_naive(ray_session):
     assert got == want
     # contraction really merged something
     assert len({*g.values()}) < len(g)
+
+
+def test_pagerank_warm_start_matches_cold_and_dense(tmp_path):
+    from ugfraud_ray.pipelines.pagerank import pagerank, pagerank_warm
+
+    spec = PagesSpec(n_users=50, n_prods=8, n_edges=150, seed=13)
+    src, dst, n = _graph(spec)
+    ds = _edges_ds(src, dst).materialize()
+
+    # unchanged graph: 6 cold + 4 warm supersteps == 10 cold supersteps
+    r6, _ = pagerank(ds, n, str(tmp_path / "c6"), P=2, max_iters=6, tol=None)
+    r10, _ = pagerank(ds, n, str(tmp_path / "c10"), P=2, max_iters=10, tol=None)
+    w4, _ = pagerank_warm(ds, n, str(tmp_path / "w4"), r6, P=3, max_iters=4, tol=None)
+    a = w4.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = r10.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-15)
+
+    # grown graph: warm run == dense oracle started from r6
+    extra = 40
+    rng = np.random.default_rng(5)
+    s2 = np.concatenate([src, rng.integers(0, n, extra)]).astype(np.int64)
+    d2 = np.concatenate([dst, rng.integers(0, n, extra)]).astype(np.int64)
+    keep = s2 != d2
+    s2, d2 = s2[keep], d2[keep]
+    grown = _edges_ds(s2, d2).materialize()
+    wg, _ = pagerank_warm(grown, n, str(tmp_path / "wg"), r6, P=2, max_iters=4, tol=None)
+
+    r0 = r6.to_pandas().sort_values("vid")["rank"].to_numpy()
+    outdeg = np.bincount(s2, minlength=n).astype(np.float64)
+    w = 1.0 / np.where(outdeg > 0, outdeg, 1.0)
+    x = r0.copy()
+    d_ = 0.85
+    for _ in range(4):
+        dang = x[outdeg == 0].sum()
+        agg = np.bincount(d2, weights=x[s2] * w[s2], minlength=n)
+        x = (1 - d_) / n + d_ * agg + d_ * dang / n
+    got = wg.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(got, x, atol=1e-12)

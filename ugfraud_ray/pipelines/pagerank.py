@@ -277,3 +277,96 @@ def spam_mass(
         .groupby("_cb")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+class WarmPageRankProgram(PageRankProgram):
+    """PageRank warm-started from a prior rank vector (the incremental
+    rank-maintenance pattern: re-rank a grown crawl from last month's
+    converged ranks instead of uniform — far fewer supersteps to the
+    same tolerance). Initial state comes from the layout's static
+    vertex-aux channel (column ``r0``); vertices unseen by the prior
+    run fall back to uniform 1/N."""
+
+    def init_state(self, vids, shard):
+        r0 = shard.vertex_aux("r0", 1.0 / shard.N)
+        return r0[:, None].copy()
+
+
+def _merge_vertex_aux(
+    outdeg_v: "ray.data.Dataset", init_ranks: "ray.data.Dataset", n_vertices: int
+) -> "ray.data.Dataset":
+    """(vid, outdeg, r0) — outer-union of the nonzero-outdeg table and
+    the full prior-rank vector via ONE vid-bucketed combine (absent
+    cells fill 0; every vid appears in init_ranks so r0 is total)."""
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col, n_coarse_buckets
+
+    def tag_deg(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, dtype=np.float64)
+        return pa.table(
+            {"vid": t["vid"], "outdeg": t["outdeg"], "r0": pa.array(z)}
+        )
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, dtype=np.float64)
+        return pa.table(
+            {"vid": t["vid"], "outdeg": pa.array(z), "r0": t["rank"]}
+        )
+
+    tagged = outdeg_v.map_batches(tag_deg, batch_format="pyarrow").union(
+        init_ranks.map_batches(tag_rank, batch_format="pyarrow")
+    )
+    bucketize = bucket_by_int_col("vid", n_coarse_buckets(n_vertices))
+
+    def combine(g: pa.Table) -> pa.Table:
+        v = g["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["outdeg"].to_numpy(zero_copy_only=False)
+        r = g["r0"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, d, r = v[order], d[order], r[order]
+        starts = np.flatnonzero(np.concatenate([[True], v[1:] != v[:-1]]))
+        return pa.table(
+            {
+                "vid": pa.array(v[starts]),
+                "outdeg": pa.array(np.add.reduceat(d, starts)),
+                "r0": pa.array(np.add.reduceat(r, starts)),
+            }
+        )
+
+    return (
+        tagged.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def pagerank_warm(
+    edges: "ray.data.Dataset",
+    n_vertices: int,
+    layout_dir: str,
+    init_ranks: "ray.data.Dataset",
+    P: int = 4,
+    damping: float = 0.85,
+    max_iters: int = 5,
+    tol: float | None = None,
+    hub_threshold: int | None = None,
+) -> tuple["ray.data.Dataset", list[dict]]:
+    """Incremental PageRank: continue the power iteration on (grown)
+    ``edges`` from ``init_ranks`` (Dataset(vid, rank) over the same vid
+    domain). Same program arithmetic as :func:`pagerank`, different
+    initial state only — so a warm run on an unchanged graph is
+    bit-identical to the corresponding cold supersteps."""
+    weighted, outdeg_v = attach_edge_weights(edges, n_vertices)
+    import ray.data as _rd
+
+    if isinstance(edges, _rd.dataset.MaterializedDataset) and edges.count() <= 1_000_000:
+        weighted = weighted.materialize()
+    aux = _merge_vertex_aux(outdeg_v, init_ranks, n_vertices).materialize()
+    layout = build_layout(
+        weighted, n_vertices, layout_dir, P=P, hub_threshold=hub_threshold,
+        edge_cols=["w"], vertex_aux=aux,
+    )
+    eng = SuperstepEngine(layout, WarmPageRankProgram(damping))
+    eng.run(max_iters=max_iters, tol=tol)
+    out = eng.result_dataset().rename_columns({"s0": "rank"}).materialize()
+    eng.shutdown()
+    return out, eng.metrics
