@@ -2458,6 +2458,22 @@ def _q_doc_mixture_report(sf_dir: str):
     return mixture_report(cur, meta)
 
 
+def _q_doc_cube(sf_dir: str):
+    """CUBE(lang, source) corpus report (curation.doc_cube): one corpus
+    pass builds the dimension-sized base cells; the three upper
+    grouping-set levels are exact integer re-sums (revenue_rollup's
+    contract), aggregated-out dims shown as 'ALL'."""
+    import os as _os
+
+    from ugfraud_ray.pipelines.curation import doc_cube
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return doc_cube(docs)
+
+
 def _q_doc_split_leakage(sf_dir: str):
     """Split-decontamination QA (curation.split_leakage): counts of
     MinHash-LSH candidate near-dup pairs per (split_a, split_b) class
@@ -4080,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": _q_minhash_dedup,
         "doc_curation": _q_doc_curation,
         "doc_split_leakage": _q_doc_split_leakage,
+        "doc_cube": _q_doc_cube,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
         "doc_zipf_slope": _q_doc_zipf_slope,
@@ -5417,6 +5434,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
+        "doc_cube": r"""
+            WITH t AS (
+                SELECT lang, source,
+                       len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                       x -> x <> '')) AS nt
+                FROM documents
+            )
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM t GROUP BY CUBE (lang, source)
+        """,
         # nests the bit-exact LSH chain; endpoint splits replay the
         # assign_splits md5 % 1000 rule; LEAST/GREATEST == the engine's
         # lexicographic pair-class ordering

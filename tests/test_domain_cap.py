@@ -153,3 +153,36 @@ def test_split_leakage_planted_identical_docs(ray_session):
             want[k] = want.get(k, 0) + 1
     assert got == want
     assert sum(got.values()) == 3
+
+
+def test_doc_cube_levels_consistent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.curation import doc_cube
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                ["a b c", "d e", "", "x  y", "one two three four", "z"]
+            ),
+            "lang": pa.array(["en", "en", "fr", "fr", "en", "de"]),
+            "source": pa.array(["s1", "s2", "s1", "s1", "s1", "s2"]),
+        }
+    )
+    out = doc_cube(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    cell = out.set_index(["lang", "source"])
+    # base cells
+    assert cell.loc[("en", "s1"), "n_docs"] == 2
+    assert cell.loc[("en", "s1"), "n_tokens"] == 3 + 4
+    assert cell.loc[("fr", "s1"), "n_tokens"] == 0 + 2  # empty doc + "x  y"
+    # marginals are exact re-sums
+    assert cell.loc[("ALL", "ALL"), "n_docs"] == 6
+    assert cell.loc[("ALL", "ALL"), "n_tokens"] == 3 + 2 + 0 + 2 + 4 + 1
+    assert cell.loc[("en", "ALL"), "n_docs"] == 3
+    assert cell.loc[("ALL", "s2"), "n_tokens"] == 2 + 1
+    # every level present: base(4 distinct pairs) + langs(3) + sources(2) + 1
+    assert len(out) == 4 + 3 + 2 + 1

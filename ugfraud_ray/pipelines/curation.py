@@ -864,3 +864,72 @@ def split_leakage(
         .groupby(["split_a", "split_b"])
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
     )
+
+
+def doc_cube(docs: "ray.data.Dataset") -> pa.Table:
+    """CUBE(lang, source) corpus report: (lang, source, n_docs,
+    n_tokens) at every grouping-set level, aggregated-out dimensions
+    shown as 'ALL' — the multi-dimensional sibling of
+    ``relational.revenue_rollup`` (same contract: ONE corpus pass; the
+    upper levels are exact integer re-sums of the dimension-sized
+    (lang, source) base cells, never a second scan or shuffle).
+    Tokens = the shared lowercased \\s+ count."""
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.text_analysis import _explode_tokens
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+        srcv = np.asarray(t["source"].to_pylist(), dtype=object)
+        _, rows = _explode_tokens(t, "text")  # empties dropped, == list_filter
+        toks = np.bincount(rows, minlength=t.num_rows).astype(np.int64)
+        pk = np.char.add(np.char.add(lang.astype(str), "\x1f"), srcv.astype(str))
+        order = np.argsort(pk, kind="stable")
+        pk, toks = pk[order], toks[order]
+        starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+        nd = np.diff(np.append(starts, len(pk))).astype(np.int64)
+        nt = np.add.reduceat(toks, starts) if len(starts) else toks[:0]
+        parts = np.char.partition(pk[starts], "\x1f")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].astype(object), pa.string()),
+                "source": pa.array(parts[:, 2].astype(object), pa.string()),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    base = collect_table(
+        docs.select_columns(["lang", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+    import pandas as pd
+
+    df = base.to_pandas()
+    out = [df]
+    by_lang = df.groupby("lang", as_index=False)[["n_docs", "n_tokens"]].sum()
+    by_lang["source"] = "ALL"
+    out.append(by_lang)
+    by_src = df.groupby("source", as_index=False)[["n_docs", "n_tokens"]].sum()
+    by_src["lang"] = "ALL"
+    out.append(by_src)
+    total = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "n_docs": [df["n_docs"].sum()],
+            "n_tokens": [df["n_tokens"].sum()],
+        }
+    )
+    out.append(total)
+    allr = pd.concat(out, ignore_index=True)[["lang", "source", "n_docs", "n_tokens"]]
+    return pa.table(
+        {
+            "lang": pa.array(allr["lang"].astype(object), pa.string()),
+            "source": pa.array(allr["source"].astype(object), pa.string()),
+            "n_docs": pa.array(allr["n_docs"].to_numpy().astype(np.int64)),
+            "n_tokens": pa.array(allr["n_tokens"].to_numpy().astype(np.int64)),
+        }
+    )
