@@ -2458,6 +2458,119 @@ def _q_doc_mixture_report(sf_dir: str):
     return mixture_report(cur, meta)
 
 
+LOGREG_ITERS = 5
+LOGREG_LR = 1.0
+
+
+def _q_doc_quality_logreg(sf_dir: str):
+    """Distributed full-batch logistic regression (pipelines/mlgd.py):
+    predict lang=='en' from the four min-max-normalized quality
+    features, LOGREG_ITERS exact GD steps from zero weights. Every
+    per-row gradient contribution quantizes to the 1e-9 grid BEFORE
+    summation (order-free integer totals), the dot product accumulates
+    left-to-right, and float(G) == CAST(CAST(G AS VARCHAR) AS DOUBLE) —
+    so the TRAINED WEIGHTS are bit-replayable in SQL."""
+    from ugfraud_ray.pipelines.mlgd import logistic_regression_gd, minmax_normalize
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def fx(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        col = t["text"]
+        y = _pc.cast(_pc.equal(t["lang"], "en"), pa.float64())
+        return pa.table(
+            {
+                "n_chars": _pc.cast(_pc.utf8_length(col), pa.int64()),
+                "n_digits": _pc.cast(
+                    _pc.count_substring_regex(col, "[0-9]"), pa.int64()
+                ),
+                "n_spaces": _pc.cast(
+                    _pc.count_substring_regex(col, "[\t\n\x0b\x0c\r ]"), pa.int64()
+                ),
+                "n_punct": _pc.cast(
+                    _pc.count_substring_regex(col, r"[!-/:-@\[-`{-~]"), pa.int64()
+                ),
+                "y": y,
+            }
+        )
+
+    cols = ["n_chars", "n_digits", "n_spaces", "n_punct"]
+    feats0 = docs.map_batches(fx, batch_format="pyarrow")
+    feats, _ = minmax_normalize(feats0, cols)
+    return logistic_regression_gd(
+        feats, cols, "y", iters=LOGREG_ITERS, lr=LOGREG_LR
+    )
+
+
+def _logreg_sql() -> str:
+    """Unrolled-CTE replay of the full GD trajectory: one gradient CTE
+    + one weight CTE per iteration, every float expression the engine's
+    exact parenthesization (see _q_doc_quality_logreg)."""
+    feats = ["n_chars", "n_digits", "n_spaces", "n_punct"]
+    d = len(feats)
+    head = r"""
+            WITH f0 AS (
+                SELECT CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:space:]]', '', 'g')) AS BIGINT) AS n_spaces,
+                       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+                FROM documents
+            ),
+            bounds AS (
+                SELECT """ + ", ".join(
+        f"MIN({c}) AS lo{j}, MAX({c}) AS hi{j}" for j, c in enumerate(feats)
+    ) + r""" FROM f0
+            ),
+            f AS (
+                SELECT """ + ", ".join(
+        f"CASE WHEN b.hi{j} > b.lo{j} THEN (CAST(f0.{c} AS DOUBLE) - b.lo{j})"
+        f" / (b.hi{j} - b.lo{j}) ELSE 0.0 END AS x{j}"
+        for j, c in enumerate(feats)
+    ) + r""", f0.y
+                FROM f0, bounds b
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+            w0 AS (SELECT """ + ", ".join(
+        [f"0.0 AS w{j}" for j in range(d)] + ["0.0 AS wb"]
+    ) + ")"
+    body = ""
+    for k in range(1, LOGREG_ITERS + 1):
+        z = "0.0"
+        for j in range(d):
+            z = f"({z} + f.x{j} * w.w{j})"
+        z = f"({z} + w.wb)"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        gcols = ", ".join(
+            f"SUM(CAST(FLOOR((({p} - f.y) * f.x{j}) * 1000000000.0 + 0.5) AS BIGINT)) AS G{j}"
+            for j in range(d)
+        )
+        gcols += (
+            f", SUM(CAST(FLOOR(({p} - f.y) * 1000000000.0 + 0.5) AS BIGINT)) AS Gb"
+        )
+        body += f""",
+            g{k} AS (SELECT {gcols} FROM f, w{k - 1} w),
+            w{k} AS (SELECT """ + ", ".join(
+            f"w.w{j} - {LOGREG_LR} * ((CAST(CAST(g.G{j} AS VARCHAR) AS DOUBLE)"
+            f" / 1000000000.0) / nn.n) AS w{j}"
+            for j in range(d)
+        ) + (
+            f", w.wb - {LOGREG_LR} * ((CAST(CAST(g.Gb AS VARCHAR) AS DOUBLE)"
+            f" / 1000000000.0) / nn.n) AS wb"
+        ) + f" FROM w{k - 1} w, g{k} g, nn)"
+    names = feats + ["bias"]
+    sel = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, FLOOR({('w' + str(j)) if j < d else 'wb'}"
+        f" * 1000000000.0 + 0.5) / 1000000000.0 AS weight FROM w{LOGREG_ITERS}"
+        for j, nm in enumerate(names)
+    )
+    return head + body + "\n            " + sel
+
+
 def _q_doc_cube(sf_dir: str):
     """CUBE(lang, source) corpus report (curation.doc_cube): one corpus
     pass builds the dimension-sized base cells; the three upper
@@ -4097,6 +4210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": _q_doc_curation,
         "doc_split_leakage": _q_doc_split_leakage,
         "doc_cube": _q_doc_cube,
+        "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
         "doc_zipf_slope": _q_doc_zipf_slope,
@@ -5434,6 +5548,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
+        "doc_quality_logreg": _logreg_sql(),
         "doc_cube": r"""
             WITH t AS (
                 SELECT lang, source,
