@@ -4182,6 +4182,61 @@ def _q_media_decode_stats(sf_dir: str):
     )
 
 
+def _q_media_dhash_dedup(sf_dir: str):
+    """Value-bearing oracle for perceptual image dedup
+    (multimodal.media_dhash_dedup): per doc a REAL gray-8 BMP is
+    synthesized from LENGTH(text) alone (W = 16 + L%13, H = 16 + L%11,
+    pix(y,x) = (y*31 + x*7 + L) % 256 — equal-length docs yield
+    pixel-identical images, so the keeper rule is non-vacuous), decoded
+    back by the actor-pool RealDecoder, dHashed on the 8x9 integer
+    sample grid, and deduped by min media_id. The SQL replays the
+    64-bit hash closed-form from the same pixel formula — a wrong
+    stride, sample grid, or bit order fails the row."""
+    from ugfraud_ray.pipelines.multimodal import (
+        RealDecoder,
+        encode_bmp_gray8,
+        media_dhash_dedup,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(expr="doc_id < 500")
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = t["doc_id"].to_pylist()
+        lens = _pc.utf8_length(t["text"]).to_pylist()
+        payloads = []
+        for L in lens:
+            W, H = 16 + L % 13, 16 + L % 11
+            y, x = np.mgrid[0:H, 0:W]
+            img = ((y * 31 + x * 7 + L) % 256).astype(np.uint8)
+            payloads.append(encode_bmp_gray8(img))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    out = media_dhash_dedup(media, decoder=RealDecoder())
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "dhash": t["dhash"],
+                "keep": _pc.cast(t["keep"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered most-load-bearing first: a capped driver run always
     # certifies the core engine paths (superstep BP/PageRank, graph
@@ -4399,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fraudar_user_scores": _q_fraudar_user_scores,
         "media_features": _q_media_features,
         "media_decode_stats": _q_media_decode_stats,
+        "media_dhash_dedup": _q_media_dhash_dedup,
     }
 
 
@@ -8898,6 +8954,43 @@ def oracle_sql() -> dict[str, str]:
         # BMP containers; the oracle replays the ramp payloads as
         # closed-form sums of (i % 251) and position-weighted (i % 256)
         # — 31375 = sum(0..250), 8355840 = 256*32640, 5559680 = sum(j^2)
+        # closed-form 64-bit dHash replay over the LENGTH(text)-ramp
+        # images: sample grid ys=(r*H)//8, xs=(c*W)//9, bit r*8+c set
+        # when pix(ys, xs[c]) > pix(ys, xs[c+1]); signed int64 view via
+        # the HUGEINT wrap; keeper = min media_id per hash
+        "media_dhash_dedup": """
+            WITH d AS (
+                SELECT doc_id AS media_id, LENGTH(text) AS L
+                FROM documents WHERE doc_id < 500
+            ),
+            dims AS (
+                SELECT media_id, L, 16 + L % 13 AS W, 16 + L % 11 AS H FROM d
+            ),
+            bits AS (
+                SELECT media_id,
+                       SUM(CASE WHEN
+                             (((r * H) // 8) * 31 + ((c * W) // 9) * 7 + L) % 256
+                             >
+                             (((r * H) // 8) * 31 + (((c + 1) * W) // 9) * 7 + L) % 256
+                           THEN CAST(CAST(1 AS UBIGINT) << (r * 8 + c) AS HUGEINT)
+                           ELSE CAST(0 AS HUGEINT) END) AS dh
+                FROM dims,
+                     UNNEST(generate_series(0, 7)) AS t1(r),
+                     UNNEST(generate_series(0, 7)) AS t2(c)
+                GROUP BY media_id
+            ),
+            signed AS (
+                SELECT media_id,
+                       CAST(dh - CASE WHEN dh >= CAST(9223372036854775808 AS HUGEINT)
+                                      THEN CAST(18446744073709551616 AS HUGEINT)
+                                      ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS dhash
+                FROM bits
+            )
+            SELECT media_id, dhash,
+                   CAST(media_id = MIN(media_id) OVER (PARTITION BY dhash)
+                        AS BIGINT) AS keep
+            FROM signed
+        """,
         "media_decode_stats": """
             WITH d AS (
                 SELECT doc_id, LENGTH(text) AS L FROM documents WHERE doc_id < 200

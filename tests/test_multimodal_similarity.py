@@ -390,3 +390,43 @@ def test_real_decoder_mixed_pool(ray_session):
 
     with pytest.raises(Exception, match="codec library"):
         RealDecoder().decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_media_dhash_dedup_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.multimodal import (
+        DHasher,
+        encode_bmp_gray8,
+        media_dhash_dedup,
+        RealDecoder,
+    )
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(6)]
+    # plant: id 6 = pixel-identical copy of id 0; id 7 = same image
+    # re-sampled 2x (dHash's index grid picks the same samples)
+    imgs.append(imgs[0].copy())
+    big = np.kron(imgs[0], np.ones((2, 2), dtype=np.uint8))
+    imgs.append(big)
+    t = pa.table(
+        {
+            "media_id": pa.array(range(len(imgs)), pa.int64()),
+            "payload": pa.array([encode_bmp_gray8(im) for im in imgs], pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = media_dhash_dedup(ds, decoder=RealDecoder()).to_pandas()
+    keep = dict(zip(out["media_id"].astype(int), out["keep"]))
+    h = dict(zip(out["media_id"].astype(int), out["dhash"]))
+    assert h[6] == h[0] and not keep[6] and keep[0]
+    assert h[7] == h[0] and not keep[7]  # scale-invariant fingerprint
+    # distinct random images keep themselves
+    assert all(keep[i] for i in range(1, 6))
+
+    # hashes are 64-bit and deterministic across block splits
+    out2 = media_dhash_dedup(ds.repartition(6), decoder=RealDecoder()).to_pandas()
+    assert dict(zip(out2["media_id"].astype(int), out2["dhash"])) == h

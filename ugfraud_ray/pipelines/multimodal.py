@@ -24,8 +24,10 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 
+from ugfraud_ray.functions.collect import collect_table
 from ugfraud_ray.functions.pools import actor_pool_size
 
 MEDIA_SCHEMA = pa.schema(
@@ -430,3 +432,73 @@ class RealDecoder:
             "compressed media formats need a codec library not present "
             "in this environment (PIL / soundfile / pyav)"
         )
+
+
+class DHasher:
+    """Actor-pool stage: payload -> 64-bit perceptual difference hash
+    (dHash, the standard near-dup image fingerprint): decode, nearest
+    -neighbor resize to 8x9 on the integer grid (MediaResizer's index
+    arithmetic — deterministic, no interpolation), then one bit per
+    horizontally-adjacent pixel pair (left > right). Identical images
+    hash identically regardless of container id; small crops/re-encodes
+    land within a few Hamming bits."""
+
+    def __init__(self, decoder=None):
+        self.decoder = _resolve_decoder(decoder)
+        self._powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            arr = self.decoder.decode(payload)
+            if arr.ndim != 2:
+                continue
+            ys = (np.arange(8) * arr.shape[0] // 8).astype(np.int64)
+            xs = (np.arange(9) * arr.shape[1] // 9).astype(np.int64)
+            g = arr[ys][:, xs].astype(np.int16)
+            bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64)
+            hashes.append(int((bits * self._powers).sum()))
+            ids.append(mid)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "dhash": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+
+def media_dhash_dedup(
+    media: "ray.data.Dataset", decoder=None, concurrency: int = 4
+) -> "ray.data.Dataset":
+    """(media_id, dhash, keep) — perceptual image dedup: items sharing a
+    dHash keep only the min media_id (exact_dedup's keeper rule at
+    fingerprint granularity). The hash pass is the actor-pool decode
+    stage; the keeper resolve is one dimension-bounded (dhash) grouped
+    min broadcast back over the hash table (hashes, not payloads —
+    nothing pixel-sized shuffles)."""
+    from ray.data.aggregate import Min
+
+    from ugfraud_ray.functions.pools import actor_pool_size
+
+    hashed = media.map_batches(
+        DHasher,
+        fn_constructor_args=(decoder,),
+        batch_format="pyarrow",
+        concurrency=actor_pool_size(concurrency),
+    ).materialize()
+    keepers = collect_table(
+        hashed.groupby("dhash").aggregate(Min("media_id", alias_name="keeper"))
+    )
+    kh = keepers["dhash"].to_numpy(zero_copy_only=False)
+    kk = keepers["keeper"].to_numpy(zero_copy_only=False)
+    order = np.argsort(kh, kind="stable")
+    ref = ray.put((kh[order], kk[order]))
+
+    def mark(t: pa.Table) -> pa.Table:
+        h_s, k_s = ray.get(ref)
+        h = t["dhash"].to_numpy(zero_copy_only=False)
+        mid = t["media_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h_s, h)
+        return t.append_column("keep", pa.array(mid == k_s[pos]))
+
+    return hashed.map_batches(mark, batch_format="pyarrow")
