@@ -3194,6 +3194,15 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_daily_quantiles(sf_dir: str):
+    """Per-day exact P50/P99 value monitor (events.daily_value_quantiles):
+    1e-4 grid integers, pinned floor((n-1)q) ranks via one shared
+    grouped-quantile pass keyed by epoch-day; CAST/10000.0 readout."""
+    from ugfraud_ray.pipelines.events import daily_value_quantiles
+
+    return daily_value_quantiles(_events(sf_dir))
+
+
 def _q_events_validation(sf_dir: str):
     """Ingest validation gate (stages/validate.py): per-rule violation
     counts + the __valid__ pass-everything count over four vectorized
@@ -4396,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_entropy": _q_events_type_entropy,
         "events_attribution": _q_events_attribution,
         "events_validation": _q_events_validation,
+        "events_daily_quantiles": _q_events_daily_quantiles,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -7873,6 +7883,21 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_daily_quantiles": """
+            WITH q AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qq
+              FROM events
+            ), ranked AS (
+              SELECT day, qq,
+                     ROW_NUMBER() OVER (PARTITION BY day ORDER BY qq) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY day) AS n
+              FROM q
+            )
+            SELECT day, qs.q, CAST(qq AS DOUBLE) / 10000.0 AS value
+            FROM ranked, (SELECT UNNEST([0.5, 0.99]) AS q) qs
+            WHERE rk = CAST(FLOOR((n - 1) * qs.q) AS BIGINT)
         """,
         "events_validation": """
             SELECT rule, n FROM (

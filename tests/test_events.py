@@ -765,3 +765,21 @@ def test_validation_counts_and_quarantine(ray_session):
     first = bdf.set_index("event_id")["_bad_rule"]
     for eid in df.loc[m_val, "event_id"]:
         assert first[eid] == "value_cap"
+
+
+def test_daily_value_quantiles_matches_naive(ray_session):
+    from ugfraud_ray.pipelines.events import daily_value_quantiles
+
+    t = _synth_events(n=700, seed=8)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = daily_value_quantiles(ds).to_pandas()
+    df = t.to_pandas()
+    df["day"] = (df["ts"].astype("int64") // (86400 * 10**6)).astype(int)
+    df["qq"] = np.floor(df["value"].to_numpy() * 1e4 + 0.5).astype(np.int64)
+    want = {}
+    for d, g in df.groupby("day"):
+        v = np.sort(g["qq"].to_numpy())
+        for q in (0.5, 0.99):
+            want[(int(d), q)] = v[int(np.floor((len(v) - 1) * q))] / 10000.0
+    got = {(int(r.day), float(r.q)): float(r.value) for r in out.itertuples()}
+    assert got == want

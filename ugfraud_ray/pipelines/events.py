@@ -2297,3 +2297,45 @@ def entry_attribution(
         .groupby(["entry_type", "event_type"])
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
+
+
+def daily_value_quantiles(
+    events: "ray.data.Dataset",
+    qs: tuple = (0.5, 0.99),
+    approx_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """(day, q, value) — exact per-day order statistics of the event
+    value (the P50/P99 monitoring panel every event pipeline charts):
+    values ride the 1e-4 integer grid, day = epoch-day, ranks are the
+    pinned floor((n-1)·q) rule via ONE shared grouped-quantile pass
+    (fBox's per-degree percentile machinery keyed by day); the readout
+    divides back off the grid with one float division."""
+    from ugfraud_ray.functions.quantiles import grouped_exact_quantiles
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // _US_PER_DAY
+        )
+        qq = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        return pa.table({"day": pa.array(d), "qq": pa.array(qq)})
+
+    q = events.select_columns(["ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    ).materialize()
+    n = q.count() if approx_rows is None else approx_rows
+    cuts = grouped_exact_quantiles(q, "day", "qq", list(qs), approx_rows=n)
+
+    day = cuts["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qv = cuts["q"].to_numpy(zero_copy_only=False)
+    val = cuts["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(day),
+                "q": pa.array(qv),
+                "value": pa.array(val.astype(np.float64) / 10000.0),
+            }
+        )
+    )
