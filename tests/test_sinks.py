@@ -98,3 +98,60 @@ def test_read_requires_manifest(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_partitioned(str(tmp_path / "nope"))
+
+
+def test_compact_partitions_atomic_and_lossless(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.sinks.partitioned_parquet import (
+        compact_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    t = pa.table(
+        {
+            "k": pa.array(np.repeat([1, 2, 3], 200)),
+            "v": pa.array(np.arange(600, dtype=np.int64)),
+        }
+    )
+    # many small blocks -> many files per partition
+    write_partitioned(ray.data.from_arrow(t).repartition(12), out, "k")
+    before = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+    n_files = sum(
+        len([f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")])
+        for d in os.listdir(out)
+        if d.startswith("k=")
+    )
+    assert n_files > 3
+
+    res = compact_partitions(out, "k", max_files=1)
+    assert set(res["compacted"]) == {"1", "2", "3"} or set(res["compacted"]) == {1, 2, 3}
+    assert res["files_after"] == 3  # one file per partition
+    after = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert after.equals(before)  # lossless
+
+    # idempotent: second compact skips everything
+    res2 = compact_partitions(out, "k", max_files=1)
+    assert not res2["compacted"] and res2["files_after"] == 3
+
+    # a junk tmp dir from a crashed compact is cleaned up
+    junk = os.path.join(out, "k=1.compact.tmp")
+    os.makedirs(junk)
+    open(os.path.join(junk, "garbage.parquet"), "w").close()
+    # force recompaction of k=1 by splitting it again
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "k=1"))
+    sub = ray.data.from_arrow(t.filter(pa.compute.equal(t["k"], 1))).repartition(5)
+    sub.write_parquet(out, partition_cols=["k"])
+    res3 = compact_partitions(out, "k", max_files=1)
+    assert "1" in {str(x) for x in res3["compacted"]}
+    final = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert final.equals(before)

