@@ -4246,6 +4246,61 @@ def _q_media_dhash_dedup(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_media_audio_dedup(sf_dir: str):
+    """Value-bearing oracle for audio fingerprint dedup
+    (multimodal.media_audio_dedup): per doc a REAL mono-16-bit PCM WAV
+    is synthesized from LENGTH(text) alone (n = 400 + L%97 samples,
+    s_k = (k*k*7 + L) % 4001 — non-negative so numpy // == DuckDB //
+    (the kmeans shift pattern); equal-length docs sound
+    identical, making the keeper rule non-vacuous), decoded by the RIFF
+    chunk walk, fingerprinted by 65 integer segment means (floor-div,
+    signed), deduped by min media_id. The SQL replays the 64-bit
+    contour hash sample by sample."""
+    from ugfraud_ray.pipelines.multimodal import (
+        RealDecoder,
+        encode_wav,
+        media_audio_dedup,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(expr="doc_id < 500")
+
+    def synth(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = t["doc_id"].to_pylist()
+        lens = _pc.utf8_length(t["text"]).to_pylist()
+        payloads = []
+        for L in lens:
+            n = 400 + L % 97
+            k = np.arange(n, dtype=np.int64)
+            s = (k * k * 7 + L) % 4001
+            payloads.append(encode_wav(s.astype(np.int16)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(synth, batch_format="pyarrow")
+    out = media_audio_dedup(media, decoder=RealDecoder())
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "afp": t["afp"],
+                "keep": _pc.cast(t["keep"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered most-load-bearing first: a capped driver run always
     # certifies the core engine paths (superstep BP/PageRank, graph
@@ -4465,6 +4520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_decode_stats": _q_media_decode_stats,
         "media_dhash_dedup": _q_media_dhash_dedup,
+        "media_audio_dedup": _q_media_audio_dedup,
     }
 
 
@@ -8979,6 +9035,51 @@ def oracle_sql() -> dict[str, str]:
         # BMP containers; the oracle replays the ramp payloads as
         # closed-form sums of (i % 251) and position-weighted (i % 256)
         # — 31375 = sum(0..250), 8355840 = 256*32640, 5559680 = sum(j^2)
+        # sample-by-sample 64-bit audio-contour replay over the
+        # LENGTH(text)-synthesized PCM: 65 segment means (floor-div of
+        # HUGEINT segment sums), bit i set when mean_i > mean_{i+1}
+        "media_audio_dedup": """
+            WITH d AS (
+                SELECT doc_id AS media_id, LENGTH(text) AS L
+                FROM documents WHERE doc_id < 500
+            ),
+            par AS (SELECT media_id, L, 400 + L % 97 AS n FROM d),
+            samp AS (
+                SELECT media_id, n, k, (k * k * 7 + L) % 4001 AS s
+                FROM par, UNNEST(generate_series(0, n - 1)) AS t(k)
+            ),
+            bounds AS (
+                SELECT media_id, i, (i * n) // 65 AS lo, ((i + 1) * n) // 65 AS hi
+                FROM par, UNNEST(generate_series(0, 64)) AS t(i)
+            ),
+            means AS (
+                SELECT b.media_id, b.i, SUM(s.s) // (b.hi - b.lo) AS m
+                FROM bounds b
+                JOIN samp s ON s.media_id = b.media_id
+                           AND s.k >= b.lo AND s.k < b.hi
+                GROUP BY b.media_id, b.i, b.hi, b.lo
+            ),
+            bits AS (
+                SELECT a.media_id,
+                       SUM(CASE WHEN a.m > c.m
+                           THEN CAST(CAST(1 AS UBIGINT) << a.i AS HUGEINT)
+                           ELSE CAST(0 AS HUGEINT) END) AS fp
+                FROM means a
+                JOIN means c ON c.media_id = a.media_id AND c.i = a.i + 1
+                GROUP BY a.media_id
+            ),
+            signed AS (
+                SELECT media_id,
+                       CAST(fp - CASE WHEN fp >= CAST(9223372036854775808 AS HUGEINT)
+                                      THEN CAST(18446744073709551616 AS HUGEINT)
+                                      ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS afp
+                FROM bits
+            )
+            SELECT media_id, afp,
+                   CAST(media_id = MIN(media_id) OVER (PARTITION BY afp)
+                        AS BIGINT) AS keep
+            FROM signed
+        """,
         # closed-form 64-bit dHash replay over the LENGTH(text)-ramp
         # images: sample grid ys=(r*H)//8, xs=(c*W)//9, bit r*8+c set
         # when pix(ys, xs[c]) > pix(ys, xs[c+1]); signed int64 view via

@@ -430,3 +430,46 @@ def test_media_dhash_dedup_planted(ray_session):
     # hashes are 64-bit and deterministic across block splits
     out2 = media_dhash_dedup(ds.repartition(6), decoder=RealDecoder()).to_pandas()
     assert dict(zip(out2["media_id"].astype(int), out2["dhash"])) == h
+
+
+def test_media_audio_dedup_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.multimodal import (
+        AudioFingerprinter,
+        encode_wav,
+        media_audio_dedup,
+        RealDecoder,
+    )
+
+    rng = np.random.default_rng(13)
+    clips = [rng.integers(-2000, 2000, 500).astype(np.int16) for _ in range(5)]
+    clips.append(clips[0].copy())  # planted identical audio
+    short = rng.integers(-5, 5, 30).astype(np.int16)  # < 65 samples: dropped
+    t = pa.table(
+        {
+            "media_id": pa.array(range(7), pa.int64()),
+            "payload": pa.array(
+                [encode_wav(c) for c in clips] + [encode_wav(short)], pa.binary()
+            ),
+        }
+    )
+    out = media_audio_dedup(
+        ray.data.from_arrow(t).repartition(3), decoder=RealDecoder()
+    ).to_pandas()
+    keep = dict(zip(out["media_id"].astype(int), out["keep"]))
+    h = dict(zip(out["media_id"].astype(int), out["afp"]))
+    assert 6 not in keep  # short clip emitted nothing
+    assert h[5] == h[0] and not keep[5] and keep[0]
+    assert all(keep[i] for i in range(1, 5))
+    # fingerprint matches the naive mirror on negative-sample audio
+    s = clips[1].astype(np.int64)
+    n = len(s)
+    b = (np.arange(66) * n) // 65
+    means = np.array([s[b[i]:b[i + 1]].sum() // (b[i + 1] - b[i]) for i in range(65)])
+    bits = (means[:-1] > means[1:]).astype(np.uint64)
+    want = int((bits * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum())
+    assert np.int64(h[1]) == np.uint64(want).astype(np.int64)

@@ -502,3 +502,70 @@ def media_dhash_dedup(
         return t.append_column("keep", pa.array(mid == k_s[pos]))
 
     return hashed.map_batches(mark, batch_format="pyarrow")
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV payload -> 64-bit audio fingerprint (the
+    chromaprint-style energy-contour hash, integer-exact): samples
+    split into 65 equal index ranges b_i = (i*n)//65, per-segment mean
+    = floor-div of the int64 segment sum, bit i set when mean_i >
+    mean_{i+1}. Identical audio fingerprints identically regardless of
+    container id; requires >= 65 samples (shorter clips emit nothing)."""
+
+    def __init__(self, decoder=None):
+        self.decoder = _resolve_decoder(decoder)
+        self._powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            s = self.decoder.decode(payload)
+            if s.ndim != 1 or len(s) < 65:
+                continue
+            n = len(s)
+            cs = np.concatenate([[0], np.cumsum(s.astype(np.int64))])
+            b = (np.arange(66, dtype=np.int64) * n) // 65
+            seg_sum = cs[b[1:]] - cs[b[:-1]]
+            seg_len = b[1:] - b[:-1]
+            means = seg_sum // seg_len  # floor div == SQL //
+            bits = (means[:-1] > means[1:]).astype(np.uint64)
+            hashes.append(int((bits * self._powers).sum()))
+            ids.append(mid)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "afp": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+
+def media_audio_dedup(
+    media: "ray.data.Dataset", decoder=None, concurrency: int = 4
+) -> "ray.data.Dataset":
+    """(media_id, afp, keep) — audio near-dup dedup by the 64-bit
+    energy-contour fingerprint; keeper = min media_id per fingerprint
+    (media_dhash_dedup's shape — only the hash table moves)."""
+    from ray.data.aggregate import Min
+
+    hashed = media.map_batches(
+        AudioFingerprinter,
+        fn_constructor_args=(decoder,),
+        batch_format="pyarrow",
+        concurrency=actor_pool_size(concurrency),
+    ).materialize()
+    keepers = collect_table(
+        hashed.groupby("afp").aggregate(Min("media_id", alias_name="keeper"))
+    )
+    kh = keepers["afp"].to_numpy(zero_copy_only=False)
+    kk = keepers["keeper"].to_numpy(zero_copy_only=False)
+    order = np.argsort(kh, kind="stable")
+    ref = ray.put((kh[order], kk[order]))
+
+    def mark(t: pa.Table) -> pa.Table:
+        h_s, k_s = ray.get(ref)
+        h = t["afp"].to_numpy(zero_copy_only=False)
+        mid = t["media_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h_s, h)
+        return t.append_column("keep", pa.array(mid == k_s[pos]))
+
+    return hashed.map_batches(mark, batch_format="pyarrow")
