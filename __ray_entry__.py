@@ -3194,6 +3194,20 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_profile(sf_dir: str):
+    """Column profiler (stages/profile.profile_table): per-column
+    rows/nulls/exact-distinct/min/max over (event_id, user_id,
+    event_type) — distinct values resolve through a grouped dedup and
+    never land on the driver; min/max render via str() == CAST VARCHAR."""
+    from ugfraud_ray.stages.profile import profile_table
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    return profile_table(ev, ["event_id", "user_id", "event_type"])
+
+
 def _q_events_daily_quantiles(sf_dir: str):
     """Per-day exact P50/P99 value monitor (events.daily_value_quantiles):
     1e-4 grid integers, pinned floor((n-1)q) ranks via one shared
@@ -4461,6 +4475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "events_validation": _q_events_validation,
         "events_daily_quantiles": _q_events_daily_quantiles,
+        "events_profile": _q_events_profile,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -7939,6 +7954,26 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) FILTER (event_id IS NULL) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_val,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_val
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) FILTER (event_type IS NULL) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   MIN(event_type), MAX(event_type)
+            FROM events
         """,
         "events_daily_quantiles": """
             WITH q AS (

@@ -169,3 +169,26 @@ def test_evaluate_collected_matches_dict(ray_session):
     )
     assert abs(auc - want_auc) < 1e-12
     assert abs(ap - want_ap) < 1e-12
+
+
+def test_profile_table_with_nulls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.stages.profile import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "b": pa.array(["x", None, None, "y", "x"], pa.string()),
+        }
+    )
+    out = profile_table(ray.data.from_arrow(t).repartition(3), ["a", "b"]).to_pandas()
+    row = out.set_index("column")
+    assert row.loc["a", "n_rows"] == 5 and row.loc["a", "n_nulls"] == 1
+    assert row.loc["a", "n_distinct"] == 3
+    assert row.loc["a", "min_val"] == "1" and row.loc["a", "max_val"] == "5"
+    assert row.loc["b", "n_nulls"] == 2 and row.loc["b", "n_distinct"] == 2
+    assert row.loc["b", "min_val"] == "x" and row.loc["b", "max_val"] == "y"
