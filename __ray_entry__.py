@@ -2571,6 +2571,20 @@ def _logreg_sql() -> str:
     return head + body + "\n            " + sel
 
 
+def _q_doc_mixture_drift(sf_dir: str):
+    """Snapshot composition drift (curation.mixture_drift): per-source
+    shares of the even/odd doc_id halves with 1e-9-grid deltas; the TV
+    drift the monitor alerts on is 0.5 * SUM(abs_delta)."""
+    import os as _os
+
+    from ugfraud_ray.pipelines.curation import mixture_drift
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return mixture_drift(docs)
+
+
 def _q_doc_cube(sf_dir: str):
     """CUBE(lang, source) corpus report (curation.doc_cube): one corpus
     pass builds the dimension-sized base cells; the three upper
@@ -4343,6 +4357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": _q_doc_curation,
         "doc_split_leakage": _q_doc_split_leakage,
         "doc_cube": _q_doc_cube,
+        "doc_mixture_drift": _q_doc_mixture_drift,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -5685,6 +5700,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
+        "doc_mixture_drift": """
+            WITH c AS (
+              SELECT source, doc_id % 2 AS parity, COUNT(*) AS n
+              FROM documents GROUP BY 1, 2
+            ), piv AS (
+              SELECT source,
+                     CAST(COALESCE(SUM(n) FILTER (parity = 0), 0) AS BIGINT) AS n_a,
+                     CAST(COALESCE(SUM(n) FILTER (parity = 1), 0) AS BIGINT) AS n_b
+              FROM c GROUP BY source
+            ), tot AS (
+              SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+                     CAST(SUM(n_b) AS DOUBLE) AS tb
+              FROM piv
+            )
+            SELECT source, n_a, n_b,
+                   FLOOR(CAST(n_a AS DOUBLE) / tot.ta * 1000000000.0 + 0.5)
+                     / 1000000000.0 AS share_a,
+                   FLOOR(CAST(n_b AS DOUBLE) / tot.tb * 1000000000.0 + 0.5)
+                     / 1000000000.0 AS share_b,
+                   FLOOR(ABS(CAST(n_a AS DOUBLE) / tot.ta
+                             - CAST(n_b AS DOUBLE) / tot.tb)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS abs_delta
+            FROM piv, tot
+        """,
         "doc_quality_logreg": _logreg_sql(),
         "doc_cube": r"""
             WITH t AS (

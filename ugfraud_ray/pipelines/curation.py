@@ -933,3 +933,61 @@ def doc_cube(docs: "ray.data.Dataset") -> pa.Table:
             "n_tokens": pa.array(allr["n_tokens"].to_numpy().astype(np.int64)),
         }
     )
+
+
+def mixture_drift(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> pa.Table:
+    """(source, n_a, n_b, share_a, share_b, abs_delta) — per-source
+    composition drift between two crawl snapshots (here the
+    deterministic even/odd doc_id halves — the driver-testdata stand-in
+    for consecutive monthly crawls): the total-variation drift the
+    mixture monitor alerts on is 0.5 * SUM(abs_delta). One pass of
+    dimension-bounded (source, parity) partials into a tiny grouped
+    sum; shares are single float divisions on identical integers both
+    sides, deltas on the pinned 1e-9 grid."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t[source_col].to_pylist(), dtype=object)
+        par = (
+            t[id_col].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        ).astype(np.int64)
+        pk = np.char.add(np.char.add(src.astype(str), "\x1f"), par.astype(str))
+        u, c = np.unique(pk, return_counts=True)
+        parts = np.char.partition(u, "\x1f")
+        return pa.table(
+            {
+                "source": pa.array(parts[:, 0].astype(object), pa.string()),
+                "parity": pa.array(parts[:, 2].astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    base = collect_table(
+        docs.select_columns([id_col, source_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "parity"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    piv = base.pivot_table(
+        index="source", columns="parity", values="n", fill_value=0, aggfunc="sum"
+    )
+    na = piv[0].to_numpy().astype(np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+    nb = piv[1].to_numpy().astype(np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+    ta, tb = int(na.sum()), int(nb.sum())
+    sa = na.astype(np.float64) / float(ta)
+    sb = nb.astype(np.float64) / float(tb)
+    delta = np.floor(np.abs(sa - sb) * 1e9 + 0.5) / 1e9
+    return pa.table(
+        {
+            "source": pa.array(piv.index.to_numpy().astype(object), pa.string()),
+            "n_a": pa.array(na),
+            "n_b": pa.array(nb),
+            "share_a": pa.array(np.floor(sa * 1e9 + 0.5) / 1e9),
+            "share_b": pa.array(np.floor(sb * 1e9 + 0.5) / 1e9),
+            "abs_delta": pa.array(delta),
+        }
+    )
