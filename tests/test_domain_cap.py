@@ -186,3 +186,26 @@ def test_doc_cube_levels_consistent(ray_session):
     assert cell.loc[("ALL", "s2"), "n_tokens"] == 2 + 1
     # every level present: base(4 distinct pairs) + langs(3) + sources(2) + 1
     assert len(out) == 4 + 3 + 2 + 1
+
+
+def test_mixture_drift_naive(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.curation import mixture_drift
+
+    ids = list(range(100))
+    srcs = ["s1" if i % 2 == 0 else ("s2" if i < 60 else "s3") for i in ids]
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "source": pa.array(srcs)}
+    )
+    out = mixture_drift(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    r = out.set_index("source")
+    # even half: all s1 (50 docs). odd half: s2 (30) + s3 (20).
+    assert r.loc["s1", "n_a"] == 50 and r.loc["s1", "n_b"] == 0
+    assert r.loc["s2", "n_b"] == 30 and r.loc["s3", "n_b"] == 20
+    assert r.loc["s1", "share_a"] == 1.0 and r.loc["s1", "abs_delta"] == 1.0
+    tv = 0.5 * out["abs_delta"].sum()
+    assert abs(tv - 1.0) < 1e-9  # disjoint supports -> max drift
