@@ -2571,6 +2571,40 @@ def _logreg_sql() -> str:
     return head + body + "\n            " + sel
 
 
+def _q_doc_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot diff (stages/diff.snapshot_diff): snapshot A
+    = docs with doc_id % 3 != 0, snapshot B = docs with doc_id % 5 != 0
+    whose text gains a ' v2' suffix when doc_id % 7 == 0 (non-vacuous
+    'changed' class — testdata text is already lowercase); md5-low64 content identity,
+    ONE id-bucket shuffle, 4-row output."""
+    import os as _os
+
+    from ugfraud_ray.stages.diff import snapshot_diff
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()
+    def mk_a(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 3 != 0))
+
+    a = docs.map_batches(mk_a, batch_format="pyarrow")
+
+    def mk_b(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 5 != 0
+        tk = t.filter(pa.array(keep))
+        ids2 = tk["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v2 = _pc.binary_join_element_wise(tk["text"], " v2", "")
+        txt = _pc.if_else(pa.array(ids2 % 7 == 0), v2, tk["text"])
+        return pa.table({"doc_id": tk["doc_id"], "text": txt})
+
+    b = docs.map_batches(mk_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, approx_rows=docs.count())
+
+
 def _q_doc_mixture_drift(sf_dir: str):
     """Snapshot composition drift (curation.mixture_drift): per-source
     shares of the even/odd doc_id halves with 1e-9-grid deltas; the TV
@@ -4358,6 +4392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_leakage": _q_doc_split_leakage,
         "doc_cube": _q_doc_cube,
         "doc_mixture_drift": _q_doc_mixture_drift,
+        "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -5700,6 +5735,39 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
+        # changed = hash differs (the ' v2' suffix plants them)
+        "doc_snapshot_diff": """
+            WITH a AS (
+              SELECT doc_id, md5_number_upper(text) AS h
+              FROM documents WHERE doc_id % 3 != 0
+            ),
+            b AS (
+              SELECT doc_id,
+                     md5_number_upper(CASE WHEN doc_id % 7 = 0
+                                           THEN text || ' v2'
+                                           ELSE text END) AS h
+              FROM documents WHERE doc_id % 5 != 0
+            ),
+            j AS (
+              SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     a.h AS ha, b.h AS hb
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            )
+            SELECT status, n FROM (
+              SELECT 'added' AS status,
+                     CAST(COUNT(*) FILTER (ha IS NULL) AS BIGINT) AS n FROM j
+              UNION ALL
+              SELECT 'removed', CAST(COUNT(*) FILTER (hb IS NULL) AS BIGINT) FROM j
+              UNION ALL
+              SELECT 'changed',
+                     CAST(COUNT(*) FILTER (ha IS NOT NULL AND hb IS NOT NULL
+                                           AND ha <> hb) AS BIGINT) FROM j
+              UNION ALL
+              SELECT 'same',
+                     CAST(COUNT(*) FILTER (ha IS NOT NULL AND hb IS NOT NULL
+                                           AND ha = hb) AS BIGINT) FROM j
+            )
+        """,
         "doc_mixture_drift": """
             WITH c AS (
               SELECT source, doc_id % 2 AS parity, COUNT(*) AS n

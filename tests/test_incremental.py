@@ -121,3 +121,43 @@ def test_incremental_minhash_dedup(ray_session):
     # forced distributed path agrees bit-exactly
     out2 = run(local_threshold=0)
     assert out.equals(out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_snapshot_diff_matches_naive(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.stages.diff import snapshot_diff
+
+    ta = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aa", "bb", "cc", "dd"]),
+        }
+    )
+    tb = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(["bb", "CH", "dd", "ee", "ff"]),
+        }
+    )
+    out = snapshot_diff(
+        ray.data.from_arrow(ta).repartition(2),
+        ray.data.from_arrow(tb).repartition(3),
+        approx_rows=9,
+    ).to_pandas()
+    got = dict(zip(out["status"], out["n"].astype(int)))
+    assert got == {"added": 2, "removed": 1, "changed": 1, "same": 2}
+
+    # duplicate key inside a snapshot is a loud error
+    dup = pa.table(
+        {"doc_id": pa.array([1, 1], pa.int64()), "text": pa.array(["x", "y"])}
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(
+            ray.data.from_arrow(dup), ray.data.from_arrow(tb), approx_rows=7
+        ).to_pandas()
