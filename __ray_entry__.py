@@ -3242,6 +3242,15 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_daily_pivot(sf_dir: str):
+    """Wide PIVOT reshape (events.daily_type_pivot): per-day counts as
+    one column per event type; day-major packed cells, tiny grouped
+    sum, day-bucketed vectorized reshape; unknown types raise loudly."""
+    from ugfraud_ray.pipelines.events import daily_type_pivot
+
+    return daily_type_pivot(_events(sf_dir))
+
+
 def _q_events_profile(sf_dir: str):
     """Column profiler (stages/profile.profile_table): per-column
     rows/nulls/exact-distinct/min/max over (event_id, user_id,
@@ -4526,6 +4535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_validation": _q_events_validation,
         "events_daily_quantiles": _q_events_daily_quantiles,
         "events_profile": _q_events_profile,
+        "events_daily_pivot": _q_events_daily_pivot,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8061,6 +8071,15 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_daily_pivot": """
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY 1
         """,
         "events_profile": """
             SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -783,3 +783,29 @@ def test_daily_value_quantiles_matches_naive(ray_session):
             want[(int(d), q)] = v[int(np.floor((len(v) - 1) * q))] / 10000.0
     got = {(int(r.day), float(r.q)): float(r.value) for r in out.itertuples()}
     assert got == want
+
+
+def test_daily_type_pivot_matches_pandas(ray_session):
+    import pytest
+
+    from ugfraud_ray.pipelines.events import daily_type_pivot
+
+    t = _synth_events(n=500, seed=2)
+    types = ("click", "error", "view")
+    out = daily_type_pivot(
+        ray.data.from_arrow(t).repartition(4), types=types
+    ).to_pandas().set_index("day")
+    df = t.to_pandas()
+    df["day"] = (df["ts"].astype("int64") // (86400 * 10**6)).astype(int)
+    want = df.pivot_table(
+        index="day", columns="event_type", values="event_id",
+        aggfunc="count", fill_value=0,
+    )
+    for k in types:
+        got_col = out[f"n_{k}"]
+        for d in want.index:
+            assert got_col.get(d, 0) == want.loc[d].get(k, 0)
+    with pytest.raises(Exception, match="unknown event types"):
+        daily_type_pivot(
+            ray.data.from_arrow(t), types=("click",)
+        ).to_pandas()

@@ -2339,3 +2339,77 @@ def daily_value_quantiles(
             }
         )
     )
+
+
+def daily_type_pivot(
+    events: "ray.data.Dataset",
+    types: tuple = ("click", "error", "purchase", "signup", "view"),
+) -> "ray.data.Dataset":
+    """(day, n_click, n_error, n_purchase, n_signup, n_view) — the wide
+    PIVOT reshape of the daily type counts (report/BI export format;
+    the engine's long-format groupbys stay the analytic workhorse, this
+    is the presentation reshape done scalably): per-block (day, type)
+    uniqued partials into a tiny grouped sum, then ONE vectorized
+    reshape per block of the days-sized table — unknown types raise
+    loudly rather than dropping silently."""
+    from ray.data.aggregate import Sum
+
+    tmap = {k: i for i, k in enumerate(types)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // _US_PER_DAY
+        )
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        code = np.array([tmap.get(k, -1) for k in et], dtype=np.int64)
+        if (code < 0).any():
+            bad = sorted({k for k in et if k not in tmap})
+            raise ValueError(f"daily_type_pivot: unknown event types {bad}")
+        pk = d * np.int64(len(types)) + code
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        events.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def reshape(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = pk // len(types)
+        code = pk % len(types)
+        udays = np.unique(day)
+        mat = np.zeros((len(udays), len(types)), dtype=np.int64)
+        mat[np.searchsorted(udays, day), code] = n
+        cols = {"day": pa.array(udays)}
+        for k, i in tmap.items():
+            cols[f"n_{k}"] = pa.array(mat[:, i])
+        return pa.table(cols)
+
+    # pk co-locates (day, type) cells; the reshape kernel only needs all
+    # cells of a day together, which the day-major pk ordering plus one
+    # day-bucketed group provides
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col, n_coarse_buckets
+
+    def day_bucket(t: pa.Table) -> pa.Table:
+        d = (t["pk"].to_numpy(zero_copy_only=False).astype(np.int64)) // len(types)
+        h = d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        return t.append_column(
+            "_cb", pa.array((h % np.uint64(n_coarse_buckets(None))).astype(np.int64))
+        )
+
+    return (
+        agg.map_batches(day_bucket, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(reshape, batch_format="pyarrow")
+    )
