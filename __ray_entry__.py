@@ -2571,6 +2571,22 @@ def _logreg_sql() -> str:
     return head + body + "\n            " + sel
 
 
+TOPK_OTHER_K = 3
+
+
+def _q_doc_sources_topk(sf_dir: str):
+    """Cardinality-capped group counts (relational.topk_with_other):
+    top-3 sources by (count DESC, key ASC) + one OTHER rollup row."""
+    import os as _os
+
+    from ugfraud_ray.pipelines.relational import topk_with_other
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+    return topk_with_other(docs, "source", k=TOPK_OTHER_K)
+
+
 def _q_doc_snapshot_diff(sf_dir: str):
     """CDC-style snapshot diff (stages/diff.snapshot_diff): snapshot A
     = docs with doc_id % 3 != 0, snapshot B = docs with doc_id % 5 != 0
@@ -4402,6 +4418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cube": _q_doc_cube,
         "doc_mixture_drift": _q_doc_mixture_drift,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
+        "doc_sources_topk": _q_doc_sources_topk,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -5745,6 +5762,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dedup": _minhash_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
+        "doc_sources_topk": f"""
+            WITH c AS (
+              SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY source
+            ), r AS (
+              SELECT key, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rk
+              FROM c
+            )
+            SELECT key, n FROM r WHERE rk <= {TOPK_OTHER_K}
+            UNION ALL
+            SELECT 'OTHER', CAST(SUM(n) AS BIGINT) FROM r
+            WHERE rk > {TOPK_OTHER_K}
+            HAVING SUM(n) > 0
+        """,
         # changed = hash differs (the ' v2' suffix plants them)
         "doc_snapshot_diff": """
             WITH a AS (

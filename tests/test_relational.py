@@ -265,3 +265,22 @@ def test_top_orders_per_customer_paths_and_oracle(ray_session):
     )
     assert (loc["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
     assert np.array_equal(loc["o_totalprice"].to_numpy(), want["o_totalprice"].to_numpy())
+
+
+def test_topk_with_other(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.relational import topk_with_other
+
+    keys = ["a"] * 10 + ["b"] * 8 + ["c"] * 8 + ["d"] * 3 + ["e"] * 1
+    t = pa.table({"k": pa.array(keys)})
+    out = topk_with_other(ray.data.from_arrow(t).repartition(3), "k", k=2)
+    rows = list(zip(out["key"].to_pylist(), out["n"].to_pylist()))
+    # tie at 8 between b and c -> key ASC keeps b
+    assert rows == [("a", 10), ("b", 8), ("OTHER", 12)]
+    # k >= domain: no OTHER row
+    out2 = topk_with_other(ray.data.from_arrow(t), "k", k=10)
+    assert "OTHER" not in out2["key"].to_pylist()

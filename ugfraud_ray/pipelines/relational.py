@@ -573,3 +573,40 @@ def top_orders_per_customer(
         .groupby("_cb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def topk_with_other(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    k: int = 3,
+    other_label: str = "OTHER",
+) -> pa.Table:
+    """(key, n) — cardinality-capped group counts: the top-``k`` keys by
+    (count DESC, key ASC) keep their own row, everything else collapses
+    into ONE ``other_label`` row. The reporting primitive that keeps
+    dashboards bounded when the key domain is unbounded (long-tail
+    sources/domains). One grouped count over the dimension-sized key
+    domain; the cap itself is a driver-side sort of that tiny table."""
+    from ray.data.aggregate import Count
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    t = collect_table(ds.groupby(key_col).aggregate(Count(alias_name="n")))
+    keys = np.asarray(t[key_col].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((keys, -n))
+    keys, n = keys[order], n[order]
+    top_keys = keys[:k].tolist()
+    top_n = n[:k].tolist()
+    other = int(n[k:].sum())
+    out_k = [str(x) for x in top_keys]
+    out_n = list(top_n)
+    if other > 0:
+        out_k.append(other_label)
+        out_n.append(other)
+    return pa.table(
+        {
+            "key": pa.array(out_k, pa.string()),
+            "n": pa.array(np.array(out_n, dtype=np.int64)),
+        }
+    )
