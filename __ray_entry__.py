@@ -2635,6 +2635,60 @@ def _q_doc_mixture_drift(sf_dir: str):
     return mixture_drift(docs)
 
 
+def _q_doc_feature_corr(sf_dir: str):
+    """Pairwise Pearson correlations over the quality features
+    (text_analysis.feature_correlation): exact integer moments (Python-
+    int merged), ONE pinned float chain per pair; float(int) == SQL
+    CAST(VARCHAR) double; 1e-9 grid."""
+    from ugfraud_ray.pipelines.text_analysis import feature_correlation
+
+    return feature_correlation(_docs(sf_dir))
+
+
+_CORR_FEATS = [
+    ("n_chars", "CAST(LENGTH(text) AS BIGINT)"),
+    ("n_digits", "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)"),
+    ("n_spaces", "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:space:]]', '', 'g')) AS BIGINT)"),
+    ("n_punct", "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT)"),
+]
+
+
+def _feature_corr_sql() -> str:
+    cols = ",\n                   ".join(
+        f"{expr} AS {name}" for name, expr in _CORR_FEATS
+    )
+    names = [n for n, _ in _CORR_FEATS]
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in names:
+        moments.append(f"SUM(CAST({c} AS HUGEINT)) AS s_{c}")
+        moments.append(f"SUM(CAST({c} AS HUGEINT) * {c}) AS q_{c}")
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            moments.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS x_{a}_{b}")
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = f"CAST(CAST(n * x_{a}_{b} - s_{a} * s_{b} AS VARCHAR) AS DOUBLE)"
+            da = f"CAST(CAST(n * q_{a} - s_{a} * s_{a} AS VARCHAR) AS DOUBLE)"
+            db = f"CAST(CAST(n * q_{b} - s_{b} * s_{b} AS VARCHAR) AS DOUBLE)"
+            rows.append(
+                f"SELECT '{a}' AS feat_a, '{b}' AS feat_b,\n"
+                f"  CASE WHEN {da} <= 0.0 OR {db} <= 0.0 THEN 0.0\n"
+                f"       ELSE FLOOR({num} / (SQRT({da}) * SQRT({db}))\n"
+                f"                  * 1000000000.0 + 0.5) / 1000000000.0\n"
+                f"  END AS r FROM s"
+            )
+    return (
+        "WITH q AS (SELECT\n                   "
+        + cols
+        + "\n            FROM documents),\n"
+        + "            s AS (SELECT "
+        + ", ".join(moments)
+        + " FROM q)\n            "
+        + "\n            UNION ALL ".join(rows)
+    )
+
+
 def _q_doc_cube(sf_dir: str):
     """CUBE(lang, source) corpus report (curation.doc_cube): one corpus
     pass builds the dimension-sized base cells; the three upper
@@ -4419,6 +4473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture_drift": _q_doc_mixture_drift,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_sources_topk": _q_doc_sources_topk,
+        "doc_feature_corr": _q_doc_feature_corr,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -5835,6 +5890,7 @@ def oracle_sql() -> dict[str, str]:
             FROM piv, tot
         """,
         "doc_quality_logreg": _logreg_sql(),
+        "doc_feature_corr": _feature_corr_sql(),
         "doc_cube": r"""
             WITH t AS (
                 SELECT lang, source,

@@ -543,3 +543,29 @@ def test_char_entropy_matches_naive_incl_unicode(ray_session):
         assert got[d][:2] == want[d][:2], (d, got[d], want[d])
         assert abs(got[d][2] - want[d][2]) < 2e-9, (d, got[d], want[d])
     assert got[0][2] == 0.0
+
+
+def test_feature_correlation_matches_numpy(ray_session):
+    from ugfraud_ray.pipelines.text_analysis import feature_correlation
+
+    rng = np.random.default_rng(23)
+    texts = [
+        " ".join(f"w{i}" for i in rng.integers(0, 50, rng.integers(2, 40)))
+        + ("!" * int(rng.integers(0, 5)))
+        + ("7" * int(rng.integers(0, 3)))
+        for _ in range(200)
+    ]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)})
+    out = feature_correlation(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    feats = {
+        "n_chars": np.array([len(s) for s in texts], dtype=np.float64),
+        "n_digits": np.array([sum(c.isdigit() for c in s) for s in texts], dtype=np.float64),
+        "n_spaces": np.array([sum(c == " " for c in s) for s in texts], dtype=np.float64),
+        "n_punct": np.array([sum(c in "!" for c in s) for s in texts], dtype=np.float64),
+    }
+    for row in out.itertuples(index=False):
+        want = np.corrcoef(feats[row.feat_a], feats[row.feat_b])[0, 1]
+        assert abs(row.r - want) < 1e-9, (row.feat_a, row.feat_b, row.r, want)
+    # chars and spaces strongly correlate in whitespace-token text
+    rmap = {(r.feat_a, r.feat_b): r.r for r in out.itertuples(index=False)}
+    assert rmap[("n_chars", "n_spaces")] > 0.9

@@ -2313,3 +2313,63 @@ def char_entropy(
         )
 
     return docs.select_columns([id_col, key]).map_batches(f, batch_format="pyarrow")
+
+
+def feature_correlation(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+) -> pa.Table:
+    """(feat_a, feat_b, r) — pairwise Pearson correlations over the
+    four integer quality features (the EDA step before training the
+    quality classifier; collinear features get dropped). All moments
+    (Σx, Σx², Σxy) are EXACT integer sums — per-block int64 partials
+    merged as Python ints on the driver — and r is one pinned float
+    chain over those integers: (n·Σxy − Σx·Σy) /
+    (sqrt(n·Σx² − Σx²tot) · sqrt(n·Σy² − Σy²tot)), rounded to the 1e-9
+    grid; float(int) == SQL CAST(CAST(.. AS VARCHAR) AS DOUBLE)
+    (round-to-nearest both sides). Constant features emit r = 0.0.
+    """
+    feats = ["n_chars", "n_digits", "n_spaces", "n_punct"]
+    qf = quality_features(docs, key=key)
+
+    def partial(t: pa.Table) -> pa.Table:
+        xs = {
+            c: t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in feats
+        }
+        vals = {"n": np.int64(t.num_rows)}
+        for c in feats:
+            vals[f"s_{c}"] = xs[c].sum()
+            vals[f"q_{c}"] = (xs[c] * xs[c]).sum()
+        for i, a in enumerate(feats):
+            for b in feats[i + 1 :]:
+                vals[f"x_{a}_{b}"] = (xs[a] * xs[b]).sum()
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in vals.items()})
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    pt = collect_table(qf.map_batches(partial, batch_format="pyarrow"))
+    tot = {c: sum(int(v) for v in pt[c].to_pylist()) for c in pt.column_names}
+    n = tot["n"]
+
+    def _r(a: str, b: str) -> float:
+        num = float(n * tot[f"x_{a}_{b}"] - tot[f"s_{a}"] * tot[f"s_{b}"])
+        da = float(n * tot[f"q_{a}"] - tot[f"s_{a}"] * tot[f"s_{a}"])
+        db = float(n * tot[f"q_{b}"] - tot[f"s_{b}"] * tot[f"s_{b}"])
+        if da <= 0.0 or db <= 0.0:
+            return 0.0
+        r = num / (np.sqrt(da) * np.sqrt(db))
+        return float(np.floor(r * 1e9 + 0.5) / 1e9)
+
+    fa, fb, rr = [], [], []
+    for i, a in enumerate(feats):
+        for b in feats[i + 1 :]:
+            fa.append(a)
+            fb.append(b)
+            rr.append(_r(a, b))
+    return pa.table(
+        {
+            "feat_a": pa.array(fa, pa.string()),
+            "feat_b": pa.array(fb, pa.string()),
+            "r": pa.array(np.array(rr)),
+        }
+    )
