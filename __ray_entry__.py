@@ -3312,6 +3312,16 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_wow(sf_dir: str):
+    """Week-over-week growth per type (events.wow_growth): n_prev =
+    count lag-7 days earlier (0 when absent), wow = (n - n_prev)/n_prev
+    on the 1e-9 grid, 0.0 when n_prev = 0 — mirrored in SQL via LEFT
+    self-join."""
+    from ugfraud_ray.pipelines.events import wow_growth
+
+    return wow_growth(_events(sf_dir))
+
+
 def _q_events_daily_pivot(sf_dir: str):
     """Wide PIVOT reshape (events.daily_type_pivot): per-day counts as
     one column per event type; day-major packed cells, tiny grouped
@@ -4608,6 +4618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_quantiles": _q_events_daily_quantiles,
         "events_profile": _q_events_profile,
         "events_daily_pivot": _q_events_daily_pivot,
+        "events_wow": _q_events_wow,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8159,6 +8170,22 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_wow": """
+            WITH c AS (
+              SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.event_type, a.day, a.n,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n_prev,
+                   CASE WHEN COALESCE(b.n, 0) > 0
+                        THEN FLOOR(CAST(a.n - b.n AS DOUBLE) / CAST(b.n AS DOUBLE)
+                                   * 1000000000.0 + 0.5) / 1000000000.0
+                        ELSE 0.0 END AS wow
+            FROM c a
+            LEFT JOIN c b ON b.event_type = a.event_type
+                         AND b.day = a.day - 7
         """,
         "events_daily_pivot": """
             SELECT epoch_us(ts) // 86400000000 AS day,

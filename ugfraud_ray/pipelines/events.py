@@ -2413,3 +2413,72 @@ def daily_type_pivot(
         .groupby("_cb")
         .map_groups(reshape, batch_format="pyarrow")
     )
+
+
+def wow_growth(
+    events: "ray.data.Dataset",
+    lag_days: int = 7,
+) -> "ray.data.Dataset":
+    """(event_type, day, n, n_prev, wow) — week-over-week growth of the
+    per-type daily counts: n_prev = the count exactly ``lag_days``
+    earlier (0 when that day is absent), wow = (n − n_prev)/n_prev on
+    the 1e-9 grid (NULL-free: wow = 0.0 when n_prev = 0 — mirrored in
+    SQL). The growth-monitoring sibling of ``ewma_daily``: per-block
+    (type, day) partials, tiny grouped sum, then a per-type days-sized
+    driver scan (days are dimension-sized)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // _US_PER_DAY
+        )
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        pk = np.char.add(np.char.add(et.astype(str), "\x1f"), d.astype(str))
+        u, c = np.unique(pk, return_counts=True)
+        parts = np.char.partition(u, "\x1f")
+        return pa.table(
+            {
+                "event_type": pa.array(parts[:, 0].astype(object), pa.string()),
+                "day": pa.array(parts[:, 2].astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    base = collect_table(
+        events.select_columns(["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    et = np.asarray(base["event_type"].to_pylist(), dtype=object)
+    day = base["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = base["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((day, et))
+    et, day, n = et[order], day[order], n[order]
+    prev = np.zeros(len(n), dtype=np.int64)
+    for k in np.unique(et):
+        m = et == k
+        dd, nn = day[m], n[m]
+        at = np.searchsorted(dd, dd - lag_days)
+        at = np.clip(at, 0, len(dd) - 1)
+        hit = dd[at] == dd - lag_days
+        p = np.zeros(len(dd), dtype=np.int64)
+        p[hit] = nn[at[hit]]
+        prev[m] = p
+    wow = np.where(
+        prev > 0,
+        np.floor((n - prev).astype(np.float64) / np.where(prev > 0, prev, 1).astype(np.float64) * 1e9 + 0.5) / 1e9,
+        0.0,
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(et.astype(object), pa.string()),
+                "day": pa.array(day),
+                "n": pa.array(n),
+                "n_prev": pa.array(prev),
+                "wow": pa.array(wow),
+            }
+        )
+    )
