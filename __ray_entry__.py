@@ -3312,6 +3312,15 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_bounce(sf_dir: str):
+    """Per-entry-type bounce rates (events.bounce_rates): 1-event
+    sessions under the exact gap-break rule; sessionize co-location
+    contract; 1e-9-grid rate."""
+    from ugfraud_ray.pipelines.events import bounce_rates
+
+    return bounce_rates(_events(sf_dir))
+
+
 def _q_events_wow(sf_dir: str):
     """Week-over-week growth per type (events.wow_growth): n_prev =
     count lag-7 days earlier (0 when absent), wow = (n - n_prev)/n_prev
@@ -4619,6 +4628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": _q_events_profile,
         "events_daily_pivot": _q_events_daily_pivot,
         "events_wow": _q_events_wow,
+        "events_bounce": _q_events_bounce,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8170,6 +8180,41 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        # nests the exact sessions chain; bounce = 1-event session
+        "events_bounce": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            ), x AS (
+                SELECT FIRST_VALUE(event_type) OVER (
+                           PARTITION BY user_id, sid ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS entry_type,
+                       COUNT(*) OVER (PARTITION BY user_id, sid) AS n_events,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, sid ORDER BY ts, event_id
+                       ) AS rn
+                FROM s
+            ), sess AS (SELECT entry_type, n_events FROM x WHERE rn = 1)
+            SELECT entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) FILTER (n_events = 1) AS BIGINT) AS n_bounce,
+                   FLOOR(CAST(COUNT(*) FILTER (n_events = 1) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS bounce_rate
+            FROM sess GROUP BY entry_type
         """,
         "events_wow": """
             WITH c AS (

@@ -809,3 +809,32 @@ def test_daily_type_pivot_matches_pandas(ray_session):
         daily_type_pivot(
             ray.data.from_arrow(t), types=("click",)
         ).to_pandas()
+
+
+def test_bounce_rates_matches_pandas_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import bounce_rates
+
+    t = _synth_events(n=600, n_users=40, seed=9)
+    ds = ray.data.from_arrow(t).repartition(5)
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    want: dict[str, list] = {}
+    for _, g in df.groupby("user_id"):
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        for _, s in g.groupby(brk.cumsum()):
+            e = s["event_type"].iloc[0]
+            want.setdefault(e, [0, 0])
+            want[e][0] += 1
+            want[e][1] += int(len(s) == 1)
+    for thresh in (1_000_000, 0):
+        out = bounce_rates(ds, local_threshold=thresh).to_pandas()
+        got = {
+            r.entry_type: [int(r.n_sessions), int(r.n_bounce)]
+            for r in out.itertuples(index=False)
+        }
+        assert got == want, f"threshold={thresh}"
+        for r in out.itertuples(index=False):
+            assert abs(
+                r.bounce_rate
+                - np.floor(r.n_bounce / r.n_sessions * 1e9 + 0.5) / 1e9
+            ) == 0

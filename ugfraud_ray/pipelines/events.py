@@ -2482,3 +2482,102 @@ def wow_growth(
             }
         )
     )
+
+
+def _bounce_block(u, ts_us, eid, et, gap_us: int) -> pa.Table:
+    """(entry_type, n_sessions, n_bounce) partials over complete-user
+    rows: a bounce is a 1-event session (the entry IS the session)."""
+    if len(u) == 0:
+        return pa.table(
+            {
+                "entry_type": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_bounce": pa.array([], pa.int64()),
+            }
+        )
+    et = np.asarray(et, dtype=object)
+    order = np.lexsort((eid, ts_us, u))
+    u, ts_us, et = u[order], ts_us[order], et[order]
+    brk = np.ones(len(u), dtype=bool)
+    brk[1:] = (u[1:] != u[:-1]) | ((ts_us[1:] - ts_us[:-1]) > gap_us)
+    starts = np.flatnonzero(brk)
+    slens = np.diff(np.append(starts, len(u)))
+    entry = et[starts]
+    is_bounce = (slens == 1).astype(np.int64)
+    order2 = np.argsort(entry, kind="stable")
+    entry, is_bounce = entry[order2], is_bounce[order2]
+    gstarts = np.flatnonzero(
+        np.concatenate([[True], entry[1:] != entry[:-1]])
+    )
+    return pa.table(
+        {
+            "entry_type": pa.array(entry[gstarts].astype(object), pa.string()),
+            "n_sessions": pa.array(
+                np.diff(np.append(gstarts, len(entry))).astype(np.int64)
+            ),
+            "n_bounce": pa.array(np.add.reduceat(is_bounce, gstarts)),
+        }
+    )
+
+
+def bounce_rates(
+    events: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """(entry_type, n_sessions, n_bounce, bounce_rate) — fraction of
+    sessions that end after their first event, keyed by the session's
+    entry type (the engagement readout next to entry_attribution);
+    sessionize's exact gap-break rule and co-location contract;
+    bounce_rate on the 1e-9 grid."""
+    from ray.data.aggregate import Sum
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = events.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+    def extract(t) -> tuple:
+        return (
+            t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+            t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["event_type"].to_pylist(),
+        )
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    if n is not None and n <= local_threshold:
+        agg = ray.data.from_arrow(_bounce_block(*extract(collect_table(ds)), gap_us))
+    else:
+        from ugfraud_ray.functions.bucketing import bucket_by_int_col
+
+        bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
+        agg = (
+            ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(
+                lambda g: _bounce_block(*extract(g), gap_us),
+                batch_format="pyarrow",
+            )
+            .groupby("entry_type")
+            .aggregate(
+                Sum("n_sessions", alias_name="n_sessions"),
+                Sum("n_bounce", alias_name="n_bounce"),
+            )
+        )
+
+    def fin(t: pa.Table) -> pa.Table:
+        ns = t["n_sessions"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_bounce"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.floor(nb.astype(np.float64) / ns.astype(np.float64) * 1e9 + 0.5) / 1e9
+        return pa.table(
+            {
+                "entry_type": t["entry_type"],
+                "n_sessions": pa.array(ns),
+                "n_bounce": pa.array(nb),
+                "bounce_rate": pa.array(rate),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
