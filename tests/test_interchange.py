@@ -78,3 +78,38 @@ def test_jsonl_feeds_a_pipeline(ray_session):
         out = token_counts(read_jsonl(path)).to_pandas()
     assert len(out) == 40
     assert out.sort_values("doc_id")["n_tokens"].iloc[0] == 6
+
+
+def test_read_parquet_evolving_null_fills_and_casts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ugfraud_ray.sources.interchange import read_parquet_evolving
+
+    old = pa.table({"id": pa.array([1, 2], pa.int32()), "v": pa.array([10, 20], pa.int64())})
+    new = pa.table(
+        {
+            "id": pa.array([3], pa.int32()),
+            "v": pa.array([30], pa.int64()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    pq.write_table(old, str(tmp_path / "old.parquet"))
+    pq.write_table(new, str(tmp_path / "new.parquet"))
+
+    schema = pa.schema(
+        [("id", pa.int64()), ("v", pa.int64()), ("lang", pa.string())]
+    )
+    out = (
+        read_parquet_evolving(
+            [str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")], schema
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [1, 2, 3]  # int32 widened to int64
+    assert out["id"].dtype == "int64"
+    assert out["lang"].tolist()[:2] == [None, None] and out["lang"].tolist()[2] == "en"

@@ -60,3 +60,32 @@ def read_csv(
             column_types={f.name: f.type for f in schema}
         )
     return ray.data.read_csv(path, **kwargs)
+
+
+def read_parquet_evolving(
+    paths: "str | list[str]", schema: pa.Schema, **kwargs
+) -> "ray.data.Dataset":
+    """Schema-evolution-tolerant parquet read: files written before a
+    column existed stream through with that column NULL-filled, and
+    every block casts to the pinned target ``schema`` (safe casts only
+    — a type CHANGE still fails loudly; widening int32 -> int64 etc.
+    succeeds). The lakehouse reality check for any long-lived table the
+    incremental sinks append to: old snapshots must stay readable after
+    the writer adds a column.
+
+    Implementation: one native streaming ``read_parquet`` (parallel per
+    file); the harmonize step is a per-block Arrow cast — no Python
+    rows, no driver materialization.
+    """
+    ds = ray.data.read_parquet(paths, **kwargs)
+
+    def harmonize(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in t.column_names:
+                cols.append(t[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip([f.name for f in schema], cols)))
+
+    return ds.map_batches(harmonize, batch_format="pyarrow")
