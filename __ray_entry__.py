@@ -2635,6 +2635,22 @@ def _q_doc_mixture_drift(sf_dir: str):
     return mixture_drift(docs)
 
 
+JL_K = 8
+
+
+def _q_embedding_jl(sf_dir: str):
+    """Integer-exact JL sign projection (similarity.jl_project): +-1 per
+    (i, j) from md5-low64 parity of 'jl-7-i-j', inputs on the half-up
+    1e-4 grid, each output an exact int64 signed sum (order-free); one
+    streaming pass, exploded (vec_id, j, val) readout."""
+    from ugfraud_ray.pipelines.similarity import jl_project
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return jl_project(emb, k=JL_K)
+
+
 def _q_doc_feature_corr(sf_dir: str):
     """Pairwise Pearson correlations over the quality features
     (text_analysis.feature_correlation): exact integer moments (Python-
@@ -4493,6 +4509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_sources_topk": _q_doc_sources_topk,
         "doc_feature_corr": _q_doc_feature_corr,
+        "embedding_jl": _q_embedding_jl,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -5912,6 +5929,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality_logreg": _logreg_sql(),
         "doc_feature_corr": _feature_corr_sql(),
+        "embedding_jl": f"""
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(generate_series(0, len(embedding) - 1)) AS i,
+                     unnest(embedding) AS x
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, i,
+                     CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS qv
+              FROM e
+            ),
+            s AS (
+              SELECT d.i, t.j,
+                     CASE WHEN md5_number_upper('jl-7-' || d.i || '-' || t.j) % 2 = 1
+                          THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT DISTINCT i FROM q) d,
+                   UNNEST(generate_series(0, {JL_K - 1})) AS t(j)
+            )
+            SELECT q.vec_id, s.j, CAST(SUM(q.qv * s.sgn) AS BIGINT) AS val
+            FROM q JOIN s ON s.i = q.i
+            GROUP BY 1, 2
+        """,
         "doc_cube": r"""
             WITH t AS (
                 SELECT lang, source,

@@ -473,3 +473,40 @@ def test_media_audio_dedup_planted(ray_session):
     bits = (means[:-1] > means[1:]).astype(np.uint64)
     want = int((bits * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum())
     assert np.int64(h[1]) == np.uint64(want).astype(np.int64)
+
+
+def test_jl_project_distance_preservation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.similarity import jl_project
+
+    rng = np.random.default_rng(3)
+    n, d, k = 60, 64, 16
+    V = rng.normal(0, 1, (n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(V), pa.list_(pa.float32())),
+        }
+    )
+    out = jl_project(ray.data.from_arrow(t).repartition(3), k=k).to_pandas()
+    P = np.zeros((n, k))
+    for r in out.itertuples(index=False):
+        P[int(r.vec_id), int(r.j)] = r.val / 10000.0
+    # naive mirror: exact signed sums over the quantized grid
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    q = np.floor(V.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+    S = np.empty((d, k), dtype=np.int64)
+    for j in range(k):
+        h = _md5_low64([f"jl-7-{i}-{j}" for i in range(d)])
+        S[:, j] = np.where((h % np.uint64(2)) == 1, 1, -1)
+    np.testing.assert_array_equal((q @ S).astype(float) / 10000.0, P)
+    # JL property: scaled pairwise distances roughly preserved
+    a, b = V[0].astype(np.float64), V[1].astype(np.float64)
+    orig = np.linalg.norm(a - b)
+    projd = np.linalg.norm((P[0] - P[1]) / np.sqrt(k))
+    assert 0.3 * orig < projd < 3.0 * orig

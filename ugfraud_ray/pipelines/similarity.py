@@ -1568,3 +1568,45 @@ def knn_graph(
         )
 
     return assigned.groupby("cluster").map_groups(local_knn, batch_format="pyarrow")
+
+
+def jl_project(
+    emb: "ray.data.Dataset",
+    k: int = 8,
+    seed: int = 7,
+    grid: int = 10_000,
+) -> "ray.data.Dataset":
+    """(vec_id, proj: list<int64>) — Johnson-Lindenstrauss sparse sign
+    projection to ``k`` dimensions, INTEGER-EXACT: the projection
+    matrix is ±1 per (i, j) from the shared md5-low64 parity of
+    "jl-{seed}-{i}-{j}" (== DuckDB md5_number_upper % 2), inputs ride
+    the half-up 1/grid quantization (label_centroids' convention), and
+    each output coordinate is an exact int64 signed sum — order-free,
+    bit-replayable, and the JL guarantee only needs the signs to be
+    i.i.d.-ish, which a cryptographic hash gives deterministically.
+    The k x d sign matrix builds once per batch from the hash (tiny);
+    ONE streaming pass, zero shuffles.
+    """
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    def f(t: pa.Table) -> pa.Table:
+        v = _vecs_from_column(t["embedding"], t.num_rows).astype(np.float64)
+        n, d = v.shape
+        q = np.floor(v * grid + 0.5).astype(np.int64)
+        signs = np.empty((d, k), dtype=np.int64)
+        for j in range(k):
+            h = _md5_low64([f"jl-{seed}-{i}-{j}" for i in range(d)])
+            signs[:, j] = np.where((h % np.uint64(2)) == 1, 1, -1)
+        proj = q @ signs  # exact int64
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k)),
+                "j": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+                "val": pa.array(proj.reshape(-1)),
+            }
+        )
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        f, batch_format="pyarrow"
+    )
