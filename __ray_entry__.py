@@ -2635,6 +2635,16 @@ def _q_doc_mixture_drift(sf_dir: str):
     return mixture_drift(docs)
 
 
+def _q_ann_filtered(sf_dir: str):
+    """Filtered vector search (similarity.filtered_topk): exact cosine
+    top-k restricted to the query's label BEFORE ranking (pre-filter
+    semantics); one extra vectorized mask on the brute-force shape."""
+    from ugfraud_ray.pipelines.similarity import filtered_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return filtered_topk(emb, query_ids=list(range(ANN_QUERIES)), k=ANN_K)
+
+
 JL_K = 8
 
 
@@ -4510,6 +4520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sources_topk": _q_doc_sources_topk,
         "doc_feature_corr": _q_doc_feature_corr,
         "embedding_jl": _q_embedding_jl,
+        "ann_filtered_topk": _q_ann_filtered,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -8090,6 +8101,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:space:]]', '', 'g')) AS BIGINT) AS n_spaces,
                    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct
             FROM documents
+        """,
+        # the ann_topk chain + the label pre-filter predicate
+        "ann_filtered_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+                FROM embeddings WHERE vec_id < {ANN_QUERIES}
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id AND e.label = q.qlab
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                       ) AS rnk
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, ROUND(CAST(sim AS DOUBLE), 4) AS sim,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= {ANN_K}
         """,
         "ann_topk": f"""
             WITH q AS (

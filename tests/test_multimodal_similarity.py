@@ -510,3 +510,36 @@ def test_jl_project_distance_preservation(ray_session):
     orig = np.linalg.norm(a - b)
     projd = np.linalg.norm((P[0] - P[1]) / np.sqrt(k))
     assert 0.3 * orig < projd < 3.0 * orig
+
+
+def test_filtered_topk_prefilter_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.similarity import brute_force_topk, filtered_topk
+
+    rng = np.random.default_rng(29)
+    n, d = 200, 8
+    X = rng.standard_normal((n, d))
+    labels = (np.arange(n) % 3).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(X.reshape(-1)), d),
+            "label": pa.array(labels),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = filtered_topk(ds, [0, 1], k=6).to_pandas()
+    # all neighbors share the query's label
+    for r in out.itertuples(index=False):
+        assert labels[int(r.neighbor_id)] == labels[int(r.query_id)]
+    # equals brute force run on the label stratum alone
+    for q in (0, 1):
+        stratum = ray.data.from_arrow(t.filter(pa.compute.equal(t["label"], labels[q])))
+        want = brute_force_topk(stratum, [q], k=6).to_pandas()
+        got = out[out.query_id == q].reset_index(drop=True)
+        assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
+        assert np.allclose(got["sim"], want["sim"], atol=1e-9)

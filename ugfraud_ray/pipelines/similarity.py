@@ -1610,3 +1610,91 @@ def jl_project(
     return emb.select_columns(["vec_id", "embedding"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def filtered_topk(
+    emb: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = 4,
+) -> "ray.data.Dataset":
+    """Filtered vector search: exact cosine top-k restricted to corpus
+    vectors sharing the QUERY's label — the metadata-predicate ANN
+    every vector store exposes (pre-filter semantics: the predicate
+    applies BEFORE ranking, so k survivors are guaranteed when the
+    label stratum has k members; post-filtering a plain top-k would
+    not). Same shape as ``brute_force_topk``: broadcast query matrix +
+    per-batch matmul + per-block top-k partials + one per-query merge —
+    the filter is ONE extra vectorized mask per batch.
+
+    Output: (query_id, neighbor_id, sim, rnk).
+    """
+    qset = set(int(q) for q in query_ids)
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, list(qset))))
+
+    qt = pa.concat_tables(
+        ray.get(emb.map_batches(pick_queries, batch_format="pyarrow").to_arrow_refs())
+    )
+    q_ids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_lab = qt[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    q_mat = _normalize(_vecs_from_column(qt[vec_col], len(qt)))
+    q_ref = ray.put((q_ids, q_lab, q_mat))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        qi, ql, qm = ray.get(q_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _normalize(_vecs_from_column(t[vec_col], t.num_rows))
+        sims = qm @ x.T
+        out_q, out_n, out_s = [], [], []
+        for r in range(len(qi)):
+            cand = np.flatnonzero((lab == ql[r]) & (ids != qi[r]))
+            if len(cand) == 0:
+                continue
+            sv = sims[r][cand]
+            order = np.lexsort((ids[cand], -sv))[: min(k, len(cand))]
+            out_q.append(np.full(len(order), qi[r]))
+            out_n.append(ids[cand][order])
+            out_s.append(sv[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = emb.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g) -> pa.Table:
+        sims = g["sim"].to_numpy().astype(np.float64)
+        nid = g["neighbor_id"].to_numpy().astype(np.int64)
+        qid = int(g["query_id"][0].as_py())
+        order = np.lexsort((nid, -sims))[:k]
+        s = sims[order]
+        if round_to is not None:
+            s = np.round(s, round_to)
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid)),
+                "neighbor_id": pa.array(nid[order]),
+                "sim": pa.array(s),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
