@@ -155,3 +155,43 @@ def test_compact_partitions_atomic_and_lossless(ray_session, tmp_path):
     assert "1" in {str(x) for x in res3["compacted"]}
     final = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
     assert final.equals(before)
+
+
+def test_delete_rows_targeted_rewrite(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.sinks.partitioned_parquet import (
+        delete_rows,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    t = pa.table(
+        {
+            "k": pa.array(np.repeat([1, 2, 3], 100)),
+            "uid": pa.array(np.arange(300, dtype=np.int64)),
+        }
+    )
+    write_partitioned(ray.data.from_arrow(t).repartition(6), out, "k")
+
+    # record the k=3 files to prove they stay byte-identical
+    d3 = os.path.join(out, "k=3")
+    before3 = {
+        f: os.path.getmtime(os.path.join(d3, f)) for f in os.listdir(d3)
+    }
+    res = delete_rows(out, "k", "uid", [5, 6, 150])  # hits k=1 and k=2 only
+    assert res["n_deleted"] == 3
+    assert set(map(str, res["rewritten"])) == {"1", "2"}
+    assert set(map(str, res["untouched"])) == {"3"}
+    after3 = {f: os.path.getmtime(os.path.join(d3, f)) for f in os.listdir(d3)}
+    assert after3 == before3  # untouched partition not rewritten
+
+    got = read_partitioned(out).to_pandas()
+    assert len(got) == 297
+    assert not set(got["uid"]) & {5, 6, 150}

@@ -177,3 +177,65 @@ def compact_partitions(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def delete_rows(
+    out_dir: str,
+    partition_col: str,
+    id_col: str,
+    ids: list,
+) -> dict:
+    """Targeted row deletion (the GDPR / right-to-be-forgotten op):
+    remove every row whose ``id_col`` is in ``ids`` by REWRITING ONLY
+    the partitions that actually contain such rows — scanned partition
+    by partition, swapped atomically with the compaction tmp-dir
+    protocol, manifest untouched. Partitions without hits are not
+    rewritten (their files stay byte-identical, so object-store caches
+    and downstream resume logic keep working).
+
+    Returns {"rewritten": [...], "untouched": [...], "n_deleted": n}.
+    """
+    import pyarrow.compute as _pc
+
+    done = _read_manifest(out_dir)
+    if not done:
+        raise FileNotFoundError(f"no finished partitions in {out_dir}")
+    id_set = pa.array(sorted(set(ids)))
+    rewritten, untouched = [], []
+    n_deleted = 0
+    for v in sorted(done):
+        pdir = os.path.join(out_dir, f"{partition_col}={v}")
+        part = ray.data.read_parquet(pdir)
+
+        def hit_count(t: pa.Table) -> pa.Table:
+            m = _pc.fill_null(_pc.is_in(t[id_col], value_set=id_set), False)
+            return pa.table({"n": pa.array([int(_pc.sum(_pc.cast(m, pa.int64())).as_py() or 0)], pa.int64())})
+
+        hits = sum(
+            r["n"][0].as_py()
+            for r in ray.get(
+                part.map_batches(hit_count, batch_format="pyarrow").to_arrow_refs()
+            )
+            if r.num_rows
+        )
+        if not hits:
+            untouched.append(v)
+            continue
+        n_deleted += int(hits)
+
+        def drop(t: pa.Table) -> pa.Table:
+            m = _pc.fill_null(_pc.is_in(t[id_col], value_set=id_set), False)
+            return t.filter(_pc.invert(m))
+
+        tmp = pdir + ".compact.tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        part.map_batches(drop, batch_format="pyarrow").write_parquet(tmp)
+        old = pdir + ".compact.old"
+        if os.path.isdir(old):  # pragma: no cover
+            shutil.rmtree(old)
+        os.replace(pdir, old)
+        os.replace(tmp, pdir)
+        shutil.rmtree(old)
+        rewritten.append(v)
+    return {"rewritten": rewritten, "untouched": untouched, "n_deleted": n_deleted}
