@@ -3653,6 +3653,14 @@ def _q_doc_substring_dedup(sf_dir: str):
     return substring_dedup(_docs(sf_dir), window=SUBSTR_WINDOW)
 
 
+def _q_lsh_tuning(sf_dir: str):
+    """Banded-LSH operating curve (dedup.lsh_tuning_table): threshold
+    (1/b)^(1/r) per divisor split of num_perm=64; POWER both sides."""
+    from ugfraud_ray.pipelines.dedup import lsh_tuning_table
+
+    return lsh_tuning_table(64)
+
+
 def _q_doc_incremental_dedup(sf_dir: str):
     """Continuous-crawl dedup (dedup.incremental_exact_dedup): even
     doc_ids = corpus snapshot, odd = new batch; new docs drop if their
@@ -4577,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_cross_source_dups": _q_doc_cross_source_dups,
+        "lsh_tuning_curve": _q_lsh_tuning,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
@@ -9185,6 +9194,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "lsh_tuning_curve": """
+            SELECT CAST(b AS BIGINT) AS bands,
+                   CAST(64 // b AS BIGINT) AS rows_per_band,
+                   FLOOR(POWER(1.0 / b, 1.0 / (64 // b))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS threshold
+            FROM (SELECT UNNEST(generate_series(1, 64)) AS b)
+            WHERE 64 % b = 0
         """,
         # nests the bit-exact LSH chain; LEAST/GREATEST == the engine's
         # lexicographic unordered source-pair classing

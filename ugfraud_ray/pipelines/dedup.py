@@ -2018,3 +2018,25 @@ def cross_source_dup_matrix(
         .groupby(["source_a", "source_b"])
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
     )
+
+
+def lsh_tuning_table(num_perm: int = 64) -> pa.Table:
+    """(bands, rows_per_band, threshold) — the banded-LSH operating
+    curve: for every divisor split b x r = num_perm, the similarity
+    threshold where collision probability crosses 1/2, t = (1/b)^(1/r)
+    (Leskovec-Rajaraman-Ullman, "Mining of Massive Datasets" ch. 3).
+    The tuning readout behind minhash_lsh_candidates' (bands=16, r=4)
+    default; float chain pinned to POWER both sides, 1e-9 grid."""
+    bands = [b for b in range(1, num_perm + 1) if num_perm % b == 0]
+    rows = [num_perm // b for b in bands]
+    thr = [
+        float(np.floor((1.0 / b) ** (1.0 / r) * 1e9 + 0.5) / 1e9)
+        for b, r in zip(bands, rows)
+    ]
+    return pa.table(
+        {
+            "bands": pa.array(np.array(bands, dtype=np.int64)),
+            "rows_per_band": pa.array(np.array(rows, dtype=np.int64)),
+            "threshold": pa.array(thr),
+        }
+    )
