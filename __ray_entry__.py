@@ -3653,6 +3653,22 @@ def _q_doc_substring_dedup(sf_dir: str):
     return substring_dedup(_docs(sf_dir), window=SUBSTR_WINDOW)
 
 
+LSH_QUALITY_T = 0.3
+
+
+def _q_lsh_quality(sf_dir: str):
+    """LSH quality audit (dedup.lsh_quality_report): recall/precision
+    of the production banded-LSH candidates against exact
+    shingle-Jaccard >= 0.3 ground truth — the tuning curve made
+    measurable; 1e-9-grid rates."""
+    from ugfraud_ray.pipelines.dedup import lsh_quality_report
+
+    docs = _docs(sf_dir).materialize()
+    return lsh_quality_report(
+        docs, threshold=LSH_QUALITY_T, approx_docs=docs.count()
+    )
+
+
 def _q_lsh_tuning(sf_dir: str):
     """Banded-LSH operating curve (dedup.lsh_tuning_table): threshold
     (1/b)^(1/r) per divisor split of num_perm=64; POWER both sides."""
@@ -4586,6 +4602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_substring_dedup": _q_doc_substring_dedup,
         "doc_cross_source_dups": _q_doc_cross_source_dups,
         "lsh_tuning_curve": _q_lsh_tuning,
+        "lsh_quality_report": _q_lsh_quality,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
@@ -9194,6 +9211,52 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        # nests the bit-exact LSH chain AND the exact-Jaccard chain
+        # (CTE names disambiguated); rates on the 1e-9 grid
+        "lsh_quality_report": rf"""
+            WITH {_minhash_cand_ctes()},
+            jt AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents
+            ),
+            jg AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS gram
+                FROM jt WHERE len(ts) >= 3
+            ),
+            jsz AS (SELECT doc_id, count(*) AS n FROM jg GROUP BY doc_id),
+            jin AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM jg a JOIN jg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            truth AS (
+                SELECT id_a, id_b FROM jin
+                JOIN jsz sa ON sa.doc_id = jin.id_a
+                JOIN jsz sb ON sb.doc_id = jin.id_b
+                WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {LSH_QUALITY_T}
+            ),
+            agg AS (
+                SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                       (SELECT COUNT(*) FROM cand) AS n_cand,
+                       (SELECT COUNT(*) FROM truth t
+                        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+                           AS n_hit
+            )
+            SELECT CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN FLOOR(CAST(n_hit AS DOUBLE) / n_truth
+                                   * 1000000000.0 + 0.5) / 1000000000.0
+                        ELSE 0.0 END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN FLOOR(CAST(n_hit AS DOUBLE) / n_cand
+                                   * 1000000000.0 + 0.5) / 1000000000.0
+                        ELSE 0.0 END AS precision
+            FROM agg
         """,
         "lsh_tuning_curve": """
             SELECT CAST(b AS BIGINT) AS bands,

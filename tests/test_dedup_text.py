@@ -928,3 +928,36 @@ def test_cross_source_dup_matrix_paths_agree(ray_session):
             for r in out.itertuples(index=False)
         }
         assert got == want, f"threshold={thresh}"
+
+
+def test_lsh_quality_report_planted_borderline(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import lsh_quality_report
+
+    rng = np.random.default_rng(21)
+    base = [f"tok{i}" for i in range(40)]
+    texts, ids = [], []
+    for d in range(25):  # unrelated docs
+        texts.append(" ".join(f"z{d}_{j}" for j in rng.integers(0, 30, 30)))
+        ids.append(d)
+    # exact pair: jaccard 1.0 (always truth AND candidate)
+    texts += [" ".join(base), " ".join(base)]
+    ids += [100, 101]
+    # borderline pair: ~50% token overlap -> lower shingle jaccard,
+    # in truth at threshold 0.1 but often missed by (16,4) bands
+    half = base[:20] + [f"q{j}" for j in range(20)]
+    texts += [" ".join(half)]
+    ids += [102]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    rep = lsh_quality_report(ds, threshold=0.1, approx_docs=len(ids)).to_pandas()
+    r = rep.iloc[0]
+    assert r.n_truth >= 2  # the exact pair + the borderline pair
+    assert r.n_hit >= 1  # exact pair always collides
+    assert 0.0 < r.recall <= 1.0 and 0.0 < r.precision <= 1.0
+    assert r.n_hit <= min(r.n_truth, r.n_cand)

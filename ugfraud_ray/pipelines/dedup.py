@@ -2040,3 +2040,49 @@ def lsh_tuning_table(num_perm: int = 64) -> pa.Table:
             "threshold": pa.array(thr),
         }
     )
+
+
+def lsh_quality_report(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.3,
+    approx_docs: int | None = None,
+) -> pa.Table:
+    """(n_truth, n_cand, n_hit, recall, precision) — the LSH quality
+    audit: ground truth = exact shingle-Jaccard pairs >= ``threshold``,
+    candidates = the production banded-LSH chain; recall tells you what
+    the bands MISS at this threshold (the lsh_tuning_table curve made
+    measurable on real data), precision what they over-generate. Pair
+    sets pack to int64 keys and intersect on the driver — both tables
+    are the pair-scale outputs the LSH contract already broadcasts.
+    """
+    truth = exact_shingle_jaccard(
+        docs, threshold=threshold, approx_docs=approx_docs
+    )
+    cand = minhash_lsh_candidates(docs)
+
+    def pack(t: pa.Table) -> np.ndarray:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (a.max() >= (1 << 31) or b.max() >= (1 << 31)):
+            raise ValueError("lsh_quality_report: ids exceed the 2^31 pack")
+        return a * np.int64(1 << 32) + b
+
+    tp = np.unique(pack(collect_table(truth)))
+    cp = np.unique(pack(collect_table(cand)))
+    n_hit = int(np.isin(tp, cp).sum())
+    n_truth, n_cand = len(tp), len(cp)
+    recall = (
+        float(np.floor(n_hit / n_truth * 1e9 + 0.5) / 1e9) if n_truth else 0.0
+    )
+    precision = (
+        float(np.floor(n_hit / n_cand * 1e9 + 0.5) / 1e9) if n_cand else 0.0
+    )
+    return pa.table(
+        {
+            "n_truth": pa.array([n_truth], pa.int64()),
+            "n_cand": pa.array([n_cand], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "recall": pa.array([recall]),
+            "precision": pa.array([precision]),
+        }
+    )
