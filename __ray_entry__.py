@@ -3656,6 +3656,15 @@ def _q_doc_substring_dedup(sf_dir: str):
 LSH_QUALITY_T = 0.3
 
 
+def _q_suppliers_per_nation(sf_dir: str):
+    """Ordered string aggregation (relational.suppliers_per_nation):
+    per-nation supplier names joined ', ' in ascending order — ONE
+    nation-bucket shuffle, vectorized lexsort + binary_join kernel."""
+    from ugfraud_ray.pipelines.relational import suppliers_per_nation
+
+    return suppliers_per_nation(sf_dir)
+
+
 def _q_lsh_quality(sf_dir: str):
     """LSH quality audit (dedup.lsh_quality_report): recall/precision
     of the production banded-LSH candidates against exact
@@ -4603,6 +4612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cross_source_dups": _q_doc_cross_source_dups,
         "lsh_tuning_curve": _q_lsh_tuning,
         "lsh_quality_report": _q_lsh_quality,
+        "suppliers_per_nation": _q_suppliers_per_nation,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
@@ -9211,6 +9221,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "suppliers_per_nation": """
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   string_agg(s.s_name, ', ' ORDER BY s.s_name) AS supplier_list
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name
         """,
         # nests the bit-exact LSH chain AND the exact-Jaccard chain
         # (CTE names disambiguated); rates on the 1e-9 grid

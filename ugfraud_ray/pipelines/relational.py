@@ -26,6 +26,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -609,4 +610,73 @@ def topk_with_other(
             "key": pa.array(out_k, pa.string()),
             "n": pa.array(np.array(out_n, dtype=np.int64)),
         }
+    )
+
+
+def suppliers_per_nation(sf_dir: str) -> "ray.data.Dataset":
+    """(n_name, n_suppliers, supplier_list) — ordered string aggregation:
+    every nation's supplier names joined by ', ' in ascending name
+    order (the ORDER BY inside an aggregate — a capability distinct
+    from plain grouped sums). Scale shape: ONE nation-keyed coarse
+    bucket shuffle; the per-bucket kernel lexsorts (nation, name) runs
+    and joins with a vectorized pc.binary_join — no Python loop over
+    names; the nation dimension is 25-bounded so the output is tiny."""
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    from ugfraud_ray.functions.collect import collect_table
+
+    nt = collect_table(nat)
+    nk = nt["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = np.asarray(nt["n_name"].to_pylist(), dtype=object)
+    order = np.argsort(nk, kind="stable")
+    ref = ray.put((nk[order], nn[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        kk, names = ray.get(ref)
+        k = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(kk, k)
+        return pa.table(
+            {
+                "n_name": pa.array(names[pos].astype(object), pa.string()),
+                "s_name": t["s_name"],
+            }
+        )
+
+    nb = np.uint64(n_coarse_buckets(None))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(t["n_name"].to_pylist(), dtype=object)
+        )
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        nn_ = np.asarray(g["n_name"].to_pylist(), dtype=object)
+        sn = np.asarray(g["s_name"].to_pylist(), dtype=object)
+        order = np.lexsort((sn, nn_))
+        nn_, sn = nn_[order], sn[order]
+        starts = np.flatnonzero(np.concatenate([[True], nn_[1:] != nn_[:-1]]))
+        counts = np.diff(np.append(starts, len(nn_))).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(sn, pa.large_string())
+        )
+        joined = pc.binary_join(lists, pa.scalar(", ", pa.large_string()))
+        return pa.table(
+            {
+                "n_name": pa.array(nn_[starts].astype(object), pa.string()),
+                "n_suppliers": pa.array(counts),
+                "supplier_list": pc.cast(joined, pa.string()),
+            }
+        )
+
+    return (
+        sup.map_batches(attach, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
