@@ -3338,6 +3338,15 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_conversion_lag(sf_dir: str):
+    """Funnel latency (events.conversion_lag): per-user first 'view' ->
+    first at-or-after 'purchase' lag, exact int64 microseconds; global
+    (n_from, n_conv, min, max, sum) readout from per-bucket partials."""
+    from ugfraud_ray.pipelines.events import conversion_lag
+
+    return conversion_lag(_events(sf_dir))
+
+
 def _q_events_bounce(sf_dir: str):
     """Per-entry-type bounce rates (events.bounce_rates): 1-event
     sessions under the exact gap-break rule; sessionize co-location
@@ -4693,6 +4702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_pivot": _q_events_daily_pivot,
         "events_wow": _q_events_wow,
         "events_bounce": _q_events_bounce,
+        "events_conversion_lag": _q_events_conversion_lag,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8291,6 +8301,30 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_conversion_lag": """
+            WITH f AS (
+              SELECT user_id, MIN(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS tc
+              FROM events e JOIN f ON f.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+              GROUP BY e.user_id
+            ),
+            lags AS (
+              SELECT date_diff('microsecond', f.t0, c.tc) AS lag
+              FROM c JOIN f USING (user_id)
+            )
+            SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_from_users,
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_converted,
+                   CAST(COALESCE((SELECT MIN(lag) FROM lags), 0) AS BIGINT)
+                       AS min_lag_us,
+                   CAST(COALESCE((SELECT MAX(lag) FROM lags), 0) AS BIGINT)
+                       AS max_lag_us,
+                   CAST(COALESCE((SELECT SUM(lag) FROM lags), 0) AS BIGINT)
+                       AS sum_lag_us
         """,
         # nests the exact sessions chain; bounce = 1-event session
         "events_bounce": """

@@ -838,3 +838,31 @@ def test_bounce_rates_matches_pandas_both_paths(ray_session):
                 r.bounce_rate
                 - np.floor(r.n_bounce / r.n_sessions * 1e9 + 0.5) / 1e9
             ) == 0
+
+
+def test_conversion_lag_matches_pandas_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import conversion_lag
+
+    t = _synth_events(n=900, n_users=33, seed=14)
+    ds = ray.data.from_arrow(t).repartition(4)
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    nf = nc = 0
+    lags = []
+    for _, g in df.groupby("user_id"):
+        f = g[g["event_type"] == "view"]
+        if f.empty:
+            continue
+        nf += 1
+        t0 = f["ts"].iloc[0]
+        c = g[(g["event_type"] == "click") & (g["ts"] >= t0)]
+        if c.empty:
+            continue
+        nc += 1
+        lags.append(int((c["ts"].iloc[0] - t0).value // 1000))
+    for thresh in (1_000_000, 0):
+        out = conversion_lag(
+            ds, from_type="view", to_type="click", local_threshold=thresh
+        ).to_pandas().iloc[0]
+        assert int(out.n_from_users) == nf and int(out.n_converted) == nc
+        assert int(out.min_lag_us) == min(lags) and int(out.max_lag_us) == max(lags)
+        assert int(out.sum_lag_us) == sum(lags)

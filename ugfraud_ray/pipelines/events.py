@@ -2581,3 +2581,102 @@ def bounce_rates(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def conversion_lag(
+    events: "ray.data.Dataset",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    local_threshold: int = 1_000_000,
+) -> pa.Table:
+    """(n_from_users, n_converted, min_lag_us, max_lag_us, sum_lag_us)
+    — funnel latency: for every user whose first ``from_type`` precedes
+    a later-or-equal first subsequent ``to_type``, the lag between
+    first exposure and first conversion ((ts, event_id) order, exact
+    int64 microseconds; conversion = first to_type AT OR AFTER the
+    first from_type). All-integer partials under the sessionize
+    co-location contract; the readout row is a driver merge of
+    per-bucket (n, n_conv, min, max, sum) partials."""
+
+    ds = events.select_columns(["user_id", "ts", "event_id", "event_type"])
+
+    def block(t) -> tuple:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, et = u[order], ts[order], et[order]
+        if len(u) == 0:
+            return 0, 0, np.iinfo(np.int64).max, np.iinfo(np.int64).min, 0
+        # vectorized per-user segments: first from = min ts among
+        # from-rows (sorted), first conversion = min ts among to-rows
+        # at-or-after it — np.minimum.at over segment ids, no user loop
+        seg = np.cumsum(np.concatenate([[1], (u[1:] != u[:-1]).astype(np.int64)])) - 1
+        n_seg = int(seg[-1]) + 1
+        INF = np.iinfo(np.int64).max
+        t0 = np.full(n_seg, INF, dtype=np.int64)
+        isf = et == from_type
+        np.minimum.at(t0, seg[isf], ts[isf])
+        has_from = t0 < INF
+        ist = (et == to_type) & (ts >= t0[seg])
+        tc = np.full(n_seg, INF, dtype=np.int64)
+        np.minimum.at(tc, seg[ist], ts[ist])
+        conv = has_from & (tc < INF)
+        lag = tc[conv] - t0[conv]
+        n_from = int(has_from.sum())
+        n_conv = int(conv.sum())
+        if n_conv:
+            return n_from, n_conv, int(lag.min()), int(lag.max()), int(lag.sum())
+        return n_from, 0, INF, np.iinfo(np.int64).min, 0
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    if n is not None and n <= local_threshold:
+        parts = [block(collect_table(ds))]
+    else:
+        from ugfraud_ray.functions.bucketing import bucket_by_int_col
+
+        bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
+
+        def kernel(g: pa.Table) -> pa.Table:
+            nf, nc, mn, mx, sm = block(g)
+            return pa.table(
+                {
+                    "nf": pa.array([nf], pa.int64()),
+                    "nc": pa.array([nc], pa.int64()),
+                    "mn": pa.array([mn], pa.int64()),
+                    "mx": pa.array([mx], pa.int64()),
+                    "sm": pa.array([sm], pa.int64()),
+                }
+            )
+
+        pt = collect_table(
+            ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+        parts = list(
+            zip(
+                pt["nf"].to_pylist(), pt["nc"].to_pylist(), pt["mn"].to_pylist(),
+                pt["mx"].to_pylist(), pt["sm"].to_pylist(),
+            )
+        )
+    n_from = sum(p[0] for p in parts)
+    n_conv = sum(p[1] for p in parts)
+    mn = min((p[2] for p in parts if p[1]), default=0)
+    mx = max((p[3] for p in parts if p[1]), default=0)
+    sm = sum(p[4] for p in parts)
+    if n_conv == 0:
+        mn = mx = 0
+    return pa.table(
+        {
+            "n_from_users": pa.array([n_from], pa.int64()),
+            "n_converted": pa.array([n_conv], pa.int64()),
+            "min_lag_us": pa.array([mn], pa.int64()),
+            "max_lag_us": pa.array([mx], pa.int64()),
+            "sum_lag_us": pa.array([sm], pa.int64()),
+        }
+    )
