@@ -3665,6 +3665,17 @@ def _q_doc_substring_dedup(sf_dir: str):
 LSH_QUALITY_T = 0.3
 
 
+def _q_nation_month_share(sf_dir: str):
+    """Share-of-month revenue by customer nation
+    (relational.nation_month_share): exact integer cents per
+    (month, nation) cell, month totals as integer re-sums, ONE share
+    division on the 1e-9 grid; revenue = ROUND(cents/100.0, 2) —
+    2-decimal values have no .5 boundary, so numpy and SQL agree."""
+    from ugfraud_ray.pipelines.relational import nation_month_share
+
+    return nation_month_share(sf_dir)
+
+
 def _q_suppliers_per_nation(sf_dir: str):
     """Ordered string aggregation (relational.suppliers_per_nation):
     per-nation supplier names joined ', ' in ascending order — ONE
@@ -4622,6 +4633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_tuning_curve": _q_lsh_tuning,
         "lsh_quality_report": _q_lsh_quality,
         "suppliers_per_nation": _q_suppliers_per_nation,
+        "nation_month_share": _q_nation_month_share,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
@@ -9255,6 +9267,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "nation_month_share": """
+            WITH c AS (
+              SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+                         AS month,
+                     n.n_name,
+                     SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                         AS cents
+              FROM orders o
+              JOIN customer cu ON cu.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = cu.c_nationkey
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT month, SUM(cents) AS t FROM c GROUP BY month)
+            SELECT c.month, c.n_name,
+                   ROUND(CAST(c.cents AS DOUBLE) / 100.0, 2) AS revenue,
+                   FLOOR(CAST(c.cents AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS share
+            FROM c JOIN tot USING (month)
         """,
         "suppliers_per_nation": """
             SELECT n.n_name,

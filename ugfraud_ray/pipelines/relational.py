@@ -680,3 +680,74 @@ def suppliers_per_nation(sf_dir: str) -> "ray.data.Dataset":
         .groupby("_cb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def nation_month_share(sf_dir: str) -> "ray.data.Dataset":
+    """(month, n_name, revenue, share) — share-of-month revenue by
+    customer nation (the BI market-share window): o_totalprice
+    accumulates in exact integer cents per (month, nation) via
+    per-block dense partials (months x 25 nations — dimension-sized),
+    month totals re-sum those exact integers, and share is ONE float
+    division rounded to the 1e-9 grid. Month = epoch-months of
+    o_orderdate; revenue mirrors ROUND(cents / 100.0, 2) both sides."""
+    from ray.data.aggregate import Sum
+
+    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nation = collect_table(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    c2n = np.full(int(ck.max()) + 1 if len(ck) else 1, -1, dtype=np.int64)
+    c2n[ck] = cn
+    ref = ray.put(c2n)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        month = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]").astype(np.int64)
+        )
+        nat = m[oc]
+        pk = month * np.int64(64) + nat
+        u, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table({"pk": pa.array(u), "cents": pa.array(sums)})
+
+    base = collect_table(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    pk = base["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = base["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    month = pk // 64
+    nat = pk % 64
+    # month totals: exact integer re-sums of the dimension-sized cells
+    um = np.unique(month)
+    tot = np.zeros(len(um), dtype=np.int64)
+    np.add.at(tot, np.searchsorted(um, month), cents)
+    tot_row = tot[np.searchsorted(um, month)]
+    name_lk = np.full(int(nk.max()) + 1, "", dtype=object)
+    name_lk[nk] = nname
+    share = np.floor(
+        cents.astype(np.float64) / tot_row.astype(np.float64) * 1e9 + 0.5
+    ) / 1e9
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "month": pa.array(month),
+                "n_name": pa.array(name_lk[nat].astype(object), pa.string()),
+                "revenue": pa.array(np.round(cents / 100.0, 2)),
+                "share": pa.array(share),
+            }
+        )
+    )
