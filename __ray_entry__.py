@@ -3665,6 +3665,18 @@ def _q_doc_substring_dedup(sf_dir: str):
 LSH_QUALITY_T = 0.3
 
 
+def _q_joint_degree(sf_dir: str):
+    """Joint degree distribution (graphstats.joint_degree_matrix):
+    bit-length degree buckets on the canonical simple graph, one cell
+    per undirected edge at (min_bucket, max_bucket) — the 2-D mixing
+    diagnostic behind scalar assortativity."""
+    from ugfraud_ray.pipelines.graphstats import joint_degree_matrix
+    from ugfraud_ray.pipelines.testdata_graph import general_edges
+
+    ge = general_edges(sf_dir)
+    return joint_degree_matrix(ge, approx_edges=ge.count())
+
+
 def _q_nation_month_share(sf_dir: str):
     """Share-of-month revenue by customer nation
     (relational.nation_month_share): exact integer cents per
@@ -4634,6 +4646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_quality_report": _q_lsh_quality,
         "suppliers_per_nation": _q_suppliers_per_nation,
         "nation_month_share": _q_nation_month_share,
+        "graph_joint_degree": _q_joint_degree,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
@@ -9267,6 +9280,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "graph_joint_degree": f"""
+            WITH g AS ({_SQL_GENERAL_EDGES}),
+            e2 AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM g
+            ),
+            deg AS (
+                SELECT id, COUNT(*) AS d
+                FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2)
+                GROUP BY id
+            ),
+            bk AS (
+                SELECT id, CAST(LENGTH(bin(CAST(d AS BIGINT))) AS BIGINT) AS bu
+                FROM deg
+            ),
+            cell AS (
+                SELECT LEAST(ba.bu, bb.bu) AS src_bucket,
+                       GREATEST(ba.bu, bb.bu) AS dst_bucket
+                FROM e2
+                JOIN bk ba ON ba.id = e2.a
+                JOIN bk bb ON bb.id = e2.b
+            )
+            SELECT src_bucket, dst_bucket, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM cell GROUP BY 1, 2
         """,
         "nation_month_share": """
             WITH c AS (

@@ -596,3 +596,62 @@ def adjacency_docs(
             batch_format="pyarrow",
         )
     )
+
+
+def joint_degree_matrix(
+    edges: "ray.data.Dataset", approx_edges: int | None = None
+) -> "ray.data.Dataset":
+    """(src_bucket, dst_bucket, n_edges) — the joint degree distribution
+    (degree-mixing matrix) over the canonical undirected simple graph,
+    with degrees folded to power-of-two buckets (bit_length, the
+    length_histogram convention): the 2-D diagnostic behind the scalar
+    assortativity (which web-graph papers report next to it). Each
+    undirected edge contributes ONE cell at (min_bucket, max_bucket).
+
+    Scale shape: dense bincount degrees broadcast once (the
+    attach_edge_weights pattern), per-block bucket-pair uniqued
+    partials bounded by bucket^2, one tiny grouped sum.
+    """
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.kcore import _canonical_undirected
+
+    e = _canonical_undirected(edges, approx_edges).materialize()
+    n = max(ray.get([_bmax.remote(r) for r in e.to_arrow_refs()]) or [0]) + 1
+    from ugfraud_ray.stages.graph_build import dense_degrees
+
+    deg = dense_degrees(e, "src", n) + dense_degrees(e, "dst", n)
+    # bit_length buckets: 0 -> 0, else floor(log2(d)) + 1
+    buck = np.zeros(n, dtype=np.int64)
+    nz = deg > 0
+    buck[nz] = np.floor(np.log2(deg[nz])).astype(np.int64) + 1
+    ref = ray.put(buck)
+
+    def partial(t: pa.Table) -> pa.Table:
+        bk = ray.get(ref)
+        a = bk[t["src"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        b = bk[t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        pk = lo * np.int64(64) + hi
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "src_bucket": pa.array(u // 64),
+                "dst_bucket": pa.array(u % 64),
+                "n_edges": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        e.map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_bucket", "dst_bucket"])
+        .aggregate(Sum("n_edges", alias_name="n_edges"))
+    )
+
+
+@ray.remote
+def _bmax(t: pa.Table) -> int:
+    a = t["src"].to_numpy(zero_copy_only=False)
+    b = t["dst"].to_numpy(zero_copy_only=False)
+    return int(max(a.max(initial=0), b.max(initial=0)))
