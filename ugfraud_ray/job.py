@@ -36,7 +36,8 @@ import time
 def _parse_args(argv: list[str]) -> argparse.Namespace:
     ap = argparse.ArgumentParser(prog="python -m ugfraud_ray.job")
     ap.add_argument("--pipeline", required=True,
-                    choices=["pagerank", "components", "triangles", "curate"])
+                    choices=["pagerank", "components", "triangles", "curate",
+                             "substring-dedup", "bpe-train"])
     ap.add_argument("--pages", help="input pages parquet dir/file "
                     "(url, warc_ts, html, text, lang)")
     ap.add_argument("--docs", help="input documents parquet dir/file "
@@ -70,6 +71,37 @@ def run(args: argparse.Namespace) -> dict:
     from ugfraud_ray.stages.graph_build import build_graph
 
     metrics: dict = {"pipeline": args.pipeline}
+    if args.pipeline == "substring-dedup":
+        # ExactSubstr dedup: documents -> (doc_id, n_tokens, n_removed,
+        # text_dedup) parquet
+        from ugfraud_ray.pipelines.dedup import substring_dedup
+
+        if not args.docs:
+            raise SystemExit("--docs is required for --pipeline substring-dedup")
+        docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"]).materialize()
+        t0 = time.perf_counter()
+        out = substring_dedup(docs, approx_docs=docs.count()).materialize()
+        metrics["pipeline_s"] = round(time.perf_counter() - t0, 3)
+        metrics["n_docs"] = out.count()
+        metrics["n_tokens_removed"] = int(out.sum("n_removed"))
+        out.write_parquet(args.output)
+        return metrics
+    if args.pipeline == "bpe-train":
+        # BPE tokenizer training: documents -> merge table parquet
+        import pyarrow.parquet as _pq
+
+        from ugfraud_ray.pipelines.bpe import bpe_train
+
+        if not args.docs:
+            raise SystemExit("--docs is required for --pipeline bpe-train")
+        docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+        t0 = time.perf_counter()
+        merges = bpe_train(docs, n_merges=args.max_iters)
+        metrics["pipeline_s"] = round(time.perf_counter() - t0, 3)
+        metrics["n_merges"] = merges.num_rows
+        os.makedirs(args.output, exist_ok=True)
+        _pq.write_table(merges, os.path.join(args.output, "merges.parquet"))
+        return metrics
     if args.pipeline == "curate":
         # corpus curation: documents -> (doc_id, split, n_tokens),
         # written as split-partitioned parquet (resumable consumers can
@@ -154,7 +186,7 @@ def run(args: argparse.Namespace) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     args = _parse_args(sys.argv[1:] if argv is None else argv)
-    if not args.pages and args.pipeline != "curate":
+    if not args.pages and args.pipeline not in ("curate", "substring-dedup", "bpe-train"):
         raise SystemExit("--pages is required (with --synthesize to create it)")
     import ray
 
