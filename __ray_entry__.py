@@ -3800,6 +3800,16 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_dedup(_docs(sf_dir), max_hamming=8)
 
 
+def _q_simhash_clusters(sf_dir: str):
+    """Simhash near-dup clusters (dedup.simhash_clusters): the minhash
+    family's cluster assignment over the simhash candidate pairs,
+    sharing _pairs_to_cluster_map (union-find / distributed CC);
+    cluster = min doc_id of the component."""
+    from ugfraud_ray.pipelines.dedup import simhash_clusters
+
+    return simhash_clusters(_docs(sf_dir), max_hamming=8)
+
+
 def _q_minhash_agreement(sf_dir: str):
     """Per-candidate-pair minhash signature agreement
     (dedup.minhash_agreement): n_agree/num_perm is the Jaccard estimate
@@ -4613,6 +4623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_source_dup_rate": _q_source_dup_rate,
         "doc_vocab_growth": _q_vocab_growth,
         "doc_simhash_pairs": _q_simhash_pairs,
+        "doc_simhash_clusters": _q_simhash_clusters,
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "graph_mirror_pairs": _q_graph_mirror_pairs,
         "doc_minhash_agreement": _q_minhash_agreement,
@@ -8254,6 +8265,54 @@ def oracle_sql() -> dict[str, str]:
         # sign threshold v>0, then the 4x16-bit chunk-banding pigeonhole
         # (pairs within hamming<=8 share >=1 chunk is NOT guaranteed —
         # the banding is part of the operator's semantics, mirrored here)
+        # nests the bit-exact simhash chain + the recursive min-label CC
+        # walk (doc_minhash_dedup's shape) + all-docs assignment
+        "doc_simhash_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, t.tok
+                FROM documents, unnest(string_split_regex(text, '\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            bits AS (
+                SELECT doc_id, b.k,
+                       sum(CASE WHEN (md5_number_upper(tok) >> b.k) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM toks, (SELECT unnest(range(64)) AS k) b
+                GROUP BY doc_id, b.k
+            ),
+            sims AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << k)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS sim
+                FROM bits GROUP BY doc_id
+            ),
+            allsims AS (
+                SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+                FROM documents d LEFT JOIN sims s USING (doc_id)
+            ),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
+                WHERE ( (a.sim & 65535) = (b.sim & 65535)
+                     OR ((a.sim >> 16) & 65535) = ((b.sim >> 16) & 65535)
+                     OR ((a.sim >> 32) & 65535) = ((b.sim >> 32) & 65535)
+                     OR ((a.sim >> 48) & 65535) = ((b.sim >> 48) & 65535) )
+                  AND bit_count(xor(a.sim, b.sim)) <= 8
+            ),
+            sym AS (
+                SELECT id_a AS src, id_b AS dst FROM cand
+                UNION
+                SELECT id_b, id_a FROM cand
+            ),
+            walk(vid, comp) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+            ),
+            comps AS (SELECT vid, MIN(comp) AS comp FROM walk GROUP BY vid)
+            SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comps c ON c.vid = d.doc_id
+        """,
         "doc_simhash_pairs": r"""
             WITH toks AS (
                 SELECT doc_id, t.tok

@@ -292,6 +292,56 @@ def minhash_lsh_candidates(
     return _dp(pairs, a="id_a", b="id_b", approx_rows=n_banded)
 
 
+def _pairs_to_cluster_map(
+    pairs: "ray.data.Dataset", local_threshold: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs (id_a, id_b) -> sorted (doc, cluster) arrays with
+    cluster = min id of the connected component. <= local_threshold
+    pairs: driver union-find (O(pairs), tiny vs the corpus); above it
+    the distributed hash-min CC kernel — the pair table never lands on
+    the driver, only the colliding-doc map does. Shared by the minhash
+    and simhash cluster assigners."""
+    from ugfraud_ray.functions.collect import collect_table
+
+    n_pairs = pairs.count()
+    if n_pairs <= local_threshold:
+        pair_t = collect_table(pairs)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(pair_t["id_a"].to_pylist(), pair_t["id_b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = {x: find(x) for x in parent}
+        mk = np.array(sorted(roots), dtype=np.int64)
+        mv = np.array([roots[k] for k in mk.tolist()], dtype=np.int64)
+        return mk, mv
+    import tempfile
+
+    from ugfraud_ray.pipelines.components import connected_components
+    from ugfraud_ray.pipelines.testdata_graph import number_int_vertices, unmap_vids
+
+    e, vmap, n = number_int_vertices(
+        pairs.rename_columns({"id_a": "src", "id_b": "dst"})
+    )
+    comp, _ = connected_components(e, n, tempfile.mkdtemp(prefix="lshcc_"), P=4)
+    # numbering is ascending-original-id order-preserving, so the
+    # min-vid component representative unmaps to the min doc_id
+    out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
+    out = unmap_vids(out, vmap, vid_col="component", out_col="cluster")
+    mt = collect_table(out.select_columns(["id", "cluster"]))
+    mk = mt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mv = mt["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(mk)
+    return mk[order], mv[order]
+
+
 def minhash_lsh_dedup(
     docs: "ray.data.Dataset",
     key: str = "text",
@@ -319,46 +369,7 @@ def minhash_lsh_dedup(
     pairs = minhash_lsh_candidates(
         docs, key, id_col, num_perm, bands, ngram, seed
     ).materialize()
-    n_pairs = pairs.count()
-    if n_pairs <= local_threshold:
-        pair_t = collect_table(pairs)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent.get(x, x) != x:
-                parent[x] = parent.get(parent[x], parent[x])
-                x = parent[x]
-            return x
-
-        for a, b in zip(pair_t["id_a"].to_pylist(), pair_t["id_b"].to_pylist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        roots = {x: find(x) for x in parent}
-        mk = np.array(sorted(roots), dtype=np.int64)
-        mv = np.array([roots[k] for k in mk.tolist()], dtype=np.int64)
-    else:
-        import tempfile
-
-        from ugfraud_ray.pipelines.components import connected_components
-        from ugfraud_ray.pipelines.testdata_graph import number_int_vertices, unmap_vids
-
-        e, vmap, n = number_int_vertices(
-            pairs.rename_columns({"id_a": "src", "id_b": "dst"})
-        )
-        comp, _ = connected_components(
-            e, n, tempfile.mkdtemp(prefix="lshcc_"), P=4
-        )
-        # numbering is ascending-original-id order-preserving, so the
-        # min-vid component representative unmaps to the min doc_id
-        out = unmap_vids(comp, vmap, vid_col="vid", out_col="id")
-        out = unmap_vids(out, vmap, vid_col="component", out_col="cluster")
-        mt = collect_table(out.select_columns(["id", "cluster"]))
-        mk = mt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mv = mt["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(mk)
-        mk, mv = mk[order], mv[order]
-
+    mk, mv = _pairs_to_cluster_map(pairs, local_threshold)
     map_ref = ray.put((mk, mv))
 
     def assign(t: pa.Table) -> pa.Table:
@@ -2086,3 +2097,35 @@ def lsh_quality_report(
             "precision": pa.array([precision]),
         }
     )
+
+
+def simhash_clusters(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    local_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster) — near-dup clusters over the SIMHASH candidate
+    pairs (4x16-bit chunk banding + exact hamming <= max_hamming),
+    cluster = min doc_id of the connected component: the simhash
+    sibling of ``minhash_lsh_dedup``, sharing ``_pairs_to_cluster_map``
+    (driver union-find below the pair gate, distributed hash-min CC
+    above) and the broadcast assign pass."""
+    pairs = simhash_dedup(docs, key=key, id_col=id_col, max_hamming=max_hamming)
+    pairs = pairs.select_columns(["id_a", "id_b"]).materialize()
+    mk, mv = _pairs_to_cluster_map(pairs, local_threshold)
+    map_ref = ray.put((mk, mv))
+
+    def assign(t: pa.Table) -> pa.Table:
+        k, v = ray.get(map_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k):
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            hit = k[pos] == ids
+            cl = np.where(hit, v[pos], ids)
+        else:
+            cl = ids
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(cl)})
+
+    return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
