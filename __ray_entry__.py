@@ -3338,6 +3338,15 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_value_hist(sf_dir: str):
+    """Power-of-two value histogram (events.value_histogram): bucket =
+    bit_length of the 1e-4-grid value (== length(bin(qq)) in SQL);
+    bincount partials, tiny grouped sum."""
+    from ugfraud_ray.pipelines.events import value_histogram
+
+    return value_histogram(_events(sf_dir))
+
+
 def _q_events_conversion_lag(sf_dir: str):
     """Funnel latency (events.conversion_lag): per-user first 'view' ->
     first at-or-after 'purchase' lag, exact int64 microseconds; global
@@ -4739,6 +4748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wow": _q_events_wow,
         "events_bounce": _q_events_bounce,
         "events_conversion_lag": _q_events_conversion_lag,
+        "events_value_hist": _q_events_value_hist,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8385,6 +8395,16 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "events_value_hist": """
+            WITH q AS (
+              SELECT CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS qq
+              FROM events
+            )
+            SELECT CASE WHEN qq > 0
+                        THEN CAST(LENGTH(bin(qq)) AS BIGINT) ELSE 0 END AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM q GROUP BY 1
         """,
         "events_conversion_lag": """
             WITH f AS (

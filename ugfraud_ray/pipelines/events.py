@@ -2680,3 +2680,31 @@ def conversion_lag(
             "sum_lag_us": pa.array([sm], pa.int64()),
         }
     )
+
+
+def value_histogram(events: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(bucket, n_events) — power-of-two histogram of the event value on
+    the 1e-4 integer grid (bucket = bit_length of the quantized value;
+    zero/negative-grid values land in bucket 0): the long-tail shape
+    check behind winsorize/robust-z thresholds, length_histogram's
+    sibling on the value axis. Per-block bincount partials, tiny
+    grouped sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qq = np.floor(v * 1e4 + 0.5).astype(np.int64)
+        b = np.zeros(len(qq), dtype=np.int64)
+        pos = qq > 0
+        b[pos] = np.floor(np.log2(qq[pos])).astype(np.int64) + 1
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u), "n_events": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        events.select_columns(["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
