@@ -3674,6 +3674,26 @@ def _q_doc_substring_dedup(sf_dir: str):
 LSH_QUALITY_T = 0.3
 
 
+def _q_edge_hygiene(sf_dir: str):
+    """Graph-hygiene report (graphstats.edge_hygiene) over the RAW
+    order-projection edge stream (no dedup, self-loops kept): raw/self
+    streaming counts + distinct counts via the bucketed pair dedup."""
+    from ugfraud_ray.pipelines.graphstats import edge_hygiene
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).materialize()
+    mod = int(orders.max("o_custkey")) + 1
+
+    def project(t: pa.Table) -> pa.Table:
+        src = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) % mod
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    raw = orders.map_batches(project, batch_format="pyarrow")
+    return edge_hygiene(raw)
+
+
 def _q_joint_degree(sf_dir: str):
     """Joint degree distribution (graphstats.joint_degree_matrix):
     bit-length degree buckets on the canonical simple graph, one cell
@@ -4667,6 +4687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_nation": _q_suppliers_per_nation,
         "nation_month_share": _q_nation_month_share,
         "graph_joint_degree": _q_joint_degree,
+        "graph_edge_hygiene": _q_edge_hygiene,
         "doc_bpe_merges": _q_doc_bpe_merges,
         "doc_bpe_tokens_trained": _q_doc_bpe_tokens_trained,
         "doc_bpe_pair_counts": _q_doc_bpe_pair_counts,
@@ -9359,6 +9380,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ppl_key <= (SELECT v FROM c2) THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM k
+        """,
+        "graph_edge_hygiene": """
+            WITH raw AS (
+              SELECT o_custkey AS src,
+                     o_orderkey % (SELECT MAX(o_custkey) + 1 FROM orders) AS dst
+              FROM orders
+            ),
+            nl AS (SELECT src, dst FROM raw WHERE src <> dst)
+            SELECT CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS n_raw,
+                   CAST((SELECT COUNT(*) FROM raw WHERE src = dst) AS BIGINT)
+                       AS n_self_loops,
+                   CAST((SELECT COUNT(*) FROM (SELECT DISTINCT src, dst FROM nl))
+                        AS BIGINT) AS n_directed_distinct,
+                   CAST((SELECT COUNT(*) FROM (
+                          SELECT DISTINCT LEAST(src, dst), GREATEST(src, dst)
+                          FROM nl)) AS BIGINT) AS n_undirected_distinct,
+                   CAST((SELECT COUNT(*) FROM (SELECT DISTINCT src, dst FROM nl))
+                        - (SELECT COUNT(*) FROM (
+                             SELECT DISTINCT LEAST(src, dst), GREATEST(src, dst)
+                             FROM nl)) AS BIGINT) AS n_reciprocal_pairs
         """,
         "graph_joint_degree": f"""
             WITH g AS ({_SQL_GENERAL_EDGES}),

@@ -655,3 +655,63 @@ def _bmax(t: pa.Table) -> int:
     a = t["src"].to_numpy(zero_copy_only=False)
     b = t["dst"].to_numpy(zero_copy_only=False)
     return int(max(a.max(initial=0), b.max(initial=0)))
+
+
+def edge_hygiene(edges: "ray.data.Dataset") -> pa.Table:
+    """(n_raw, n_self_loops, n_directed_distinct, n_undirected_distinct,
+    n_reciprocal_pairs) — the graph-hygiene report run before any
+    kernel: how much of the raw edge stream is self-loops, duplicate
+    multi-edges, or reciprocal pairs (what dedup_pairs/symmetrize will
+    collapse). Raw/self counts are streaming integer partials; the
+    distinct counts ride the engine's bucketed pair dedup (nothing
+    edge-scale lands on the driver)."""
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.stages.graph_build import dedup_pairs
+
+    e = edges.select_columns(["src", "dst"]).materialize()
+
+    def counts(t: pa.Table) -> pa.Table:
+        sv = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_raw": pa.array([len(sv)], pa.int64()),
+                "n_self": pa.array([int((sv == dv).sum())], pa.int64()),
+            }
+        )
+
+    agg = e.map_batches(counts, batch_format="pyarrow").aggregate(
+        Sum("n_raw", alias_name="n_raw"), Sum("n_self", alias_name="n_self")
+    )
+    n_raw, n_self = int(agg["n_raw"]), int(agg["n_self"])
+
+    def nonloop(t: pa.Table) -> pa.Table:
+        sv = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(sv != dv))
+
+    nl = e.map_batches(nonloop, batch_format="pyarrow").materialize()
+    hint = nl.count()
+    n_directed = dedup_pairs(nl, approx_rows=hint).count()
+
+    def canon(t: pa.Table) -> pa.Table:
+        sv = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(np.minimum(sv, dv)), "dst": pa.array(np.maximum(sv, dv))}
+        )
+
+    n_undirected = dedup_pairs(
+        nl.map_batches(canon, batch_format="pyarrow"), approx_rows=hint
+    ).count()
+    return pa.table(
+        {
+            "n_raw": pa.array([n_raw], pa.int64()),
+            "n_self_loops": pa.array([n_self], pa.int64()),
+            "n_directed_distinct": pa.array([n_directed], pa.int64()),
+            "n_undirected_distinct": pa.array([n_undirected], pa.int64()),
+            "n_reciprocal_pairs": pa.array([n_directed - n_undirected], pa.int64()),
+        }
+    )
