@@ -569,3 +569,20 @@ def test_feature_correlation_matches_numpy(ray_session):
     # chars and spaces strongly correlate in whitespace-token text
     rmap = {(r.feat_a, r.feat_b): r.r for r in out.itertuples(index=False)}
     assert rmap[("n_chars", "n_spaces")] > 0.9
+
+
+def test_edge_hygiene_counts(ray_session):
+    from ugfraud_ray.pipelines.graphstats import edge_hygiene
+
+    t = pa.table(
+        {
+            "src": pa.array([1, 1, 2, 3, 3, 4, 4], pa.int64()),
+            "dst": pa.array([2, 2, 1, 3, 4, 3, 5], pa.int64()),
+        }
+    )
+    out = edge_hygiene(ray.data.from_arrow(t).repartition(3)).to_pandas().iloc[0]
+    # raw 7; self-loop (3,3); duplicates (1,2)x2; reciprocal (1,2)/(2,1) and (3,4)/(4,3)
+    assert out.n_raw == 7 and out.n_self_loops == 1
+    assert out.n_directed_distinct == 5  # (1,2),(2,1),(3,4),(4,3),(4,5)
+    assert out.n_undirected_distinct == 3  # {1,2},{3,4},{4,5}
+    assert out.n_reciprocal_pairs == 2

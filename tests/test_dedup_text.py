@@ -961,3 +961,25 @@ def test_lsh_quality_report_planted_borderline(ray_session):
     assert r.n_hit >= 1  # exact pair always collides
     assert 0.0 < r.recall <= 1.0 and 0.0 < r.precision <= 1.0
     assert r.n_hit <= min(r.n_truth, r.n_cand)
+
+
+def test_simhash_clusters_planted(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.dedup import simhash_clusters
+
+    rng = np.random.default_rng(33)
+    texts, ids = [], []
+    for d in range(20):
+        texts.append(" ".join(f"w{d}_{j}" for j in rng.integers(0, 40, 25)))
+        ids.append(d)
+    texts += [texts[0], texts[0]]  # identical docs cluster to min id 0
+    ids += [50, 51]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    out = simhash_clusters(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    cl = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+    assert cl[50] == 0 and cl[51] == 0 and cl[0] == 0
+    assert len(out) == len(ids)
