@@ -2621,6 +2621,21 @@ def _q_doc_snapshot_diff(sf_dir: str):
     return snapshot_diff(a, b, approx_rows=docs.count())
 
 
+def _q_gopher_by_lang(sf_dir: str):
+    """Gopher yield per language (text_analysis.gopher_pass_by_lang):
+    the exact-integer keep bit grouped by lang (metadata broadcast
+    below the gate / join above, mixture_report's rule); 1e-9 rate."""
+    import os as _os
+
+    from ugfraud_ray.pipelines.text_analysis import gopher_pass_by_lang
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return gopher_pass_by_lang(docs)
+
+
 def _q_doc_mixture_drift(sf_dir: str):
     """Snapshot composition drift (curation.mixture_drift): per-source
     shares of the even/odd doc_id halves with 1e-9-grid deltas; the TV
@@ -4645,6 +4660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": _q_doc_line_dedup,
         "doc_dsir_weights": _q_doc_dsir,
         "doc_gopher_rules": _q_doc_gopher,
+        "doc_gopher_by_lang": _q_gopher_by_lang,
         "doc_lang_confusion": _q_lang_confusion,
         "doc_quality_dedup": _q_quality_dedup,
         "doc_interleave_mixture": _q_interleave_mixture,
@@ -8084,6 +8100,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Gopher gate: every ratio threshold is cross-multiplied so both
         # sides compare exact integers; word length is codepoints (LENGTH)
+        # the gopher keep chain grouped by language
+        "doc_gopher_by_lang": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE w <> '') AS n_words,
+                       COALESCE(SUM(LENGTH(w)) FILTER (WHERE w <> ''), 0) AS tot_chars,
+                       COUNT(*) FILTER (WHERE regexp_matches(w, '[a-z]')) AS n_alpha,
+                       COUNT(DISTINCT w) FILTER (
+                           WHERE w IN ('the','be','to','of','and','that','have','with')
+                       ) AS n_stop
+                FROM tok GROUP BY doc_id
+            ),
+            ln AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_lines,
+                       COUNT(*) FILTER (
+                           WHERE l LIKE '%...' OR l LIKE '%…') AS n_ell,
+                       COUNT(*) FILTER (
+                           WHERE l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%') AS n_bul
+                FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                      FROM documents) GROUP BY doc_id
+            ),
+            hs AS (
+                SELECT doc_id,
+                       LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS n_hash
+                FROM documents
+            ),
+            kp AS (
+                SELECT tk.doc_id,
+                       CAST(tk.n_words BETWEEN 50 AND 100000
+                            AND 3 * tk.n_words <= tk.tot_chars
+                            AND tk.tot_chars <= 10 * tk.n_words
+                            AND 5 * tk.n_alpha >= 4 * tk.n_words
+                            AND tk.n_stop >= 2
+                            AND 10 * ln.n_ell <= 3 * ln.n_lines
+                            AND 10 * ln.n_bul <= 9 * ln.n_lines
+                            AND 10 * hs.n_hash <= tk.n_words AS BIGINT) AS keep
+                FROM tk JOIN ln USING (doc_id) JOIN hs USING (doc_id)
+            )
+            SELECT d.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(kp.keep) AS BIGINT) AS n_keep,
+                   FLOOR(CAST(SUM(kp.keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS pass_rate
+            FROM kp JOIN documents d USING (doc_id)
+            GROUP BY d.lang
+        """,
         "doc_gopher_rules": r"""
             WITH tok AS (
                 SELECT doc_id,

@@ -2373,3 +2373,82 @@ def feature_correlation(
             "r": pa.array(np.array(rr)),
         }
     )
+
+
+def gopher_pass_by_lang(
+    docs: "ray.data.Dataset",
+    local_threshold: int = 10_000_000,
+) -> "ray.data.Dataset":
+    """(lang, n_docs, n_keep, pass_rate) — the Gopher gate's yield per
+    language (the readout that tells a multilingual curation which
+    languages the English-tuned thresholds starve). Composes the exact
+    integer gopher_rules keep bit with the doc language: below the
+    metadata gate the (doc_id -> lang) map broadcasts for a vectorized
+    searchsorted attach (mixture_report's rule), above it a hash join;
+    then one lang-sized grouped sum; pass_rate on the 1e-9 grid."""
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+
+    g = gopher_rules(docs).select_columns(["doc_id", "keep"])
+    meta = docs.select_columns(["doc_id", "lang"])
+    n_meta = meta.count()
+    if n_meta > local_threshold:  # pragma: no cover - forced in tests
+        from ugfraud_ray.stages.graph_build import join_partitions
+
+        attached = g.join(
+            meta, join_type="inner", on=("doc_id",), num_partitions=join_partitions()
+        )
+    else:
+        mt = collect_table(meta)
+        mid = mt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(mt["lang"].to_pylist(), dtype=object)
+        order = np.argsort(mid, kind="stable")
+        ref = ray.put((mid[order], langs[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            ids_s, lg = ray.get(ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(ids_s, ids), 0, len(ids_s) - 1)
+            if not (ids_s[pos] == ids).all():
+                raise ValueError("gopher_pass_by_lang: doc without metadata")
+            return pa.table({"lang": pa.array(lg[pos].astype(object), pa.string()),
+                             "keep": t["keep"]})
+
+        attached = g.map_batches(attach, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        lg = np.asarray(t["lang"].to_pylist(), dtype=object)
+        kp = t["keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(lg, return_inverse=True)
+        nd = np.bincount(inv).astype(np.int64)
+        nk = np.zeros(len(u), dtype=np.int64)
+        np.add.at(nk, inv, kp)
+        return pa.table(
+            {
+                "lang": pa.array(u.astype(object), pa.string()),
+                "n_docs": pa.array(nd),
+                "n_keep": pa.array(nk),
+            }
+        )
+
+    agg = (
+        attached.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_keep", alias_name="n_keep"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["n_keep"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.floor(nk.astype(np.float64) / nd.astype(np.float64) * 1e9 + 0.5) / 1e9
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pa.array(nd),
+                "n_keep": pa.array(nk),
+                "pass_rate": pa.array(rate),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
