@@ -2663,6 +2663,17 @@ def _q_ann_filtered(sf_dir: str):
 JL_K = 8
 
 
+def _q_label_scatter(sf_dir: str):
+    """Per-label scatter (similarity.label_scatter): trace of the
+    within-class covariance from exact integer moments (Sxx, per-dim
+    Sx; Python-int totals) on the 1e-4 grid; pinned float chain,
+    1e-9 readout."""
+    from ugfraud_ray.pipelines.similarity import label_scatter
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return label_scatter(emb)
+
+
 def _q_embedding_jl(sf_dir: str):
     """Integer-exact JL sign projection (similarity.jl_project): +-1 per
     (i, j) from md5-low64 parity of 'jl-7-i-j', inputs on the half-up
@@ -4640,6 +4651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_feature_corr": _q_doc_feature_corr,
         "embedding_jl": _q_embedding_jl,
         "ann_filtered_topk": _q_ann_filtered,
+        "embedding_label_scatter": _q_label_scatter,
         "doc_quality_logreg": _q_doc_quality_logreg,
         "doc_mixture_report": _q_doc_mixture_report,
         "doc_source_diversity": _q_doc_source_diversity,
@@ -8282,6 +8294,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:space:]]', '', 'g')) AS BIGINT) AS n_spaces,
                    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct
             FROM documents
+        """,
+        "embedding_label_scatter": """
+            WITH q AS (
+              SELECT label,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+                          AS BIGINT) AS qv
+              FROM embeddings
+            ),
+            m AS (
+              SELECT label, dim,
+                     SUM(CAST(qv AS HUGEINT)) AS sx,
+                     SUM(CAST(qv AS HUGEINT) * qv) AS sxx2
+              FROM q GROUP BY 1, 2
+            ),
+            cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+            per AS (
+              SELECT m.label, SUM(m.sxx2) AS sxx, SUM(m.sx * m.sx) AS sumsq,
+                     ANY_VALUE(c.n) AS n
+              FROM m JOIN cnt c ON c.label = m.label
+              GROUP BY m.label
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+                   FLOOR((((CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(sumsq AS VARCHAR) AS DOUBLE) / n) / n)
+                          / 100000000.0) * 1000000000.0 + 0.5)
+                     / 1000000000.0 AS var_trace
+            FROM per
         """,
         # the ann_topk chain + the label pre-filter predicate
         "ann_filtered_topk": f"""

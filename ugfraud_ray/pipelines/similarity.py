@@ -1698,3 +1698,68 @@ def filtered_topk(
         )
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def label_scatter(
+    emb: "ray.data.Dataset", grid: int = 10_000
+) -> "ray.data.Dataset":
+    """(label, n_vecs, var_trace) — per-label scatter (trace of the
+    within-class covariance, the label-space discriminability readout
+    next to embedding_label_affinity): from EXACT integer moments on
+    the half-up 1/grid quantization — Sxx = Σ‖q‖² and per-dim Sx — via
+    var_trace = (Sxx − Σ_d Sx_d²/n) / n / grid², one pinned float
+    chain over Python-int totals (float(int) == CAST(VARCHAR) double),
+    1e-9 readout. Per-block int64 partials bounded by labels × dims."""
+    from ugfraud_ray.functions.collect import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _vecs_from_column(t["embedding"], t.num_rows).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(v * grid + 0.5).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), q.shape[1]
+        sx = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sx, inv, q)
+        sxx = np.zeros(k, dtype=np.int64)
+        np.add.at(sxx, inv, (q * q).sum(axis=1))
+        cnt = np.bincount(inv).astype(np.int64)
+        rows = {
+            "label": pa.array(np.repeat(ulab, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "sx": pa.array(sx.reshape(-1)),
+            "sxx": pa.array(np.repeat(sxx, d) * 0 + np.where(
+                np.tile(np.arange(d), k) == 0, np.repeat(sxx, d), 0
+            )),
+            "n": pa.array(np.where(np.tile(np.arange(d), k) == 0,
+                                   np.repeat(cnt, d), 0)),
+        }
+        return pa.table(rows)
+
+    from ray.data.aggregate import Sum
+
+    base = collect_table(
+        emb.select_columns(["vec_id", "embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"),
+                   Sum("n", alias_name="n"))
+    ).to_pandas()
+    out_l, out_n, out_v = [], [], []
+    for lab, g in base.groupby("label"):
+        n = int(g["n"].sum())
+        sxx = int(g["sxx"].sum())
+        sx = g.sort_values("dim")["sx"].to_numpy().astype(object)
+        sum_sq = sum(int(x) * int(x) for x in sx)
+        var = (float(sxx) - float(sum_sq) / n) / n / (grid * grid)
+        out_l.append(int(lab))
+        out_n.append(n)
+        out_v.append(float(np.floor(var * 1e9 + 0.5) / 1e9))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "n_vecs": pa.array(out_n, pa.int64()),
+                "var_trace": pa.array(out_v),
+            }
+        )
+    )
