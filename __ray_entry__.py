@@ -3732,6 +3732,15 @@ def _q_joint_degree(sf_dir: str):
     return joint_degree_matrix(ge, approx_edges=ge.count())
 
 
+def _q_late_orders(sf_dir: str):
+    """TPC-H Q4 EXISTS shape (relational.late_orders_by_priority):
+    orders with >= 1 lineitem shipped > 90 days after the order date,
+    per priority; broadcast order-date map + semi_anti_join gate."""
+    from ugfraud_ray.pipelines.relational import late_orders_by_priority
+
+    return late_orders_by_priority(sf_dir)
+
+
 def _q_nation_month_share(sf_dir: str):
     """Share-of-month revenue by customer nation
     (relational.nation_month_share): exact integer cents per
@@ -4714,6 +4723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_quality_report": _q_lsh_quality,
         "suppliers_per_nation": _q_suppliers_per_nation,
         "nation_month_share": _q_nation_month_share,
+        "late_orders_by_priority": _q_late_orders,
         "graph_joint_degree": _q_joint_degree,
         "graph_edge_hygiene": _q_edge_hygiene,
         "doc_bpe_merges": _q_doc_bpe_merges,
@@ -9532,6 +9542,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_bucket, dst_bucket, CAST(COUNT(*) AS BIGINT) AS n_edges
             FROM cell GROUP BY 1, 2
+        """,
+        "late_orders_by_priority": """
+            SELECT o.o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            )
+            GROUP BY o.o_orderpriority
         """,
         "nation_month_share": """
             WITH c AS (

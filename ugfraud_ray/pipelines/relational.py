@@ -751,3 +751,51 @@ def nation_month_share(sf_dir: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def late_orders_by_priority(
+    sf_dir: str, late_days: int = 90
+) -> "ray.data.Dataset":
+    """(o_orderpriority, n_orders) — the TPC-H Q4 EXISTS shape on this
+    schema: orders with AT LEAST ONE lineitem shipped more than
+    ``late_days`` days after the order date, counted per priority.
+    The order-date map broadcasts once (review_edges' rule), the late
+    flag is a vectorized date comparison per lineitem batch, and the
+    EXISTS resolves through ``semi_anti_join``'s broadcast-or-join
+    gate — no fact-sized groupby anywhere."""
+    from ray.data.aggregate import Count
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).materialize()
+    ot = collect_table(orders.select_columns(["o_orderkey", "o_orderdate"]))
+    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    od = (
+        ot["o_orderdate"].to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    lk = np.zeros(int(ok.max()) + 1 if len(ok) else 1, dtype=np.int64)
+    lk[ok] = od
+    ref = ray.put(lk)
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        late = sd > m[lo] + late_us
+        return pa.table({"l_orderkey": pa.array(np.unique(lo[late]))})
+
+    late = lineitem.map_batches(late_keys, batch_format="pyarrow")
+    hit = semi_anti_join(orders, late, "o_orderkey", right_key_col="l_orderkey")
+    return (
+        hit.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .rename_columns({"o_orderpriority": "priority"})
+        .select_columns(["priority", "n_orders"])
+    )
