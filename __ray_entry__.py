@@ -3732,6 +3732,15 @@ def _q_joint_degree(sf_dir: str):
     return joint_degree_matrix(ge, approx_edges=ge.count())
 
 
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 predicate scan (relational.forecast_revenue): exact
+    integer 1e-4-unit revenue under the shipdate/discount/quantity
+    band, zero shuffles; ROUND(units/1e4, 2) readout."""
+    from ugfraud_ray.pipelines.relational import forecast_revenue
+
+    return forecast_revenue(sf_dir)
+
+
 def _q_late_orders(sf_dir: str):
     """TPC-H Q4 EXISTS shape (relational.late_orders_by_priority):
     orders with >= 1 lineitem shipped > 90 days after the order date,
@@ -4724,6 +4733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_nation": _q_suppliers_per_nation,
         "nation_month_share": _q_nation_month_share,
         "late_orders_by_priority": _q_late_orders,
+        "forecast_revenue": _q_forecast_revenue,
         "graph_joint_degree": _q_joint_degree,
         "graph_edge_hygiene": _q_edge_hygiene,
         "doc_bpe_merges": _q_doc_bpe_merges,
@@ -9542,6 +9552,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_bucket, dst_bucket, CAST(COUNT(*) AS BIGINT) AS n_edges
             FROM cell GROUP BY 1, 2
+        """,
+        "forecast_revenue": """
+            SELECT ROUND(CAST(COALESCE(SUM(
+                     CAST(FLOOR(l_extendedprice * l_discount * 10000.0 + 0.5)
+                          AS BIGINT)), 0) AS DOUBLE) / 10000.0, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "late_orders_by_priority": """
             SELECT o.o_orderpriority AS priority,

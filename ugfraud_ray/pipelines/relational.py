@@ -799,3 +799,39 @@ def late_orders_by_priority(
         .rename_columns({"o_orderpriority": "priority"})
         .select_columns(["priority", "n_orders"])
     )
+
+
+def forecast_revenue(sf_dir: str) -> pa.Table:
+    """One row (revenue) — the TPC-H Q6 predicate-scan shape: lineitems
+    shipped in 1996 with discount in [0.05, 0.07] and quantity < 24;
+    revenue = Σ l_extendedprice·l_discount in EXACT integer 1e-4 units
+    (floor(x·1e4 + 0.5) per row, order-free partial sums), one final
+    ROUND(units/1e4, 2) readout. The column-pruned streaming scan the
+    brief's 'prune at the read' rule describes — no shuffle at all."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        disc = t["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        px = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (
+            (sd >= np.datetime64("1996-01-01", "us"))
+            & (sd < np.datetime64("1997-01-01", "us"))
+            & (disc >= 0.05)
+            & (disc <= 0.07)
+            & (qty < 24)
+        )
+        units = np.floor(px[keep] * disc[keep] * 10_000.0 + 0.5).astype(np.int64)
+        return pa.table({"u": pa.array([int(units.sum())], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("u", alias_name="u")
+    )
+    rev = round(int(agg["u"]) / 10_000.0, 2)
+    return pa.table({"revenue": pa.array([rev], pa.float64())})
