@@ -2636,6 +2636,62 @@ def _q_gopher_by_lang(sf_dir: str):
     return gopher_pass_by_lang(docs)
 
 
+def _q_doc_curation_funnel(sf_dir: str):
+    """Curation funnel report (curation.curation_funnel): docs/tokens
+    surviving raw -> length gate -> exact dedup -> near dedup; the
+    final stage is exactly curate()'s output."""
+    from ugfraud_ray.pipelines.curation import curation_funnel
+
+    return curation_funnel(_docs(sf_dir))
+
+
+def _curation_funnel_sql() -> str:
+    """Stage-count replay nesting the curation chain (the _curation_sql
+    CTEs) plus the shared token counter per stage."""
+    tok = ("len(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+           " t -> t <> ''))")
+    return rf"""
+        WITH RECURSIVE gated AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 100
+        ),
+        exact AS (
+          SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+        ),
+        surv AS (
+          SELECT g.doc_id, g.text FROM gated g JOIN exact e USING (doc_id)
+        ),
+        {_minhash_cand_ctes(source="surv")},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM cand
+          UNION
+          SELECT id_b, id_a FROM cand
+        ),
+        walk(vid, comp) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+        ),
+        comps AS (SELECT vid, MIN(comp) AS comp FROM walk GROUP BY vid),
+        final AS (
+          SELECT d.doc_id, d.text
+          FROM surv d LEFT JOIN comps c ON c.vid = d.doc_id
+          WHERE COALESCE(c.comp, d.doc_id) = d.doc_id
+        )
+        SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM({tok}), 0) AS BIGINT) AS n_tokens
+        FROM documents
+        UNION ALL
+        SELECT 'length_gate', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM surv
+        UNION ALL
+        SELECT 'near_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM({tok}), 0) AS BIGINT) FROM final
+    """
+
+
 def _q_doc_mixture_drift(sf_dir: str):
     """Snapshot composition drift (curation.mixture_drift): per-source
     shares of the even/odd doc_id halves with 1e-9-grid deltas; the TV
@@ -4664,6 +4720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_leakage": _q_doc_split_leakage,
         "doc_cube": _q_doc_cube,
         "doc_mixture_drift": _q_doc_mixture_drift,
+        "doc_curation_funnel": _q_doc_curation_funnel,
         "doc_snapshot_diff": _q_doc_snapshot_diff,
         "doc_sources_topk": _q_doc_sources_topk,
         "doc_feature_corr": _q_doc_feature_corr,
@@ -6075,6 +6132,7 @@ def oracle_sql() -> dict[str, str]:
                                            AND ha = hb) AS BIGINT) FROM j
             )
         """,
+        "doc_curation_funnel": _curation_funnel_sql(),
         "doc_mixture_drift": """
             WITH c AS (
               SELECT source, doc_id % 2 AS parity, COUNT(*) AS n

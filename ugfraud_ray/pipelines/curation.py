@@ -991,3 +991,59 @@ def mixture_drift(
             "abs_delta": pa.array(delta),
         }
     )
+
+
+def curation_funnel(
+    docs: "ray.data.Dataset", min_chars: int = 100
+) -> pa.Table:
+    """(stage, n_docs, n_tokens) — the curation funnel report: how many
+    documents and tokens survive each stage (raw -> length gate ->
+    exact dedup -> near dedup). THE number a data lead asks for after
+    every crawl; each row nests the corresponding verified stage.
+    Token counts use the shared lowered tokenizer; the final stage is
+    exactly ``curate()``'s output (its n_tokens column summed)."""
+    from ray.data.aggregate import Sum
+
+    from ugfraud_ray.pipelines.dedup import exact_dedup
+    from ugfraud_ray.pipelines.text_analysis import _explode_tokens
+
+    def tok_counts(ds: "ray.data.Dataset") -> tuple[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            _, rows = _explode_tokens(t, "text")
+            return pa.table(
+                {
+                    "nd": pa.array([t.num_rows], pa.int64()),
+                    "nt": pa.array([len(rows)], pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("nd", alias_name="nd"), Sum("nt", alias_name="nt")
+        )
+        return int(agg["nd"] or 0), int(agg["nt"] or 0)
+
+    raw_d, raw_t = tok_counts(docs)
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.utf8_length(t["text"]), min_chars))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    g_d, g_t = tok_counts(gated)
+
+    exact_ids = exact_dedup(gated, key="text", id_col="doc_id").select_columns(["doc_id"])
+    survivors = _semi_join_ids(gated, exact_ids, "doc_id", 20_000_000).materialize()
+    e_d, e_t = tok_counts(survivors)
+
+    cur = curate(docs, min_chars=min_chars)
+    f_d = cur.count()
+    f_t = int(cur.sum("n_tokens") or 0)
+
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["raw", "length_gate", "exact_dedup", "near_dedup"], pa.string()
+            ),
+            "n_docs": pa.array([raw_d, g_d, e_d, f_d], pa.int64()),
+            "n_tokens": pa.array([raw_t, g_t, e_t, f_t], pa.int64()),
+        }
+    )
