@@ -3420,6 +3420,14 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_streaks(sf_dir: str):
+    """Gaps-and-islands (events.max_active_streak): longest consecutive
+    active-day run per user; island id = day − rank both sides."""
+    from ugfraud_ray.pipelines.events import max_active_streak
+
+    return max_active_streak(_events(sf_dir))
+
+
 def _q_events_value_hist(sf_dir: str):
     """Power-of-two value histogram (events.value_histogram): bucket =
     bit_length of the 1e-4-grid value (== length(bin(qq)) in SQL);
@@ -4875,6 +4883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bounce": _q_events_bounce,
         "events_conversion_lag": _q_events_conversion_lag,
         "events_value_hist": _q_events_value_hist,
+        "events_streaks": _q_events_streaks,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8602,6 +8611,28 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        # the classic gaps-and-islands replay: island = day - rank
+        "events_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY day) AS island
+              FROM d
+            ),
+            runs AS (
+              SELECT user_id, island, COUNT(*) AS run_len
+              FROM r GROUP BY user_id, island
+            )
+            SELECT user_id,
+                   CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+                   CAST(MAX(run_len) AS BIGINT) AS max_streak
+            FROM runs GROUP BY user_id
         """,
         "events_value_hist": """
             WITH q AS (

@@ -866,3 +866,31 @@ def test_conversion_lag_matches_pandas_both_paths(ray_session):
         assert int(out.n_from_users) == nf and int(out.n_converted) == nc
         assert int(out.min_lag_us) == min(lags) and int(out.max_lag_us) == max(lags)
         assert int(out.sum_lag_us) == sum(lags)
+
+
+def test_max_active_streak_matches_pandas_both_paths(ray_session):
+    from ugfraud_ray.pipelines.events import max_active_streak
+
+    t = _synth_events(n=1500, n_users=21, seed=31)
+    ds = ray.data.from_arrow(t).repartition(4)
+    df = t.to_pandas()
+    df["day"] = (df["ts"].astype("int64") // (86400 * 10**6)).astype(int)
+    want = {}
+    for u, g in df.groupby("user_id"):
+        days = np.sort(g["day"].unique())
+        runs, cur = [], 1
+        for i in range(1, len(days)):
+            if days[i] == days[i - 1] + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[int(u)] = (len(days), max(runs))
+    for thresh in (1_000_000, 0):
+        out = max_active_streak(ds, local_threshold=thresh).to_pandas()
+        got = {
+            int(r.user_id): (int(r.n_active_days), int(r.max_streak))
+            for r in out.itertuples(index=False)
+        }
+        assert got == want, f"threshold={thresh}"

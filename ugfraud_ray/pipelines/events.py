@@ -2708,3 +2708,63 @@ def value_histogram(events: "ray.data.Dataset") -> "ray.data.Dataset":
         .groupby("bucket")
         .aggregate(Sum("n_events", alias_name="n_events"))
     )
+
+
+def max_active_streak(
+    events: "ray.data.Dataset",
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """(user_id, n_active_days, max_streak) — the gaps-and-islands
+    pattern: each user's longest run of CONSECUTIVE active days
+    (engagement-streak readout). Distinct days per user, island id =
+    day − rank (constant within a consecutive run — the classic SQL
+    trick, vectorized here as diff != 1 run breaks); all integers,
+    sessionize's co-location contract."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = events.select_columns(["user_id", "ts"])
+
+    def block(t) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // _US_PER_DAY
+        )
+        pk = u * np.int64(1 << 21) + d
+        upk = np.unique(pk)
+        uu = upk // (1 << 21)
+        dd = upk % (1 << 21)
+        starts = np.flatnonzero(np.concatenate([[True], uu[1:] != uu[:-1]]))
+        n_active = np.diff(np.append(starts, len(uu))).astype(np.int64)
+        brk = np.ones(len(uu), dtype=bool)
+        brk[1:] = (uu[1:] != uu[:-1]) | (np.diff(dd) != 1)
+        run_id = np.cumsum(brk) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        run_user = uu[np.flatnonzero(brk)]
+        order = np.argsort(run_user, kind="stable")
+        ru, rl = run_user[order], run_len[order]
+        rstarts = np.flatnonzero(np.concatenate([[True], ru[1:] != ru[:-1]]))
+        mx = np.maximum.reduceat(rl, rstarts)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[starts]),
+                "n_active_days": pa.array(n_active),
+                "max_streak": pa.array(mx),
+            }
+        )
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(block(collect_table(ds)))
+
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
+
+    bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(block, batch_format="pyarrow")
+    )
