@@ -3796,6 +3796,14 @@ def _q_joint_degree(sf_dir: str):
     return joint_degree_matrix(ge, approx_edges=ge.count())
 
 
+def _q_customer_rfm(sf_dir: str):
+    """RFM segmentation base (relational.customer_rfm): recency vs the
+    corpus max order day, order count, exact integer-cent spend."""
+    from ugfraud_ray.pipelines.relational import customer_rfm
+
+    return customer_rfm(sf_dir)
+
+
 def _q_forecast_revenue(sf_dir: str):
     """TPC-H Q6 predicate scan (relational.forecast_revenue): exact
     integer 1e-4-unit revenue under the shipdate/discount/quantity
@@ -4799,6 +4807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_month_share": _q_nation_month_share,
         "late_orders_by_priority": _q_late_orders,
         "forecast_revenue": _q_forecast_revenue,
+        "customer_rfm": _q_customer_rfm,
         "graph_joint_degree": _q_joint_degree,
         "graph_edge_hygiene": _q_edge_hygiene,
         "doc_bpe_merges": _q_doc_bpe_merges,
@@ -9641,6 +9650,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_bucket, dst_bucket, CAST(COUNT(*) AS BIGINT) AS n_edges
             FROM cell GROUP BY 1, 2
+        """,
+        "customer_rfm": """
+            WITH base AS (
+              SELECT o_custkey AS c_custkey,
+                     MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+              FROM orders GROUP BY 1
+            )
+            SELECT c_custkey,
+                   CAST((SELECT MAX(last_day) FROM base) - last_day AS BIGINT)
+                       AS recency_days,
+                   frequency,
+                   ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS monetary
+            FROM base
         """,
         "forecast_revenue": """
             SELECT ROUND(CAST(COALESCE(SUM(

@@ -835,3 +835,66 @@ def forecast_revenue(sf_dir: str) -> pa.Table:
     )
     rev = round(int(agg["u"]) / 10_000.0, 2)
     return pa.table({"revenue": pa.array([rev], pa.float64())})
+
+
+def customer_rfm(sf_dir: str) -> "ray.data.Dataset":
+    """(c_custkey, recency_days, frequency, monetary) — the classic RFM
+    segmentation base: days from the customer's last order to the
+    corpus max order date, order count, and total spend in EXACT
+    integer cents (ROUND(c/100.0, 2) readout — 2-decimal values have no
+    .5 boundary). One streaming pass of per-block (cust, max_date, n,
+    cents) partials into a customer-keyed grouped merge."""
+    from ray.data.aggregate import Max, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        oc = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(oc, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, od)
+        n = np.bincount(inv).astype(np.int64)
+        cm = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cm, inv, cents)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u),
+                "last_day": pa.array(mx),
+                "frequency": pa.array(n),
+                "cents": pa.array(cm),
+            }
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("last_day", alias_name="last_day"),
+            Sum("frequency", alias_name="frequency"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()
+    )
+    max_day = int(agg.max("last_day"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        ld = t["last_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "recency_days": pa.array(max_day - ld),
+                "frequency": t["frequency"],
+                "monetary": pa.array(np.round(c / 100.0, 2)),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
