@@ -3420,6 +3420,15 @@ def _q_events_robust_zscore(sf_dir: str):
     return robust_zscore_per_type(ev, approx_rows=ev.count())
 
 
+def _q_events_session_hist(sf_dir: str):
+    """Session-length histogram (events.session_length_histogram):
+    power-of-two buckets of events-per-session under the exact
+    gap-break rule (bit_length == LENGTH(bin()))."""
+    from ugfraud_ray.pipelines.events import session_length_histogram
+
+    return session_length_histogram(_events(sf_dir))
+
+
 def _q_events_streaks(sf_dir: str):
     """Gaps-and-islands (events.max_active_streak): longest consecutive
     active-day run per user; island id = day − rank both sides."""
@@ -4893,6 +4902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_lag": _q_events_conversion_lag,
         "events_value_hist": _q_events_value_hist,
         "events_streaks": _q_events_streaks,
+        "events_session_hist": _q_events_session_hist,
         "events_top_anomalies": _q_events_top_anomalies,
         "doc_length_histogram": _q_doc_length_histogram,
         "events_stratified_sample": _q_events_stratified_sample,
@@ -8620,6 +8630,29 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
                    ROUND(SUM(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        # nests the exact sessions chain; bucket = LENGTH(bin(n))
+        "events_session_hist": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                            OR date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id,
+                       SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM o
+            ), sess AS (
+                SELECT COUNT(*) AS n FROM s GROUP BY user_id, sid
+            )
+            SELECT CAST(LENGTH(bin(CAST(n AS BIGINT))) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM sess GROUP BY 1
         """,
         # the classic gaps-and-islands replay: island = day - rank
         "events_streaks": """

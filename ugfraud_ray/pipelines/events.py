@@ -2768,3 +2768,54 @@ def max_active_streak(
         .groupby("_cb")
         .map_groups(block, batch_format="pyarrow")
     )
+
+
+def session_length_histogram(
+    events: "ray.data.Dataset",
+    gap_minutes: int = 30,
+    local_threshold: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """(bucket, n_sessions) — power-of-two histogram of events per
+    session (bucket = bit_length of the session size): the engagement
+    depth distribution behind bounce_rates. Exact gap-break sessions,
+    co-location contract, bincount partials, tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ds = events.select_columns(["user_id", "ts", "event_id"])
+
+    def block(t) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        brk = np.ones(len(u), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        slens = np.diff(np.append(starts, len(u))).astype(np.int64)
+        bucket = np.zeros(len(slens), dtype=np.int64)
+        pos = slens > 0
+        bucket[pos] = np.floor(np.log2(slens[pos])).astype(np.int64) + 1
+        ub, c = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ub), "n_sessions": pa.array(c.astype(np.int64))}
+        )
+
+    try:
+        n = ds.count()
+    except Exception:  # pragma: no cover
+        n = None
+    if n is not None and n <= local_threshold:
+        return ray.data.from_arrow(block(collect_table(ds)))
+
+    from ugfraud_ray.functions.bucketing import bucket_by_int_col
+
+    bucketize = bucket_by_int_col("user_id", n_coarse_buckets(n))
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(block, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"))
+    )
