@@ -3851,6 +3851,15 @@ def _q_suppliers_per_nation(sf_dir: str):
     return suppliers_per_nation(sf_dir)
 
 
+def _q_top_dup_texts(sf_dir: str):
+    """Boilerplate report (dedup.top_duplicated_texts): top-10 exact
+    texts by copy count (ties min doc_id); hash-level resolve first,
+    only the winners' texts fetched."""
+    from ugfraud_ray.pipelines.dedup import top_duplicated_texts
+
+    return top_duplicated_texts(_docs(sf_dir), k=10)
+
+
 def _q_lsh_quality(sf_dir: str):
     """LSH quality audit (dedup.lsh_quality_report): recall/precision
     of the production banded-LSH candidates against exact
@@ -4812,6 +4821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cross_source_dups": _q_doc_cross_source_dups,
         "lsh_tuning_curve": _q_lsh_tuning,
         "lsh_quality_report": _q_lsh_quality,
+        "doc_top_duplicated": _q_top_dup_texts,
         "suppliers_per_nation": _q_suppliers_per_nation,
         "nation_month_share": _q_nation_month_share,
         "late_orders_by_priority": _q_late_orders,
@@ -9745,6 +9755,23 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(s.s_name, ', ' ORDER BY s.s_name) AS supplier_list
             FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY n.n_name
+        """,
+        "doc_top_duplicated": """
+            WITH g AS (
+              SELECT md5_number_upper(text) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS n_copies,
+                     MIN(doc_id) AS first_doc,
+                     MIN(text) AS text
+              FROM documents GROUP BY 1
+            ),
+            r AS (
+              SELECT n_copies, first_doc, text,
+                     ROW_NUMBER() OVER (ORDER BY n_copies DESC, first_doc)
+                         AS rnk
+              FROM g
+            )
+            SELECT CAST(rnk AS BIGINT) AS rnk, n_copies, first_doc, text
+            FROM r WHERE rnk <= 10
         """,
         # nests the bit-exact LSH chain AND the exact-Jaccard chain
         # (CTE names disambiguated); rates on the 1e-9 grid

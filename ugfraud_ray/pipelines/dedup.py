@@ -2129,3 +2129,70 @@ def simhash_clusters(
         return pa.table({id_col: pa.array(ids), "cluster": pa.array(cl)})
 
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def top_duplicated_texts(
+    docs: "ray.data.Dataset",
+    k: int = 10,
+    key: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """(rnk, n_copies, first_doc, text) — the k most-duplicated exact
+    texts (the boilerplate report a crawl review starts with), ranked
+    (n_copies DESC, first_doc ASC). Hash-level resolution first —
+    per-block uniqued (h, n, min_doc) partials into an h-keyed grouped
+    merge (text never shuffles); only the k winners' texts are then
+    fetched by a broadcast id probe. md5-low64 identity, collision-
+    stable both sides."""
+    from ray.data.aggregate import Min, Sum
+
+    from ugfraud_ray.functions.collect import collect_table
+    from ugfraud_ray.pipelines.sketches import _md5_low64
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _md5_low64(t[key].to_pylist()).view(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs, ds_ = h[order], ids[order]
+        starts = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+        n = np.diff(np.append(starts, len(hs))).astype(np.int64)
+        md = np.minimum.reduceat(ds_, starts)
+        return pa.table(
+            {"h": pa.array(hs[starts]), "n": pa.array(n), "md": pa.array(md)}
+        )
+
+    agg = collect_table(
+        docs.select_columns([id_col, key])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"), Min("md", alias_name="md"))
+    )
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    md = agg["md"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((md, -n))[:k]
+    win_md = md[order]
+    win_n = n[order]
+    want = np.sort(win_md)
+    ref = ray.put(want)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
+        return t.filter(pa.array(w[pos] == ids))
+
+    tt = collect_table(
+        docs.select_columns([id_col, key]).map_batches(fetch, batch_format="pyarrow")
+    )
+    tmap = dict(zip(
+        tt[id_col].to_numpy(zero_copy_only=False).astype(np.int64).tolist(),
+        tt[key].to_pylist(),
+    ))
+    return pa.table(
+        {
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "n_copies": pa.array(win_n),
+            "first_doc": pa.array(win_md),
+            "text": pa.array([tmap[int(d)] for d in win_md], pa.string()),
+        }
+    )
