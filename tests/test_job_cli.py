@@ -79,7 +79,7 @@ def test_job_cli_substring_dedup_and_bpe(tmp_path):
         [sys.executable, "-m", "ugfraud_ray.job",
          "--pipeline", "bpe-train",
          "--docs", str(tmp_path / "docs.parquet"),
-         "--output", str(tmp_path / "bpe_out"), "--max-iters", "6"],
+         "--output", str(tmp_path / "bpe_out"), "--n-merges", "6"],
         capture_output=True, text=True, timeout=240, cwd=REPO, env=env,
     )
     assert p2.returncode == 0, p2.stderr[-2000:]

@@ -141,10 +141,15 @@ def test_compact_partitions_atomic_and_lossless(ray_session, tmp_path):
     res2 = compact_partitions(out, "k", max_files=1)
     assert not res2["compacted"] and res2["files_after"] == 3
 
-    # a junk tmp dir from a crashed compact is cleaned up
-    junk = os.path.join(out, "k=1.compact.tmp")
+    # a junk tmp dir from a crashed compact lives under the HIDDEN
+    # _compact/ scratch root: whole-tree readers must not see it even
+    # before the next compact cleans it up (ADVICE r3: the old sibling
+    # layout leaked finished tmp dirs into read_partitioned)
+    junk = os.path.join(out, "_compact", "k=1.tmp")
     os.makedirs(junk)
     open(os.path.join(junk, "garbage.parquet"), "w").close()
+    mid = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert mid.equals(before)  # scratch leftovers are invisible to readers
     # force recompaction of k=1 by splitting it again
     import shutil
 
@@ -155,6 +160,57 @@ def test_compact_partitions_atomic_and_lossless(ray_session, tmp_path):
     assert "1" in {str(x) for x in res3["compacted"]}
     final = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
     assert final.equals(before)
+
+
+def test_compact_crash_between_replaces_recovers(ray_session, tmp_path):
+    """ADVICE r3: a crash between os.replace(pdir, old) and
+    os.replace(tmp, pdir) left the partition absent at its canonical
+    path with the data stranded in .old, and the next maintenance run
+    raised on os.listdir. _recover_partition must restore it."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.sinks.partitioned_parquet import (
+        compact_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "sink")
+    t = pa.table(
+        {
+            "k": pa.array(np.repeat([1, 2], 100)),
+            "v": pa.array(np.arange(200, dtype=np.int64)),
+        }
+    )
+    write_partitioned(ray.data.from_arrow(t).repartition(4), out, "k")
+    before = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+
+    # simulate the crash window: canonical dir moved to hidden .old,
+    # replacement tmp not yet swapped in
+    old = os.path.join(out, "_compact", "k=1.old")
+    os.makedirs(os.path.dirname(old), exist_ok=True)
+    os.replace(os.path.join(out, "k=1"), old)
+    # a reader in the window sees k=1 missing but NEVER duplicated rows
+    mid = read_partitioned(out).to_pandas()
+    assert len(mid) == 100 and set(mid["k"].astype(str)) == {"2"}
+
+    res = compact_partitions(out, "k", max_files=1)
+    after = read_partitioned(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert after.equals(before)
+    assert not os.path.isdir(old)
+    # delete_rows also recovers from the same window
+    os.replace(os.path.join(out, "k=2"), os.path.join(out, "_compact", "k=2.old"))
+    from ugfraud_ray.sinks.partitioned_parquet import delete_rows
+
+    res2 = delete_rows(out, "k", "v", [0])
+    assert res2["n_deleted"] == 1
+    got = read_partitioned(out).to_pandas()
+    assert len(got) == 199 and 0 not in set(got["v"])
 
 
 def test_delete_rows_targeted_rewrite(ray_session, tmp_path):

@@ -83,14 +83,19 @@ def normalize_priors_by_kind(vertex_prior: "ray.data.Dataset") -> "ray.data.Data
     stats = {}
     for r in stats_t.to_pylist():
         stats[int(r["kind"])] = (float(r["mn"]), float(r["mx"]), int(r["n"]))
+    from ugfraud_ray.functions.quantiles import exact_rank
+
     medians = {}
     for kind, (mn, mx, n) in stats.items():
-        sub = vertex_prior.filter(lambda row, k=kind: row["kind"] == k)
-        row = sub.sort("prior", descending=True).limit(n // 2 + 1).take(n // 2 + 1)[-1]
+        # B7 picks the element at DESCENDING index int(n/2)
+        # (helper.py:105-107) = ascending rank n-1-int(n/2) of the same
+        # multiset; exact_rank resolves it with the shared
+        # histogram-select machinery — no sort, no driver take(n/2)
+        sub = vertex_prior.filter(expr=f"kind == {int(kind)}")
         # the reference subtracts the RAW median from the NORMALIZED
         # values (nor_priors returns pre-normalization medians,
         # helper.py:105-107 + GANG.py:69-80) — replicated exactly
-        medians[kind] = float(row["prior"])
+        medians[kind] = exact_rank(sub, "prior", n - 1 - n // 2, n, approx_rows=n)
     stats_ref = ray.put((stats, medians))
 
     def center(t: pa.Table) -> pa.Table:

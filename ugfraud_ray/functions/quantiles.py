@@ -261,6 +261,30 @@ def _grouped_local(t: pa.Table, key: str, col: str, qs: list[float]) -> pa.Table
     )
 
 
+def exact_rank(
+    ds: "ray.data.Dataset",
+    col: str,
+    rank: int,
+    n: int,
+    approx_rows: int | None = None,
+) -> float:
+    """Exact 0-based ASCENDING order statistic ``rank`` of ``col``,
+    given the caller-known total row count ``n`` (0 <= rank < n).
+
+    Rides :func:`exact_quantiles` by inverting its rank rule
+    floor((n-1)·q): q = (rank+0.5)/(n-1) lands floor((n-1)·q) on
+    ``rank`` exactly — the float64 product carries |err| ≈ rank·2e-16,
+    far below the 0.5 offset, for any n a dataset can hold.
+    """
+    if n <= 0:
+        return float("nan")
+    if not 0 <= rank < n:
+        raise ValueError(f"rank {rank} outside [0, {n})")
+    q = 0.0 if n == 1 else (rank + 0.5) / (n - 1)
+    ((_, val),) = exact_quantiles(ds, col, [q], approx_rows=approx_rows)
+    return val
+
+
 def exact_quantiles(
     ds: "ray.data.Dataset",
     col: str,

@@ -50,7 +50,12 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--partitions", "-P", type=int, default=0,
                     help="CSR shards (default: min(8, cluster CPUs))")
-    ap.add_argument("--max-iters", type=int, default=50)
+    ap.add_argument("--max-iters", type=int, default=50,
+                    help="iteration cap for iterative pipelines "
+                    "(pagerank/components/speagle)")
+    ap.add_argument("--n-merges", type=int, default=200,
+                    help="bpe-train: number of merge rules to learn "
+                    "(vocabulary size minus the byte alphabet)")
     ap.add_argument("--tol", type=float, default=1e-9)
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--ckpt-dir", default=None)
@@ -96,7 +101,7 @@ def run(args: argparse.Namespace) -> dict:
             raise SystemExit("--docs is required for --pipeline bpe-train")
         docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
         t0 = time.perf_counter()
-        merges = bpe_train(docs, n_merges=args.max_iters)
+        merges = bpe_train(docs, n_merges=args.n_merges)
         metrics["pipeline_s"] = round(time.perf_counter() - t0, 3)
         metrics["n_merges"] = merges.num_rows
         os.makedirs(args.output, exist_ok=True)

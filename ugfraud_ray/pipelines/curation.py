@@ -598,7 +598,7 @@ def quality_dedup(
         joined.map_batches(pack_rows, batch_format="pyarrow")
         .groupby("cluster")
         .aggregate(Max("pack", alias_name="pack"), Count(alias_name="n"))
-        .filter(lambda r: r["n"] > 1)
+        .filter(expr="n > 1")
     )
     ft = collect_table(fams)
     fc = ft["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)

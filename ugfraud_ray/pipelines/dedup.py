@@ -97,15 +97,33 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+_TOKEN_CACHE_CAP = 1 << 22  # ≈4.2M distinct tokens; clear-on-overflow bounds memory
+_token_cache: dict[str, int] = {}
+
+
+def _tok_hash_cached(tok: str) -> int:
+    """md5-low64 of a token, memoized per process. Natural-language
+    vocabulary is tiny relative to the token stream, so md5-per-token
+    amortizes to md5-per-distinct-token; the cap bounds the per-worker
+    footprint at web scale (a full clear beats LRU bookkeeping here —
+    hot tokens repopulate within one batch)."""
+    h = _token_cache.get(tok)
+    if h is None:
+        if len(_token_cache) >= _TOKEN_CACHE_CAP:
+            _token_cache.clear()
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        _token_cache[tok] = h
+    return h
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hash per whitespace token (md5-low64)."""
+    """Stable 64-bit hash per whitespace token (md5-low64, cached)."""
     toks = text.split()
     if not toks:
         return np.zeros(0, dtype=np.uint64)
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, tk in enumerate(toks):
-        out[i] = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "little")
-    return out
+    return np.fromiter(
+        (_tok_hash_cached(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
@@ -133,10 +151,9 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int = 7) -> np.
 
 
 class _MinHasher:
-    """Actor-pool stage: permutation constants AND a token-hash cache
-    built once per actor (natural-language token vocabulary is tiny
-    relative to the token stream, so md5-per-token amortizes to
-    md5-per-distinct-token)."""
+    """Actor-pool stage: permutation constants built once per actor;
+    token→md5 memoization rides the module-level _TOKEN_CACHE_CAP-bounded
+    cache (per actor process)."""
 
     def __init__(
         self,
@@ -156,20 +173,14 @@ class _MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
         self.b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
-        self._token_cache: dict[str, int] = {}
-
-    def _tok_hash(self, tok: str) -> int:
-        h = self._token_cache.get(tok)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            self._token_cache[tok] = h
-        return h
 
     def _shingles(self, text: str) -> np.ndarray:
+        # token→hash memoization rides the module-level capped cache
+        # (per actor process), shared with the non-actor _token_hashes path
         toks = text.split()
         if not toks:
             return np.zeros(0, dtype=np.uint64)
-        th = np.fromiter((self._tok_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+        th = np.fromiter((_tok_hash_cached(t) for t in toks), dtype=np.uint64, count=len(toks))
         n = self.ngram
         if len(th) < n:
             return _mix64(th)
@@ -1412,7 +1423,7 @@ def line_dedup(
     fam = (
         partials.groupby("h")
         .aggregate(Min("mp", alias_name="mp"), Sum("n", alias_name="n"))
-        .filter(lambda r: r["n"] > 1)
+        .filter(expr="n > 1")
     )
 
     def fam_rows(t: pa.Table) -> pa.Table:
@@ -1768,7 +1779,7 @@ def substring_dedup(
     fam = (
         partials.groupby("h")
         .aggregate(Min("mp", alias_name="mp"), Sum("n", alias_name="n"))
-        .filter(lambda r: r["n"] > 1)
+        .filter(expr="n > 1")
     )
 
     # --- decision shuffle: family rows + occurrence rows, keyed by h ---

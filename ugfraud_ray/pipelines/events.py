@@ -1993,11 +1993,26 @@ def burst_stats(
 _US_PER_DAY = 86_400_000_000
 
 
+def _check_day_pack(user: np.ndarray, day: np.ndarray) -> None:
+    """Packing epoch-day into the low 21 bits of user·2²¹+day is only
+    faithful for 0 ≤ day < 2²¹ (1970 to ~year 7712) and user_id ≥ 0;
+    outside that range the decode silently corrupts counts — refuse
+    loudly instead, matching _window_occurrences' overflow guard."""
+    if len(day) and (int(day.min()) < 0 or int(day.max()) >= (1 << 21)):
+        raise ValueError(
+            "day-pack overflow: epoch-day outside [0, 2^21) — pre-1970 "
+            "or far-future timestamp in the event stream"
+        )
+    if len(user) and int(user.min()) < 0:
+        raise ValueError("day-pack overflow: negative user_id")
+
+
 def _rolling_block(user: np.ndarray, day: np.ndarray, window: int) -> pa.Table:
     """Distinct users per trailing-window day within ONE user-colocated
     bucket: each distinct (user, day0) pair credits window days
     day0..day0+window-1; (user, w) pairs dedupe inside the bucket, so
     per-w counts sum exactly across buckets (users are disjoint)."""
+    _check_day_pack(user, day)
     if len(user) == 0:
         return pa.table(
             {"day": pa.array([], pa.int64()), "nu": pa.array([], pa.int64())}
@@ -2730,6 +2745,7 @@ def max_active_streak(
             t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
             // _US_PER_DAY
         )
+        _check_day_pack(u, d)
         pk = u * np.int64(1 << 21) + d
         upk = np.unique(pk)
         uu = upk // (1 << 21)

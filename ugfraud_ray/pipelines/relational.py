@@ -9,10 +9,12 @@ fact-sized.
 Scale design (100 TB):
 - lineitem ⋈ orders is the one unavoidable all-to-all; below
   ``_BCAST_ORDERS`` rows the order→customer map ships once via
-  ``ray.put`` as a dense int64 array instead (Ray's hash join carries a
-  multi-second shuffle-pool spin-up that dwarfs small build sides).
-- customer→nation is a dense int8 lookup array (25 nations): ~1 byte
-  per customer id, broadcast once, probed per batch.
+  ``ray.put`` as a sorted key/value pair probed with searchsorted
+  (Ray's hash join carries a multi-second shuffle-pool spin-up that
+  dwarfs small build sides).
+- customer→nation is gated by the SAME row-count rule: broadcast
+  sorted-pair lookup below it, hash join above (TPC-H customer is
+  ~1.5B rows at 100 TB — it must never be an unconditional collect).
 - revenue is accumulated per batch into integer 10⁻⁴-currency units
   (``floor(x·10⁴ + 0.5)`` — IEEE-identical in numpy and SQL), so the
   per-nation sum is order-independent and bit-exact regardless of block
@@ -47,6 +49,29 @@ def _rev_units(price: np.ndarray, discount: np.ndarray) -> np.ndarray:
 
 
 _BCAST_KEY_ROWS = 10_000_000
+
+
+def _sorted_lookup(keys: np.ndarray, sk: np.ndarray, sv: np.ndarray) -> np.ndarray:
+    """Value per key via searchsorted against the broadcast SORTED
+    (sk, sv) pair; misses → -1. Sized by build-side row count, never by
+    max key — the standard broadcast-map idiom."""
+    if len(sk) == 0 or len(keys) == 0:
+        return np.full(len(keys), -1, dtype=np.int64)
+    pos = np.clip(np.searchsorted(sk, keys), 0, len(sk) - 1)
+    return np.where(sk[pos] == keys, sv[pos], np.int64(-1)).astype(np.int64)
+
+
+def _nat_partial(nk: np.ndarray, rev: np.ndarray, n: np.ndarray, n_nat: int) -> pa.Table:
+    """One ≤n_nat-row (nk, rev, cnt) partial from pre-aggregated
+    (nationkey, rev-units, count) batch vectors; nk<0 rows drop."""
+    keep = nk >= 0
+    acc = np.zeros(n_nat, dtype=np.int64)
+    cnt = np.zeros(n_nat, dtype=np.int64)
+    np.add.at(acc, nk[keep], rev[keep].astype(np.int64))
+    np.add.at(cnt, nk[keep], n[keep].astype(np.int64))
+    return pa.table(
+        {"nk": pa.array(np.arange(n_nat)), "rev": pa.array(acc), "cnt": pa.array(cnt)}
+    )
 
 
 def semi_anti_join(
@@ -114,52 +139,57 @@ def semi_anti_join(
 def _nation_revenue_units(sf_dir: str):
     """Per-nation (integer-unit revenue, lineitem count) vectors plus the
     nation table — the single fact-table pass shared by
-    ``revenue_by_nation`` and ``revenue_rollup``."""
-    cust = collect_table(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
-    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ``revenue_by_nation`` and ``revenue_rollup``.
+
+    Both build sides are gated by ROW COUNT (parquet metadata, free),
+    never collected unconditionally: below ``_BCAST_ORDERS`` rows a side
+    ships once via ``ray.put`` as a SORTED key array probed with
+    searchsorted (sized by count, not max key — no dense max-key
+    allocation); above, it falls through to Ray's hash join at
+    ``join_partitions()``. The fact pass reduces lineitem to per-batch
+    (custkey, rev, n) partials first, so whichever path resolves
+    customer→nation only ever sees distinct-custkey-per-batch rows."""
     nation = collect_table(
         _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
     )
     n_nat = int(nation["n_nationkey"].to_numpy(zero_copy_only=False).max()) + 1
-    c2n = np.full(int(ck.max()) + 1 if len(ck) else 1, -1, dtype=np.int8)
-    c2n[ck] = cn.astype(np.int8)
-    c2n_ref = ray.put(c2n)
 
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    n_ord = orders.count()  # parquet metadata — free
+    n_cust = cust_ds.count()  # parquet metadata — free
+    n_ord = orders.count()
+
+    # --- fact pass: lineitem → per-batch (c_custkey, rev, n) partials ---
+    def _cust_partial(cu: np.ndarray, price: np.ndarray, disc: np.ndarray) -> pa.Table:
+        keep = cu >= 0
+        cu, rev = cu[keep], _rev_units(price[keep], disc[keep])
+        uc, inv = np.unique(cu, return_inverse=True)
+        acc = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(acc, inv, rev)
+        cnt = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        return pa.table(
+            {"c_custkey": pa.array(uc), "rev": pa.array(acc), "n": pa.array(cnt)}
+        )
 
     if n_ord <= _BCAST_ORDERS:
         ot = collect_table(orders)
         ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         oc = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        o2c = np.full(int(ok.max()) + 1 if len(ok) else 1, -1, dtype=np.int64)
-        o2c[ok] = oc
-        o2c_ref = ray.put(o2c)
+        o = np.argsort(ok)
+        o2c_ref = ray.put((ok[o], oc[o]))
 
-        def partial(t: pa.Table) -> pa.Table:
-            o2c_m, c2n_m = ray.get(o2c_ref), ray.get(c2n_ref)
+        def fact_partial(t: pa.Table) -> pa.Table:
+            oks, ocs = ray.get(o2c_ref)
             lo = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            cu = np.where(lo < len(o2c_m), o2c_m[np.minimum(lo, len(o2c_m) - 1)], -1)
-            nk = np.where(
-                (cu >= 0) & (cu < len(c2n_m)),
-                c2n_m[np.clip(cu, 0, len(c2n_m) - 1)],
-                -1,
-            ).astype(np.int64)
-            keep = nk >= 0
-            rev = _rev_units(
-                t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
-                t["l_discount"].to_numpy(zero_copy_only=False)[keep],
-            )
-            acc = np.zeros(n_nat, dtype=np.int64)
-            np.add.at(acc, nk[keep], rev)
-            cnt = np.bincount(nk[keep], minlength=n_nat).astype(np.int64)
-            return pa.table(
-                {"nk": pa.array(np.arange(n_nat)), "rev": pa.array(acc), "cnt": pa.array(cnt)}
+            cu = _sorted_lookup(lo, oks, ocs)
+            return _cust_partial(
+                cu,
+                t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                t["l_discount"].to_numpy(zero_copy_only=False),
             )
 
-        partials = lineitem.map_batches(partial, batch_format="pyarrow")
+        fact = lineitem.map_batches(fact_partial, batch_format="pyarrow")
     else:
         from ugfraud_ray.stages.graph_build import join_partitions
 
@@ -170,25 +200,54 @@ def _nation_revenue_units(sf_dir: str):
             on=("l_orderkey",),
         )
 
-        def partial_joined(t: pa.Table) -> pa.Table:
-            c2n_m = ray.get(c2n_ref)
-            cu = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            nk = np.where(cu < len(c2n_m), c2n_m[np.minimum(cu, len(c2n_m) - 1)], -1).astype(
-                np.int64
-            )
-            keep = nk >= 0
-            rev = _rev_units(
-                t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep],
-                t["l_discount"].to_numpy(zero_copy_only=False)[keep],
-            )
-            acc = np.zeros(n_nat, dtype=np.int64)
-            np.add.at(acc, nk[keep], rev)
-            cnt = np.bincount(nk[keep], minlength=n_nat).astype(np.int64)
-            return pa.table(
-                {"nk": pa.array(np.arange(n_nat)), "rev": pa.array(acc), "cnt": pa.array(cnt)}
+        def fact_joined(t: pa.Table) -> pa.Table:
+            return _cust_partial(
+                t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                t["l_discount"].to_numpy(zero_copy_only=False),
             )
 
-        partials = joined.map_batches(partial_joined, batch_format="pyarrow")
+        fact = joined.map_batches(fact_joined, batch_format="pyarrow")
+
+    # --- nation resolution: gated broadcast lookup vs hash join ---
+    if n_cust <= _BCAST_ORDERS:
+        ct = collect_table(cust_ds)
+        ck = ct["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = ct["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ck)
+        c2n_ref = ray.put((ck[o], cn[o]))
+
+        def nk_partial(t: pa.Table) -> pa.Table:
+            cks, cns = ray.get(c2n_ref)
+            cu = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = _sorted_lookup(cu, cks, cns)
+            return _nat_partial(
+                nk,
+                t["rev"].to_numpy(zero_copy_only=False),
+                t["n"].to_numpy(zero_copy_only=False),
+                n_nat,
+            )
+
+        partials = fact.map_batches(nk_partial, batch_format="pyarrow")
+    else:
+        from ugfraud_ray.stages.graph_build import join_partitions
+
+        fact_j = fact.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("c_custkey",),
+        )
+
+        def nk_joined(t: pa.Table) -> pa.Table:
+            return _nat_partial(
+                t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["rev"].to_numpy(zero_copy_only=False),
+                t["n"].to_numpy(zero_copy_only=False),
+                n_nat,
+            )
+
+        partials = fact_j.map_batches(nk_joined, batch_format="pyarrow")
 
     # partials are (n_blocks × n_nat) rows — driver sum, no shuffle
     pt = collect_table(partials)
@@ -505,6 +564,28 @@ def top_unshipped_orders(
             "revenue": pa.array(np.array([float(x) / 1e4 for x in acc[order]])),
         }
     )
+
+
+def top_orders(sf_dir: str, k: int) -> pa.Table:
+    """O1 descending ranking (reference rank-by-score listings,
+    /root/reference UGFraud/Detector/Fraudar.py top-block pick shape):
+    global top-k orders by (o_totalprice DESC, o_orderkey ASC) WITHOUT
+    a global sort — every block keeps its own top-k (vectorized lexsort
+    partial), and the ≤ k·n_blocks survivors merge once on the driver
+    (top-k is a semilattice; same pattern as events.top_anomalies)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.lexsort((ok, -p))[:k]))
+
+    merged = collect_table(orders.map_batches(partial, batch_format="pyarrow"))
+    if merged.num_rows == 0:
+        return merged
+    p = merged["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ok = merged["o_orderkey"].to_numpy(zero_copy_only=False)
+    return merged.take(pa.array(np.lexsort((ok, -p))[:k]))
 
 
 def top_orders_per_customer(

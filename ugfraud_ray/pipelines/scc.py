@@ -279,7 +279,7 @@ def bowtie_decomposition(
     core_id = int(cs[np.lexsort((cs, -cc))[0]])
 
     core_members = collect_table(
-        comp.filter(lambda r: r["scc"] == core_id).select_columns(["vid"])
+        comp.filter(expr=f"scc == {core_id}").select_columns(["vid"])
     )["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     def _reach(e, tag):

@@ -29,6 +29,33 @@ import ray
 import ray.data
 
 _MANIFEST = "_manifest.json"
+_SCRATCH = "_compact"  # leading "_": pyarrow dataset discovery ignores it
+
+
+def _scratch_paths(out_dir: str, partition_col: str, v) -> tuple[str, str]:
+    """tmp/old rewrite dirs for one partition, under ``out_dir/_compact/``.
+
+    The leading underscore keeps them invisible to every whole-tree
+    reader (pyarrow's default ``ignore_prefixes`` is ``['.', '_']``), so
+    a reader racing a compact/delete — or scanning after a crash that
+    left a finished tmp/old behind — never sees two copies of a
+    partition or resurrected deleted rows."""
+    base = os.path.join(out_dir, _SCRATCH)
+    os.makedirs(base, exist_ok=True)
+    stem = os.path.join(base, f"{partition_col}={v}")
+    return stem + ".tmp", stem + ".old"
+
+
+def _recover_partition(pdir: str, old: str) -> None:
+    """Heal a crash between the two ``os.replace`` calls of a previous
+    compact/delete: if the canonical dir is absent but its ``.old``
+    sibling survives, restore it; if both exist the swap completed and
+    the leftover ``.old`` is junk."""
+    if os.path.isdir(old):
+        if not os.path.isdir(pdir):
+            os.replace(old, pdir)
+        else:
+            shutil.rmtree(old)
 
 
 def _distinct_values(ds: "ray.data.Dataset", col: str) -> list:
@@ -134,11 +161,14 @@ def compact_partitions(
     KB-sized files per partition; reads then pay per-file open/footer
     cost). Every finished partition holding more than ``max_files``
     parquet files is rewritten as one-file-per-``target_rows_per_file``
-    rows, ATOMICALLY: the rewrite lands in a ``.compact.tmp`` sibling,
-    the old directory is swapped out only after the rewrite completes,
-    and the manifest is untouched throughout (readers using the
-    manifest never observe a partition mid-rewrite; a crash mid-compact
-    leaves either the old files or the finished tmp dir — never a mix).
+    rows, ATOMICALLY: the rewrite lands in a hidden
+    ``_compact/<col>=<v>.tmp`` scratch dir (ignored by whole-tree
+    readers — pyarrow skips ``_``-prefixed entries), the old directory
+    is swapped out only after the rewrite completes, and the manifest
+    is untouched throughout. A crash at ANY point leaves either the old
+    files, the finished hidden tmp, or a missing canonical dir with its
+    data in the hidden ``.old`` — the next run's ``_recover_partition``
+    restores that last case; a reader never sees two copies of a row.
 
     Returns {"compacted": [...], "skipped": [...], "files_before": n,
     "files_after": m}.
@@ -150,22 +180,20 @@ def compact_partitions(
     files_before = files_after = 0
     for v in sorted(done):
         pdir = os.path.join(out_dir, f"{partition_col}={v}")
+        tmp, old = _scratch_paths(out_dir, partition_col, v)
+        _recover_partition(pdir, old)
         files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         files_before += len(files)
         if len(files) <= max_files:
             skipped.append(v)
             files_after += len(files)
             continue
-        tmp = pdir + ".compact.tmp"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)  # junk from a crashed compact
         part = ray.data.read_parquet(pdir)
         part.repartition(
             max(1, -(-part.count() // target_rows_per_file))
         ).write_parquet(tmp)
-        old = pdir + ".compact.old"
-        if os.path.isdir(old):  # pragma: no cover
-            shutil.rmtree(old)
         os.replace(pdir, old)
         os.replace(tmp, pdir)
         shutil.rmtree(old)
@@ -205,35 +233,28 @@ def delete_rows(
     n_deleted = 0
     for v in sorted(done):
         pdir = os.path.join(out_dir, f"{partition_col}={v}")
+        tmp, old = _scratch_paths(out_dir, partition_col, v)
+        _recover_partition(pdir, old)
         part = ray.data.read_parquet(pdir)
-
-        def hit_count(t: pa.Table) -> pa.Table:
-            m = _pc.fill_null(_pc.is_in(t[id_col], value_set=id_set), False)
-            return pa.table({"n": pa.array([int(_pc.sum(_pc.cast(m, pa.int64())).as_py() or 0)], pa.int64())})
-
-        hits = sum(
-            r["n"][0].as_py()
-            for r in ray.get(
-                part.map_batches(hit_count, batch_format="pyarrow").to_arrow_refs()
-            )
-            if r.num_rows
-        )
-        if not hits:
-            untouched.append(v)
-            continue
-        n_deleted += int(hits)
+        n_before = part.count()  # parquet footer metadata — no data read
 
         def drop(t: pa.Table) -> pa.Table:
             m = _pc.fill_null(_pc.is_in(t[id_col], value_set=id_set), False)
             return t.filter(_pc.invert(m))
 
-        tmp = pdir + ".compact.tmp"
+        # single data pass: rewrite to tmp unconditionally, then decide
+        # from the (metadata-only) row-count delta whether to swap —
+        # partitions without hits keep their original files
+        # byte-identical, so caches and resume logic stay valid
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         part.map_batches(drop, batch_format="pyarrow").write_parquet(tmp)
-        old = pdir + ".compact.old"
-        if os.path.isdir(old):  # pragma: no cover
-            shutil.rmtree(old)
+        hits = n_before - ray.data.read_parquet(tmp).count()
+        if not hits:
+            untouched.append(v)
+            shutil.rmtree(tmp)
+            continue
+        n_deleted += int(hits)
         os.replace(pdir, old)
         os.replace(tmp, pdir)
         shutil.rmtree(old)
