@@ -2,12 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-pipeline sec...}, "sf": <sf>, "num_cpus": N,
-   "edges_per_sec_superstep": ..., ...}
+   "queries": {...per-pipeline MEDIAN-of-REPEATS sec...},
+   "spread": {...per-pipeline [min, max]...},
+   "sf": <sf>, "num_cpus": N, "edges_per_sec_superstep": ..., ...}
 
---scaling runs the headline superstep job twice in FRESH processes
-(num_cpus=8 then 32) on the same input and reports both throughputs and
-the 8->32 scaling efficiency (north rule evidences two cluster sizes via
+Every row is the median of GRAFT_BENCH_REPEATS (default 3) runs with the
+[min, max] spread recorded — the sandbox host swings 2-3x across
+back-to-back windows, so single samples made round-over-round
+comparisons noise-bound.
+
+--scaling runs the headline superstep job AND the minhash-LSH shuffle
+pipeline at two parallelism levels in FRESH processes (default 4 then
+16 cpus) on identical inputs and reports both throughputs plus the
+scaling efficiency for each (north rule evidences two cluster sizes via
 two parallelism levels; see BASELINE.md).
 """
 
@@ -38,9 +45,34 @@ def _scratch(tag: str) -> str:
     return d
 
 
+REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+
+
+def _timed(out: dict, name: str, fn, repeats: int | None = None):
+    """Run ``fn`` ``repeats`` times; record the MEDIAN wall per row plus
+    the [min, max] spread (r3 verdict #9: the sandbox host swings 2-3x
+    across back-to-back windows, so a single sample per row made
+    round-over-round comparisons depend on which window the driver
+    sampled). Returns the last call's result."""
+    reps = REPEATS if repeats is None else repeats
+    q = out.setdefault("queries", {})
+    sp = out.setdefault("spread", {})
+    samples = []
+    result = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    q[name] = samples[len(samples) // 2]
+    sp[name] = [samples[0], samples[-1]]
+    return result
+
+
 def bench_pipelines(sf_dir: str) -> dict:
-    """Headline pipelines over the driver testdata tables."""
-    import ray
+    """Headline pipelines over the driver testdata tables; every row is
+    the median of REPEATS runs (spread recorded alongside)."""
+    import numpy as _np
 
     from ugfraud_ray.pipelines.components import connected_components
     from ugfraud_ray.pipelines.pagerank import pagerank
@@ -54,143 +86,144 @@ def bench_pipelines(sf_dir: str) -> dict:
     out: dict = {"queries": {}}
     q = out["queries"]
 
-    t0 = time.perf_counter()
-    redges, vmap, n_rv = number_int_vertices(review_edges(sf_dir))
-    redges = redges.materialize()
-    n_redges = redges.count()
-    q["graph_build"] = time.perf_counter() - t0
+    def _graph_build():
+        redges, _vmap, n_rv = number_int_vertices(review_edges(sf_dir))
+        redges = redges.materialize()
+        return redges, n_rv, redges.count()
+
+    redges, n_rv, n_redges = _timed(out, "graph_build", _graph_build)
     out["n_review_edges"] = n_redges
 
-    t0 = time.perf_counter()
-    d = _scratch("pr")
-    try:
-        ranks, metrics = pagerank(redges, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=None)
-        q["pagerank_10_supersteps"] = time.perf_counter() - t0
-        # steady-state median, same protocol as the BP metric below —
-        # the first 1-2 supersteps pay actor spin-up + edge-table load
-        # and would skew a mean at larger SFs
-        import numpy as _np
+    pr_thr: list[float] = []
 
-        step_secs = [m["seconds"] for m in metrics[2:]] or [m["seconds"] for m in metrics]
-        out["pagerank_edges_per_sec_superstep"] = n_redges / float(_np.median(step_secs))
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    def _pagerank():
+        d = _scratch("pr")
+        try:
+            _ranks, metrics = pagerank(
+                redges, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=None
+            )
+            # steady-state median: the first 1-2 supersteps pay actor
+            # spin-up + edge-table load and would skew a mean
+            steps = [m["seconds"] for m in metrics[2:]] or [m["seconds"] for m in metrics]
+            pr_thr.append(n_redges / float(_np.median(steps)))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    _timed(out, "pagerank_10_supersteps", _pagerank)
+    out["pagerank_edges_per_sec_superstep"] = float(_np.median(pr_thr))
 
     # north-star metric on the driver testdata: SpEagle BP supersteps
-    # over the review graph (see --scaling for the 40M-edge evidence)
-    t0 = time.perf_counter()
-    d = _scratch("bp")
-    try:
-        import numpy as _np
-        import pyarrow as _pa
+    # over the review graph (see --scaling for the 160M-edge evidence)
+    import pyarrow as _pa
 
-        import ray.data as _rd
+    import ray.data as _rd
 
-        from ugfraud_ray.detectors.speagle import speagle
+    from ugfraud_ray.detectors.speagle import speagle
 
-        vids = _np.arange(n_rv, dtype=_np.int64)
-        vp = _rd.from_arrow(
-            _pa.table(
-                {
-                    "vid": _pa.array(vids),
-                    "prior": _pa.array(_np.full(n_rv, 0.5)),
-                    "kind": _pa.array((vids < n_rv // 2).astype(_np.int8)),
-                }
-            )
+    vids = _np.arange(n_rv, dtype=_np.int64)
+    vp = _rd.from_arrow(
+        _pa.table(
+            {
+                "vid": _pa.array(vids),
+                "prior": _pa.array(_np.full(n_rv, 0.5)),
+                "kind": _pa.array((vids < n_rv // 2).astype(_np.int8)),
+            }
+        )
+    )
+
+    def with_prior(t: _pa.Table) -> _pa.Table:
+        r = t["rating"].to_numpy(zero_copy_only=False).astype(_np.float64)
+        return _pa.table(
+            {"src": t["src"], "dst": t["dst"],
+             "prior": _pa.array(_np.where(r >= 2, 0.9, 0.1))}
         )
 
-        def with_prior(t: _pa.Table) -> _pa.Table:
-            r = t["rating"].to_numpy(zero_copy_only=False).astype(_np.float64)
-            return _pa.table(
-                {"src": t["src"], "dst": t["dst"],
-                 "prior": _pa.array(_np.where(r >= 2, 0.9, 0.1))}
+    bp_thr: list[float] = []
+
+    def _speagle():
+        d = _scratch("bp")
+        try:
+            bp_edges = redges.map_batches(with_prior, batch_format="pyarrow").materialize()
+            _, _, bp_metrics = speagle(
+                bp_edges, vp, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=0.0
             )
+            steps = [m["seconds"] for m in bp_metrics[2:]]
+            if steps:
+                bp_thr.append(n_redges / float(_np.median(steps)))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
 
-        bp_edges = redges.map_batches(with_prior, batch_format="pyarrow").materialize()
-        _, _, bp_metrics = speagle(
-            bp_edges, vp, n_rv, d, P=min(8, NUM_CPUS), max_iters=10, tol=0.0
-        )
-        q["speagle_bp_10_supersteps"] = time.perf_counter() - t0
-        bp_steps = [m["seconds"] for m in bp_metrics[2:]]
-        med = float(_np.median(bp_steps)) if bp_steps else float("nan")
-        out["bp_edges_per_sec_superstep"] = n_redges / med
-        out["bp_msg_updates_per_sec"] = 4 * n_redges / med
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    _timed(out, "speagle_bp_10_supersteps", _speagle)
+    med_thr = float(_np.median(bp_thr)) if bp_thr else float("nan")
+    out["bp_edges_per_sec_superstep"] = med_thr
+    out["bp_msg_updates_per_sec"] = 4 * med_thr
 
-    t0 = time.perf_counter()
-    ge = general_edges(sf_dir).materialize()
-    gedges, gmap, n_gv = number_int_vertices(ge)
-    d = _scratch("cc")
-    try:
-        comp, _ = connected_components(gedges, n_gv, d, P=min(8, NUM_CPUS))
-        q["connected_components"] = time.perf_counter() - t0
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    ge_box: dict = {}
 
-    t0 = time.perf_counter()
-    out["n_triangles"] = triangle_count(ge)
-    q["triangle_count"] = time.perf_counter() - t0
+    def _cc():
+        ge = general_edges(sf_dir).materialize()
+        gedges, _gmap, n_gv = number_int_vertices(ge)
+        d = _scratch("cc")
+        try:
+            connected_components(gedges, n_gv, d, P=min(8, NUM_CPUS))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        ge_box["ge"] = ge
+
+    _timed(out, "connected_components", _cc)
+    ge = ge_box["ge"]
+
+    out["n_triangles"] = _timed(out, "triangle_count", lambda: triangle_count(ge))
 
     # document-pipeline operators
     import ray.data
 
-    from ugfraud_ray.pipelines.dedup import exact_dedup, minhash_lsh_dedup, simhash_dedup
+    from ugfraud_ray.pipelines.curation import curate
+    from ugfraud_ray.pipelines.dedup import (
+        exact_dedup,
+        line_dedup,
+        minhash_lsh_dedup,
+        simhash_dedup,
+        substring_dedup,
+    )
     from ugfraud_ray.pipelines.similarity import brute_force_topk
-    from ugfraud_ray.pipelines.text_analysis import language_id, quality_features, token_counts
+    from ugfraud_ray.pipelines.text_analysis import (
+        chunk_documents,
+        gopher_rules,
+        language_id,
+        quality_features,
+        token_counts,
+    )
 
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id", "text"]).materialize()
-    t0 = time.perf_counter()
-    exact_dedup(docs, approx_rows=docs.count()).count()
-    q["doc_exact_dedup"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    minhash_lsh_dedup(docs).count()
-    q["doc_minhash_lsh_dedup"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    simhash_dedup(docs).count()
-    q["doc_simhash_pairs"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    token_counts(docs).count()
-    quality_features(docs).count()
-    language_id(docs).count()
-    q["doc_text_analysis"] = time.perf_counter() - t0
+    n_docs = docs.count()
 
-    from ugfraud_ray.pipelines.text_analysis import chunk_documents
+    def _text_analysis():
+        token_counts(docs).count()
+        quality_features(docs).count()
+        language_id(docs).count()
 
-    t0 = time.perf_counter()
-    out["n_chunks"] = chunk_documents(docs, size=1024, stride=768).count()
-    q["doc_chunking"] = time.perf_counter() - t0
-
-    from ugfraud_ray.pipelines.dedup import line_dedup
-    from ugfraud_ray.pipelines.text_analysis import gopher_rules
-
-    t0 = time.perf_counter()
-    line_dedup(docs, approx_docs=docs.count()).count()
-    q["doc_line_dedup"] = time.perf_counter() - t0
-
-    from ugfraud_ray.pipelines.dedup import substring_dedup
-
-    t0 = time.perf_counter()
-    substring_dedup(docs, window=8, approx_docs=docs.count()).count()
-    q["doc_substring_dedup"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    gopher_rules(docs).count()
-    q["doc_gopher_rules"] = time.perf_counter() - t0
+    _timed(out, "doc_exact_dedup", lambda: exact_dedup(docs, approx_rows=n_docs).count())
+    _timed(out, "doc_minhash_lsh_dedup", lambda: minhash_lsh_dedup(docs).count())
+    _timed(out, "doc_simhash_pairs", lambda: simhash_dedup(docs).count())
+    _timed(out, "doc_text_analysis", _text_analysis)
+    out["n_chunks"] = _timed(
+        out, "doc_chunking", lambda: chunk_documents(docs, size=1024, stride=768).count()
+    )
+    _timed(out, "doc_line_dedup", lambda: line_dedup(docs, approx_docs=n_docs).count())
+    _timed(out, "doc_substring_dedup",
+           lambda: substring_dedup(docs, window=8, approx_docs=n_docs).count())
+    _timed(out, "doc_gopher_rules", lambda: gopher_rules(docs).count())
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    t0 = time.perf_counter()
-    brute_force_topk(emb, query_ids=list(range(5)), k=10).count()
-    q["ann_brute_topk"] = time.perf_counter() - t0
-
-    from ugfraud_ray.pipelines.curation import curate
-
-    t0 = time.perf_counter()
-    curate(docs, min_chars=100).count()
-    q["doc_curation"] = time.perf_counter() - t0
+    _timed(out, "ann_brute_topk",
+           lambda: brute_force_topk(emb, query_ids=list(range(5)), k=10).count())
+    _timed(out, "doc_curation", lambda: curate(docs, min_chars=100).count())
 
     pages_res = bench_pages_pipeline()
     q.update(pages_res.pop("queries", {}))
+    out.setdefault("spread", {}).update(pages_res.pop("spread", {}))
     out.update(pages_res)
     return out
 
@@ -207,53 +240,69 @@ def bench_pages_pipeline(n_users: int = 90_000, n_prods: int = 10_000) -> dict:
     from ugfraud_ray.stages.extract import text_conformance_mismatches
     from ugfraud_ray.stages.graph_build import build_graph
 
-    out: dict = {}
+    import numpy as _np
+
+    out: dict = {"queries": {}, "spread": {}}
     d = _scratch("pages")
     try:
-        t0 = time.perf_counter()
-        synthesize_pages_distributed(d, n_users=n_users, n_prods=n_prods,
-                                     edges_per_user=5, shard_rows=10_000)
-        out.setdefault("queries", {})["pages_synthesize"] = time.perf_counter() - t0
+        # repeats=1: the resumable shard writer would skip finished
+        # shards on a re-run into the same dir (by design)
+        _timed(out, "pages_synthesize",
+               lambda: synthesize_pages_distributed(
+                   d, n_users=n_users, n_prods=n_prods,
+                   edges_per_user=5, shard_rows=10_000),
+               repeats=1)
         n_pages = n_users + n_prods
         pages = ray.data.read_parquet(d)
 
-        t0 = time.perf_counter()
-        mismatches = text_conformance_mismatches(pages)
-        out["pages_text_conformance_mismatches"] = mismatches
-        out["queries"]["pages_text_conformance"] = time.perf_counter() - t0
+        out["pages_text_conformance_mismatches"] = _timed(
+            out, "pages_text_conformance", lambda: text_conformance_mismatches(pages)
+        )
 
-        t0 = time.perf_counter()
-        g = build_graph(pages)
-        edges = g["edges"].materialize()
-        dt = time.perf_counter() - t0
-        out["queries"]["pages_graph_build"] = dt
-        out["pages_per_sec_extract_build"] = n_pages / dt
+        build_rate: list[float] = []
+        edges_box: dict = {}
+
+        def _build():
+            t0 = time.perf_counter()
+            g = build_graph(pages)
+            edges = g["edges"].materialize()
+            build_rate.append(n_pages / (time.perf_counter() - t0))
+            edges_box["edges"] = edges
+            edges_box["n_vertices"] = g["n_vertices"]
+
+        _timed(out, "pages_graph_build", _build)
+        out["pages_per_sec_extract_build"] = float(_np.median(build_rate))
         out["n_pages"] = n_pages
-        out["n_link_edges"] = edges.count()
+        out["n_link_edges"] = edges_box["edges"].count()
 
         # materialized + column-pruned: lets pagerank/build_layout take
         # the driver-local small-graph write path (metadata-free count)
-        se = edges.select_columns(["src", "dst"]).materialize()
-        t0 = time.perf_counter()
-        pagerank(
-            se, g["n_vertices"],
-            os.path.join(d, "pr"), P=min(8, NUM_CPUS), max_iters=10, tol=None,
-        )
-        out["queries"]["pages_pagerank"] = time.perf_counter() - t0
+        se = edges_box["edges"].select_columns(["src", "dst"]).materialize()
+        nv = edges_box["n_vertices"]
+
+        def _pr():
+            pd_ = _scratch("pages_pr")
+            try:
+                pagerank(se, nv, pd_, P=min(8, NUM_CPUS), max_iters=10, tol=None)
+            finally:
+                shutil.rmtree(pd_, ignore_errors=True)
+
+        _timed(out, "pages_pagerank", _pr)
 
         from ugfraud_ray.pipelines.scc import strongly_connected_components
 
-        t0 = time.perf_counter()
-        strongly_connected_components(
-            se, g["n_vertices"], os.path.join(d, "scc"), P=min(8, NUM_CPUS),
-        )
-        out["queries"]["pages_scc"] = time.perf_counter() - t0
+        def _scc():
+            sd = _scratch("pages_scc")
+            try:
+                strongly_connected_components(se, nv, sd, P=min(8, NUM_CPUS))
+            finally:
+                shutil.rmtree(sd, ignore_errors=True)
+
+        _timed(out, "pages_scc", _scc)
 
         from ugfraud_ray.pipelines.clustering import local_clustering
 
-        t0 = time.perf_counter()
-        local_clustering(se)
-        out["queries"]["pages_clustering"] = time.perf_counter() - t0
+        _timed(out, "pages_clustering", lambda: local_clustering(se))
         return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -363,7 +412,94 @@ def bench_superstep_throughput(num_cpus: int, n_users: int, n_prods: int,
         shutil.rmtree(d, ignore_errors=True)
 
 
+def synth_dedup_corpus(n_docs: int, num_cpus: int) -> "object":
+    """Deterministic synthetic near-dup corpus, synthesized DISTRIBUTED
+    (ray.data.range -> map_batches): ~100 tokens per doc drawn from a
+    50k-word vocab by a per-(doc, position) hash — content depends only
+    on doc_id, never on batch boundaries, so every parallelism level
+    sees the IDENTICAL corpus. Every 10th doc is a near-copy of its
+    predecessor (one token changed), planting a ~10% duplicate rate."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    VOCAB = 50_000
+    MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def mix(x: np.ndarray) -> np.ndarray:
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & MASK
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & MASK
+        return x ^ (x >> np.uint64(31))
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.where(ids % 10 == 9, ids - 1, ids).astype(np.uint64)
+        n_tok = (80 + (mix(base) % np.uint64(41))).astype(np.int64)
+        texts = []
+        for b, nt, near in zip(base, n_tok, ids % 10 == 9):
+            j = np.arange(nt, dtype=np.uint64)
+            w = (mix(b * np.uint64(1_000_003) + j) % np.uint64(VOCAB)).astype(np.int64)
+            if near:  # perturb one deterministic position
+                w[int(b % np.uint64(nt))] = VOCAB + int(b % np.uint64(97))
+            texts.append(" ".join([f"w{k}" for k in w]))
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts, pa.string())})
+
+    return (
+        ray.data.range(n_docs)
+        .map_batches(make, batch_format="pyarrow")
+        .repartition(num_cpus * 2)
+        .materialize()
+    )
+
+
+def bench_dedup_scaling(num_cpus: int, n_docs: int) -> dict:
+    """Second scaling row (r3 verdict #8): the all-to-all SHUFFLE
+    pipeline a data-curation user runs — minhash-LSH near-dedup
+    (actor-pool signatures -> banded bucket shuffle -> pair dedup ->
+    cluster map -> assign) end-to-end over the deterministic synthetic
+    corpus. Complements the BP-superstep row, which measures the
+    gather-scatter engine, not an all-to-all exchange."""
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_dedup
+
+    docs = synth_dedup_corpus(n_docs, num_cpus)
+    t0 = time.perf_counter()
+    clusters = minhash_lsh_dedup(docs).materialize()
+    n_clustered = clusters.count()
+    dt = time.perf_counter() - t0
+    import pyarrow.compute as pc
+
+    n_dups = 0
+    for ref in clusters.to_arrow_refs():
+        import ray as _ray
+
+        t = _ray.get(ref)
+        n_dups += int(
+            pc.sum(pc.cast(pc.not_equal(t["doc_id"], t["cluster"]), "int64")).as_py() or 0
+        )
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "wall_sec": dt,
+        "docs_per_sec": n_docs / dt,
+        "n_rows": n_clustered,
+        "n_marked_dup": n_dups,
+    }
+
+
 def main() -> None:
+    if "--scaling-dedup-worker" in sys.argv:
+        import ray
+
+        idx = sys.argv.index("--scaling-dedup-worker")
+        ncpu = int(sys.argv[idx + 1])
+        n_docs = int(sys.argv[idx + 2])
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
+        res = bench_dedup_scaling(ncpu, n_docs)
+        ray.shutdown()
+        print("SCALING_RESULT " + json.dumps(res))
+        return
+
     if "--scaling-worker" in sys.argv:
         import ray
 
@@ -412,13 +548,45 @@ def main() -> None:
                     best[ncpu] = r
         thr = [best[levels[0]]["edges_per_sec_superstep"], best[levels[1]]["edges_per_sec_superstep"]]
         eff = (thr[1] / thr[0]) / (levels[1] / levels[0])
+
+        # second row (r3 verdict #8): the minhash-LSH shuffle pipeline,
+        # same fresh-process two-rounds-best protocol, same corpus at
+        # every level (content is a pure function of doc_id)
+        n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "600000"))
+        dedup_runs: list[dict] = []
+        dedup_best: dict[int, dict] = {}
+        for _round in range(2):
+            for ncpu in levels:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scaling-dedup-worker", str(ncpu), str(n_docs)],
+                    capture_output=True, text=True, timeout=3000,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+                if not line:
+                    print(json.dumps({"error": "dedup scaling worker failed",
+                                      "stderr": p.stderr[-2000:]}))
+                    sys.exit(1)
+                r = json.loads(line[0][len("SCALING_RESULT "):])
+                dedup_runs.append(r)
+                if ncpu not in dedup_best or r["docs_per_sec"] > dedup_best[ncpu]["docs_per_sec"]:
+                    dedup_best[ncpu] = r
+        dthr = [dedup_best[levels[0]]["docs_per_sec"], dedup_best[levels[1]]["docs_per_sec"]]
+        deff = (dthr[1] / dthr[0]) / (levels[1] / levels[0])
+
         print(json.dumps({
-            "metric": f"edges/sec/superstep scaling {levels[0]}->{levels[1]} cpus (best of 2 rounds)",
+            "metric": f"edges/sec/superstep + minhash docs/sec scaling {levels[0]}->{levels[1]} cpus (best of 2 rounds)",
             "runs": [best[levels[0]], best[levels[1]]],
             "all_runs": all_runs,
             "throughput_low": thr[0],
             "throughput_high": thr[1],
             "scaling_efficiency": eff,
+            "dedup_runs": [dedup_best[levels[0]], dedup_best[levels[1]]],
+            "dedup_all_runs": dedup_runs,
+            "dedup_throughput_low": dthr[0],
+            "dedup_throughput_high": dthr[1],
+            "dedup_scaling_efficiency": deff,
         }))
         return
 
@@ -446,6 +614,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in res["queries"].items()},
+        "repeats": REPEATS,
+        "spread": {k: [round(a, 3), round(b, 3)] for k, (a, b) in res.get("spread", {}).items()},
         "sf": _sf_from_dir(sf_dir),
         "num_cpus": NUM_CPUS,
         "n_review_edges": res.get("n_review_edges"),
