@@ -3995,6 +3995,21 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir))
 
 
+VERIFY_JACCARD_T = 0.5
+
+
+def _q_minhash_verified_dedup(sf_dir: str):
+    """Verified near-dedup (dedup.minhash_verified_dedup): banded-LSH
+    candidates -> exact n-gram Jaccard >= VERIFY_JACCARD_T filter ->
+    clusters. The production shape: LSH false positives (which grow
+    with corpus size at fixed bands) are dropped BEFORE the component
+    step, so spurious collisions never chain unrelated docs. Threshold
+    compares the raw int/int IEEE division on both sides."""
+    from ugfraud_ray.pipelines.dedup import minhash_verified_dedup
+
+    return minhash_verified_dedup(_docs(sf_dir), threshold=VERIFY_JACCARD_T)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from ugfraud_ray.pipelines.dedup import simhash_dedup
 
@@ -4788,6 +4803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_labelprop,
         # --- dedup family ---
         "doc_minhash_dedup": _q_minhash_dedup,
+        "doc_minhash_verified_dedup": _q_minhash_verified_dedup,
         "doc_curation": _q_doc_curation,
         "doc_split_leakage": _q_doc_split_leakage,
         "doc_cube": _q_doc_cube,
@@ -5576,6 +5592,52 @@ def _minhash_dedup_sql() -> str:
     """
 
 
+def _minhash_verified_dedup_sql() -> str:
+    """SQL replica of ``dedup.minhash_verified_dedup``: the bit-exact
+    LSH candidate chain, each candidate pair filtered by exact
+    shingle-set Jaccard >= VERIFY_JACCARD_T (int/int IEEE division —
+    identical in numpy and DuckDB, so the comparison replays
+    bit-for-bit; the empty-set guard scores 0.0), then the min-label
+    connected components + all-docs assignment of the dedup family."""
+    return rf"""
+        WITH RECURSIVE {_minhash_cand_ctes()},
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c
+          JOIN shd a ON a.doc_id = c.id_a
+          JOIN shd b ON b.doc_id = c.id_b AND b.sh = a.sh
+          GROUP BY c.id_a, c.id_b
+        ),
+        ver AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          LEFT JOIN sz sa ON sa.doc_id = c.id_a
+          LEFT JOIN sz sb ON sb.doc_id = c.id_b
+          WHERE CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0) = 0
+                     THEN 0.0
+                     ELSE CAST(COALESCE(i.i, 0) AS DOUBLE)
+                          / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.i, 0))
+                END >= {VERIFY_JACCARD_T}
+        ),
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM ver
+          UNION
+          SELECT id_b, id_a FROM ver
+        ),
+        walk(vid, comp) AS (
+          SELECT src, src FROM sym
+          UNION
+          SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.vid
+        ),
+        comps AS (SELECT vid, MIN(comp) AS comp FROM walk GROUP BY vid)
+        SELECT d.doc_id, CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster
+        FROM documents d LEFT JOIN comps c ON c.vid = d.doc_id
+    """
+
+
 def _quality_dedup_sql() -> str:
     """SQL replica of ``curation.quality_dedup``: the bit-exact LSH+CC
     cluster chain, the domain_cap integer quality key, and the packed
@@ -6159,6 +6221,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_edges, CAST(SUM(wt) AS BIGINT) AS total_weight FROM msf
         """,
         "doc_minhash_dedup": _minhash_dedup_sql(),
+        "doc_minhash_verified_dedup": _minhash_verified_dedup_sql(),
         "doc_quality_dedup": _quality_dedup_sql(),
         "doc_curation": _curation_sql(),
         "doc_sources_topk": f"""

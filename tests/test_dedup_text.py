@@ -36,6 +36,60 @@ def _corpus_with_dups(n_base=60, n_dup_pairs=8, seed=19):
     )
 
 
+def test_minhash_verified_dedup(ray_session):
+    """Verified near-dedup: LSH candidates survive only with exact
+    n-gram Jaccard >= threshold. threshold=0 reduces to plain LSH
+    clustering; an impossible threshold leaves every doc a singleton;
+    a mid threshold keeps true near-dups and drops any weaker
+    candidate pair."""
+    from ugfraud_ray.pipelines.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_dedup,
+        minhash_verified_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    t, planted = _corpus_with_dups()
+    docs = ray.data.from_arrow(t).materialize()
+
+    plain = minhash_lsh_dedup(docs).to_pandas()
+    v0 = minhash_verified_dedup(docs, threshold=0.0).to_pandas()
+    assert dict(zip(v0["doc_id"], v0["cluster"])) == dict(
+        zip(plain["doc_id"], plain["cluster"])
+    )
+
+    v_imp = minhash_verified_dedup(docs, threshold=1.5).to_pandas()
+    assert (v_imp["cluster"].to_numpy() == v_imp["doc_id"].to_numpy()).all()
+
+    # mid threshold: planted one-token-changed pairs have jaccard well
+    # above 0.5 and must stay merged; every surviving merge must be
+    # backed by a candidate pair whose exact jaccard >= 0.5
+    v = minhash_verified_dedup(docs, threshold=0.5).to_pandas()
+    cl = dict(zip(v["doc_id"], v["cluster"]))
+    for a, b in planted:
+        assert cl[a] == cl[b]
+    cands = minhash_lsh_candidates(docs).materialize()
+    jac = ngram_jaccard_pairs(docs, cands).to_pandas()
+    ok_pairs = {
+        (a, b) for a, b, j in zip(jac["id_a"], jac["id_b"], jac["jaccard"]) if j >= 0.5
+    }
+    # reconstruct expected clusters from verified pairs via union-find
+    parent = {int(i): int(i) for i in v["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ok_pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for i in parent:
+        assert cl[i] == find(i)
+
+
 def test_minhash_lsh_finds_planted_dups(ray_session):
     from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, minhash_lsh_dedup
 

@@ -397,6 +397,63 @@ def minhash_lsh_dedup(
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
 
+def minhash_verified_dedup(
+    docs: "ray.data.Dataset",
+    key: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 7,
+    threshold: float = 0.5,
+    local_threshold: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster) VERIFIED near-dup clusters — the production
+    near-dedup shape (RefinedWeb / SlimPajama style): banded-LSH
+    candidate generation, then every candidate pair VERIFIED by exact
+    n-gram Jaccard >= ``threshold`` before clustering. Banded LSH's
+    false-positive collision rate grows with corpus size at fixed
+    (bands, rows); without the verify stage those spurious edges chain
+    unrelated documents into one giant cluster at web scale — here they
+    are dropped before the component step, so clusters only ever merge
+    through genuinely similar pairs. Same cluster convention as
+    minhash_lsh_dedup (min doc_id of the verified component).
+
+    Scale shape: candidates from the banded bucket shuffle (colliding
+    docs only), exact Jaccard via broadcast shingle sets of ONLY the
+    colliding docs (ngram_jaccard_pairs), pair->cluster via the shared
+    _pairs_to_cluster_map gate (driver union-find below / distributed
+    hash-min CC above). The threshold compare runs on the raw IEEE
+    double intersection/union ratio — int/int division is exact and
+    identical in numpy and SQL, so the oracle replays the filter
+    bit-for-bit.
+
+    Reference analog: none (UGFraud has no text dedup); this is the
+    scale-robust sibling of minhash_lsh_dedup.
+    """
+    pairs = minhash_lsh_candidates(
+        docs, key, id_col, num_perm, bands, ngram, seed
+    ).materialize()
+    ver = ngram_jaccard_pairs(
+        docs, pairs, key=key, id_col=id_col, ngram=ngram, threshold=threshold
+    ).select_columns(["id_a", "id_b"]).materialize()
+    mk, mv = _pairs_to_cluster_map(ver, local_threshold)
+    map_ref = ray.put((mk, mv))
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(map_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, ids), 0, len(keys) - 1)
+            hit = keys[pos] == ids
+            cl = np.where(hit, vals[pos], ids)
+        else:
+            cl = ids
+        return pa.table({id_col: t[id_col], "cluster": pa.array(cl, pa.int64())})
+
+    return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
 def _bucketed_pair_emit(
     ds: "ray.data.Dataset", key_cols: list[str], id_col: str, n_buckets: int | None = None,
     carry: list[str] | None = None,
