@@ -655,9 +655,13 @@ def main() -> None:
     t_all = time.perf_counter()
     res = bench_pipelines(sf_dir)
     total = time.perf_counter() - t_all
+    # value = SUM OF PER-ROW MEDIANS: the round-over-round comparable
+    # headline (a single-sample run reports the same quantity); the raw
+    # wall including all repeats is kept alongside for transparency
     out = {
-        "metric": "headline pipelines wall time (graph build, pagerank, cc, triangles, dedup, text, ann)",
-        "value": round(total, 3),
+        "metric": "headline pipelines wall time (graph build, pagerank, cc, triangles, dedup, text, ann; sum of per-row medians)",
+        "value": round(sum(res["queries"].values()), 3),
+        "wall_with_repeats": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in res["queries"].items()},
         "repeats": REPEATS,
