@@ -36,6 +36,50 @@ def _corpus_with_dups(n_base=60, n_dup_pairs=8, seed=19):
     )
 
 
+def test_ngram_jaccard_distributed_branch_parity(ray_session):
+    """The r4 driver-free jaccard branch (semi-join -> shingle explode
+    -> sh-bucket pair emission -> outer joins) must agree bit-for-bit
+    with the broadcast-dict branch on every candidate pair, including
+    zero-intersection LSH false positives and short/empty docs."""
+    from ugfraud_ray.pipelines.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    t, _ = _corpus_with_dups()
+    # plant a short doc (fewer tokens than the shingle width) and an
+    # empty doc so the no-shingle guard is exercised in both branches
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([t["doc_id"].to_numpy(), [9000, 9001]])
+            ),
+            "text": pa.array(list(t["text"].to_pylist()) + ["one two", ""]),
+        }
+    )
+    docs = ray.data.from_arrow(t).materialize()
+    cands = minhash_lsh_candidates(docs).materialize()
+    # extra synthetic candidate pairs covering the degenerate cases
+    extra = pa.table(
+        {"id_a": pa.array([0, 9000], pa.int64()), "id_b": pa.array([9001, 9001], pa.int64())}
+    )
+    allpairs = ray.data.from_arrow(
+        pa.concat_tables([pa.concat_tables([b for b in ray.get(cands.to_arrow_refs()) if b.num_rows]), extra])
+    ).materialize()
+
+    local = ngram_jaccard_pairs(docs, allpairs).to_pandas()
+    dist = ngram_jaccard_pairs(docs, allpairs, local_threshold=0).to_pandas()
+    key = lambda df: {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"])
+    }
+    lk, dk = key(local), key(dist)
+    assert lk.keys() == dk.keys()
+    for p in lk:
+        assert lk[p] == dk[p], (p, lk[p], dk[p])  # bit-exact float parity
+    # thresholded variant drops the same pairs in both branches
+    lt = ngram_jaccard_pairs(docs, allpairs, threshold=0.5).to_pandas()
+    dt = ngram_jaccard_pairs(docs, allpairs, threshold=0.5, local_threshold=0).to_pandas()
+    assert key(lt) == key(dt)
+
+
 def test_minhash_verified_dedup(ray_session):
     """Verified near-dedup: LSH candidates survive only with exact
     n-gram Jaccard >= threshold. threshold=0 reduces to plain LSH

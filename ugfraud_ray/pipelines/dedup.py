@@ -660,13 +660,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
     threshold: float = 0.0,
+    approx_pairs: int | None = None,
+    local_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard similarity for a candidate pair table.
 
-    The docs referenced by pairs are broadcast as a shingle-set dict
-    (ray.put once); pairs stream through map_batches. At 100 TB the pair
-    table comes from LSH so the broadcast side is only colliding docs.
+    Below ``local_threshold`` candidate pairs the colliding docs'
+    shingle sets broadcast once as a dict (ray.put) and pairs stream
+    through a vectorized set-intersect kernel. Above it NOTHING lands
+    on the driver (r4 — the broadcast dict is colliding-doc-sized,
+    which a boilerplate-heavy 100 TB corpus can push past worker
+    memory): colliding docs are semi-joined from the pair id set, their
+    DISTINCT shingles explode to (doc, sh) rows, same-shingle pairs
+    emit once per shared shingle through the coarse sh-bucket shuffle
+    (multiplicity == intersection size), an outer hash join keeps
+    exactly the candidate pairs, and jaccard resolves from two
+    size-table joins with the IDENTICAL int/int IEEE division — both
+    paths agree bit-for-bit (forced-parity pytest). Hot-shingle
+    quadratic blowup carries the same df-cap caveat as
+    exact_shingle_jaccard (documented there).
     """
+    n_pairs = approx_pairs if approx_pairs is not None else pairs.count()
+    if n_pairs > local_threshold:
+        return _ngram_jaccard_distributed(docs, pairs, key, id_col, ngram, threshold)
     pt_blocks = [b for b in ray.get(pairs.to_arrow_refs()) if b.num_rows]
     if not pt_blocks:
         return ray.data.from_arrow(
@@ -711,6 +727,142 @@ def ngram_jaccard_pairs(
         return tbl.filter(pa.compute.greater_equal(tbl["jaccard"], threshold))
 
     return pairs.map_batches(jac, batch_format="pyarrow")
+
+
+def _ngram_jaccard_distributed(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    key: str,
+    id_col: str,
+    ngram: int,
+    threshold: float,
+) -> "ray.data.Dataset":
+    """Driver-free branch of ngram_jaccard_pairs (see its docstring).
+
+    JOIN-FREE by design: each exploded (doc, shingle) row carries its
+    doc's shingle-set size, the sh-bucket triangle emission carries
+    (na, nb) on every emitted pair row (row multiplicity == |A ∩ B|),
+    and the candidate pairs union in as zero-marker rows — ONE grouped
+    merge keyed by the pair resolves (nint, na, nb, is_cand). A
+    candidate pair sharing no shingle has nint == 0 and scores 0.0
+    exactly like the broadcast branch (its sizes are irrelevant:
+    0/union == 0.0, and both-sets-empty is the same 0.0 via the
+    union == 0 guard), so NO size lookup is ever needed for it. The
+    jaccard itself is the identical int/int IEEE division. (Only
+    groupby machinery is used: Ray 2.49's hash join mis-plans when its
+    left side is itself a join output — kept out of this path.)
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.pipelines.relational import semi_anti_join
+
+    def flat_ids(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(np.unique(np.concatenate([a, b])))})
+
+    ids = pairs.map_batches(flat_ids, batch_format="pyarrow")
+    colliding = semi_anti_join(docs.select_columns([id_col, key]), ids, id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, sh_out, sz_out = [], [], []
+        for i, text in zip(t[id_col].to_pylist(), t[key].to_pylist()):
+            hs = np.unique(_shingle_hashes(text, ngram))
+            if len(hs):
+                ids_out.append(np.full(len(hs), i, dtype=np.int64))
+                sh_out.append(hs.view(np.int64))
+                sz_out.append(np.full(len(hs), len(hs), dtype=np.int64))
+        if not ids_out:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.int64()),
+                 "nsz": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {id_col: pa.array(np.concatenate(ids_out)),
+             "sh": pa.array(np.concatenate(sh_out)),
+             "nsz": pa.array(np.concatenate(sz_out))}
+        )
+
+    exploded = colliding.map_batches(explode, batch_format="pyarrow")
+
+    nb_buckets = np.uint64(n_coarse_buckets(None))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["sh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(31)
+        return t.append_column("_cb", pa.array((h % nb_buckets).astype(np.int64)))
+
+    def emit(g) -> pa.Table:
+        sh = g["sh"].to_numpy().astype(np.int64)
+        gid = g[id_col].to_numpy().astype(np.int64)
+        gsz = g["nsz"].to_numpy().astype(np.int64)
+        order = np.lexsort((gid, sh))
+        sh, gid, gsz = sh[order], gid[order], gsz[order]
+        if len(sh):
+            starts = np.flatnonzero(np.concatenate([[True], np.diff(sh) != 0]))
+            ends = np.append(starts[1:], len(sh))
+        else:
+            starts = ends = np.zeros(0, dtype=np.int64)
+        oa, ob, ona, onb = [], [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            i, j = np.triu_indices(e - s, k=1)
+            oa.append(gid[s:e][i])
+            ob.append(gid[s:e][j])
+            ona.append(gsz[s:e][i])
+            onb.append(gsz[s:e][j])
+        if not oa:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
+                 "nint": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
+            )
+        n = sum(len(x) for x in oa)
+        return pa.table(
+            {"id_a": pa.array(np.concatenate(oa)), "id_b": pa.array(np.concatenate(ob)),
+             "na": pa.array(np.concatenate(ona)), "nb": pa.array(np.concatenate(onb)),
+             "nint": pa.array(np.ones(n, dtype=np.int64)),
+             "cand": pa.array(np.zeros(n, dtype=np.int64))}
+        )
+
+    pair_rows = (
+        exploded.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_cb")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {"id_a": t["id_a"], "id_b": t["id_b"], "na": pa.array(z),
+             "nb": pa.array(z), "nint": pa.array(z),
+             "cand": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        )
+
+    marked = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        cand_rows, batch_format="pyarrow"
+    )
+
+    merged = pair_rows.union(marked).groupby(["id_a", "id_b"]).aggregate(
+        Sum("nint", alias_name="nint"), Max("na", alias_name="na"),
+        Max("nb", alias_name="nb"), Max("cand", alias_name="cand"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = t["cand"].to_numpy(zero_copy_only=False).astype(np.int64) == 1
+        t = t.filter(pa.array(keep))
+        ii = t["nint"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = na + nb - ii
+        jac = np.where(union == 0, 0.0, ii / np.maximum(union, 1))
+        out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"], "jaccard": pa.array(jac)})
+        return out.filter(pa.array(jac >= threshold))
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def exact_shingle_jaccard(
