@@ -680,7 +680,13 @@ def ngram_jaccard_pairs(
     quadratic blowup carries the same df-cap caveat as
     exact_shingle_jaccard (documented there).
     """
-    n_pairs = approx_pairs if approx_pairs is not None else pairs.count()
+    if approx_pairs is None:
+        # callers hand in lazy candidate pipelines; pin them before the
+        # gate count so neither branch re-executes the LSH chain
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+    else:
+        n_pairs = approx_pairs
     if n_pairs > local_threshold:
         return _ngram_jaccard_distributed(docs, pairs, key, id_col, ngram, threshold)
     pt_blocks = [b for b in ray.get(pairs.to_arrow_refs()) if b.num_rows]
