@@ -56,9 +56,13 @@ def test_ngram_jaccard_distributed_branch_parity(ray_session):
     )
     docs = ray.data.from_arrow(t).materialize()
     cands = minhash_lsh_candidates(docs).materialize()
-    # extra synthetic candidate pairs covering the degenerate cases
+    # extra synthetic candidate pairs covering the degenerate cases:
+    # zero-overlap, short-vs-empty, a REVERSED pair (id_a > id_b), a
+    # self-pair, and a duplicate of an LSH pair — canonicalization (r5)
+    # must make both branches agree on all of them
     extra = pa.table(
-        {"id_a": pa.array([0, 9000], pa.int64()), "id_b": pa.array([9001, 9001], pa.int64())}
+        {"id_a": pa.array([0, 9000, 5, 7, 9000], pa.int64()),
+         "id_b": pa.array([9001, 9001, 1, 7, 9001], pa.int64())}
     )
     allpairs = ray.data.from_arrow(
         pa.concat_tables([pa.concat_tables([b for b in ray.get(cands.to_arrow_refs()) if b.num_rows]), extra])
@@ -72,6 +76,12 @@ def test_ngram_jaccard_distributed_branch_parity(ray_session):
     }
     lk, dk = key(local), key(dist)
     assert lk.keys() == dk.keys()
+    # canonicalization invariants: ascending keys, no self-pairs, the
+    # reversed (5,1) scored under (1,5), duplicates collapsed
+    for df in (local, dist):
+        assert (df["id_a"] < df["id_b"]).all()
+        assert not df.duplicated(["id_a", "id_b"]).any()
+    assert (1, 5) in lk and (7, 7) not in lk and (5, 1) not in lk
     for p in lk:
         assert lk[p] == dk[p], (p, lk[p], dk[p])  # bit-exact float parity
     # thresholded variant drops the same pairs in both branches

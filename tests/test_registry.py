@@ -12,7 +12,13 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-SF = "/root/testdata/sf0.001"
+# resolve the testdata root from the environment (same convention as
+# bench.py's GRAFT_SF_DIR) so the SQL-bind guard runs wherever the
+# tables are staged, not only on the driver host's layout
+SF = os.environ.get(
+    "GRAFT_SF0001_DIR",
+    os.path.join(os.environ.get("GRAFT_TESTDATA_ROOT", "/root/testdata"), "sf0.001"),
+)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

@@ -97,22 +97,36 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-_TOKEN_CACHE_CAP = 1 << 22  # ≈4.2M distinct tokens; clear-on-overflow bounds memory
+_TOKEN_CACHE_CAP = 1 << 20  # ≈1M distinct tokens; clear-on-overflow bounds memory
+# approximate-bytes bound (r5): each dict entry costs ~120 B of CPython
+# overhead plus the key string, so a count-only cap could still grow to
+# hundreds of MB per worker on a long-token corpus — track cumulative
+# estimated bytes and clear on whichever bound trips first
+_TOKEN_CACHE_MAX_BYTES = 64 << 20
+_TOKEN_ENTRY_OVERHEAD = 120
 _token_cache: dict[str, int] = {}
+_token_cache_bytes = 0
 
 
 def _tok_hash_cached(tok: str) -> int:
     """md5-low64 of a token, memoized per process. Natural-language
     vocabulary is tiny relative to the token stream, so md5-per-token
-    amortizes to md5-per-distinct-token; the cap bounds the per-worker
-    footprint at web scale (a full clear beats LRU bookkeeping here —
-    hot tokens repopulate within one batch)."""
+    amortizes to md5-per-distinct-token; the entry-count AND
+    approximate-bytes caps bound the per-worker footprint at web scale
+    (a full clear beats LRU bookkeeping here — hot tokens repopulate
+    within one batch)."""
+    global _token_cache_bytes
     h = _token_cache.get(tok)
     if h is None:
-        if len(_token_cache) >= _TOKEN_CACHE_CAP:
+        if (
+            len(_token_cache) >= _TOKEN_CACHE_CAP
+            or _token_cache_bytes >= _TOKEN_CACHE_MAX_BYTES
+        ):
             _token_cache.clear()
+            _token_cache_bytes = 0
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
         _token_cache[tok] = h
+        _token_cache_bytes += _TOKEN_ENTRY_OVERHEAD + len(tok)
     return h
 
 
@@ -679,6 +693,13 @@ def ngram_jaccard_pairs(
     paths agree bit-for-bit (forced-parity pytest). Hot-shingle
     quadratic blowup carries the same df-cap caveat as
     exact_shingle_jaccard (documented there).
+
+    Candidate pairs are CANONICALIZED first in both branches: each row
+    becomes (min(id_a,id_b), max(id_a,id_b)), self-pairs (id_a==id_b)
+    are dropped, and exact duplicates collapse to one row — so a
+    reversed or repeated pair scores identically whichever branch the
+    gate picks (r5; previously the distributed branch silently scored
+    reversed pairs 0.0).
     """
     if approx_pairs is None:
         # callers hand in lazy candidate pipelines; pin them before the
@@ -696,6 +717,18 @@ def ngram_jaccard_pairs(
                       "jaccard": pa.array([], pa.float64())})
         )
     pt = pa.concat_tables(pt_blocks)
+    _a = pt["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _b = pt["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    _lo, _hi = np.minimum(_a, _b), np.maximum(_a, _b)
+    _m = _lo != _hi
+    _uniq = np.unique(np.stack([_lo[_m], _hi[_m]], axis=1), axis=0)
+    pt = pa.table({"id_a": pa.array(_uniq[:, 0]), "id_b": pa.array(_uniq[:, 1])})
+    if not pt.num_rows:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    pairs = ray.data.from_arrow(pt)
     needed = set(pt["id_a"].to_pylist()) | set(pt["id_b"].to_pylist())
     needed_ref = ray.put(needed)
 
@@ -841,11 +874,19 @@ def _ngram_jaccard_distributed(
     )
 
     def cand_rows(t: pa.Table) -> pa.Table:
-        z = np.zeros(t.num_rows, dtype=np.int64)
+        # canonicalize to (min, max) and drop self-pairs so reversed /
+        # duplicate candidates merge onto the ascending-keyed triangle
+        # rows (the grouped Max(cand) dedupes repeats for free)
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        lo, hi = lo[m], hi[m]
+        z = np.zeros(len(lo), dtype=np.int64)
         return pa.table(
-            {"id_a": t["id_a"], "id_b": t["id_b"], "na": pa.array(z),
+            {"id_a": pa.array(lo), "id_b": pa.array(hi), "na": pa.array(z),
              "nb": pa.array(z), "nint": pa.array(z),
-             "cand": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+             "cand": pa.array(np.ones(len(lo), dtype=np.int64))}
         )
 
     marked = pairs.select_columns(["id_a", "id_b"]).map_batches(

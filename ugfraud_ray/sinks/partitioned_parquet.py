@@ -242,18 +242,27 @@ def delete_rows(
             m = _pc.fill_null(_pc.is_in(t[id_col], value_set=id_set), False)
             return t.filter(_pc.invert(m))
 
-        # single data pass: rewrite to tmp unconditionally, then decide
-        # from the (metadata-only) row-count delta whether to swap —
-        # partitions without hits keep their original files
-        # byte-identical, so caches and resume logic stay valid
+        # cheap pre-filter: scan ONLY the id column and count hits, so
+        # hit-free partitions pay one narrow read pass instead of a
+        # full-table rewrite (sparse deletes over a large sink would
+        # otherwise rewrite every byte of the sink per call)
+        def count_hits(t: pa.Table) -> pa.Table:
+            m = _pc.fill_null(_pc.is_in(t[id_col], value_set=id_set), False)
+            return pa.table({"hits": pa.array([int(_pc.sum(m).as_py() or 0)], pa.int64())})
+
+        hits = int(
+            ray.data.read_parquet(pdir, columns=[id_col])
+            .map_batches(count_hits, batch_format="pyarrow")
+            .sum("hits")
+            or 0
+        )
+        if not hits:
+            untouched.append(v)
+            continue
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         part.map_batches(drop, batch_format="pyarrow").write_parquet(tmp)
-        hits = n_before - ray.data.read_parquet(tmp).count()
-        if not hits:
-            untouched.append(v)
-            shutil.rmtree(tmp)
-            continue
+        assert n_before - ray.data.read_parquet(tmp).count() == hits
         n_deleted += int(hits)
         os.replace(pdir, old)
         os.replace(tmp, pdir)
