@@ -1,0 +1,114 @@
+"""FRAUDAR distributed-peel stress: >=100M edges, driver never O(E).
+
+Generates a synthetic bipartite graph DISTRIBUTEDLY (map_batches over a
+range — the edge list never exists on the driver), plants a dense
+block, runs the r5 shard-resident batched peel
+(detectors/fraudar.py::_detect_blocks_distributed), and reports wall
+time, peel rounds, planted-block recovery, and the driver's peak RSS
+delta vs the edge-list footprint — the evidence row that the peel no
+longer collects O(E) onto the driver (VERDICT r4 "What's wrong" #1).
+
+Usage:  python tools/fraudar_stress.py [n_edges_millions=100]
+Writes: FRAUDAR_STRESS_r5.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+M_ROWS = 5_000_000
+N_COLS = 500_000
+PLANT_ROWS = 2_000
+PLANT_COLS = 200
+PLANT_P = 0.5
+EDGES_PER_TASK = 2_000_000
+
+
+def main() -> None:
+    n_million = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n_edges = n_million * 1_000_000
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False)
+
+    n_tasks = n_edges // EDGES_PER_TASK
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for tid in batch["id"].to_pylist():
+            rng = np.random.default_rng(1000 + tid)
+            src = rng.integers(0, M_ROWS, EDGES_PER_TASK, dtype=np.int64)
+            dst = rng.integers(0, N_COLS, EDGES_PER_TASK, dtype=np.int64)
+            out.append(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+        return pa.concat_tables(out)
+
+    def gen_planted(batch: pa.Table) -> pa.Table:
+        # dense planted block: rows [0,PLANT_ROWS) x cols [0,PLANT_COLS)
+        out = []
+        for tid in batch["id"].to_pylist():
+            rng = np.random.default_rng(77 + tid)
+            rows = np.arange(tid, PLANT_ROWS, 8, dtype=np.int64)
+            src = np.repeat(rows, PLANT_COLS)
+            dst = np.tile(np.arange(PLANT_COLS, dtype=np.int64), len(rows))
+            keep = rng.random(len(src)) < PLANT_P
+            out.append(pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}))
+        return pa.concat_tables(out)
+
+    bg = ray.data.range(n_tasks).map_batches(gen, batch_format="pyarrow", batch_size=1)
+    pl = ray.data.range(8).map_batches(gen_planted, batch_format="pyarrow", batch_size=1)
+    edges = bg.union(pl).materialize()
+    total_edges = edges.count()
+    edge_bytes = total_edges * 16
+
+    from ugfraud_ray.detectors.fraudar import _detect_blocks_distributed
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    t0 = time.time()
+    blocks = _detect_blocks_distributed(
+        edges, mode="log", score_tol=0.01, max_blocks=1,
+        peel="batched", batch_eps=0.05, num_shards=16,
+    )
+    wall = time.time() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+    row_set, col_set, score = blocks[0]
+    planted_rows = set(range(PLANT_ROWS))
+    planted_cols = set(range(PLANT_COLS))
+    row_recall = len(row_set & planted_rows) / len(planted_rows)
+    col_recall = len(col_set & planted_cols) / len(planted_cols)
+
+    out = {
+        "n_edges": int(total_edges),
+        "m_rows": M_ROWS,
+        "n_cols": N_COLS,
+        "edge_list_bytes": int(edge_bytes),
+        "wall_sec": round(wall, 1),
+        "edges_per_sec": round(total_edges / wall),
+        "block_score": round(score, 6),
+        "planted_row_recall": round(row_recall, 4),
+        "planted_col_recall": round(col_recall, 4),
+        "driver_peak_rss_delta_bytes": int(rss1 - rss0),
+        "driver_rss_delta_vs_edge_list": round((rss1 - rss0) / edge_bytes, 3),
+        "note": "peel='batched' num_shards=16; driver holds only O(m+n) "
+                "delta arrays — rss delta must stay well below the edge list",
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(__file__), "..", "FRAUDAR_STRESS_r5.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
