@@ -331,6 +331,7 @@ def _q_sssp(sf_dir: str):
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
         number_int_vertices,
+        seed_vids,
         unmap_vids,
     )
 
@@ -342,8 +343,7 @@ def _q_sssp(sf_dir: str):
         return t.append_column("w", pa.array(((s * 31 + d) % 9 + 1).astype(np.float64)))
 
     e, vmap, n = number_int_vertices(ge.map_batches(add_w, batch_format="pyarrow"))
-    vt = vmap.to_pandas()
-    seeds = vt.loc[vt["id"] % BFS_SEED_MOD == 0, "vid"].to_numpy()
+    seeds = seed_vids(vmap, BFS_SEED_MOD)
     dist, _ = shortest_paths(e.materialize(), n, seeds, _scratch("sssp"), P=4)
 
     def to_int(t: pa.Table) -> pa.Table:
@@ -1063,24 +1063,17 @@ def _q_diameter(sf_dir: str):
     graph (bfs.double_sweep_diameter): BFS from min id, then from the
     farthest vertex (ties to min id)."""
     from ugfraud_ray.pipelines.bfs import double_sweep_diameter
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        unmap_vids,
+    )
 
     e, vmap, n = number_int_vertices(general_edges(sf_dir))
     out = double_sweep_diameter(e, n, _scratch("diam"), P=4)
-    vt = vmap.to_pandas().sort_values("vid")
-    ids = vt["id"].to_numpy()
-
-    def back(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "v0": pa.array(ids[t["v0"].to_numpy(zero_copy_only=False)]),
-                "ecc0": t["ecc0"],
-                "v1": pa.array(ids[t["v1"].to_numpy(zero_copy_only=False)]),
-                "diameter_lb": t["diameter_lb"],
-            }
-        )
-
-    return out.map_batches(back, batch_format="pyarrow")
+    out = unmap_vids(out, vmap, vid_col="v0", out_col="v0")
+    out = unmap_vids(out, vmap, vid_col="v1", out_col="v1")
+    return out.select_columns(["v0", "ecc0", "v1", "diameter_lb"])
 
 
 def _q_ktruss(sf_dir: str):
@@ -1138,12 +1131,12 @@ def _q_bfs_hops(sf_dir: str):
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
         number_int_vertices,
+        seed_vids,
         unmap_vids,
     )
 
     e, vmap, n = number_int_vertices(general_edges(sf_dir))
-    vt = vmap.to_pandas()
-    seeds = vt.loc[vt["id"] % BFS_SEED_MOD == 0, "vid"].to_numpy()
+    seeds = seed_vids(vmap, BFS_SEED_MOD)
     hops, _ = bfs_hops(e, n, seeds, _scratch("bfs"), P=4, max_iters=BFS_MAX_HOPS)
     out = unmap_vids(hops, vmap, vid_col="vid", out_col="id")
     return out.select_columns(["id", "hops"])
@@ -1157,11 +1150,17 @@ def _q_hyperball(sf_dir: str):
     bit-exactly by the SQL oracle (radius-bounded recursive reach CTE +
     the events_hll_users estimator chain on m=128/p=7)."""
     from ugfraud_ray.pipelines.hyperball import neighborhood_function
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    # register init hashes ORIGINAL ids — the kernel needs the array
+    # (gated readout; loud error above the vertex gate)
+    ids = vid_to_id_array(vmap)
     return neighborhood_function(
         e, ids, radius=HYPERBALL_RADIUS, approx_edges=ge.count()
     )
@@ -1219,13 +1218,13 @@ def _q_betweenness(sf_dir: str):
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
         number_int_vertices,
+        seed_vids,
         unmap_vids,
     )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
-    vt = vmap.to_pandas().sort_values("vid")
-    sources = vt.loc[vt["id"] % BETW_SEED_MOD == 0, "vid"].to_numpy().astype(np.int64)
+    sources = seed_vids(vmap, BETW_SEED_MOD)
     t = betweenness_subset(
         e, n, sources, radius=BETW_RADIUS, approx_edges=ge.count()
     )
@@ -1266,15 +1265,20 @@ def _q_kcore(sf_dir: str):
     degrees; stop = first count-stable round (post-hoc replayed in the
     SQL oracle, GANG-style)."""
     from ugfraud_ray.pipelines.kcore import kcore_members
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
     alive = kcore_members(
         e, n, k=KCORE_K, max_iters=KCORE_MAX_ITERS, approx_edges=ge.count()
     )
-    # vids are contiguous 0..n-1 in ascending original-id order
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    # the kernel hands back a driver-resident alive MASK on the vid
+    # domain — translate through the gated vid->id array
+    ids = vid_to_id_array(vmap)
     return pa.table({"id": pa.array(ids[alive], pa.int64())})
 
 
@@ -1309,11 +1313,16 @@ def _q_mis(sf_dir: str):
     SQL replay needs no renumbering."""
     from ugfraud_ray.pipelines.mis import mis_members
     from ugfraud_ray.pipelines.sketches import _md5_low64
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    # md5 priorities hash ORIGINAL ids — gated vid->id array readout
+    ids = vid_to_id_array(vmap)
     prio = _md5_low64(ids.tolist())
     mask = mis_members(
         e, n, max_iters=MIS_MAX_ITERS, approx_edges=ge.count(), priorities=prio
@@ -1452,12 +1461,16 @@ def _q_msf(sf_dir: str):
     round contracts components — nested recursion), so rows-only;
     guarded by an exact Kruskal oracle test instead."""
     from ugfraud_ray.pipelines.msf import minimum_spanning_forest
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
     forest = minimum_spanning_forest(e, n, approx_edges=ge.count())
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    ids = vid_to_id_array(vmap)
     a = ids[forest["src"].to_numpy(zero_copy_only=False)]
     b = ids[forest["dst"].to_numpy(zero_copy_only=False)]
     return pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())})
@@ -1493,11 +1506,16 @@ def _q_coloring(sf_dir: str):
     color r. Priorities are md5-low64 of the ORIGINAL id."""
     from ugfraud_ray.pipelines.mis import coloring
     from ugfraud_ray.pipelines.sketches import _md5_low64
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    # md5 priorities hash ORIGINAL ids — gated vid->id array readout
+    ids = vid_to_id_array(vmap)
     prio = _md5_low64(ids.tolist())
     color = coloring(
         e, n, max_iters=COLOR_MAX_ITERS, approx_edges=ge.count(), priorities=prio
@@ -1817,15 +1835,19 @@ def _q_linkpred(sf_dir: str):
     degree-capped wedge expansion, coarse-bucket pair aggregation,
     lossless per-bucket top-N prune; (cn DESC, u, v) deterministic cut."""
     from ugfraud_ray.pipelines.linkpred import link_prediction_scores
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
 
     ge = general_edges(sf_dir)
     e, vmap, n = number_int_vertices(ge)
     t = link_prediction_scores(
         e, n, top_n=LINKPRED_TOPN, max_degree=LINKPRED_MAX_DEG, approx_rows=ge.count()
     )
-    # vids are contiguous in ascending original-id order
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    # bounded top-N driver table -> gated vid->id gather
+    ids = vid_to_id_array(vmap)
     return pa.table(
         {
             "u": pa.array(ids[t["u"].to_numpy()], pa.int64()),
@@ -1842,7 +1864,11 @@ def _q_linkpred_extended(sf_dir: str):
     (one division over exact integers), pa = du*dv (exact integer) —
     the other two classic link-prediction baselines."""
     from ugfraud_ray.pipelines.linkpred import link_prediction_scores
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        vid_to_id_array,
+    )
     from ugfraud_ray.stages.graph_build import dense_degrees
     from ugfraud_ray.pipelines.triangles import _canonical_edges
 
@@ -1853,7 +1879,7 @@ def _q_linkpred_extended(sf_dir: str):
     )
     ce = _canonical_edges(e, approx_rows=ge.count()).materialize()
     deg = dense_degrees(ce, "a", n) + dense_degrees(ce, "b", n)
-    ids = vmap.to_pandas().sort_values("vid")["id"].to_numpy()
+    ids = vid_to_id_array(vmap)
     u = t["u"].to_numpy()
     v = t["v"].to_numpy()
     cn = t["cn"].to_numpy().astype(np.int64)
@@ -1874,30 +1900,35 @@ def _q_ppr(sf_dir: str):
     """Personalized PageRank from a deterministic seed set (original
     id % PPR_SEED_MOD == 0); teleport + dangling mass return to seeds."""
     from ugfraud_ray.pipelines.pagerank import personalized_pagerank
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        seed_vids,
+        unmap_vids,
+    )
 
     e, vmap, n = number_int_vertices(general_edges(sf_dir))
-    vt = vmap.to_pandas()
-    seeds = vt.loc[vt["id"] % PPR_SEED_MOD == 0, "vid"].to_numpy()
+    seeds = seed_vids(vmap, PPR_SEED_MOD)
     ranks, _ = personalized_pagerank(
         e, n, seeds, _scratch("ppr"), P=4, damping=PR_DAMPING,
         max_iters=PPR_ITERS, tol=None,
     )
-    # vids are contiguous ascending-original-id; reuse the collected map
-    ids = vt.sort_values("vid")["id"].to_numpy()
-    ids_ref = ray.put(ids)
 
     def rnd(t: pa.Table) -> pa.Table:
-        m = ray.get(ids_ref)
-        r = np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
         return pa.table(
             {
-                "id": pa.array(m[t["vid"].to_numpy(zero_copy_only=False)]),
-                "rank": pa.array(r),
+                "vid": t["vid"],
+                "rank": pa.array(
+                    np.round(t["rank"].to_numpy(zero_copy_only=False), 9)
+                ),
             }
         )
 
-    return ranks.map_batches(rnd, batch_format="pyarrow").select_columns(["id", "rank"])
+    out = unmap_vids(
+        ranks.map_batches(rnd, batch_format="pyarrow"), vmap,
+        vid_col="vid", out_col="id",
+    )
+    return out.select_columns(["id", "rank"])
 
 
 def _q_spam_mass(sf_dir: str):
@@ -1909,34 +1940,24 @@ def _q_spam_mass(sf_dir: str):
     pagerank + personalized_pagerank queries, whose CTE chains the
     oracle nests."""
     from ugfraud_ray.pipelines.pagerank import pagerank, personalized_pagerank, spam_mass
-    from ugfraud_ray.pipelines.testdata_graph import general_edges, number_int_vertices
+    from ugfraud_ray.pipelines.testdata_graph import (
+        general_edges,
+        number_int_vertices,
+        seed_vids,
+        unmap_vids,
+    )
 
     e, vmap, n = number_int_vertices(general_edges(sf_dir))
     pr, _ = pagerank(
         e, n, _scratch("sm_pr"), P=4, damping=PR_DAMPING, max_iters=PR_ITERS, tol=None
     )
-    vt = vmap.to_pandas()
-    seeds = vt.loc[vt["id"] % PPR_SEED_MOD == 0, "vid"].to_numpy()
+    seeds = seed_vids(vmap, PPR_SEED_MOD)
     tr, _ = personalized_pagerank(
         e, n, seeds, _scratch("sm_tr"), P=4, damping=PR_DAMPING,
         max_iters=PPR_ITERS, tol=None,
     )
-    out = spam_mass(pr, tr, n)
-    ids = vt.sort_values("vid")["id"].to_numpy()
-    ids_ref = ray.put(ids)
-
-    def unmap(t: pa.Table) -> pa.Table:
-        m = ray.get(ids_ref)
-        return pa.table(
-            {
-                "id": pa.array(m[t["vid"].to_numpy(zero_copy_only=False)]),
-                "pr": t["pr"],
-                "tr": t["tr"],
-                "spam_mass": t["spam_mass"],
-            }
-        )
-
-    return out.map_batches(unmap, batch_format="pyarrow")
+    out = unmap_vids(spam_mass(pr, tr, n), vmap, vid_col="vid", out_col="id")
+    return out.select_columns(["id", "pr", "tr", "spam_mass"])
 
 
 def _q_auc(sf_dir: str):

@@ -361,3 +361,42 @@ def unmap_vids(result: "ray.data.Dataset", vmap: "ray.data.Dataset", vid_col: st
         return pa.table(cols)
 
     return result.map_batches(back, batch_format="pyarrow")
+
+
+def seed_vids(vmap: "ray.data.Dataset", mod: int) -> np.ndarray:
+    """vids whose ORIGINAL id satisfies ``id % mod == 0`` — the seed
+    sets every query derives deterministically. Streamed: the filter
+    runs inside map_batches and only the (1/mod-sized) matching set
+    lands on the driver, never the full vertex table (r5 — replaces
+    the ``vmap.to_pandas()`` readout pattern)."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        keep = ids % mod == 0
+        return pa.table({"vid": t["vid"].filter(pa.array(keep))})
+
+    t = collect_table(vmap.map_batches(pick, batch_format="pyarrow"))
+    return np.sort(t["vid"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+
+def vid_to_id_array(
+    vmap: "ray.data.Dataset", local_threshold: int = 10_000_000
+) -> np.ndarray:
+    """Dense (vid -> original id) gather array for kernels that
+    genuinely need original ids as a driver-resident array (md5
+    priority init, bounded top-N gathers). GATED like every other
+    broadcast-vs-join site: above ``local_threshold`` vertices it
+    raises loudly — restructure the readout onto ``unmap_vids``' join
+    path instead of collecting a web-scale vertex table."""
+    n = vmap.count()
+    if n > local_threshold:
+        raise ValueError(
+            f"vid_to_id_array: vertex table has {n} rows > gate "
+            f"{local_threshold}; use unmap_vids (distributed join) instead"
+        )
+    vt = collect_table(vmap)
+    rev = np.zeros(n, dtype=np.int64)
+    rev[vt["vid"].to_numpy(zero_copy_only=False)] = vt["id"].to_numpy(
+        zero_copy_only=False
+    )
+    return rev
