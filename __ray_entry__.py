@@ -1457,9 +1457,11 @@ def _q_butterflies(sf_dir: str):
 
 def _q_msf(sf_dir: str):
     """Minimum spanning forest via Borůvka rounds (pipelines/msf.py),
-    deterministic unique pair-hash weights. Genuinely non-SQL (each
-    round contracts components — nested recursion), so rows-only;
-    guarded by an exact Kruskal oracle test instead."""
+    deterministic unique pair-hash weights. Fully value-oracled since
+    r5: unique weights make the forest unique, so the SQL side runs its
+    OWN Borůvka unroll (_msf_edges_sql — walk-closure labels + per-
+    component min outgoing edge, 20 rounds) and must land on the same
+    edge set; also guarded by the exact Kruskal pytest."""
     from ugfraud_ray.pipelines.msf import minimum_spanning_forest
     from ugfraud_ray.pipelines.testdata_graph import (
         general_edges,
@@ -3785,9 +3787,11 @@ def _q_doc_bpe_merges(sf_dir: str):
     distributed (word, n) aggregation, driver-resident merge loop
     (vocabulary is dimension-sized by contract, min_count floors the
     web-scale junk tail). Deterministic: exact integer pair counts,
-    ties by lexicographic (left, right). Iterative — not
-    SQL-expressible; value-verified by the naive-BPE pytest mirror and
-    the oracled doc_bpe_pair_counts side channel (its step-0 counts)."""
+    ties by lexicographic (left, right). Fully value-oracled since r5:
+    the merge loop is unrolled as a 16-step MATERIALIZED CTE chain
+    (_bpe_merges_sql) replaying pair counts, winner tie-breaks, and the
+    aaa-overlap merge rule; additionally mirrored by the naive-BPE
+    pytest and the doc_bpe_pair_counts step-0 side channel."""
     from ugfraud_ray.pipelines.bpe import bpe_train
 
     return bpe_train(_docs(sf_dir), n_merges=16)
@@ -5351,6 +5355,166 @@ def _lang_id_sql() -> str:
     for lang in ("en", "de", "fr", "es", "it"):
         sql = sql.replace(f"MK_{lang.upper()}", mk(lang))
     return sql
+
+
+def _bpe_merges_sql(n_merges: int = 16) -> str:
+    """Full-value oracle for doc_bpe_merges (r5 — promoted out of the
+    rows-only set): the BPE merge loop (pipelines/bpe._train_merges)
+    unrolled as an ``n_merges``-step MATERIALIZED CTE chain. Each step:
+    adjacent-pair counts over the per-word symbol rows (lead() window),
+    winner by (n DESC, left, right) — DuckDB's binary UTF-8 collation
+    == Python codepoint comparison — then merge application with the
+    classic aaa-overlap rule via gaps-and-islands (keep every other
+    match in each run of consecutive positions; A!=B runs are
+    singletons so the rule is a no-op for them, exactly like the
+    engine). MATERIALIZED is load-bearing: each state CTE is referenced
+    three times and DuckDB 1.0 otherwise re-inlines the whole chain
+    exponentially (measured: >400s -> 0.3s at sf0.001)."""
+    parts = [
+        r"""
+      w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    t -> t <> '')) AS word
+          FROM documents
+        ) GROUP BY word
+      ),
+      s0 AS MATERIALIZED (
+        SELECT word AS wid, cnt,
+               unnest(generate_series(1, len(c))) AS p,
+               unnest(c) AS s
+        FROM (SELECT word, cnt, string_split(word, '') AS c FROM w0)
+      )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+      pair{k} AS MATERIALIZED (
+        SELECT s AS l, lead(s) OVER (PARTITION BY wid ORDER BY p) AS r, cnt
+        FROM s{k - 1}
+      ),
+      win{k} AS MATERIALIZED (
+        SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS n FROM pair{k}
+        WHERE r IS NOT NULL GROUP BY l, r
+        ORDER BY n DESC, l ASC, r ASC LIMIT 1
+      ),
+      hit{k} AS MATERIALIZED (
+        SELECT t.wid, t.p
+        FROM (SELECT wid, p, s,
+                     lead(s) OVER (PARTITION BY wid ORDER BY p) AS nx
+              FROM s{k - 1}) t, win{k} w
+        WHERE t.s = w.l AND t.nx = w.r
+      ),
+      keep{k} AS MATERIALIZED (
+        SELECT wid, p FROM (
+          SELECT wid, p,
+                 MIN(p) OVER (PARTITION BY wid, grp) AS rs
+          FROM (SELECT wid, p,
+                       p - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY p) AS grp
+                FROM hit{k})
+        ) WHERE (p - rs) % 2 = 0
+      ),
+      s{k} AS MATERIALIZED (
+        SELECT wid, cnt,
+               ROW_NUMBER() OVER (PARTITION BY wid ORDER BY p) AS p, s
+        FROM (
+          SELECT t.wid, t.cnt, t.p,
+                 CASE WHEN kp.p IS NOT NULL THEN t.s || w.r ELSE t.s END AS s
+          FROM s{k - 1} t
+          CROSS JOIN win{k} w
+          LEFT JOIN keep{k} kp ON kp.wid = t.wid AND kp.p = t.p
+          LEFT JOIN keep{k} kd ON kd.wid = t.wid AND kd.p = t.p - 1
+          WHERE kd.p IS NULL
+        )
+      )""")
+    sel = "\n            UNION ALL ".join(
+        f'SELECT CAST({k - 1} AS BIGINT) AS step, l AS "left", r AS "right", n FROM win{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + f" SELECT * FROM ({sel}) ORDER BY step"
+
+
+def _mulc_sql(x: str, c: int) -> str:
+    """(x * c) mod 2**64 for a constant c, HUGEINT-staged via 32-bit
+    halves (shared by the splitmix replays)."""
+    M64 = 1 << 64
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    e = f"CAST(({x}) AS HUGEINT) * {c_lo}"
+    if c_hi:
+        e += f" + ((CAST(({x}) AS HUGEINT) % 4294967296) * {c_hi} % 4294967296) * 4294967296"
+    return f"CAST(({e}) % {M64} AS UBIGINT)"
+
+
+def _msf_edges_sql(rounds: int = 20) -> str:
+    """Full-value oracle for msf_edges (r5 — promoted out of the
+    rows-only set): pair weights are UNIQUE (msf.pair_weights splitmix
+    mix of the canonical vid pair, replayed here in HUGEINT-staged
+    mod-2^64 SQL), so the MSF edge set is unique and ANY correct
+    algorithm must produce it — this oracle runs its own Borůvka unroll
+    (``rounds`` fixed rounds, components at least halve per round so 20
+    covers >1M vertices; exhausted rounds are no-ops). Per round the
+    component labels come from the same walk-closure recursive CTE the
+    connected_components oracle uses, then each component keeps its
+    minimum-weight outgoing edge. vids replay number_int_vertices'
+    ascending-original-id dense numbering as ROW_NUMBER() - 1."""
+    pw = _mulc_sql("u", 0x9E3779B97F4A7C15)
+    pw = f"xor({pw}, {_mulc_sql('v', 0xC2B2AE3D27D4EB4F)})"
+    s2 = _mulc_sql(f"xor({pw}, ({pw}) >> 30)", 0xBF58476D1CE4E5B9)
+    s4 = _mulc_sql(f"xor({s2}, ({s2}) >> 27)", 0x94D049BB133111EB)
+    pw = f"xor({s4}, ({s4}) >> 31)"
+    parts = [
+        f"gen AS MATERIALIZED ({_SQL_GENERAL_EDGES})",
+        f"""
+  verts AS MATERIALIZED (
+    SELECT DISTINCT x AS id FROM (SELECT src AS x FROM gen UNION SELECT dst FROM gen)
+  ),
+  vm AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS vid FROM verts
+  ),
+  base AS MATERIALIZED (
+    SELECT DISTINCT LEAST(a.vid, b.vid) AS u, GREATEST(a.vid, b.vid) AS v
+    FROM gen JOIN vm a ON a.id = gen.src JOIN vm b ON b.id = gen.dst
+    WHERE a.vid <> b.vid
+  ),
+  wt AS MATERIALIZED (SELECT u, v, {pw} AS w FROM base),
+  allv AS MATERIALIZED (SELECT vid FROM vm),
+  f0 AS MATERIALIZED (SELECT u, v, w FROM wt WHERE 1 = 0)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+  sym{k} AS MATERIALIZED (
+    SELECT u AS s, v AS d FROM f{k - 1} UNION ALL SELECT v, u FROM f{k - 1}
+  ),
+  walk{k}(vid, comp) AS (
+    SELECT vid, vid FROM allv
+    UNION
+    SELECT s.d, w.comp FROM walk{k} w JOIN sym{k} s ON s.s = w.vid
+  ),
+  lab{k} AS MATERIALIZED (SELECT vid, MIN(comp) AS c FROM walk{k} GROUP BY vid),
+  halves{k} AS MATERIALIZED (
+    SELECT la.c AS c, w.u, w.v, w.w
+    FROM wt w JOIN lab{k} la ON la.vid = w.u JOIN lab{k} lb ON lb.vid = w.v
+    WHERE la.c <> lb.c
+    UNION ALL
+    SELECT lb.c, w.u, w.v, w.w
+    FROM wt w JOIN lab{k} la ON la.vid = w.u JOIN lab{k} lb ON lb.vid = w.v
+    WHERE la.c <> lb.c
+  ),
+  pm{k} AS MATERIALIZED (SELECT c, MIN(w) AS mw FROM halves{k} GROUP BY c),
+  pick{k} AS MATERIALIZED (
+    SELECT DISTINCT h.u, h.v, h.w FROM halves{k} h
+    JOIN pm{k} p ON p.c = h.c AND p.mw = h.w
+  ),
+  f{k} AS MATERIALIZED (
+    SELECT u, v, w FROM f{k - 1} UNION SELECT u, v, w FROM pick{k}
+  )""")
+    return (
+        "WITH RECURSIVE "
+        + ",".join(parts)
+        + f"""
+  SELECT va.id AS src, vb.id AS dst
+  FROM f{rounds} f JOIN vm va ON va.vid = f.u JOIN vm vb ON vb.vid = f.v
+"""
+    )
 
 
 def _shingle_ctes(ngram: int = 3, source: str = "documents") -> str:
@@ -10036,8 +10200,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM lab GROUP BY 1, 2
         """,
-        # doc_bpe_merges is iterative (no SQL oracle, rows-only);
-        # this is its step-0 side channel, fully replayed
+        # full merge-loop unroll (r5 — doc_bpe_merges left the
+        # rows-only set); doc_bpe_pair_counts below remains as the
+        # cheap step-0 side channel
+        "doc_bpe_merges": _bpe_merges_sql(),
+        "msf_edges": _msf_edges_sql(),
         "doc_bpe_pair_counts": r"""
             WITH arr AS (
                 SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -538,10 +538,15 @@ def main() -> None:
     if "--scaling-worker" in sys.argv:
         import ray
 
-        ncpu = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        idx = sys.argv.index("--scaling-worker")
+        ncpu = int(sys.argv[idx + 1])
+        try:
+            n_edges = int(sys.argv[idx + 2])
+        except (IndexError, ValueError):
+            n_edges = 160_000_000
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
         res = bench_superstep_throughput(
-            ncpu, n_users=16_000_000, n_prods=1_600_000, n_edges=160_000_000
+            ncpu, n_users=n_edges // 10, n_prods=n_edges // 100, n_edges=n_edges
         )
         ray.shutdown()
         print("SCALING_RESULT " + json.dumps(res))
@@ -610,6 +615,39 @@ def main() -> None:
         dthr = [dedup_best[levels[0]]["docs_per_sec"], dedup_best[levels[1]]["docs_per_sec"]]
         deff = (dthr[1] / dthr[0]) / (levels[1] / levels[0])
 
+        # third row (r4 verdict #2): a bandwidth-UNSATURATED raw BP
+        # pair. The 4->16 pair can push 16 cpus into single-socket DRAM
+        # saturation on an idle host (r4: raw 0.602 but 0.975 vs the
+        # measured bandwidth roofline); 2->8 stays below the knee, so
+        # its raw efficiency stands on its own as the north-rule
+        # two-cluster-size datum. Smaller graph (40M edges) keeps the
+        # 2-cpu level's wall time bounded; same fresh-process
+        # two-rounds-best protocol.
+        unsat_levels = (2, 8)
+        unsat_edges = 40_000_000
+        unsat_runs: list[dict] = []
+        unsat_best: dict[int, dict] = {}
+        for _round in range(2):
+            for ncpu in unsat_levels:
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scaling-worker", str(ncpu), str(unsat_edges)],
+                    capture_output=True, text=True, timeout=3000,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+                if not line:
+                    print(json.dumps({"error": "unsat scaling worker failed",
+                                      "stderr": p.stderr[-2000:]}))
+                    sys.exit(1)
+                r = json.loads(line[0][len("SCALING_RESULT "):])
+                unsat_runs.append(r)
+                if ncpu not in unsat_best or r["edges_per_sec_superstep"] > unsat_best[ncpu]["edges_per_sec_superstep"]:
+                    unsat_best[ncpu] = r
+        uthr = [unsat_best[unsat_levels[0]]["edges_per_sec_superstep"],
+                unsat_best[unsat_levels[1]]["edges_per_sec_superstep"]]
+        ueff = (uthr[1] / uthr[0]) / (unsat_levels[1] / unsat_levels[0])
+
         # achievable-DRAM roofline at both levels: the BP superstep is
         # bandwidth-bound, so its single-box ceiling is this curve (a
         # real cluster adds memory controllers with nodes); efficiency
@@ -633,22 +671,32 @@ def main() -> None:
             "dedup_throughput_low": dthr[0],
             "dedup_throughput_high": dthr[1],
             "dedup_scaling_efficiency": deff,
+            "unsat_levels": list(unsat_levels),
+            "unsat_n_edges": unsat_edges,
+            "unsat_runs": [unsat_best[unsat_levels[0]], unsat_best[unsat_levels[1]]],
+            "unsat_all_runs": unsat_runs,
+            "unsat_throughput_low": uthr[0],
+            "unsat_throughput_high": uthr[1],
+            "unsat_scaling_efficiency": ueff,
         }))
         return
 
     import ray
 
     sf_dir = SF_DIR
-    if "--sf1" in sys.argv:
-        # 10x scale row: deterministic key-offset tiling of sf0.1 into
-        # /tmp/sf1 (tools/scale_testdata.py), generated on first use —
-        # puts the distributed branches of every size gate on record
-        sf_dir = "/tmp/sf1"
+    if "--sf1" in sys.argv or "--sf10" in sys.argv:
+        # 10x/100x scale rows: deterministic key-offset tiling of sf0.1
+        # into /tmp/sf1 / /tmp/sf10 (tools/scale_testdata.py), generated
+        # on first use — puts the distributed branches of every size
+        # gate on record (the r3 sf1 run caught two real scale bugs; the
+        # r5 sf10 run is the next decade's smoke)
+        mult = 100 if "--sf10" in sys.argv else 10
+        sf_dir = f"/tmp/sf{mult // 10}" if mult == 10 else "/tmp/sf10"
         if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
             import scale_testdata
 
-            scale_testdata.scale(10, "/root/testdata/sf0.1", sf_dir)
+            scale_testdata.scale(mult, "/root/testdata/sf0.1", sf_dir)
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)

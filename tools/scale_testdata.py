@@ -61,7 +61,9 @@ def scale(k: int, base: str, out: str) -> None:
             pq.write_table(src, os.path.join(out, f"{t}.parquet"))
             continue
         doms = DOMAIN_COLS[t]
-        reps = []
+        # stream one replica per row group — at K=100 (sf10) holding all
+        # replicas for a concat would need ~100x the base table in RAM
+        writer = pq.ParquetWriter(os.path.join(out, f"{t}.parquet"), src.schema)
         for i in range(k):
             rep = src
             for col, dom in doms.items():
@@ -70,8 +72,8 @@ def scale(k: int, base: str, out: str) -> None:
                 rep = rep.set_column(
                     rep.schema.get_field_index(col), col, pc.cast(shifted, typ)
                 )
-            reps.append(rep)
-        pq.write_table(pa.concat_tables(reps), os.path.join(out, f"{t}.parquet"))
+            writer.write_table(rep)
+        writer.close()
         print(f"{t}: {src.num_rows} -> {src.num_rows * k}")
 
 
