@@ -74,13 +74,22 @@ def main() -> None:
 
     from ugfraud_ray.detectors.fraudar import _detect_blocks_distributed
 
+    import tracemalloc
+
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    # tracemalloc = the DRIVER-HELD python/numpy heap (the O(m+n)
+    # claim); ru_maxrss additionally counts plasma shared-memory pages
+    # mapped in during ray.get/ray.put, which are object-store-resident,
+    # not driver state
+    tracemalloc.start()
     t0 = time.time()
     blocks = _detect_blocks_distributed(
         edges, mode="log", score_tol=0.01, max_blocks=1,
         peel="batched", batch_eps=0.05, num_shards=16,
     )
     wall = time.time() - t0
+    _, py_peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
 
     row_set, col_set, score = blocks[0]
@@ -99,10 +108,14 @@ def main() -> None:
         "block_score": round(score, 6),
         "planted_row_recall": round(row_recall, 4),
         "planted_col_recall": round(col_recall, 4),
+        "driver_python_heap_peak_bytes": int(py_peak),
+        "driver_heap_vs_edge_list": round(py_peak / edge_bytes, 4),
+        "vertex_state_bytes_o_m_plus_n": (M_ROWS + N_COLS) * 8,
         "driver_peak_rss_delta_bytes": int(rss1 - rss0),
         "driver_rss_delta_vs_edge_list": round((rss1 - rss0) / edge_bytes, 3),
-        "note": "peel='batched' num_shards=16; driver holds only O(m+n) "
-                "delta arrays — rss delta must stay well below the edge list",
+        "note": "peel='batched' num_shards=16; driver_python_heap_peak is "
+                "the driver-held state (must be O(m+n), far below the edge "
+                "list); rss delta additionally counts transient plasma mmaps",
     }
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(__file__), "..", "FRAUDAR_STRESS_r5.json"), "w") as f:
