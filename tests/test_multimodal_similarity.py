@@ -543,3 +543,159 @@ def test_filtered_topk_prefilter_semantics(ray_session):
         got = out[out.query_id == q].reset_index(drop=True)
         assert got["neighbor_id"].tolist() == want["neighbor_id"].tolist()
         assert np.allclose(got["sim"], want["sim"], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (r5 — pipelines/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_img(h=64, w=96):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return (128 + 60 * np.sin(x / 9.0) + 50 * np.cos(y / 7.0)).clip(0, 255).astype(np.uint8)
+
+
+def test_jpeg_round_trip():
+    import numpy as np
+
+    from ugfraud_ray.pipelines.jpeg import decode_jpeg_luma, encode_jpeg_gray
+
+    img = _smooth_img()
+    enc = encode_jpeg_gray(img, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = decode_jpeg_luma(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0  # q=90 on smooth content
+
+    # non-multiple-of-8 dims crop correctly; lossy but bounded on noise
+    rng = np.random.default_rng(5)
+    img2 = rng.integers(0, 256, (41, 53), dtype=np.uint8)
+    dec2 = decode_jpeg_luma(encode_jpeg_gray(img2, quality=50))
+    assert dec2.shape == (41, 53)
+    assert np.abs(dec2.astype(int) - img2.astype(int)).mean() < 40
+
+
+def test_jpeg_restart_intervals():
+    import numpy as np
+
+    from ugfraud_ray.pipelines.jpeg import decode_jpeg_luma, encode_jpeg_gray
+
+    img = _smooth_img(80, 120)
+    ref = decode_jpeg_luma(encode_jpeg_gray(img, quality=85))
+    for ri in (1, 3, 7):
+        dec = decode_jpeg_luma(encode_jpeg_gray(img, quality=85, restart_interval=ri))
+        # restart markers change the byte stream but not the pixels
+        assert np.array_equal(dec, ref)
+
+
+def test_jpeg_three_component_interleaved_scan():
+    """Hand-built 4:2:0 YCbCr JPEG (one MCU: 4 Y + 1 Cb + 1 Cr blocks,
+    flat DC-only content): the decoder must entropy-decode the chroma
+    blocks to stay in sync and IDCT only luma. Each Y block gets a
+    distinct DC level, so any desync scrambles the quadrant means."""
+    import struct
+
+    import numpy as np
+
+    from ugfraud_ray.pipelines.jpeg import (
+        AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS, ZIGZAG,
+        _BitWriter, _build_huff_codes, _magnitude, decode_jpeg_luma,
+    )
+
+    dc_codes = _build_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _build_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    qt = np.ones(64, dtype=np.uint8)  # identity quantization
+
+    bw = _BitWriter()
+    # DC-only blocks: levels chosen so dequantized DC/8 + 128 hits exact
+    # grays (DCT DC basis = 1/8 per pixel with this normalization)
+    y_dc = [-256, -128, 128, 256]  # -> 96, 112, 144, 160 gray
+    prev = 0
+    for dc in y_dc:
+        size, amp = _magnitude(dc - prev)
+        prev = dc
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(amp, size)
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    for _ in range(2):  # Cb, Cr: zero DC (same tables), EOB
+        c, ln = dc_codes[0]
+        bw.write(c, ln)
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(qt[ZIGZAG])
+    # SOF0: 16x16 image, Y 2x2 sampling, Cb/Cr 1x1, all qtable 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(DC_LUMA_VALS)) + b"\x00" + bytes(
+        DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(AC_LUMA_VALS)) + b"\x10" + bytes(
+        AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    # SOS: 3 components, all using DC table 0 / AC table 0
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+    out += bytes(bw.out) + b"\xff\xd9"
+
+    dec = decode_jpeg_luma(bytes(out))
+    assert dec.shape == (16, 16)
+    quads = [dec[:8, :8], dec[:8, 8:], dec[8:, :8], dec[8:, 8:]]
+    assert [int(np.round(q.mean())) for q in quads] == [96, 112, 144, 160]
+    for q in quads:  # DC-only -> flat blocks
+        assert q.std() == 0
+
+
+def test_jpeg_rejects_progressive():
+    import pytest
+
+    from ugfraud_ray.pipelines.jpeg import decode_jpeg_luma, encode_jpeg_gray
+
+    enc = bytearray(encode_jpeg_gray(_smooth_img(16, 16)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg_luma(bytes(enc))
+
+
+def test_dhash_dedup_on_planted_jpeg_duplicates(ray_session):
+    """dHash dedup over a mixed BMP/JPEG corpus: a JPEG re-encode of a
+    BMP image is a near-dup (tiny Hamming distance), and two identical
+    JPEG payloads are exact dHash duplicates."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from ugfraud_ray.pipelines.jpeg import encode_jpeg_gray
+    from ugfraud_ray.pipelines.multimodal import (
+        DHasher,
+        RealDecoder,
+        encode_bmp_gray8,
+        media_dhash_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = [_smooth_img(24, 32) + rng.integers(0, 40, (24, 32), dtype=np.uint8)
+            for _ in range(4)]
+    payloads = [encode_bmp_gray8(im) for im in base]
+    payloads.append(encode_jpeg_gray(base[0], quality=95))  # id 4 ~ id 0
+    payloads.append(payloads[4])                            # id 5 == id 4
+    t = pa.table({
+        "media_id": pa.array(range(len(payloads)), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = media_dhash_dedup(ds, decoder=RealDecoder()).to_pandas()
+    h = dict(zip(out["media_id"].astype(int), out["dhash"]))
+    keep = dict(zip(out["media_id"].astype(int), out["keep"]))
+    assert h[5] == h[4] and not keep[5]  # identical JPEG payloads collapse
+    # q=95 re-encode of the same pixels: hashes within a few bits
+    ham = bin(int(h[4]) ^ int(h[0])).count("1")
+    assert ham <= 6, ham

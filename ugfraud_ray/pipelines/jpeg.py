@@ -150,8 +150,14 @@ def quality_qtable(quality: int = 75) -> np.ndarray:
     return np.clip(t, 1, 255)
 
 
-def encode_jpeg_gray(img: np.ndarray, quality: int = 75) -> bytes:
-    """Baseline grayscale JPEG of a (h, w) uint8 array."""
+def encode_jpeg_gray(
+    img: np.ndarray, quality: int = 75, restart_interval: int = 0
+) -> bytes:
+    """Baseline grayscale JPEG of a (h, w) uint8 array.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (byte-aligned, DC predictor reset) — real crawl JPEGs use
+    them, and it exercises the decoder's resync path."""
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("expected (h, w) grayscale array")
@@ -174,8 +180,16 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 75) -> bytes:
     bw_ = _BitWriter()
     prev_dc = 0
     zz = ZIGZAG
+    mcu_i = 0
+    rst_i = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                rst_i += 1
+                prev_dc = 0
+            mcu_i += 1
             blk = quant[by, bx].reshape(64)[zz]
             dc = int(blk[0])
             size, amp = _magnitude(dc - prev_dc)
@@ -218,6 +232,8 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 75) -> bytes:
     out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(AC_LUMA_VALS)) + b"\x10" + bytes(
         AC_LUMA_BITS
     ) + bytes(AC_LUMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
     out += bytes(bw_.out)
     out += b"\xff\xd9"  # EOI

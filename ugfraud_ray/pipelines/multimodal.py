@@ -426,11 +426,17 @@ class RealDecoder:
         if payload[:2] in (b"P5", b"P6"):
             img = decode_ppm(payload)
             return img if img.ndim == 2 else img[:, :, 0]  # luma plane proxy
+        if payload[:2] == b"\xff\xd8":
+            # baseline JPEG (r5): pure-numpy DCT decoder, luma plane out
+            # — the format a real crawl corpus is mostly made of
+            from ugfraud_ray.pipelines.jpeg import decode_jpeg_luma
+
+            return decode_jpeg_luma(payload)
         if payload.startswith(_MAGIC):
             return self._fake.decode(payload)
         raise NotImplementedError(
-            "compressed media formats need a codec library not present "
-            "in this environment (PIL / soundfile / pyav)"
+            "compressed media formats beyond baseline JPEG need a codec "
+            "library not present in this environment (PIL / soundfile / pyav)"
         )
 
 
