@@ -788,8 +788,13 @@ def _ngram_jaccard_distributed(
     0/union == 0.0, and both-sets-empty is the same 0.0 via the
     union == 0 guard), so NO size lookup is ever needed for it. The
     jaccard itself is the identical int/int IEEE division. (Only
-    groupby machinery is used: Ray 2.49's hash join mis-plans when its
-    left side is itself a join output — kept out of this path.)
+    groupby machinery is used: Ray 2.49 deadlocks a CHAIN of joins
+    whose aggregator pools jointly oversubscribe the cluster — the
+    left being itself a join output keeps both pools alive at once.
+    Repro + retirement trigger:
+    tests/test_ray_join_regression.py::
+    test_chained_join_oversubscribed_pools_deadlock — unskip it on a
+    Ray upgrade; a pass means this join-free design can be revisited.)
     """
     from ray.data.aggregate import Max, Sum
 

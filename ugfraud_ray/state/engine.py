@@ -425,16 +425,30 @@ class SuperstepEngine:
         ray.get([s.checkpoint.remote(self.ckpt_dir, step) for s in self.shards])
         safe_aux = {k: float(v) for k, v in aux.items() if np.isscalar(v) and np.isreal(v)}
         manifest = {"step": step, "P": self.layout.P, "aux": safe_aux}
-        with open(os.path.join(self.ckpt_dir, f"step_{step}.json"), "w") as f:
+        # tmp + rename: the manifest IS the commit point of the
+        # checkpoint protocol, so its write must be atomic — a SIGKILL
+        # mid-json.dump otherwise leaves a truncated step_k.json that
+        # poisons every future resume (found by tools/chaos_resume.py)
+        final = os.path.join(self.ckpt_dir, f"step_{step}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     def _latest_checkpoint(self):
         if not self.ckpt_dir or not os.path.isdir(self.ckpt_dir):
             return None
         best = None
         for f in glob.glob(os.path.join(self.ckpt_dir, "step_*.json")):
-            with open(f) as fh:
-                m = json.load(fh)
+            try:
+                with open(f) as fh:
+                    m = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                # pre-atomic-write leftovers / torn files: skip, an
+                # older committed manifest is still a valid resume point
+                continue
             if best is None or m["step"] > best[0]:
                 best = (m["step"], m.get("aux", {}))
         return best
