@@ -5357,19 +5357,20 @@ def _lang_id_sql() -> str:
     return sql
 
 
-def _bpe_merges_sql(n_merges: int = 16) -> str:
-    """Full-value oracle for doc_bpe_merges (r5 — promoted out of the
-    rows-only set): the BPE merge loop (pipelines/bpe._train_merges)
-    unrolled as an ``n_merges``-step MATERIALIZED CTE chain. Each step:
-    adjacent-pair counts over the per-word symbol rows (lead() window),
-    winner by (n DESC, left, right) — DuckDB's binary UTF-8 collation
-    == Python codepoint comparison — then merge application with the
-    classic aaa-overlap rule via gaps-and-islands (keep every other
-    match in each run of consecutive positions; A!=B runs are
-    singletons so the rule is a no-op for them, exactly like the
-    engine). MATERIALIZED is load-bearing: each state CTE is referenced
-    three times and DuckDB 1.0 otherwise re-inlines the whole chain
-    exponentially (measured: >400s -> 0.3s at sf0.001)."""
+def _bpe_chain_ctes(n_merges: int = 16) -> str:
+    """Shared CTE chain for the BPE oracles: the merge loop
+    (pipelines/bpe._train_merges) unrolled as an ``n_merges``-step
+    MATERIALIZED chain ending at state s{n_merges} (wid, cnt, p, s) and
+    per-step winners win{k}. Each step: adjacent-pair counts over the
+    per-word symbol rows (lead() window), winner by (n DESC, left,
+    right) — DuckDB's binary UTF-8 collation == Python codepoint
+    comparison — then merge application with the classic aaa-overlap
+    rule via gaps-and-islands (keep every other match in each run of
+    consecutive positions; A!=B runs are singletons so the rule is a
+    no-op for them, exactly like the engine). MATERIALIZED is
+    load-bearing: each state CTE is referenced three times and DuckDB
+    1.0 otherwise re-inlines the whole chain exponentially (measured:
+    >400s -> 0.3s at sf0.001)."""
     parts = [
         r"""
       w0 AS MATERIALIZED (
@@ -5426,11 +5427,53 @@ def _bpe_merges_sql(n_merges: int = 16) -> str:
           WHERE kd.p IS NULL
         )
       )""")
+    return ",".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 16) -> str:
+    """Full-value oracle for doc_bpe_merges (r5 — promoted out of the
+    rows-only set): per-step winners of the unrolled merge chain."""
     sel = "\n            UNION ALL ".join(
         f'SELECT CAST({k - 1} AS BIGINT) AS step, l AS "left", r AS "right", n FROM win{k}'
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ",".join(parts) + f" SELECT * FROM ({sel}) ORDER BY step"
+    return (
+        "WITH " + _bpe_chain_ctes(n_merges)
+        + f" SELECT * FROM ({sel}) ORDER BY step"
+    )
+
+
+def _bpe_tokens_trained_sql(n_merges: int = 16) -> str:
+    """Full-value oracle for doc_bpe_tokens_trained (r5): encoding the
+    TRAINING corpus with the trained merges reproduces each word's
+    final training segmentation (rank-greedy encode == replaying the
+    merge steps in order — merges never create adjacencies of
+    pre-existing symbols), so per-word token counts come straight from
+    the chain's final state s{n} and per-doc counts are one join +
+    grouped sum over the word stream."""
+    return (
+        "WITH " + _bpe_chain_ctes(n_merges)
+        + f""",
+      wtok AS MATERIALIZED (
+        SELECT wid, CAST(COUNT(*) AS BIGINT) AS ntok
+        FROM s{n_merges} GROUP BY wid
+      ),
+      docw AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents
+      ),
+      per_doc AS (
+        SELECT d.doc_id, SUM(w.ntok) AS n
+        FROM docw d JOIN wtok w ON w.wid = d.word
+        GROUP BY d.doc_id
+      )
+      SELECT doc.doc_id,
+             CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens_bpe
+      FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id
+    """
+    )
 
 
 def _mulc_sql(x: str, c: int) -> str:
@@ -10204,6 +10247,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only set); doc_bpe_pair_counts below remains as the
         # cheap step-0 side channel
         "doc_bpe_merges": _bpe_merges_sql(),
+        "doc_bpe_tokens_trained": _bpe_tokens_trained_sql(),
         "msf_edges": _msf_edges_sql(),
         "doc_bpe_pair_counts": r"""
             WITH arr AS (

@@ -35,13 +35,14 @@ def test_every_oracle_has_a_query(entry_maps):
     assert not orphans, f"oracle_sql keys without queries(): {sorted(orphans)}"
 
 
-def test_rows_only_set_is_the_documented_nine(entry_maps):
-    # r5: doc_bpe_merges (16-step merge-loop CTE unroll) and msf_edges
-    # (unique-weight Borůvka unroll) gained full value oracles
+def test_rows_only_set_is_the_documented_eight(entry_maps):
+    # r5: doc_bpe_merges + doc_bpe_tokens_trained (merge-loop CTE
+    # unroll + final-state encode) and msf_edges (unique-weight Borůvka
+    # unroll) gained full value oracles
     qs, osql = entry_maps
     rows_only = set(qs) - set(osql)
     expected = {
-        "ann_ivf_topk", "doc_bpe_tokens_trained",
+        "ann_ivf_topk",
         "embedding_pca", "fbox_suspicious_users", "fraudar_blocks",
         "fraudar_user_scores", "media_features",
         "svd_singular_values", "svd_user_probs",
