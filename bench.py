@@ -554,6 +554,13 @@ def main() -> None:
             fixed_p = int(sys.argv[idx + 3])
         except (IndexError, ValueError):
             fixed_p = None
+        if "--affine" in sys.argv:
+            # Ray resources are accounting, not enforcement: shard
+            # actors run unthrottled threads regardless of
+            # ray.init(num_cpus). For the constant-P row the CPU level
+            # must be REAL, so pin the whole process tree (raylet and
+            # every worker inherit the mask) to the first ncpu cores.
+            os.sched_setaffinity(0, set(range(ncpu)))
         ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
         res = bench_superstep_throughput(
             ncpu, n_users=n_edges // 10, n_prods=n_edges // 100, n_edges=n_edges,
@@ -636,9 +643,11 @@ def main() -> None:
         # cuts 87.5%). This row eliminates (b): SAME 160M-edge graph,
         # SAME P=8 partitioning at both levels, so the ratio is pure
         # parallel efficiency against the hardware's own bandwidth
-        # curve (reported alongside as the roofline). Raw 2->8 rows
-        # with P tracking cpus are retained from the rehearsal run in
-        # BASELINE.md for transparency.
+        # curve (reported alongside as the roofline). The CPU level is
+        # enforced with sched_setaffinity in the worker — Ray actor
+        # resources are accounting-only, so without the OS mask a P=8
+        # pool runs 8 unthrottled threads whatever ray.init(num_cpus)
+        # says (measured: "2-cpu" P=8 matched the 8-cpu level).
         unsat_levels = (2, 8)
         unsat_edges = 160_000_000
         unsat_fixed_p = 8
@@ -649,7 +658,7 @@ def main() -> None:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--scaling-worker", str(ncpu), str(unsat_edges),
-                     str(unsat_fixed_p)],
+                     str(unsat_fixed_p), "--affine"],
                     capture_output=True, text=True, timeout=3000,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
