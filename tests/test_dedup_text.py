@@ -1091,3 +1091,29 @@ def test_simhash_clusters_planted(ray_session):
     cl = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
     assert cl[50] == 0 and cl[51] == 0 and cl[0] == 0
     assert len(out) == len(ids)
+
+
+def test_segment_pairs_matches_triu_loop():
+    """segment_pairs must reproduce the per-run np.triu_indices loop
+    byte-for-byte (same pairs, same order) on random run layouts,
+    including length-0/1 runs and an all-short layout."""
+    import numpy as np
+
+    from ugfraud_ray.pipelines.dedup import segment_pairs
+
+    rng = np.random.default_rng(2)
+    for trial in range(20):
+        lens = rng.integers(0, 9, size=rng.integers(1, 40))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        ends = (starts + lens).astype(np.int64)
+        la, ra = segment_pairs(starts, ends)
+        el, er = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            i, j = np.triu_indices(e - s, k=1)
+            el.append(s + i)
+            er.append(s + j)
+        exp_l = np.concatenate(el) if el else np.zeros(0, np.int64)
+        exp_r = np.concatenate(er) if er else np.zeros(0, np.int64)
+        assert np.array_equal(la, exp_l) and np.array_equal(ra, exp_r), trial

@@ -468,6 +468,38 @@ def minhash_verified_dedup(
     return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
 
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated — no Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    cs = np.cumsum(lens)
+    return np.arange(total, dtype=np.int64) - np.repeat(cs - lens, lens)
+
+
+def segment_pairs(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Global (left, right) index arrays of every within-run ordered
+    pair across runs [starts[r], ends[r]) — the fully vectorized form
+    of `for each run: np.triu_indices(L, k=1)` (r5: the per-run Python
+    loop dominated pair emission once duplicate-heavy corpora produced
+    thousands of 100+-member runs per bucket). Pair order per run is
+    identical to triu_indices (left position ascending, right ascending
+    within each left), so outputs are byte-identical to the old loop.
+    """
+    lens = (ends - starts).astype(np.int64)
+    keep = lens >= 2
+    s, L = starts[keep].astype(np.int64), lens[keep]
+    if not len(s):
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    el = L - 1  # left-position count per run
+    left_elem = np.repeat(s, el) + _ragged_arange(el)
+    mult = np.repeat(s + L - 1, el) - left_elem  # rights per left elem
+    left = np.repeat(left_elem, mult)
+    right = left + _ragged_arange(mult) + 1
+    return left, right
+
+
 def _bucketed_pair_emit(
     ds: "ray.data.Dataset", key_cols: list[str], id_col: str, n_buckets: int | None = None,
     carry: list[str] | None = None,
@@ -510,22 +542,8 @@ def _bucketed_pair_emit(
             ends = np.append(starts[1:], len(ids))
         else:
             starts = ends = np.zeros(0, dtype=np.int64)
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            grp = ids[s:e]
-            i, j = np.triu_indices(e - s, k=1)
-            out_a.append(grp[i])
-            out_b.append(grp[j])
-        if not out_a:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
-            }
-        )
+        li, ri = segment_pairs(starts, ends)
+        return pa.table({"id_a": pa.array(ids[li]), "id_b": pa.array(ids[ri])})
 
     if approx_rows is not None and approx_rows <= local_threshold:
         from ugfraud_ray.functions.collect import collect_table
@@ -615,26 +633,18 @@ def simhash_dedup(
             ends = np.append(starts[1:], len(ids))
         else:
             starts = ends = np.zeros(0, dtype=np.int64)
-        a_out, b_out, h_out = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            gi = ids[s:e]
-            gs = sims[s:e].view(np.uint64)
-            i, j = np.triu_indices(e - s, k=1)
-            ham = popcount64(gs[i] ^ gs[j])
-            keep = ham <= max_hamming
-            a_out.append(gi[i][keep])
-            b_out.append(gi[j][keep])
-            h_out.append(ham[keep])
-        if not a_out:
+        li, ri = segment_pairs(starts, ends)
+        if not len(li):
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
+        su = sims.view(np.uint64)
+        ham = popcount64(su[li] ^ su[ri])
+        keep = ham <= max_hamming
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(a_out)),
-                "id_b": pa.array(np.concatenate(b_out)),
-                "hamming": pa.array(np.concatenate(h_out)),
+                "id_a": pa.array(ids[li][keep]),
+                "id_b": pa.array(ids[ri][keep]),
+                "hamming": pa.array(ham[keep]),
             }
         )
 
@@ -849,25 +859,17 @@ def _ngram_jaccard_distributed(
             ends = np.append(starts[1:], len(sh))
         else:
             starts = ends = np.zeros(0, dtype=np.int64)
-        oa, ob, ona, onb = [], [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            i, j = np.triu_indices(e - s, k=1)
-            oa.append(gid[s:e][i])
-            ob.append(gid[s:e][j])
-            ona.append(gsz[s:e][i])
-            onb.append(gsz[s:e][j])
-        if not oa:
+        li, ri = segment_pairs(starts, ends)
+        if not len(li):
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64()),
                  "nint": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
             )
-        n = sum(len(x) for x in oa)
+        n = len(li)
         return pa.table(
-            {"id_a": pa.array(np.concatenate(oa)), "id_b": pa.array(np.concatenate(ob)),
-             "na": pa.array(np.concatenate(ona)), "nb": pa.array(np.concatenate(onb)),
+            {"id_a": pa.array(gid[li]), "id_b": pa.array(gid[ri]),
+             "na": pa.array(gsz[li]), "nb": pa.array(gsz[ri]),
              "nint": pa.array(np.ones(n, dtype=np.int64)),
              "cand": pa.array(np.zeros(n, dtype=np.int64))}
         )
