@@ -1261,22 +1261,17 @@ def trigram_counts(
             )
         )
 
-    from ugfraud_ray.functions.bucketing import n_coarse_buckets
+    from ugfraud_ray.functions.bucketing import hash_string_column, n_coarse_buckets
 
     nb = np.uint64(n_coarse_buckets(None))
 
-    def bucketize(df):
-        import pandas as pd
-
+    def bucketize(t: pa.Table) -> pa.Table:
         h = (
-            pd.util.hash_array(df["w1"].to_numpy(dtype=object))
-            * np.uint64(0x9E3779B97F4A7C15)
-            ^ pd.util.hash_array(df["w2"].to_numpy(dtype=object))
-            * np.uint64(0xC2B2AE3D27D4EB4F)
-            ^ pd.util.hash_array(df["w3"].to_numpy(dtype=object))
+            hash_string_column(t["w1"]) * np.uint64(0x9E3779B97F4A7C15)
+            ^ hash_string_column(t["w2"]) * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ hash_string_column(t["w3"])
         )
-        df["_cb"] = (h % nb).astype("int64")
-        return df
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         w1 = g["w1"].to_numpy(zero_copy_only=False)
@@ -1303,7 +1298,7 @@ def trigram_counts(
         )
 
     return (
-        partials.map_batches(bucketize, batch_format="pandas")
+        partials.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -248,35 +248,31 @@ def dedup_edges(
     """Exact (src_url, dst_url) dedup keeping the min ts (deterministic).
 
     D5: `Fraudar.py:18-20` (`M > 0 -> 1`). Hash-bucketed like
-    dedup_pairs (string keys: pandas vectorized hash + per-bucket
-    groupby) — a per-pair hash aggregate is the many-groups slow path.
+    dedup_pairs (string keys: Arrow-buffer-native vectorized hash +
+    per-bucket Arrow hash aggregate, r5 — no pandas object conversion)
+    — a per-pair hash aggregate is the many-groups slow path.
     Bucket count is cluster/data-proportional (``n_coarse_buckets``).
     """
+    from ugfraud_ray.functions.bucketing import hash_string_column
+
     nb = np.uint64(n_coarse_buckets(approx_rows))
 
-    def bucketize(df):
-        import pandas as pd
-
-        h = pd.util.hash_array(df["src_url"].to_numpy(dtype=object)) ^ pd.util.hash_array(
-            df["dst_url"].to_numpy(dtype=object)
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = hash_string_column(t["src_url"]) ^ hash_string_column(
+            t["dst_url"]
         ) * np.uint64(0x9E3779B97F4A7C15)
-        df["_cb"] = (h % nb).astype("int64")
-        return df
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
-    def per_bucket(g) -> pa.Table:
-        gg = g.groupby(["src_url", "dst_url"], sort=False)["ts"].min().reset_index()
-        return pa.table(
-            {
-                "src_url": pa.array(gg["src_url"].to_numpy(dtype=object), pa.string()),
-                "dst_url": pa.array(gg["dst_url"].to_numpy(dtype=object), pa.string()),
-                "ts": pa.array(gg["ts"]),
-            }
-        )
+    def per_bucket(g: pa.Table) -> pa.Table:
+        gg = pa.TableGroupBy(
+            g.select(["src_url", "dst_url", "ts"]), ["src_url", "dst_url"]
+        ).aggregate([("ts", "min")])
+        return gg.rename_columns(["src_url", "dst_url", "ts"])
 
     return (
-        edge_urls.map_batches(bucketize, batch_format="pandas")
+        edge_urls.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -351,24 +347,27 @@ def number_vertices(
 
     nb = np.uint64(n_coarse_buckets(2 * n_rows if n_rows is not None else None))
 
-    def bucketize(df):
-        import pandas as pd
+    from ugfraud_ray.functions.bucketing import hash_string_column
 
-        # vectorized string hashing (deterministic default key);
-        # correctness doesn't depend on the bucket fn — only spreading
-        df["_cb"] = (pd.util.hash_array(df["url"].to_numpy(dtype=object)) % nb).astype("int64")
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        # Arrow-buffer-native string hashing (r5); correctness doesn't
+        # depend on the bucket fn — only spreading
+        h = hash_string_column(t["url"])
+        return t.append_column("_cb", pa.array((h % nb).astype(np.int64)))
 
-    def per_bucket(g) -> pa.Table:
-        gb = g.groupby("url", sort=False)["is_dst"].max()
-        urls = gb.index.to_numpy()
-        kind = np.where(gb.to_numpy() == 1, 0, 1).astype(np.int8)
-        return pa.table({"url": pa.array(urls, pa.string()), "kind": pa.array(kind)})
+    def per_bucket(g: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(g.select(["url", "is_dst"]), "url").aggregate(
+            [("is_dst", "max")]
+        )
+        kind = np.where(
+            gb["is_dst_max"].to_numpy(zero_copy_only=False) == 1, 0, 1
+        ).astype(np.int8)
+        return pa.table({"url": gb["url"], "kind": pa.array(kind)})
 
     verts = (
-        tagged.map_batches(bucketize, batch_format="pandas")
+        tagged.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_cb")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
     verts = verts.sort(["kind", "url"])
     return with_row_index(verts, column="vid")
